@@ -1,0 +1,121 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Foreign-key link between two tables.
+  *
+  * Mirrors the reference's link model: `src/htsql/core/entity.py`
+  * (`ForeignKeyEntity`, `DirectJoin`, `ReverseJoin`) — a direct join is the
+  * child→parent (singular) traversal, the reverse join is parent→child
+  * (plural). Labels are derived the way `src/htsql/core/classify.py`
+  * (`classify`) derives them from FK names (FIXTURES.md §3 declares them
+  * explicitly because parquet carries no FK metadata).
+  *
+  * @param nullable if the FK column is nullable the singular traversal is a
+  *                 LEFT OUTER join, else INNER (reference: `JoinTerm.is_left`
+  *                 in `src/htsql/core/tr/term.py`).
+  */
+final case class Link(
+    childTable: String,
+    childCols: Seq[String],
+    parentTable: String,
+    parentCols: Seq[String],
+    directLabel: String,
+    reverseLabel: String,
+    nullable: Boolean = false
+)
+
+/** Table metadata: name + primary key (asserted, not enforced — reference:
+  * `PrimaryKeyEntity` in `src/htsql/core/entity.py`).
+  */
+final case class TableDef(name: String, primaryKey: Seq[String])
+
+/** The engine's catalog/model graph: tables, primary keys, FK links.
+  *
+  * Replaces the reference's introspection + model graph
+  * (`src/htsql/core/introspect.py`, `src/htsql/core/model.py` — `TableNode`,
+  * `TableArc`, `ChainArc`, `ColumnArc`). Spark's own catalog has no FK
+  * metadata, which HTSQL navigation requires, so we keep our own registry.
+  * Column types come from parquet footers at load time.
+  */
+final class Catalog(val tables: Seq[TableDef], val links: Seq[Link]) {
+  private val byName: Map[String, TableDef] = tables.map(t => t.name -> t).toMap
+
+  def table(name: String): TableDef =
+    byName.getOrElse(name, throw new IllegalArgumentException(s"unknown table: $name"))
+
+  def primaryKey(name: String): Seq[String] = table(name).primaryKey
+
+  /** Singular (child→parent) link reachable from `table` under `label`. */
+  def directLink(table: String, label: String): Option[Link] =
+    links.find(l => l.childTable == table && l.directLabel == label)
+
+  /** Plural (parent→child) link reachable from `table` under `label`. */
+  def reverseLink(table: String, label: String): Option[Link] =
+    links.find(l => l.parentTable == table && l.reverseLabel == label)
+
+  def isTable(name: String): Boolean = byName.contains(name)
+}
+
+/** The fixed catalog over the driver's parquet tables (FIXTURES.md §2-3). */
+object Catalog {
+  val default: Catalog = new Catalog(
+    tables = Seq(
+      TableDef("region", Seq("r_regionkey")),
+      TableDef("nation", Seq("n_nationkey")),
+      TableDef("customer", Seq("c_custkey")),
+      TableDef("supplier", Seq("s_suppkey")),
+      TableDef("part", Seq("p_partkey")),
+      TableDef("orders", Seq("o_orderkey")),
+      TableDef("lineitem", Seq("l_orderkey", "l_linenumber")),
+      TableDef("events", Seq("event_id")),
+      TableDef("documents", Seq("doc_id")),
+      TableDef("embeddings", Seq("vec_id"))
+    ),
+    links = Seq(
+      Link("nation", Seq("n_regionkey"), "region", Seq("r_regionkey"), "region", "nation"),
+      Link("customer", Seq("c_nationkey"), "nation", Seq("n_nationkey"), "nation", "customer"),
+      Link("supplier", Seq("s_nationkey"), "nation", Seq("n_nationkey"), "nation", "supplier"),
+      Link("orders", Seq("o_custkey"), "customer", Seq("c_custkey"), "customer", "orders"),
+      Link("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey"), "order", "lineitem"),
+      Link("lineitem", Seq("l_partkey"), "part", Seq("p_partkey"), "part", "lineitem"),
+      Link("lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey"), "supplier", "lineitem"),
+      Link("events", Seq("user_id"), "customer", Seq("c_custkey"), "customer", "events")
+    )
+  )
+}
+
+/** Lazy table loader over a scale-factor directory of parquet files.
+  *
+  * Replaces the reference's backend connection (`src/htsql/core/connect.py`)
+  * — instead of a DBAPI socket, tables are columnar parquet scans that
+  * Catalyst prunes and pushes filters into. At cluster scale each table is a
+  * directory of many files; `spark.read.parquet` parallelizes per file-split,
+  * so nothing here assumes single-file inputs.
+  */
+final class Tables(val spark: SparkSession, val dir: String) {
+  private val cache = scala.collection.mutable.HashMap.empty[String, DataFrame]
+
+  def apply(name: String): DataFrame =
+    cache.getOrElseUpdate(name, {
+      if (name == "events") {
+        // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        // rejects; read it as raw nanos and truncate to microseconds.
+        // Integral `div` — an epoch-nanos value exceeds double precision.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    })
+
+  def region: DataFrame = apply("region")
+  def nation: DataFrame = apply("nation")
+  def customer: DataFrame = apply("customer")
+  def supplier: DataFrame = apply("supplier")
+  def part: DataFrame = apply("part")
+  def orders: DataFrame = apply("orders")
+  def lineitem: DataFrame = apply("lineitem")
+  def events: DataFrame = apply("events")
+  def documents: DataFrame = apply("documents")
+  def embeddings: DataFrame = apply("embeddings")
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale text deduplication operators (training-data pipeline block).
+  *
+  * No reference analogue (the reference stops at relational navigation);
+  * these follow the standard public MinHash/SimHash constructions
+  * (Broder 1997, Charikar 2002) expressed as pure Spark column pipelines:
+  * every stage is codegen'd built-ins (`transform`/`aggregate`/`xxhash64`),
+  * candidate generation is a band-bucket shuffle join — the same shape that
+  * scales to 100 TB (shuffle volume is O(docs × bands), never O(docs²);
+  * the quadratic step only runs inside a bucket).
+  */
+object Dedup {
+
+  /** Lower-cased whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Distinct word n-gram shingles. Guarded: texts shorter than n tokens
+    * produce an empty shingle set (Spark `sequence(1,0)` would otherwise
+    * count DOWN).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = when(size(toks) < n, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(toks) - (n - 1)))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Exact dedup: keep the lowest-id row per identical (normalized) text.
+    * The hash-groupBy shape: one shuffle on a 64-bit digest, never on the
+    * full text bytes — at 100 TB the shuffle carries 8-byte keys.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), xxhash64(lower(col(textCol))).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("group_size"))
+      .select(idCol, "group_size")
+
+  /** MinHash signature: `numHashes` independent minimums over shingle
+    * hashes, seeded by the hash index (`xxhash64(seed, shingle)`).
+    * Empty shingle sets get Long.MaxValue sentinels.
+    */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => coalesce(array_min(transform(sh, x => xxhash64(j, x))), lit(Long.MaxValue)))
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * bands×rows = numHashes; two docs collide when one band of their
+    * signatures matches exactly (collision prob ≈ 1-(1-j^rows)^bands for
+    * Jaccard j). Candidates are verified with exact Jaccard over shingles.
+    *
+    * Scale shape: explode to (band, bandSig) keys → the shuffle groups only
+    * docs sharing a 64-bit band signature; the quadratic step runs per
+    * bucket, and `dropDuplicates` collapses multi-band collisions before
+    * the expensive verify.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      jaccardThreshold: Double = 0.5
+  ): DataFrame = {
+    val rows = numHashes / bands
+    val base = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = base.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_sig")))
+
+    val a = banded.select(col("band"), col("band_sig"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band").as("band_r"), col("band_sig").as("band_sig_r"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = a
+      .join(b, col("band") === col("band_r") && col("band_sig") === col("band_sig_r") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash (Charikar): bit i is the sign of the summed ±1 votes
+    * from each token's hash bit i. Written as a SQL expression because the
+    * shift amount is the lambda variable (the Scala `shiftright` helper
+    * only takes literal shifts).
+    */
+  def simhashSql(textCol: String): String =
+    s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
+          acc | IF(aggregate(split(trim(lower($textCol)), '\\\\s+'), 0L,
+                     (s, t) -> s + IF((shiftrightunsigned(xxhash64(t), i) & 1) = 1, 1L, -1L)
+                   ) >= 0L, shiftleft(1L, i), 0L))"""
+
+  /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming.
+    *
+    * Candidate generation by the pigeonhole banding trick: split the 64-bit
+    * signature into (maxHamming/width + 1) chunks — any pair within the
+    * distance budget matches exactly on at least one chunk. Join per chunk,
+    * verify with `bit_count(xor)`.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val sigs = docs.select(col(idCol).as("id"), expr(simhashSql(textCol)).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(expr(s"transform(sequence(0, ${chunks - 1}), " +
+          s"c -> shiftrightunsigned(sig, c * $width) & ${mask}L)"))
+          .as(Seq("chunk", "chunk_val")))
+    val a = sigs.select(col("chunk"), col("chunk_val"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("chunk").as("chunk_r"), col("chunk_val").as("chunk_val_r"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, col("chunk") === col("chunk_r") && col("chunk_val") === col("chunk_val_r") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (the brute-exact baseline the
+    * sketch variants approximate). Inverted-index join on shingles keeps
+    * the shuffle linear in total shingle count; `minCommon` prunes
+    * accidental single-shingle collisions before the ratio.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val a = inv.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("na"))
+    val b = inv.select(col("shingle").as("shingle_r"), col("id").as("id_b"), col("n_sh").as("nb"))
+    a.join(b, col("shingle") === col("shingle_r") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video ride through the engine
+  * as opaque `binary` columns plus a typed metadata struct; decode /
+  * feature-extraction runs per partition in batches.
+  *
+  * The actual media decode is STUBBED (no codec libraries in this
+  * environment — see `FakeDecoder`): the Spark-side contract — schema,
+  * batch shape, partition-local decoder lifecycle, deterministic output —
+  * is real and tested. Swapping `FakeDecoder.decode` for a JNI/javacpp
+  * decoder changes nothing upstream.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque payload. */
+  case class MediaMeta(mime: String, sizeBytes: Long, sourceUri: String)
+
+  /** One media row entering the decode stage. */
+  case class MediaRow(mediaId: Long, payload: Array[Byte], meta: MediaMeta)
+
+  /** Decoded features leaving the decode stage. */
+  case class MediaFeatures(
+      mediaId: Long,
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      embedding: Array[Double]
+  )
+
+  /** STUB decoder — deterministic fake standing in for a real codec.
+    * A real implementation would decode `payload` (e.g. libjpeg/ffmpeg via
+    * JNI); this derives stable pseudo-features from the bytes so the
+    * pipeline is end-to-end testable. One instance per partition, mirroring
+    * how a native decoder handle would be opened once per task.
+    */
+  final class FakeDecoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val h = java.util.Arrays.hashCode(row.payload).toLong & 0x7fffffffL
+      val width = (h % 640L).toInt + 16
+      val height = ((h / 640L) % 480L).toInt + 16
+      val nFrames = if (row.meta.mime.startsWith("video/")) (h % 120L).toInt + 1 else 1
+      val emb = Array.tabulate(8) { i =>
+        (((h * 2654435761L + i * 40503L) & 0xffffL).toDouble / 65535.0) * 2.0 - 1.0
+      }
+      MediaFeatures(row.mediaId, width, height, nFrames, emb)
+    }
+  }
+
+  /** Decode stage: per-partition batch decode with a partition-local
+    * decoder instance. `mapPartitions` (not `map`) so decoder setup cost is
+    * amortized per task — the shape that matters when decode is a native
+    * library call.
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new FakeDecoder // one per partition/task
+      rows.map(decoder.decode)
+    }
+  }
+
+  /** Demo ingestion: wrap the `documents` table's text bytes as fake media
+    * payloads (the environment has no real media files) — exercises the
+    * binary column + metadata struct + decode pipeline end to end.
+    */
+  def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("mediaId"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        concat(lit("fake/"), col("source")).as("mime"),
+        col("n_chars").as("sizeBytes"),
+        concat(lit("mem://doc/"), col("doc_id")).as("sourceUri")
+      ).as("meta")
+    ).as[MediaRow]
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All pure column expressions (codegen'd, no UDFs), deterministic, and
+  * embarrassingly parallel — per-row work only, so they scale linearly and
+  * fuse into the scan's WholeStageCodegen span.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Marker stopword lists per language for the n-gram/stopword language-ID
+    * heuristic (public-domain lists, truncated to high-frequency markers).
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une")
+  )
+
+  private def markerCount(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(markers(lang): _*))).cast("long")
+
+  /** Predicted language: argmax of marker-word counts; ties resolve in
+    * fixed order en > es > de > fr; no markers at all → "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = Seq("en", "es", "de", "fr").map(l => l -> markerCount(toks, l))
+    val top = greatest(counts.map(_._2): _*)
+    counts.foldLeft(when(top === 0L, lit("und"))) { case (acc, (l, c)) =>
+      acc.when(c === top, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric symbols — the standard pre-tokenizer shape.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+
+  /** Ratio of tokens that are (any-language) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val all = markers.values.flatten.toSeq.distinct
+    size(filter(toks, t => t.isin(all: _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Mean token length. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Fraction of characters that are a-z or space (low → noisy doc). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), lit("[^a-z ]"), lit(""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: weighted blend of length band,
+    * alpha ratio and stopword presence — the usual cheap pre-filter before
+    * expensive model-based scoring.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500d, lit(1d))
+    val stop = stopwordRatio(text)
+    val stopScore = when(stop > 0.02d, lit(1d)).otherwise(stop * 50d)
+    lenScore * 0.4d + alphaRatio(text) * 0.4d + stopScore * 0.2d
+  }
+
+  /** Polynomial rolling-hash fingerprint over characters:
+    * h = fold(31·h + code(c)) mod 1e9+7. Stays far below Long overflow
+    * ((1e9+7)·31 + 255 < 2^35), so the same fold is expressible in any
+    * engine with 64-bit ints — used by the DuckDB oracle.
+    */
+  def fingerprint(text: Column): Column = {
+    val chars = filter(split(text, ""), c => c =!= "")
+    aggregate(chars, lit(0L), (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+  }
+}

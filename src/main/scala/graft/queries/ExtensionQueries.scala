@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators over `documents` / `embeddings` /
+  * `events` (SURVEY.md §2 extension rows; no reference analogue — the
+  * reference stops at relational navigation).
+  *
+  * Oracle SQL is supplied wherever DuckDB can reproduce the computation
+  * bit-for-bit (exact dedup, n-gram Jaccard, text stats, fingerprints);
+  * hash-sketch operators (MinHash/SimHash/LSH — engine-specific xxhash64 /
+  * RNG) get the driver's rows-only check and are locked down by ScalaTest
+  * invariants instead.
+  */
+object ExtensionQueries extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // Exact dedup — hash-groupBy keep-list (Dedup.exact).
+    "q_dedup_exact" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Dedup.exact(t.documents, "doc_id", "text").orderBy("doc_id")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs (inverted-index join).
+    "q_dedup_ngram" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Dedup.ngramJaccardPairs(t.documents, "doc_id", "text", n = 3,
+        threshold = 0.2, minCommon = 2).orderBy("id_a", "id_b")
+    },
+
+    // MinHash + LSH candidate/verified pairs (rows-only check).
+    "q_dedup_minhash" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Dedup.minhashPairs(t.documents, "doc_id", "text", shingleSize = 3,
+        numHashes = 16, bands = 4, jaccardThreshold = 0.2).orderBy("id_a", "id_b")
+    },
+
+    // SimHash hamming-≤k pairs (rows-only check).
+    "q_dedup_simhash" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding-cosine near-dup pairs via hyperplane LSH (rows-only check).
+    "q_dedup_embed" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Similarity.cosineNearDupPairs(t.embeddings, "vec_id", "embedding",
+        dim = 64, threshold = 0.2, numPlanes = 6).orderBy("id_a", "id_b")
+    },
+
+    // Brute-force cosine top-k (exact ANN baseline) — ranks are
+    // oracle-comparable because all arithmetic is sequential double folds.
+    "q_sim_knn" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 8)
+      Similarity.bruteForceTopK(t.embeddings, queries, "vec_id", "embedding", k = 5)
+        .select("q_id", "n_id", "rank")
+        .orderBy("q_id", "rank")
+    },
+
+    // LSH-bucketed ANN (the 100 TB scale path; rows-only check).
+    "q_sim_lsh" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 8)
+      Similarity.lshTopK(t.embeddings, queries, "vec_id", "embedding",
+        dim = 64, k = 3, numPlanes = 4)
+        .select("q_id", "n_id", "rank")
+        .orderBy("q_id", "rank")
+    },
+
+    // Language ID + quality metrics + token counts per document.
+    "q_text_stats" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.documents.select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+        TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.alphaRatio(col("text")).as("alpha_ratio")
+      ).orderBy("doc_id")
+    },
+
+    // Rolling-hash document fingerprint (content-defined identity).
+    "q_text_fingerprint" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.documents.select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")
+      ).orderBy("doc_id")
+    },
+
+    // Multimodal decode pipeline: binary payload + typed metadata →
+    // per-partition (stubbed) decode → features (rows-only check).
+    "q_multimodal" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val media = Multimodal.documentsAsMedia(s, t.documents)
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("mediaId").as("media_id"), col("width"), col("height"),
+          col("nFrames").as("n_frames"))
+        .orderBy("media_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS group_size
+         FROM documents GROUP BY lower(text) ORDER BY doc_id""",
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+           FROM toks),
+         inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+                  count(*) AS common
+           FROM inv a JOIN inv b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+                CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+         FROM pairs
+         WHERE common >= 2
+           AND CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.2
+         ORDER BY id_a, id_b""",
+    "q_text_stats" ->
+      TextStatsOracle.sql,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id"""
+  )
+}
+
+/** DuckDB oracle for q_text_stats — kept separate for readability; mirrors
+  * TextAnalysis column-for-column (same marker lists, same tie order, same
+  * double divisions).
+  */
+object TextStatsOracle {
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
+  private val en = inList(TextAnalysis.markers("en"))
+  private val es = inList(TextAnalysis.markers("es"))
+  private val de = inList(TextAnalysis.markers("de"))
+  private val fr = inList(TextAnalysis.markers("fr"))
+  private val all = inList(
+    TextAnalysis.markers.values.flatten.toSeq.distinct)
+
+  val sql: String =
+    s"""WITH base AS (
+          SELECT doc_id, text,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, text, toks,
+            CAST(len(list_filter(toks, t -> t IN $en)) AS BIGINT) AS c_en,
+            CAST(len(list_filter(toks, t -> t IN $es)) AS BIGINT) AS c_es,
+            CAST(len(list_filter(toks, t -> t IN $de)) AS BIGINT) AS c_de,
+            CAST(len(list_filter(toks, t -> t IN $fr)) AS BIGINT) AS c_fr
+          FROM base)
+        SELECT doc_id,
+          CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+               WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+               WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+               WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+               ELSE 'fr' END AS lang_pred,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe,
+          CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+            / greatest(len(toks), 1) AS mean_tok_len,
+          CAST(len(list_filter(toks, t -> t IN $all)) AS DOUBLE)
+            / greatest(len(toks), 1) AS stop_ratio,
+          CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS alpha_ratio
+        FROM c ORDER BY doc_id"""
+}

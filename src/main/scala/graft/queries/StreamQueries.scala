@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.functions.Ht
+
+/** Event-time windowing over the `events` table (SURVEY.md §2.9).
+  *
+  * The reference has no streaming at all; this is the north-star extension.
+  * Batch-first semantics here (DuckDB-oracle-comparable); the identical
+  * `groupBy(window(...))` plans run under Structured Streaming via
+  * `graft.streaming.EventStreams` (readStream + watermark — covered by
+  * ScalaTest, not the batch oracle).
+  *
+  * Window starts are surfaced as epoch seconds (BIGINT): the raw `ts` is
+  * nanosecond parquet, which engines truncate differently — bucket edges
+  * are exact integers in both.
+  */
+object StreamQueries extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // Tumbling 1-hour windows: sum(value)/count per (window, event_type).
+    "q_stream_tumble" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Ht.dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("bucket_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    },
+
+    // Sliding 1-hour windows every 30 minutes (each event lands in 2).
+    "q_stream_slide" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.events
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Ht.dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("bucket_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    },
+
+    // Session windows: 30-minute inactivity gap per user.
+    "q_stream_session" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.events
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), Ht.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "sess_start")
+    },
+
+    // Approximate distinct users per event type (HLL++) — engine-specific
+    // sketch, rows-only check; q_count_distinct is the exact twin.
+    "q_dist_approx" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.events
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    // Exact distinct twin (oracle-checked): count(base^user_id) in the
+    // reference's quotient phrasing (SURVEY.md §2.4).
+    "q_count_distinct" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.events
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_stream_slide" ->
+      """WITH buckets AS (
+           SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS half_slot,
+                  event_type, value FROM events),
+         expanded AS (
+           SELECT half_slot AS bucket_start, event_type, value FROM buckets
+           UNION ALL
+           SELECT half_slot - 1800 AS bucket_start, event_type, value FROM buckets)
+         SELECT bucket_start, event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_stream_session" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+         numbered AS (
+           SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged)
+         SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""",
+    "q_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

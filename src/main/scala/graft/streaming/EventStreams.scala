@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.Ht
+
+/** Structured Streaming versions of the event-time aggregations in
+  * `graft.queries.StreamQueries` (SURVEY.md §2.9 — north-star extension;
+  * the reference has no streaming).
+  *
+  * Batch and stream share the same `groupBy(window(...))` declarative core,
+  * so correctness is locked by the batch DuckDB oracle while these entry
+  * points add watermarking + incremental state. At scale: state store is
+  * keyed by (window, group) — watermarks bound state size; late data beyond
+  * the watermark is dropped deterministically.
+  */
+object EventStreams {
+
+  /** The shared tumbling-window aggregation plan (works on batch or
+    * streaming input — identical semantics by construction).
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Ht.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming read of an events directory with a 1-hour watermark. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/events.parquet")
+      .withWatermark("ts", "1 hour")
+  }
+
+  /** Launch the tumbling aggregation as an incremental streaming query
+    * into an in-memory sink (smoke/testing; a production sink would be
+    * `.format("parquet")`/Kafka with checkpointing).
+    */
+  def startTumbling(spark: SparkSession, dir: String, queryName: String): StreamingQuery =
+    tumblingAgg(readEventStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
+  /** Sessionization on a stream: same `session_window` core as the batch
+    * query; state per (user, open session), bounded by the watermark.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Ht.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("n_events"), col("sum_value"))
+}
