@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import scala.io.StdIn
+
+/** Interactive / one-shot query shell — the analogue of the reference's
+  * `htsql-ctl shell` (`src/htsql/ctl/shell.py` (ShellRoutine)).
+  *
+  * Usage:
+  *   runMain graft.Shell <dataDir> [query]       — one-shot, prints a table
+  *   runMain graft.Shell <dataDir>               — REPL on stdin
+  *
+  * Output format flags mirror the reference's `/:json` / `/:csv` format
+  * decorators (`src/htsql/core/cmd/summon.py`): suffix the query with
+  * `:json`, `:csv`, or `:txt` (default txt).
+  */
+object Shell {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.Shell <dataDir> [query]")
+      sys.exit(2)
+    }
+    val dir = args(0)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-shell")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val g = Graft(spark, dir)
+
+    def run(line: String): Unit = {
+      val (query, fmt) =
+        if (line.endsWith(":json")) (line.dropRight(5), "json")
+        else if (line.endsWith(":csv")) (line.dropRight(4), "csv")
+        else if (line.endsWith(":txt")) (line.dropRight(4), "txt")
+        else (line, "txt")
+      try {
+        val df = g.query(query.trim)
+        fmt match {
+          case "json" => println(g.toJson(df))
+          case "csv" => println(g.toCsv(df))
+          case _ => println(g.toText(df))
+        }
+      } catch {
+        case e: graft.lang.ParseError => System.err.println(s"parse error: ${e.getMessage}")
+        case e: graft.lang.LexError => System.err.println(s"lex error: ${e.getMessage}")
+        case e: graft.lang.PlanError => System.err.println(s"plan error: ${e.getMessage}")
+      }
+    }
+
+    if (args.length > 1) run(args(1))
+    else {
+      var line = StdIn.readLine("graft> ")
+      while (line != null && line.trim != "\\q") {
+        if (line.trim.nonEmpty) run(line.trim)
+        line = StdIn.readLine("graft> ")
+      }
+    }
+    spark.stop()
+  }
+}

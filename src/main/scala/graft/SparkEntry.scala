@@ -15,7 +15,8 @@ object SparkEntry {
     CoreQueries,
     FunctionQueries,
     ExtensionQueries,
-    StreamQueries
+    StreamQueries,
+    LangQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,316 @@
+package graft.lang
+
+import Ast._
+
+final class ParseError(msg: String, val pos: Int) extends RuntimeException(s"$msg at position $pos")
+
+/** Recursive-descent / operator-precedence parser for the navigational
+  * language — the analogue of `src/htsql/core/syn/parse.py` over the
+  * grammar in `src/htsql/core/syn/grammar.py`.
+  *
+  * Flow pipeline (applied left-to-right, loosest level):
+  *   `/table ?pred ^kernel {items} [ids] .member .sort(k) .limit(n,m)`
+  * Scalar expressions use conventional precedence:
+  *   `| & ! (cmp: = != == !== < <= > >= ~ !~) (+ -) (* /) unary- postfix.`
+  */
+object Parser {
+
+  def parse(input: String): Ast = {
+    val p = new Parser(Lexer.tokenize(input), input)
+    p.parseQuery()
+  }
+}
+
+private final class Parser(tokens: Vector[Token], input: String) {
+  private var pos = 0
+
+  private def cur: Token = tokens(pos)
+  private def advance(): Token = { val t = cur; pos += 1; t }
+
+  private def isOp(v: String): Boolean = cur match {
+    case Token.Op(`v`, _) => true
+    case _ => false
+  }
+  private def eatOp(v: String): Unit =
+    if (isOp(v)) pos += 1
+    else throw new ParseError(s"expected '$v' but found ${describe(cur)}", cur.pos)
+
+  private def describe(t: Token): String = t match {
+    case Token.Ident(v, _) => s"identifier '$v'"
+    case Token.Num(v, _) => s"number '$v'"
+    case Token.Str(v, _) => s"string '$v'"
+    case Token.Op(v, _) => s"'$v'"
+    case Token.End(_) => "end of query"
+  }
+
+  def parseQuery(): Ast = {
+    eatOp("/")
+    val flow = parsePipeline()
+    cur match {
+      case Token.End(_) => flow
+      case t => throw new ParseError(s"unexpected ${describe(t)} after query", t.pos)
+    }
+  }
+
+  // ---- flow pipeline ----------------------------------------------------
+
+  def parsePipeline(): Ast = {
+    var flow = parsePrimaryFlow()
+    var continue = true
+    while (continue) {
+      cur match {
+        case Token.Op("?", _) =>
+          advance(); flow = Sieve(flow, parseScalar())
+        case Token.Op("^", _) =>
+          advance()
+          if (isOp("{")) { advance(); val items = parseItems("}"); flow = Quotient(flow, items.map(_.expr)) }
+          else flow = Quotient(flow, Seq(parseScalar()))
+        case Token.Op("{", _) =>
+          advance(); flow = Select(flow, parseItems("}"))
+        case Token.Op("[", _) =>
+          advance(); flow = Locator(flow, parseLocatorIds())
+        case Token.Op(".", _) =>
+          advance(); flow = parseFlowMember(flow)
+        case _ => continue = false
+      }
+    }
+    flow
+  }
+
+  private def parsePrimaryFlow(): Ast = cur match {
+    case Token.Ident(name, _) => advance(); Ident(name)
+    case Token.Op("(", _) => advance(); val inner = parsePipeline(); eatOp(")"); inner
+    case t => throw new ParseError(s"expected a table or '(' but found ${describe(t)}", t.pos)
+  }
+
+  /** Member after `.` at flow level: navigation, or the flow methods
+    * sort/limit/define.
+    */
+  private def parseFlowMember(base: Ast): Ast = cur match {
+    case Token.Ident("sort", _) =>
+      advance(); eatOp("("); val keys = parseSortKeys(); eatOp(")"); SortOp(base, keys)
+    case Token.Ident("limit", _) =>
+      advance(); eatOp("(")
+      val n = parseIntLit()
+      val skip = if (isOp(",")) { advance(); parseIntLit() } else 0
+      eatOp(")")
+      LimitOp(base, n, skip)
+    case Token.Ident("define", _) =>
+      advance(); eatOp("(")
+      val defs = Seq.newBuilder[(String, Ast)]
+      var more = true
+      while (more) {
+        val name = parseIdent()
+        eatOp(":=")
+        defs += name -> parseScalar()
+        if (isOp(",")) advance() else more = false
+      }
+      eatOp(")")
+      DefineOp(base, defs.result())
+    case Token.Ident(name, _) =>
+      advance()
+      if (isOp("(")) { advance(); val args = parseArgs(); Compose(base, Apply(name, args)) }
+      else Compose(base, Ident(name))
+    case t => throw new ParseError(s"expected member name after '.' but found ${describe(t)}", t.pos)
+  }
+
+  private def parseIntLit(): Int = cur match {
+    case Token.Num(v, _) if !v.contains('.') => advance(); v.toInt
+    case t => throw new ParseError(s"expected integer but found ${describe(t)}", t.pos)
+  }
+
+  private def parseIdent(): String = cur match {
+    case Token.Ident(v, _) => advance(); v
+    case t => throw new ParseError(s"expected identifier but found ${describe(t)}", t.pos)
+  }
+
+  private def parseLocatorIds(): Seq[String] = {
+    val ids = Seq.newBuilder[String]
+    var more = true
+    while (more) {
+      cur match {
+        case Token.Num(v, _) =>
+          advance()
+          // `[3.2]` lexes as the number 3.2 — dots separate identity fields
+          ids ++= v.split('.')
+        case Token.Str(v, _) => advance(); ids += v
+        case Token.Ident(v, _) => advance(); ids += v
+        case t => throw new ParseError(s"expected identity value but found ${describe(t)}", t.pos)
+      }
+      if (isOp(".")) advance() else more = false
+    }
+    eatOp("]")
+    ids.result()
+  }
+
+  // ---- selection items / sort keys -------------------------------------
+
+  private def parseItems(close: String): Seq[Item] = {
+    val items = Seq.newBuilder[Item]
+    if (!isOp(close)) {
+      var more = true
+      while (more) {
+        items += parseItem()
+        if (isOp(",")) advance() else more = false
+      }
+    }
+    eatOp(close)
+    items.result()
+  }
+
+  private def parseItem(): Item = {
+    // nested segment: `/link{…}` inside a selection
+    if (isOp("/")) {
+      advance()
+      return Item(Segment(parsePipeline()), None, None)
+    }
+    // alias := expr
+    val alias = (cur, tokens.lift(pos + 1)) match {
+      case (Token.Ident(name, _), Some(Token.Op(":=", _))) =>
+        advance(); advance(); Some(name)
+      case _ => None
+    }
+    val expr = parseScalar()
+    val direction = cur match {
+      case Token.Op("+", _) if peekIsItemEnd(1) => advance(); Some(true)
+      case Token.Op("-", _) if peekIsItemEnd(1) => advance(); Some(false)
+      case _ => None
+    }
+    Item(expr, alias, direction)
+  }
+
+  private def parseSortKeys(): Seq[SortKey] = {
+    val keys = Seq.newBuilder[SortKey]
+    var more = true
+    while (more) {
+      val expr = parseScalar()
+      val asc = cur match {
+        case Token.Op("+", _) if peekIsItemEnd(1) => advance(); true
+        case Token.Op("-", _) if peekIsItemEnd(1) => advance(); false
+        case _ => true
+      }
+      keys += SortKey(expr, asc)
+      if (isOp(",")) advance() else more = false
+    }
+    keys.result()
+  }
+
+  private def peekIsItemEnd(offset: Int): Boolean = tokens.lift(pos + offset) match {
+    case Some(Token.Op(",", _)) | Some(Token.Op("}", _)) | Some(Token.Op(")", _)) => true
+    case _ => false
+  }
+
+  // ---- scalar expressions (Pratt) ---------------------------------------
+
+  def parseScalar(): Ast = parseOr()
+
+  private def parseOr(): Ast = {
+    var e = parseAnd()
+    while (isOp("|")) { advance(); e = Apply("or", Seq(e, parseAnd())) }
+    e
+  }
+
+  private def parseAnd(): Ast = {
+    var e = parseNot()
+    while (isOp("&")) { advance(); e = Apply("and", Seq(e, parseNot())) }
+    e
+  }
+
+  private def parseNot(): Ast =
+    if (isOp("!")) { advance(); Apply("not", Seq(parseNot())) }
+    else parseCmp()
+
+  private val cmpOps = Set("=", "!=", "==", "!==", "<", "<=", ">", ">=", "~", "!~")
+
+  private def parseCmp(): Ast = {
+    val e = parseAdd()
+    cur match {
+      case Token.Op(op, _) if cmpOps(op) =>
+        advance(); Apply(op, Seq(e, parseAdd()))
+      case _ => e
+    }
+  }
+
+  private def parseAdd(): Ast = {
+    var e = parseMul()
+    var continue = true
+    while (continue) {
+      cur match {
+        // a trailing +/- immediately before , } ) is a direction decorator
+        // for the enclosing item list — leave it for the caller
+        case Token.Op("+", _) if !peekIsItemEnd(1) => advance(); e = Apply("+", Seq(e, parseMul()))
+        case Token.Op("-", _) if !peekIsItemEnd(1) => advance(); e = Apply("-", Seq(e, parseMul()))
+        case _ => continue = false
+      }
+    }
+    e
+  }
+
+  private def parseMul(): Ast = {
+    var e = parseUnary()
+    var continue = true
+    while (continue) {
+      cur match {
+        case Token.Op("*", _) => advance(); e = Apply("*", Seq(e, parseUnary()))
+        case Token.Op("/", _) => advance(); e = Apply("/", Seq(e, parseUnary()))
+        case _ => continue = false
+      }
+    }
+    e
+  }
+
+  private def parseUnary(): Ast =
+    if (isOp("-")) { advance(); Apply("neg", Seq(parseUnary())) }
+    else parsePostfix()
+
+  private def parsePostfix(): Ast = {
+    var e = parseAtom()
+    // literals don't navigate: `400000.sort(...)` must leave `.sort` to the
+    // enclosing flow pipeline rather than compose onto the number
+    e match {
+      case NumberLit(_) | StringLit(_) => return e
+      case _ =>
+    }
+    var continue = true
+    while (continue) {
+      cur match {
+        case Token.Op(".", _) =>
+          advance()
+          val name = parseIdent()
+          if (isOp("(")) { advance(); e = Compose(e, Apply(name, parseArgs())) }
+          else e = Compose(e, Ident(name))
+        case Token.Op("?", _) =>
+          // sieve on a plural flow inside an aggregate: count(orders?p)
+          advance(); e = Sieve(e, parseScalar())
+        case _ => continue = false
+      }
+    }
+    e
+  }
+
+  private def parseArgs(): Seq[Ast] = {
+    val args = Seq.newBuilder[Ast]
+    if (!isOp(")")) {
+      var more = true
+      while (more) {
+        args += parseScalar()
+        if (isOp(",")) advance() else more = false
+      }
+    }
+    eatOp(")")
+    args.result()
+  }
+
+  private def parseAtom(): Ast = cur match {
+    case Token.Num(v, _) => advance(); NumberLit(v)
+    case Token.Str(v, _) => advance(); StringLit(v)
+    case Token.Op("^", _) => advance(); Complement
+    case Token.Op("$", _) => advance(); Ref(parseIdent())
+    case Token.Op("(", _) => advance(); val e = parseScalar(); eatOp(")"); e
+    case Token.Ident(name, _) =>
+      advance()
+      if (isOp("(")) { advance(); Apply(name, parseArgs()) }
+      else Ident(name)
+    case t => throw new ParseError(s"unexpected ${describe(t)}", t.pos)
+  }
+}

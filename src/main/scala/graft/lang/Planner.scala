@@ -1,0 +1,843 @@
+package graft.lang
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.model.{Catalog, Link, Tables}
+import graft.functions.Ht
+import Ast._
+
+final class PlanError(msg: String) extends RuntimeException(msg)
+
+/** Binder + planner: navigational AST → Spark `DataFrame` plan.
+  *
+  * Collapses the reference's bind→encode→rewrite→compile→assemble→reduce→dump
+  * pipeline (`src/htsql/core/tr/`) into one pass: scopes and link resolution
+  * mirror `bind.py`/`lookup.py`, the flow-algebra semantics (linked
+  * aggregates over `AggregateUnit`, quotients over `QuotientSpace`,
+  * complements via `CoveringUnit` — `src/htsql/core/tr/space.py`) become
+  * groupBy/join-back/window patterns, and Catalyst replaces every
+  * backend-SQL stage. Columns are referenced by name (`col("…")`), so plans
+  * stay valid as joins accrete onto the scope's DataFrame.
+  *
+  * Cardinality tracking (the essence of `encode.py`): navigation through a
+  * reverse link is *plural* and only legal inside an aggregate or a nested
+  * segment; the binder extracts the maximal reverse-link prefix of an
+  * aggregate argument, builds the child flow for it, and evaluates the rest
+  * of the expression in that child scope.
+  */
+final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog.default) {
+
+  private val tables = new Tables(spark, dir)
+  private var aggCounter = 0
+
+  /** Mutable per-query scope: the current axis table, its accreting
+    * DataFrame (base columns + prefixed singular-join columns + aggregate
+    * join-backs), named definitions, and the set of joined chains.
+    */
+  private final class Ctx(
+      val table: String,
+      var df: DataFrame,
+      var defines: Map[String, Ast],
+      var joined: Set[String]
+  ) {
+    val baseColumns: Seq[String] = tables(table).columns.toSeq
+  }
+
+  // -------------------------------------------------------------- entry --
+
+  def plan(ast: Ast): DataFrame = planFlow(ast) match {
+    case Left(ctx) => ctx.df.select(ctx.baseColumns.map(col): _*)
+    case Right(df) => df
+  }
+
+  /** A flow is either still a navigable table scope (Left) or a projected /
+    * grouped result (Right).
+    */
+  private def planFlow(ast: Ast): Either[Ctx, DataFrame] = ast match {
+    case Ident(name) if catalog.isTable(name) =>
+      Left(new Ctx(name, tables(name), Map.empty, Set.empty))
+
+    case Ident(name) =>
+      throw new PlanError(s"unknown table '$name'")
+
+    case Sieve(base, pred) =>
+      planFlow(base) match {
+        case Left(ctx) => sieveCtx(ctx, pred); Left(ctx)
+        case Right(df) => Right(df.filter(new Planner.ColBinder(df).bind(pred)))
+      }
+
+    case DefineOp(base, defs) =>
+      planFlow(base) match {
+        case Left(ctx) => ctx.defines ++= defs; Left(ctx)
+        case Right(_) => throw new PlanError("define() requires a table flow")
+      }
+
+    case Locator(base, ids) =>
+      planFlow(base) match {
+        case Left(ctx) =>
+          val pk = catalog.primaryKey(ctx.table)
+          if (pk.length != ids.length)
+            throw new PlanError(s"identity [${ids.mkString(".")}] has ${ids.length} fields " +
+              s"but ${ctx.table} has a ${pk.length}-column key")
+          val cond = pk.zip(ids).map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+          ctx.df = ctx.df.filter(cond)
+          Left(ctx)
+        case Right(_) => throw new PlanError("locator requires a table flow")
+      }
+
+    case Select(base, items) =>
+      planFlow(base) match {
+        case Left(ctx) => Right(selectItems(ctx, items))
+        case Right(df) =>
+          val b = new Planner.ColBinder(df)
+          val cols = items.zipWithIndex.map { case (it, i) =>
+            b.bind(it.expr).as(it.alias.getOrElse(itemName(it.expr, i)))
+          }
+          Right(df.select(cols: _*))
+      }
+
+    case Quotient(base, kernels) =>
+      planFlow(base) match {
+        case Left(ctx) => Right(quotientDistinct(ctx, kernels))
+        case Right(_) => throw new PlanError("quotient requires a table flow")
+      }
+
+    case SortOp(base, keys) =>
+      planFlow(base) match {
+        case Left(ctx) =>
+          val cols = keys.map(k => direction(bindScalar(ctx, k.expr), k.ascending))
+          ctx.df = ctx.df.orderBy(cols: _*)
+          Left(ctx)
+        case Right(df) =>
+          val b = new Planner.ColBinder(df)
+          Right(df.orderBy(keys.map(k => direction(b.bind(k.expr), k.ascending)): _*))
+      }
+
+    case LimitOp(base, n, skip) =>
+      planFlow(base) match {
+        case Left(ctx) =>
+          ctx.df = if (skip > 0) ctx.df.offset(skip).limit(n) else ctx.df.limit(n)
+          Left(ctx)
+        case Right(df) =>
+          Right(if (skip > 0) df.offset(skip).limit(n) else df.limit(n))
+      }
+
+    // selection over a quotient: handled one level up via Select(Quotient…)
+    case Compose(base, member) =>
+      // flow-level navigation: `/nation.region` re-roots the axis on the
+      // parent table (each nation's region, duplicates preserved)
+      planFlow(base) match {
+        case Left(ctx) =>
+          member match {
+            case Ident(name) =>
+              catalog.directLink(ctx.table, name) match {
+                case Some(link) =>
+                  val next = new Ctx(link.parentTable, tables(link.parentTable), Map.empty, Set.empty)
+                  val cond = link.childCols.zip(link.parentCols)
+                    .map { case (c, p) => ctx.df(c) === next.df(p) }.reduce(_ && _)
+                  next.df = ctx.df.join(next.df, cond, "inner")
+                    .select(next.baseColumns.map(col): _*)
+                  Left(next)
+                case None =>
+                  catalog.reverseLink(ctx.table, name) match {
+                    case Some(link) =>
+                      // plural flow navigation: every child of every row
+                      val next = new Ctx(link.childTable, tables(link.childTable), Map.empty, Set.empty)
+                      val parent = ctx.df.select(link.parentCols.map(col): _*)
+                      val cond = link.childCols.zip(link.parentCols)
+                        .map { case (c, p) => next.df(c) === parent(p) }.reduce(_ && _)
+                      next.df = next.df.join(parent, cond, "left_semi")
+                      Left(next)
+                    case None => throw new PlanError(s"unknown link '${ctx.table}.$name'")
+                  }
+              }
+            case _ => throw new PlanError("unsupported flow composition")
+          }
+        case Right(_) => throw new PlanError("cannot navigate after projection")
+      }
+
+    case other => throw new PlanError(s"unsupported flow expression: $other")
+  }
+
+  // ------------------------------------------------------------- sieves --
+
+  private def sieveCtx(ctx: Ctx, pred: Ast): Unit = pred match {
+    // peephole: bare exists/!exists over a plural link → semi/anti join
+    // (reference compiles these to correlated EXISTS; we decorrelate)
+    case Apply("exists", Seq(path)) if pluralChainOf(ctx, path).nonEmpty && isBareChain(path) =>
+      semiJoin(ctx, chainLabels(path), anti = false)
+    case Apply("not", Seq(Apply("exists", Seq(path))))
+        if pluralChainOf(ctx, path).nonEmpty && isBareChain(path) =>
+      semiJoin(ctx, chainLabels(path), anti = true)
+    case _ if containsFork(pred) =>
+      // window expressions can't live in a WHERE clause — materialize first
+      ctx.df = ctx.df.withColumn("__sieve", bindScalar(ctx, pred))
+        .filter(col("__sieve")).drop("__sieve")
+    case _ =>
+      ctx.df = ctx.df.filter(bindScalar(ctx, pred))
+  }
+
+  private def containsFork(ast: Ast): Boolean = ast match {
+    case Apply("fork", _) => true
+    case Apply(_, args) => args.exists(containsFork)
+    case Compose(b, m) => containsFork(b) || containsFork(m)
+    case Sieve(b, p) => containsFork(b) || containsFork(p)
+    case _ => false
+  }
+
+  private def isBareChain(ast: Ast): Boolean = ast match {
+    case Ident(_) => true
+    case Compose(b, Ident(_)) => isBareChain(b)
+    case _ => false
+  }
+
+  private def chainLabels(ast: Ast): Seq[String] = ast match {
+    case Ident(n) => Seq(n)
+    case Compose(b, Ident(n)) => chainLabels(b) :+ n
+    case _ => throw new PlanError("not a navigation chain")
+  }
+
+  private def semiJoin(ctx: Ctx, labels: Seq[String], anti: Boolean): Unit = {
+    val (childDf, rootKeys, _) = pluralFlow(ctx, labels)
+    val link = catalog.reverseLink(ctx.table, labels.head).get
+    val proj = childDf.select(rootKeys.map(col): _*)
+    val cond = link.parentCols.zip(rootKeys).map { case (p, k) => ctx.df(p) === proj(k) }
+      .reduce(_ && _)
+    ctx.df = ctx.df.join(proj, cond, if (anti) "left_anti" else "left_semi")
+  }
+
+  // ---------------------------------------------------------- selection --
+
+  private def itemName(e: Ast, i: Int): String = e match {
+    case Ident(n) => n
+    case Compose(_, Ident(n)) => n
+    case Apply(fn, _) => fn
+    case _ => s"col_$i"
+  }
+
+  private def selectItems(ctx: Ctx, items: Seq[Item]): DataFrame = {
+    val named = items.zipWithIndex.map { case (it, i) =>
+      val name = it.alias.getOrElse(it.expr match {
+        case Segment(flow) => segmentLabel(flow)
+        case e => itemName(e, i)
+      })
+      (it, name)
+    }
+    // dedupe output names
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val finalNames = named.map { case (_, n) =>
+      val k = seen.getOrElse(n, 0); seen(n) = k + 1
+      if (k == 0) n else s"${n}_${k + 1}"
+    }
+    val cols = named.zip(finalNames).map { case ((it, _), outName) =>
+      (it.expr match {
+        case Segment(flow) => planSegment(ctx, flow)
+        case e => bindScalar(ctx, e)
+      }).as(outName)
+    }
+    val projected = ctx.df.select(cols: _*)
+    val sortCols = named.zip(finalNames).collect {
+      case ((Item(_, _, Some(asc)), _), outName) => direction(col(outName), asc)
+    }
+    if (sortCols.nonEmpty) projected.orderBy(sortCols: _*) else projected
+  }
+
+  // ------------------------------------------------------ nested segments
+
+  private def segmentLabel(flow: Ast): String = flow match {
+    case Ident(n) => n
+    case Select(b, _) => segmentLabel(b)
+    case Sieve(b, _) => segmentLabel(b)
+    case SortOp(b, _) => segmentLabel(b)
+    case DefineOp(b, _) => segmentLabel(b)
+    case other => throw new PlanError(s"unsupported segment flow: $other")
+  }
+
+  /** Plan a nested segment `/link{…}`: the reference runs a correlated SQL
+    * statement per segment and merge-stitches rows in `fetch.py` (§3 stage
+    * 10); here the child flow aggregates to `array_sort(collect_list(
+    * struct(...)))` per parent key and joins back — one shuffle, no N+1.
+    * Rows sort by struct field order (put the child key first for a stable
+    * rendering). Parents with no children get an empty list, matching the
+    * reference's ListDomain output.
+    */
+  private def planSegment(ctx: Ctx, flow: Ast): Column = {
+    // peel the op stack down to the link label
+    def base(a: Ast): Ast = a match {
+      case Select(b, _) => b
+      case Sieve(b, _) => b
+      case SortOp(b, _) => b
+      case DefineOp(b, _) => b
+      case other => other
+    }
+    // collect op wrappers outermost-last
+    var stack = List.empty[Ast]
+    var cur0 = flow
+    while (cur0 != base(cur0)) { stack = cur0 :: stack; cur0 = base(cur0) }
+    val label = cur0 match {
+      case Ident(n) => n
+      case other => throw new PlanError(s"segment must start with a link: $other")
+    }
+
+    val (childDf, rootKeys, childCtx) = pluralFlow(ctx, Seq(label))
+    childCtx.df = childDf
+    var outItems: Option[Seq[Item]] = None
+    stack.foreach {
+      case Sieve(_, pred) => sieveCtx(childCtx, pred)
+      case DefineOp(_, defs) => childCtx.defines ++= defs
+      case SortOp(_, _) => // rows are array_sort'ed; explicit sort keys fold
+      // into the struct ordering below only if selected first
+      case Select(_, items) => outItems = Some(items)
+      case _ =>
+    }
+    val items = outItems.getOrElse(
+      childCtx.baseColumns.map(c => Item(Ident(c), None, None)))
+    val structCols = items.zipWithIndex.map { case (it, i) =>
+      val name = it.alias.getOrElse(it.expr match {
+        case Segment(f) => segmentLabel(f)
+        case e => itemName(e, i)
+      })
+      (it.expr match {
+        case Segment(f) => planSegment(childCtx, f) // recursive nesting
+        case e => bindScalar(childCtx, e)
+      }).as(name)
+    }
+    val aggName = s"__seg_${aggCounter}"; aggCounter += 1
+    val aggDf = childCtx.df
+      .groupBy(rootKeys.map(col): _*)
+      .agg(array_sort(collect_list(struct(structCols: _*))).as(aggName))
+
+    val link = catalog.reverseLink(ctx.table, label).get
+    val cond = link.parentCols.zip(rootKeys)
+      .map { case (p, k) => ctx.df(p) === aggDf(k) }.reduce(_ && _)
+    val elemType = aggDf.schema(aggName).dataType
+    ctx.df = rootKeys.foldLeft(ctx.df.join(aggDf, cond, "left"))(_ drop _)
+    coalesce(col(aggName), array().cast(elemType))
+  }
+
+  // ----------------------------------------------------------- quotient --
+
+  /** Bare quotient `base ^ kernel` (= distinct kernel values). */
+  private def quotientDistinct(ctx: Ctx, kernels: Seq[Ast]): DataFrame = {
+    val cols = kernels.zipWithIndex.map { case (k, i) =>
+      bindScalar(ctx, k).as(itemName(k, i))
+    }
+    ctx.df.select(cols: _*).distinct()
+  }
+
+  /** `(base ^ kernel){items}` — quotient with complement access: the group
+    * IS the row (ProjectionTerm); complement aggregates become ordinary
+    * aggregate expressions in the same groupBy.
+    */
+  private def quotientSelect(ctx: Ctx, kernels: Seq[Ast], items: Seq[Item]): DataFrame = {
+    val kernelNamed = kernels.zipWithIndex.map { case (k, i) =>
+      itemName(k, i) -> bindScalar(ctx, k)
+    }
+    val kernelNames = kernelNamed.map(_._1)
+    val grouped = ctx.df.groupBy(kernelNamed.map { case (n, c) => c.as(n) }: _*)
+
+    var aggExprs = Vector.empty[Column]
+    val outCols = items.zipWithIndex.map { case (it, i) =>
+      val name = it.alias.getOrElse(itemName(it.expr, i))
+      it.expr match {
+        case e if kernelNames.contains(itemName(e, i)) && isKernelRef(e, kernelNames) =>
+          name -> col(itemName(e, i))
+        case Apply(fn, args) if args.exists(containsComplement) =>
+          val inner = args.headOption.map(stripComplement).getOrElse(Complement)
+          val (valueCol, valueType) = inner match {
+            case Complement => (lit(1L), None)
+            case other =>
+              val c = bindScalar(ctx, other)
+              (c, Some(dataTypeOf(ctx, c)))
+          }
+          val aggName = s"__agg_${aggCounter}"; aggCounter += 1
+          aggExprs :+= aggregateFn(fn, valueCol, valueType).as(aggName)
+          name -> col(aggName)
+        case other =>
+          name -> bindScalar(ctx, other) // kernel-derived expression
+      }
+    }
+    if (aggExprs.isEmpty) aggExprs :+= count(lit(1)).as("__drop")
+    val agg = grouped.agg(aggExprs.head, aggExprs.tail: _*)
+    agg.select(outCols.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  private def isKernelRef(e: Ast, kernelNames: Seq[String]): Boolean = e match {
+    case Ident(n) => kernelNames.contains(n)
+    case Compose(_, Ident(n)) => kernelNames.contains(n)
+    case _ => false
+  }
+
+  private def containsComplement(ast: Ast): Boolean = ast match {
+    case Complement => true
+    case Compose(b, m) => containsComplement(b) || containsComplement(m)
+    case Apply(_, args) => args.exists(containsComplement)
+    case _ => false
+  }
+
+  private def stripComplement(ast: Ast): Ast = ast match {
+    case Complement => Complement
+    case Compose(Complement, rest) => rest
+    case other => other
+  }
+
+  // ------------------------------------------------- scalar expressions --
+
+  private def bindScalar(ctx: Ctx, ast: Ast): Column = ast match {
+    case NumberLit(v) =>
+      if (v.contains('.') || v.contains('e') || v.contains('E')) lit(v.toDouble) else lit(v.toLong)
+    case StringLit(v) => lit(v)
+    case Ident(name) => resolveName(ctx, name)
+    case Ref(name) =>
+      ctx.defines.get(name) match {
+        case Some(d) => bindScalar(ctx, d)
+        case None => throw new PlanError(s"unknown reference $$$name")
+      }
+    case Compose(_, _) => resolvePath(ctx, chainLabels(ast))
+    case Apply(fn, args) => applyFn(ctx, fn, args)
+    case Complement => throw new PlanError("'^' is only valid inside a quotient selection")
+    case other => throw new PlanError(s"unsupported scalar expression: $other")
+  }
+
+  private def resolveName(ctx: Ctx, name: String): Column =
+    if (ctx.baseColumns.contains(name)) col(name)
+    else ctx.defines.get(name) match {
+      case Some(d) => bindScalar(ctx, d)
+      case None =>
+        if (catalog.directLink(ctx.table, name).isDefined ||
+          catalog.reverseLink(ctx.table, name).isDefined)
+          throw new PlanError(s"link '$name' used as a value; navigate to a column " +
+            s"or aggregate it")
+        else throw new PlanError(s"unknown attribute '${ctx.table}.$name'")
+    }
+
+  /** Resolve `a.b.c` where the prefix is a chain of singular links and the
+    * last element is a column of the final parent. Joined parents get their
+    * columns prefixed with the chain path, so the same table reached via
+    * two different chains never collides.
+    */
+  private def resolvePath(ctx: Ctx, labels: Seq[String]): Column = {
+    if (labels.length == 1) return resolveName(ctx, labels.head)
+    val chain = labels.dropRight(1)
+    val colName = labels.last
+    var curTable = ctx.table
+    var prefix = ""
+    // `__order__customer__` style prefixes ('.' would read as struct access)
+    def mangle(p: String, c: String) = s"__${p}__$c"
+    chain.foreach { label =>
+      val link = catalog.directLink(curTable, label).getOrElse {
+        if (catalog.reverseLink(curTable, label).isDefined)
+          throw new PlanError(s"plural link '$curTable.$label' outside an aggregate")
+        throw new PlanError(s"unknown link '$curTable.$label'")
+      }
+      val newPrefix = if (prefix.isEmpty) label else s"${prefix}__$label"
+      if (!ctx.joined.contains(newPrefix)) {
+        val parent = tables(link.parentTable)
+        val renamed = parent.columns.foldLeft(parent) { (d, c) =>
+          d.withColumnRenamed(c, mangle(newPrefix, c))
+        }
+        val fkCols = link.childCols.map(c => if (prefix.isEmpty) c else mangle(prefix, c))
+        val cond = fkCols.zip(link.parentCols)
+          .map { case (f, p) => col(f) === col(mangle(newPrefix, p)) }.reduce(_ && _)
+        val joinType = if (link.nullable) "left" else "inner"
+        ctx.df = ctx.df.join(renamed, cond, joinType)
+        ctx.joined += newPrefix
+      }
+      prefix = newPrefix
+      curTable = link.parentTable
+    }
+    val schema = tables(curTable).columns
+    if (!schema.contains(colName))
+      throw new PlanError(s"unknown attribute '$curTable.$colName'")
+    col(mangle(prefix, colName))
+  }
+
+  // ----------------------------------------------- functions & operators --
+
+  private val aggNames = Set("count", "sum", "avg", "min", "max", "exists", "every", "any")
+
+  private def applyFn(ctx: Ctx, fn: String, args: Seq[Ast]): Column = fn match {
+    case _ if aggNames(fn) => bindAggregate(ctx, fn, args)
+    case "and" => bindScalar(ctx, args(0)) && bindScalar(ctx, args(1))
+    case "or" => bindScalar(ctx, args(0)) || bindScalar(ctx, args(1))
+    case "not" => !bindScalar(ctx, args.head)
+    case "neg" => -bindScalar(ctx, args.head)
+    case "=" => bindScalar(ctx, args(0)) === bindScalar(ctx, args(1))
+    case "!=" => bindScalar(ctx, args(0)) =!= bindScalar(ctx, args(1))
+    case "==" => bindScalar(ctx, args(0)) <=> bindScalar(ctx, args(1))
+    case "!==" => !(bindScalar(ctx, args(0)) <=> bindScalar(ctx, args(1)))
+    case "<" => bindScalar(ctx, args(0)) < bindScalar(ctx, args(1))
+    case "<=" => bindScalar(ctx, args(0)) <= bindScalar(ctx, args(1))
+    case ">" => bindScalar(ctx, args(0)) > bindScalar(ctx, args(1))
+    case ">=" => bindScalar(ctx, args(0)) >= bindScalar(ctx, args(1))
+    case "~" => Ht.containsCI(bindScalar(ctx, args(0)), bindScalar(ctx, args(1)))
+    case "!~" => Ht.notContainsCI(bindScalar(ctx, args(0)), bindScalar(ctx, args(1)))
+    case "+" => plus(ctx, args(0), args(1))
+    case "-" => minus(ctx, args(0), args(1))
+    case "*" => bindScalar(ctx, args(0)) * bindScalar(ctx, args(1))
+    case "/" => divide(ctx, args(0), args(1))
+
+    case "length" => length(bindScalar(ctx, args.head))
+    case "upper" => upper(bindScalar(ctx, args.head))
+    case "lower" => lower(bindScalar(ctx, args.head))
+    case "trim" => trim(bindScalar(ctx, args.head))
+    case "ltrim" => ltrim(bindScalar(ctx, args.head))
+    case "rtrim" => rtrim(bindScalar(ctx, args.head))
+    case "replace" =>
+      replace(bindScalar(ctx, args(0)), bindScalar(ctx, args(1)), bindScalar(ctx, args(2)))
+    case "head" =>
+      if (args.length == 1) Ht.head(bindScalar(ctx, args.head))
+      else Ht.head(bindScalar(ctx, args(0)), bindScalar(ctx, args(1)))
+    case "tail" =>
+      if (args.length == 1) Ht.tail(bindScalar(ctx, args.head))
+      else Ht.tail(bindScalar(ctx, args(0)), bindScalar(ctx, args(1)))
+    case "slice" =>
+      Ht.slice(bindScalar(ctx, args(0)), bindScalar(ctx, args(1)), bindScalar(ctx, args(2)))
+    case "contains" => Ht.containsCI(bindScalar(ctx, args(0)), bindScalar(ctx, args(1)))
+
+    case "round" =>
+      if (args.length == 1) round(bindScalar(ctx, args.head))
+      else round(bindScalar(ctx, args(0)), intArg(args(1), "round"))
+    case "trunc" =>
+      if (args.length == 1) bindScalar(ctx, args.head).cast(LongType)
+      else {
+        val n = intArg(args(1), "trunc")
+        val f = math.pow(10, n)
+        val c = bindScalar(ctx, args(0))
+        (c * f).cast(LongType) / lit(f)
+      }
+    case "abs" => abs(bindScalar(ctx, args.head))
+    case "sqrt" => sqrt(bindScalar(ctx, args.head))
+
+    case "is_null" => bindScalar(ctx, args.head).isNull
+    case "if_null" => coalesce(bindScalar(ctx, args(0)), bindScalar(ctx, args(1)))
+    case "null_if" => nullif(bindScalar(ctx, args(0)), bindScalar(ctx, args(1)))
+    case "null" => lit(null)
+    case "if" =>
+      val bound = args.map(bindScalar(ctx, _))
+      val pairs = bound.grouped(2).toSeq
+      val branches = pairs.filter(_.length == 2).map(p => (p(0), p(1)))
+      val orElse = pairs.lastOption.filter(_.length == 1).map(_.head)
+      Ht.htIf(branches, orElse)
+    case "switch" =>
+      val x = bindScalar(ctx, args.head)
+      val rest = args.tail.map(bindScalar(ctx, _))
+      val pairs = rest.grouped(2).toSeq
+      val cases = pairs.filter(_.length == 2).map(p => (p(0), p(1)))
+      val orElse = pairs.lastOption.filter(_.length == 1).map(_.head)
+      Ht.htSwitch(x, cases, orElse)
+
+    case "today" => current_date()
+    case "now" => current_timestamp()
+    case "year" => year(bindScalar(ctx, args.head))
+    case "month" => month(bindScalar(ctx, args.head))
+    case "day" => dayofmonth(bindScalar(ctx, args.head))
+    case "hour" => hour(bindScalar(ctx, args.head))
+    case "minute" => minute(bindScalar(ctx, args.head))
+    case "second" => second(bindScalar(ctx, args.head))
+
+    case "text" => bindScalar(ctx, args.head).cast(StringType)
+    case "integer" => bindScalar(ctx, args.head).cast(LongType)
+    case "float" => bindScalar(ctx, args.head).cast(DoubleType)
+    case "decimal" => bindScalar(ctx, args.head).cast(DecimalType(38, 18))
+    case "boolean" => bindScalar(ctx, args.head).cast(BooleanType)
+    case "date" =>
+      if (args.length == 3)
+        make_date(bindScalar(ctx, args(0)), bindScalar(ctx, args(1)), bindScalar(ctx, args(2)))
+      else to_date(bindScalar(ctx, args.head))
+    case "datetime" => to_timestamp(bindScalar(ctx, args.head))
+
+    case other => throw new PlanError(s"unknown function '$other'")
+  }
+
+  private def intArg(ast: Ast, fn: String): Int = ast match {
+    case NumberLit(v) if !v.contains('.') => v.toInt
+    case _ => throw new PlanError(s"$fn() requires an integer literal")
+  }
+
+  private def dataTypeOf(ctx: Ctx, c: Column): DataType =
+    ctx.df.select(c).schema.head.dataType
+
+  private def plus(ctx: Ctx, l: Ast, r: Ast): Column = {
+    val (lc, rc) = (bindScalar(ctx, l), bindScalar(ctx, r))
+    (dataTypeOf(ctx, lc), dataTypeOf(ctx, rc)) match {
+      case (StringType, _) | (_, StringType) => Ht.concat(lc, rc)
+      case (DateType, _) => date_add(lc, rc.cast(IntegerType))
+      case (TimestampType, _) => date_add(lc.cast(DateType), rc.cast(IntegerType))
+      case _ => lc + rc
+    }
+  }
+
+  private def minus(ctx: Ctx, l: Ast, r: Ast): Column = {
+    val (lc, rc) = (bindScalar(ctx, l), bindScalar(ctx, r))
+    (dataTypeOf(ctx, lc), dataTypeOf(ctx, rc)) match {
+      case (DateType, DateType) | (TimestampType, TimestampType) |
+           (DateType, TimestampType) | (TimestampType, DateType) =>
+        datediff(lc.cast(DateType), rc.cast(DateType))
+      case (DateType, _) => date_sub(lc, rc.cast(IntegerType))
+      case (TimestampType, _) => date_sub(lc.cast(DateType), rc.cast(IntegerType))
+      case _ => lc - rc
+    }
+  }
+
+  /** HTSQL `/`: int ÷ int is exact, never truncating (coerce.py trap). */
+  private def divide(ctx: Ctx, l: Ast, r: Ast): Column = {
+    val (lc, rc) = (bindScalar(ctx, l), bindScalar(ctx, r))
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    (dataTypeOf(ctx, lc), dataTypeOf(ctx, rc)) match {
+      case (a, b) if integral(a) && integral(b) => Ht.div(lc, rc)
+      case _ => lc / rc
+    }
+  }
+
+  // ----------------------------------------------------- linked aggregates
+
+  /** Find the maximal reverse-link chain prefix used anywhere inside the
+    * aggregate argument — the axis the aggregate groups over.
+    */
+  private def pluralChainOf(ctx: Ctx, ast: Ast): Seq[String] = {
+    def heads(a: Ast): Seq[Seq[String]] = a match {
+      case Ident(n) if catalog.reverseLink(ctx.table, n).isDefined => Seq(Seq(n))
+      case Compose(_, _) =>
+        try {
+          val ls = chainLabels(a)
+          if (catalog.reverseLink(ctx.table, ls.head).isDefined) {
+            // extend with consecutive reverse links
+            var cur = catalog.reverseLink(ctx.table, ls.head).get.childTable
+            var chain = Seq(ls.head)
+            var i = 1
+            var continue = true
+            while (continue && i < ls.length) {
+              catalog.reverseLink(cur, ls(i)) match {
+                case Some(l) => chain :+= ls(i); cur = l.childTable; i += 1
+                case None => continue = false
+              }
+            }
+            Seq(chain)
+          } else Seq.empty
+        } catch { case _: PlanError => Seq.empty }
+      case Apply(_, args) => args.flatMap(heads)
+      case Sieve(b, _) => heads(b)
+      case SortOp(b, _) => heads(b)
+      case _ => Seq.empty
+    }
+    heads(ast).sortBy(-_.length).headOption.getOrElse(Seq.empty)
+  }
+
+  /** Build the plural child flow for a reverse-link chain: returns
+    * (child DataFrame carrying the root FK columns, those FK column names,
+    * child Ctx for binding the aggregated value).
+    */
+  private def pluralFlow(ctx: Ctx, chain: Seq[String]): (DataFrame, Seq[String], Ctx) = {
+    val first = catalog.reverseLink(ctx.table, chain.head).get
+    var childCtx = new Ctx(first.childTable, tables(first.childTable), ctx.defines, Set.empty)
+    var rootKeys = first.childCols
+    chain.tail.foreach { label =>
+      val link = catalog.reverseLink(childCtx.table, label).getOrElse(
+        throw new PlanError(s"unknown plural link '${childCtx.table}.$label'"))
+      // carry the root FK columns through each hop so the final child frame
+      // can be grouped straight back to the original axis
+      val prev = childCtx.df.select((rootKeys ++ link.parentCols).distinct.map(col): _*)
+      val next = new Ctx(link.childTable, tables(link.childTable), ctx.defines, Set.empty)
+      val cond = link.childCols.zip(link.parentCols)
+        .map { case (c, p) => next.df(c) === prev(p) }.reduce(_ && _)
+      next.df = next.df.join(prev, cond, "inner")
+      childCtx = next
+    }
+    (childCtx.df, rootKeys, childCtx)
+  }
+
+  /** Rewrite the aggregate argument so references through the plural chain
+    * bind in the child scope: `orders.o_totalprice > 400` with chain
+    * [orders] becomes `o_totalprice > 400` bound on the orders flow.
+    */
+  private def rewriteForChild(ast: Ast, chain: Seq[String]): Ast = ast match {
+    case a if chainMatches(a, chain) == Some(Nil) =>
+      // the bare chain itself — aggregated as count(*)
+      Ident("__row__")
+    case a =>
+      chainMatches(a, chain) match {
+        case Some(rest) => rest.tail.foldLeft[Ast](Ident(rest.head))((b, n) => Compose(b, Ident(n)))
+        case None => a match {
+          case Apply(f, args) => Apply(f, args.map(rewriteForChild(_, chain)))
+          case Sieve(b, p) => Sieve(rewriteForChild(b, chain), p)
+          case other => other
+        }
+      }
+  }
+
+  /** If `ast` is a nav chain starting with `chain`, return the remainder. */
+  private def chainMatches(ast: Ast, chain: Seq[String]): Option[Seq[String]] =
+    ast match {
+      case Ident(_) | Compose(_, _) =>
+        try {
+          val ls = chainLabels(ast)
+          if (ls.startsWith(chain)) Some(ls.drop(chain.length).toList) else None
+        } catch { case _: PlanError => None }
+      case _ => None
+    }
+
+  /** Aggregate dispatch. Float/double sums and averages run through exact
+    * decimal (Ht.dsum shape) so results don't depend on partition/merge
+    * order — mandatory for reproducible results on a cluster, and the same
+    * trick the DuckDB oracles use.
+    */
+  private def aggregateFn(fn: String, value: Column, valueType: Option[DataType]): Column = {
+    val floaty = valueType.exists(t => t == DoubleType || t == FloatType)
+    fn match {
+      case "count" => count(value)
+      case "sum" if floaty => sum(value.cast(DecimalType(30, 6))).cast(DoubleType)
+      case "sum" => sum(value)
+      case "avg" if floaty =>
+        sum(value.cast(DecimalType(30, 6))).cast(DoubleType) / count(value)
+      case "avg" => avg(value)
+      case "min" => min(value)
+      case "max" => max(value)
+      case "exists" | "any" => bool_or(value)
+      case "every" => bool_and(value)
+      case other => throw new PlanError(s"unknown aggregate '$other'")
+    }
+  }
+
+  /** Default value for an aggregate over an empty plural flow
+    * (reference: quantifier/count semantics — count=0, exists/any=false,
+    * every=true, sum/avg/min/max=NULL).
+    */
+  private def emptyDefault(fn: String): Option[Column] = fn match {
+    case "count" => Some(lit(0L))
+    case "exists" | "any" => Some(lit(false))
+    case "every" => Some(lit(true))
+    case _ => None
+  }
+
+  private def bindAggregate(ctx: Ctx, fn: String, args: Seq[Ast]): Column = {
+    val arg = args.headOption.getOrElse(throw new PlanError(s"$fn() needs an argument"))
+
+    // fork(): aggregate over rows sharing the kernel value — window form
+    arg match {
+      case Compose(Apply("fork", kernels), rest) =>
+        val w = Window.partitionBy(kernels.map(bindScalar(ctx, _)): _*)
+        val value = bindScalar(ctx, rest)
+        return (fn match {
+          case "avg" =>
+            sum(value.cast(DecimalType(30, 6))).over(w).cast(DoubleType) /
+              count(value).over(w)
+          case "sum" => aggregateFn(fn, value, Some(dataTypeOf(ctx, value))).over(w)
+          case _ => aggregateFn(fn, value, None).over(w)
+        })
+      case _ =>
+    }
+
+    val chain = pluralChainOf(ctx, arg)
+    if (chain.isEmpty)
+      throw new PlanError(s"$fn() requires a plural flow argument")
+
+    val (childDfRaw, rootKeys, childCtx0) = pluralFlow(ctx, chain)
+    val childCtx = childCtx0
+    childCtx.df = childDfRaw
+
+    val rewritten = rewriteForChild(arg, chain)
+    // bare-flow default value: rows count as 1 (count) or true (quantifiers)
+    val bare: Column = fn match {
+      case "exists" | "any" | "every" => lit(true)
+      case _ => lit(1L)
+    }
+    // apply any sieve embedded in the rewritten argument's flow part
+    val (valueCol, valueType) = rewritten match {
+      case Ident("__row__") => (bare, None)
+      case Sieve(Ident("__row__"), pred) =>
+        childCtx.df = childCtx.df.filter(bindScalar(childCtx, pred)); (bare, None)
+      case other =>
+        val c = bindScalar(childCtx, other)
+        (c, Some(dataTypeOf(childCtx, c)))
+    }
+
+    val aggName = s"__agg_${aggCounter}"; aggCounter += 1
+    val aggDf = childCtx.df
+      .groupBy(rootKeys.map(col): _*)
+      .agg(aggregateFn(fn, valueCol, valueType).as(aggName))
+
+    val link = catalog.reverseLink(ctx.table, chain.head).get
+    val cond = link.parentCols.zip(rootKeys)
+      .map { case (p, k) => ctx.df(p) === aggDf(k) }.reduce(_ && _)
+    // child FK names never collide with the parent's own columns in this
+    // catalog, so a name-based drop removes exactly the join keys
+    ctx.df = rootKeys.foldLeft(ctx.df.join(aggDf, cond, "left"))(_ drop _)
+    emptyDefault(fn) match {
+      case Some(d) => coalesce(col(aggName), d)
+      case None => col(aggName)
+    }
+  }
+
+  // ---------------------------------------------------------------- misc --
+
+  private def direction(c: Column, asc: Boolean): Column = if (asc) c.asc else c.desc
+
+  // quotient-with-selection entry: Select(Quotient(..)) is recognized here
+  // because selection semantics differ over a quotient.
+  private object QuotientSelect {
+    def unapply(ast: Ast): Option[(Ast, Seq[Ast], Seq[Item])] = ast match {
+      case Select(Quotient(base, kernels), items) => Some((base, kernels, items))
+      case _ => None
+    }
+  }
+
+  /** plan() override hook for Select-over-Quotient (checked before the
+    * generic planFlow cases via this entry point).
+    */
+  def planQuery(ast: Ast): DataFrame = ast match {
+    case QuotientSelect(base, kernels, items) =>
+      planFlow(base) match {
+        case Left(ctx) => quotientSelect(ctx, kernels, items)
+        case Right(_) => throw new PlanError("quotient requires a table flow")
+      }
+    case Select(base @ QuotientSelect(_, _, _), items) =>
+      val inner = planQuery(base)
+      val b = new Planner.ColBinder(inner)
+      inner.select(items.zipWithIndex.map { case (it, i) =>
+        b.bind(it.expr).as(it.alias.getOrElse(itemName(it.expr, i)))
+      }: _*)
+    case SortOp(QuotientSelect(base, kernels, items), keys) =>
+      val df = planQuery(Select(Quotient(base, kernels), items))
+      val b = new Planner.ColBinder(df)
+      df.orderBy(keys.map(k => direction(b.bind(k.expr), k.ascending)): _*)
+    case LimitOp(inner @ (QuotientSelect(_, _, _) | SortOp(QuotientSelect(_, _, _), _)), n, skip) =>
+      val df = planQuery(inner)
+      if (skip > 0) df.offset(skip).limit(n) else df.limit(n)
+    case other => plan(other)
+  }
+}
+
+object Planner {
+  /** Binder over an already-projected DataFrame: names are its columns. */
+  private[lang] final class ColBinder(df: DataFrame) {
+    def bind(ast: Ast): Column = ast match {
+      case NumberLit(v) =>
+        if (v.contains('.') || v.contains('e') || v.contains('E')) lit(v.toDouble) else lit(v.toLong)
+      case StringLit(v) => lit(v)
+      case Ident(n) =>
+        if (df.columns.contains(n)) col(n)
+        else throw new PlanError(s"unknown column '$n' in projected flow")
+      case Apply("and", Seq(a, b)) => bind(a) && bind(b)
+      case Apply("or", Seq(a, b)) => bind(a) || bind(b)
+      case Apply("not", Seq(a)) => !bind(a)
+      case Apply("neg", Seq(a)) => -bind(a)
+      case Apply("=", Seq(a, b)) => bind(a) === bind(b)
+      case Apply("!=", Seq(a, b)) => bind(a) =!= bind(b)
+      case Apply("<", Seq(a, b)) => bind(a) < bind(b)
+      case Apply("<=", Seq(a, b)) => bind(a) <= bind(b)
+      case Apply(">", Seq(a, b)) => bind(a) > bind(b)
+      case Apply(">=", Seq(a, b)) => bind(a) >= bind(b)
+      case Apply("+", Seq(a, b)) => bind(a) + bind(b)
+      case Apply("-", Seq(a, b)) => bind(a) - bind(b)
+      case Apply("*", Seq(a, b)) => bind(a) * bind(b)
+      case Apply("/", Seq(a, b)) => bind(a) / bind(b)
+      case other => throw new PlanError(s"unsupported expression in projected flow: $other")
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Graft
+
+/** Driver-checked queries that run through the FULL language pipeline —
+  * query text → lexer → parser → binder/planner → DataFrame — rather than
+  * hand-built DataFrame code. These lock the navigational language itself
+  * to the DuckDB oracle, the way the reference's regression suite locks
+  * query text to golden rows (`test/regress.yaml`).
+  */
+object LangQueries extends QueryModule {
+
+  private def q(text: String): Q = (s, dir) => Graft(s, dir).query(text)
+
+  def queries: Map[String, Q] = Map(
+    // the §7.2 flagship slice through the language front end
+    "q_htsql_flagship" -> q(
+      "/region{r_regionkey, r_name, n_nations := count(nation)}.sort(r_regionkey)"),
+
+    "q_htsql_sieve" -> q(
+      "/orders?o_totalprice>400000{o_orderkey, o_custkey, o_totalprice}.sort(o_orderkey)"),
+
+    "q_htsql_chain" -> q(
+      "/customer{c_custkey, c_name, r_name := nation.region.r_name}.sort(c_custkey)"),
+
+    "q_htsql_filtered_agg" -> q(
+      "/customer{c_custkey, n_big := count(orders?o_totalprice>400000)}.sort(c_custkey)"),
+
+    "q_htsql_quotient" -> q(
+      "/(orders^o_orderpriority){o_orderpriority, n_orders := count(^), " +
+        "sum_price := sum(^.o_totalprice)}.sort(o_orderpriority)"),
+
+    "q_htsql_exists" -> q(
+      "/customer?exists(events){c_custkey, c_name}.sort(c_custkey)"),
+
+    "q_htsql_define" -> q(
+      "/orders.define(net := o_totalprice*0.95)?net>380000{o_orderkey, net}.sort(o_orderkey)"),
+
+    "q_htsql_twohop_agg" -> q(
+      "/region{r_regionkey, n_cust := count(nation.customer), " +
+        "avg_bal := avg(nation.customer.c_acctbal)}.sort(r_regionkey)")
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_htsql_flagship" ->
+      """SELECT r_regionkey, r_name, count(n_nationkey) AS n_nations
+         FROM region LEFT JOIN nation ON n_regionkey = r_regionkey
+         GROUP BY r_regionkey, r_name ORDER BY r_regionkey""",
+    "q_htsql_sieve" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_totalprice > 400000 ORDER BY o_orderkey""",
+    "q_htsql_chain" ->
+      """SELECT c_custkey, c_name, r_name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+    "q_htsql_filtered_agg" ->
+      """SELECT c_custkey,
+           coalesce(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END), 0) AS n_big
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_htsql_quotient" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_htsql_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+         ORDER BY c_custkey""",
+    "q_htsql_define" ->
+      """SELECT o_orderkey, o_totalprice * 0.95 AS net FROM orders
+         WHERE o_totalprice * 0.95 > 380000 ORDER BY o_orderkey""",
+    "q_htsql_twohop_agg" ->
+      """SELECT r_regionkey,
+           coalesce(count(c_custkey), 0) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(c_acctbal) AS avg_bal
+         FROM region
+         LEFT JOIN nation ON n_regionkey = r_regionkey
+         LEFT JOIN customer ON c_nationkey = n_nationkey
+         GROUP BY r_regionkey ORDER BY r_regionkey"""
+  )
+}

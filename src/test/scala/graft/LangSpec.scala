@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lang.{Parser, PlanError}
+
+/** End-to-end language tests: navigational query text → plan → rows,
+  * checked against independently-built DataFrame plans on sf0.001 —
+  * the analogue of the reference's regression suite
+  * (`src/htsql/ctl/regress.py` + `test/regress.yaml` golden outputs).
+  */
+class LangSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val dir = "/root/testdata/sf0.001"
+  lazy val g = Graft(spark, dir)
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  private def assertSameRows(actual: DataFrame, expected: DataFrame): Unit = {
+    assert(actual.columns.toSeq == expected.columns.toSeq, "column names differ")
+    val a = rows(actual)
+    val e = rows(expected)
+    assert(a.size == e.size, s"row counts differ: ${a.size} vs ${e.size}")
+    assert(a == e)
+  }
+
+  private def t(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+
+  test("bare table scan: /region") {
+    val df = g.query("/region")
+    assert(df.columns.toSeq == Seq("r_regionkey", "r_name"))
+    assert(df.count() == 5)
+  }
+
+  test("selection: /customer{c_custkey, c_name}") {
+    assertSameRows(
+      g.query("/customer{c_custkey, c_name}.sort(c_custkey)"),
+      t("customer").select("c_custkey", "c_name").orderBy("c_custkey"))
+  }
+
+  test("sieve with literal coercion: /orders?o_totalprice>400000") {
+    assert(g.query("/orders?o_totalprice>400000").count() ==
+      t("orders").filter(col("o_totalprice") > 400000).count())
+  }
+
+  test("sieve null semantics drop rows") {
+    // null_if makes some segments NULL; NULL predicate must drop the row
+    val n = g.query("/customer?null_if(c_mktsegment,'BUILDING')='MACHINERY'").count()
+    val e = t("customer").filter(col("c_mktsegment") === "MACHINERY").count()
+    assert(n == e)
+  }
+
+  test("singular navigation: /lineitem{l_orderkey, order.o_orderdate}") {
+    val got = g.query("/lineitem{l_orderkey, l_linenumber, order.o_orderdate}.sort(l_orderkey, l_linenumber)")
+    val li = t("lineitem"); val o = t("orders")
+    val exp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderdate")
+      .orderBy("l_orderkey", "l_linenumber")
+    assert(got.columns.toSeq == Seq("l_orderkey", "l_linenumber", "o_orderdate"))
+    assert(rows(got) == rows(exp))
+  }
+
+  test("chain navigation: /customer{c_name, nation.region.r_name}") {
+    val got = g.query("/customer{c_custkey, nation.region.r_name}.sort(c_custkey)")
+    val exp = t("customer")
+      .join(t("nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t("region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+      .orderBy("c_custkey")
+    assert(rows(got) == rows(exp))
+  }
+
+  test("flagship linked aggregate: /region{r_name, count(nation)}") {
+    val got = g.query("/region{r_name, count(nation)}.sort(r_name)")
+    val agg = t("nation").groupBy(col("n_regionkey")).agg(count(lit(1)).as("cnt"))
+    val exp = t("region").join(agg, col("r_regionkey") === col("n_regionkey"), "left")
+      .select(col("r_name"), coalesce(col("cnt"), lit(0L)).as("count"))
+      .orderBy("r_name")
+    assertSameRows(got, exp)
+  }
+
+  test("two-hop plural aggregate: /region{r_name, count(nation.customer)}") {
+    val got = g.query("/region{r_name, count(nation.customer)}.sort(r_name)")
+    val child = t("customer").join(
+      t("nation").select("n_regionkey", "n_nationkey"),
+      col("c_nationkey") === col("n_nationkey"))
+    val agg = child.groupBy(col("n_regionkey")).agg(count(lit(1)).as("cnt"))
+    val exp = t("region").join(agg, col("r_regionkey") === col("n_regionkey"), "left")
+      .select(col("r_name"), coalesce(col("cnt"), lit(0L)).as("count"))
+      .orderBy("r_name")
+    assertSameRows(got, exp)
+  }
+
+  test("filtered aggregate: /customer{c_custkey, count(orders?o_totalprice>400000)}") {
+    val got = g.query("/customer{c_custkey, count(orders?o_totalprice>400000)}.sort(c_custkey)")
+    val agg = t("orders").filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val exp = t("customer").join(agg, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("count"))
+      .orderBy("c_custkey")
+    assertSameRows(got, exp)
+  }
+
+  test("sum/avg over link column: /nation{n_name, sum(customer.c_acctbal)}") {
+    val got = g.query("/nation{n_nationkey, sum(customer.c_acctbal)}.sort(n_nationkey)")
+    val agg = t("customer").groupBy(col("c_nationkey"))
+      .agg(sum(col("c_acctbal").cast("decimal(30,6)")).cast("double").as("s"))
+    val exp = t("nation").join(agg, col("n_nationkey") === col("c_nationkey"), "left")
+      .select(col("n_nationkey"), col("s").as("sum"))
+      .orderBy("n_nationkey")
+    assertSameRows(got, exp)
+  }
+
+  test("quantifiers: exists/every with empty-flow defaults") {
+    val got = g.query(
+      "/customer{c_custkey, exists(events), every(orders.o_orderstatus='F')}.sort(c_custkey)")
+      .collect()
+    assert(got.length == 150)
+    // exists over empty plural = false, every over empty plural = true
+    val evUsers = t("events").select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    got.foreach { r =>
+      assert(r.getBoolean(1) == evUsers.contains(r.getLong(0)))
+    }
+  }
+
+  test("sieve by exists → semi join: /customer?exists(events)") {
+    assert(g.query("/customer?exists(events)").count() ==
+      t("customer").join(t("events").select("user_id"),
+        col("c_custkey") === col("user_id"), "left_semi").count())
+  }
+
+  test("sieve by !exists → anti join") {
+    assert(g.query("/customer?!exists(events)").count() ==
+      t("customer").join(t("events").select("user_id"),
+        col("c_custkey") === col("user_id"), "left_anti").count())
+  }
+
+  test("quotient with complement: /(orders^o_orderpriority){...}") {
+    val got = g.query(
+      "/(orders^o_orderpriority){o_orderpriority, count(^), sum(^.o_totalprice)}.sort(o_orderpriority)")
+    val exp = t("orders").groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("count"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").as("sum"))
+      .orderBy("o_orderpriority")
+    assertSameRows(got, exp)
+  }
+
+  test("bare quotient = distinct: /orders^o_orderstatus") {
+    assert(g.query("/orders^o_orderstatus").count() ==
+      t("orders").select("o_orderstatus").distinct().count())
+  }
+
+  test("locator: /nation[7]{n_name}") {
+    val got = g.query("/nation[7]{n_name}").collect()
+    val exp = t("nation").filter(col("n_nationkey") === 7).select("n_name").collect()
+    assert(got.map(_.getString(0)).toSeq == exp.map(_.getString(0)).toSeq)
+  }
+
+  test("composite locator: /lineitem[3.2]") {
+    assert(g.query("/lineitem[3.2]").count() ==
+      t("lineitem").filter(col("l_orderkey") === 3 && col("l_linenumber") === 2).count())
+  }
+
+  test("sort directions and limit with skip") {
+    val got = g.query("/part{p_partkey, p_retailprice}.sort(p_retailprice-, p_partkey+).limit(10, 5)")
+    val exp = t("part").select("p_partkey", "p_retailprice")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc).offset(5).limit(10)
+    assertSameRows(got, exp)
+  }
+
+  test("inline direction decorator: /region{r_name-}") {
+    val got = g.query("/region{r_name-}")
+    val exp = t("region").select("r_name").orderBy(col("r_name").desc)
+    assertSameRows(got, exp)
+  }
+
+  test("define + reference: define(big := ...)") {
+    val got = g.query("/orders.define(net := o_totalprice*0.95){o_orderkey, net}?net>380000.sort(o_orderkey)")
+    val exp = t("orders").withColumn("net", col("o_totalprice") * 0.95)
+      .filter(col("net") > 380000).select("o_orderkey", "net").orderBy("o_orderkey")
+    // note: sieve after selection operates on projected columns
+    assert(rows(got).toSet == rows(exp).toSet)
+  }
+
+  test("fork: /part?p_retailprice > avg(fork(p_brand).p_retailprice)") {
+    val got = g.query("/part?p_retailprice>avg(fork(p_brand).p_retailprice)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand"))
+    val exp = t("part")
+      .withColumn("ba", sum(col("p_retailprice").cast("decimal(30,6)")).over(w)
+        .cast("double") / count(col("p_retailprice")).over(w))
+      .filter(col("p_retailprice") > col("ba"))
+    assert(got.count() == exp.count())
+  }
+
+  test("scalar function kit parity") {
+    val got = g.query(
+      "/customer{c_custkey, head(c_name, 3), slice(c_name, 9, -3), c_name+'|'+c_mktsegment}.sort(c_custkey)")
+      .collect()
+    assert(got.length == 150)
+    val first = got.head
+    assert(first.getString(1) == "Cus")
+    assert(first.getString(3).contains("|"))
+  }
+
+  test("int/int division is exact, never truncating") {
+    val got = g.query("/nation{n_nationkey, n_nationkey/2}.sort(n_nationkey)").collect()
+    assert(got(3).getDouble(1) == 1.5) // 3/2 = 1.5, not 1
+  }
+
+  test("arithmetic on dates: year/extract") {
+    val got = g.query("/orders{o_orderkey, year(o_orderdate)}.limit(1)").collect()
+    assert(got.head.getInt(1) >= 1995)
+  }
+
+  test("case-insensitive contains: ~") {
+    val n = g.query("/customer?c_mktsegment~'hold'").count()
+    val e = t("customer").filter(lower(col("c_mktsegment")).contains("hold")).count()
+    assert(n == e && n > 0)
+  }
+
+  test("flow navigation re-roots axis: /nation.region") {
+    // each nation's region — 25 rows (duplicates preserved)
+    assert(g.query("/nation.region").count() == 25)
+  }
+
+  test("plural flow navigation: /region.nation") {
+    assert(g.query("/region.nation").count() == 25)
+  }
+
+  test("parse errors carry position") {
+    val e = intercept[Exception](g.query("/customer{"))
+    assert(e.getMessage.contains("position") || e.getMessage.nonEmpty)
+  }
+
+  test("unknown attribute raises PlanError") {
+    intercept[PlanError](g.query("/customer{c_bogus}").collect())
+  }
+
+  test("plural link outside aggregate raises PlanError") {
+    intercept[PlanError](g.query("/region{nation.n_name}").collect())
+  }
+
+  test("nested segment: /region{r_name, /nation{n_name}}") {
+    val got = g.query("/region{r_name, /nation{n_nationkey, n_name}}.sort(r_name)").collect()
+    assert(got.length == 5)
+    val seg = got.head.getSeq[org.apache.spark.sql.Row](1)
+    assert(seg.length == 5) // 5 nations per region
+    assert(seg.map(_.getInt(0)) == seg.map(_.getInt(0)).sorted) // array_sort by key
+  }
+
+  test("nested segment with sieve and empty lists") {
+    val got = g.query("/customer{c_custkey, /events?value>1000000}.sort(c_custkey)").collect()
+    assert(got.length == 150)
+    got.foreach(r => assert(r.getSeq[Any](1).isEmpty)) // no event has value>1e6
+  }
+
+  test("doubly nested segments: /region{r_name, /nation{n_name, /customer{c_name}}}") {
+    val got = g.query("/region{r_name, /nation{n_name, /customer{c_custkey, c_name}}}.sort(r_name)")
+    val row = got.collect().head
+    val nations = row.getSeq[org.apache.spark.sql.Row](1)
+    assert(nations.nonEmpty)
+    assert(nations.head.schema == null || nations.head.length == 2)
+  }
+
+  test("formatters render") {
+    val df = g.query("/region{r_name}.sort(r_name).limit(2)")
+    assert(g.toJson(df).startsWith("[{"))
+    assert(g.toCsv(df).startsWith("r_name"))
+    assert(g.toText(df).contains("r_name"))
+  }
+}
+
+/** One shared local session for all suites. */
+object SparkTestSession {
+  lazy val get: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
