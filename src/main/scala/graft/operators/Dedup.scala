@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Large-scale text deduplication operators (training-data pipeline block).
   *
@@ -18,15 +19,37 @@ object Dedup {
   /** Lower-cased whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** Distinct word n-gram shingles. Guarded: texts shorter than n tokens
-    * produce an empty shingle set (Spark `sequence(1,0)` would otherwise
-    * count DOWN).
+  /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token
+    * array column. Spark evaluates lambda bodies per element, so any
+    * non-attribute subexpression inside them (like a fresh `split`) would
+    * re-run per shingle — pass an attribute, not an expression. Guarded:
+    * texts shorter than n tokens produce an empty shingle set (Spark
+    * `sequence(1,0)` would otherwise count DOWN).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val idx = when(size(toks) < n, array().cast("array<int>"))
       .otherwise(sequence(lit(1), size(toks) - (n - 1)))
     array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Convenience single-expression form — ONLY for one-shot evaluation
+    * contexts; hot paths stage tokens first (see shinglesFromTokens).
+    */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** Stage (id, sh, n_sh) with tokens and shingles materialized: two
+    * narrow persisted projections so each array is computed once per row
+    * and every downstream lambda sees a cheap attribute reference. The
+    * frames are row-count-linear; persist spills to disk at scale.
+    */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toksDf = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    toksDf
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact dedup: keep the lowest-id row per identical (normalized) text.
@@ -69,9 +92,11 @@ object Dedup {
       jaccardThreshold: Double = 0.5
   ): DataFrame = {
     val rows = numHashes / bands
-    val base = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+    // staged + persisted: the signature lambda iterates `sh` numHashes
+    // times, so `sh` must be a materialized attribute, not an expression
+    val base = shingleFrame(docs, idCol, textCol, shingleSize)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_sig")))
@@ -100,10 +125,10 @@ object Dedup {
     * shift amount is the lambda variable (the Scala `shiftright` helper
     * only takes literal shifts).
     */
-  def simhashSql(textCol: String): String =
+  def simhashFoldSql(hashesCol: String): String =
     s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
-          acc | IF(aggregate(split(trim(lower($textCol)), '\\\\s+'), 0L,
-                     (s, t) -> s + IF((shiftrightunsigned(xxhash64(t), i) & 1) = 1, 1L, -1L)
+          acc | IF(aggregate($hashesCol, 0L,
+                     (s, h) -> s + IF((shiftrightunsigned(h, i) & 1) = 1, 1L, -1L)
                    ) >= 0L, shiftleft(1L, i), 0L))"""
 
   /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming.
@@ -117,7 +142,13 @@ object Dedup {
       maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    val sigs = docs.select(col(idCol).as("id"), expr(simhashSql(textCol)).as("sig"))
+    // stage token hashes once; the 64-bit vote fold then reads a
+    // materialized long array instead of re-hashing tokens 64 times
+    val hashed = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = hashed.select(col("id"), expr(simhashFoldSql("hs")).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${chunks - 1}), " +
           s"c -> shiftrightunsigned(sig, c * $width) & ${mask}L)"))
@@ -141,8 +172,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
+    // persisted: the inverted index reads this frame twice (both join sides)
+    val sh = shingleFrame(docs, idCol, textCol, n)
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
     val a = inv.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("na"))
     val b = inv.select(col("shingle").as("shingle_r"), col("id").as("id_b"), col("n_sh").as("nb"))
