@@ -39,6 +39,34 @@ final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Cata
     (header +: rows).mkString("\n")
   }
 
+  /** Queryable model catalog — the analogue of the reference's `tweak.meta`
+    * addon (catalog-as-database): tables, columns, and links as DataFrames
+    * you can join and filter like any other data.
+    */
+  def metaTables: DataFrame = {
+    import spark.implicits._
+    catalog.tables.map(t => (t.name, t.primaryKey.mkString(",")))
+      .toDF("table_name", "primary_key")
+  }
+
+  def metaColumns: DataFrame = {
+    import spark.implicits._
+    val tables = new graft.model.Tables(spark, dir) // handles events ts nanos
+    catalog.tables.flatMap { t =>
+      tables(t.name).schema.fields.map { f =>
+        (t.name, f.name, f.dataType.simpleString, f.nullable)
+      }
+    }.toDF("table_name", "column_name", "data_type", "nullable")
+  }
+
+  def metaLinks: DataFrame = {
+    import spark.implicits._
+    catalog.links.map(l => (l.childTable, l.childCols.mkString(","),
+      l.parentTable, l.parentCols.mkString(","), l.directLabel, l.reverseLabel))
+      .toDF("child_table", "child_columns", "parent_table", "parent_columns",
+        "direct_label", "reverse_label")
+  }
+
   /** Plain-text table (`src/htsql/core/fmt/text.py`). */
   def toText(df: DataFrame, maxRows: Int = 100): String = {
     val rows = df.limit(maxRows).collect().map(_.toSeq.map {

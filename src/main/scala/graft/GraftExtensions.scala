@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSim, VectorDot}
+
+/** SparkSessionExtensions hook — the analogue of the reference's addon
+  * system (`src/htsql/core/addon.py`): drop-in registration of the engine's
+  * native functions into any Spark session, including plain `spark.sql`.
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT cosine_sim(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * Also registrable via config:
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[VectorDot].getName, null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      info("vector_dot", "vector_dot(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+  }
+}

@@ -12,7 +12,10 @@ import scala.io.StdIn
   *
   * Output format flags mirror the reference's `/:json` / `/:csv` format
   * decorators (`src/htsql/core/cmd/summon.py`): suffix the query with
-  * `:json`, `:csv`, or `:txt` (default txt).
+  * `:json`, `:csv`, or `:txt` (default txt). `\d [table]` describes the
+  * model (ShellRoutine's `describe` command); `\sql <stmt>` runs raw
+  * Spark SQL with the engine's native functions registered via
+  * `GraftExtensions` (vector_dot, cosine_sim).
   */
 object Shell {
   def main(args: Array[String]): Unit = {
@@ -24,6 +27,7 @@ object Shell {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-shell")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -32,6 +36,17 @@ object Shell {
     val g = Graft(spark, dir)
 
     def run(line: String): Unit = {
+      if (line.startsWith("\\d")) {
+        val arg = line.drop(2).trim
+        if (arg.isEmpty) println(g.toText(g.metaTables))
+        else println(g.toText(g.metaColumns.filter(
+          org.apache.spark.sql.functions.col("table_name") === arg)))
+        return
+      }
+      if (line.startsWith("\\sql ")) {
+        println(g.toText(spark.sql(line.drop(5))))
+        return
+      }
       val (query, fmt) =
         if (line.endsWith(":json")) (line.dropRight(5), "json")
         else if (line.endsWith(":csv")) (line.dropRight(4), "csv")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
+import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`).
@@ -34,6 +35,7 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
     // persist the cast frames and precompute norms once per vector —
     // otherwise the float→double cast and the norm fold re-run per PAIR
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
@@ -44,7 +46,8 @@ object Similarity {
       .withColumn("q_norm", norm(col("q_vec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .withColumn("cos", VectorFunctions.vector_dot(col("q_vec"), col("n_vec"))
+        / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -74,6 +77,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, numPlanes: Int = 8,
       seed: Long = 42L): DataFrame = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
     val bucket = (v: Column) => hyperplaneBucket(v, dim, numPlanes, seed)
     // persist the cast frame first: bucket bits run numPlanes dot products
     // over the vector, which must be an attribute, not a re-cast expression
@@ -87,7 +91,8 @@ object Similarity {
       .withColumn("q_norm", norm(col("q_vec")))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .withColumn("cos", VectorFunctions.vector_dot(col("q_vec"), col("n_vec"))
+        / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -102,6 +107,7 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
       .withColumn("bucket", hyperplaneBucket(col("vec"), dim, numPlanes, seed))
@@ -110,7 +116,8 @@ object Similarity {
     val a = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = c.select(col("bucket").as("bucket_r"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos", VectorFunctions.vector_dot(col("vec_a"), col("vec_b"))
+        / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

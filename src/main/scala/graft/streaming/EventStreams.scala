@@ -27,13 +27,21 @@ object EventStreams {
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Streaming read of an events directory with a 1-hour watermark. */
+  /** Streaming read of an events directory with a 1-hour watermark.
+    * events.ts is parquet TIMESTAMP(NANOS): read as raw nanos (legacy
+    * conf) and truncate to microsecond timestamps, same as the batch
+    * loader in `graft.model.Tables`.
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/events.parquet")
+      // FileStreamSource requires a directory; filter to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
   }
 

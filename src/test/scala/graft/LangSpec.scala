@@ -267,6 +267,14 @@ class LangSpec extends AnyFunSuite {
     assert(nations.head.schema == null || nations.head.length == 2)
   }
 
+  test("meta catalog is queryable (tweak.meta analogue)") {
+    assert(g.metaTables.count() == 10)
+    assert(g.metaLinks.filter(col("direct_label") === "region").count() == 1)
+    val cols = g.metaColumns.filter(col("table_name") === "region")
+      .select("column_name").collect().map(_.getString(0)).toSet
+    assert(cols == Set("r_regionkey", "r_name"))
+  }
+
   test("formatters render") {
     val df = g.query("/region{r_name}.sort(r_name).limit(2)")
     assert(g.toJson(df).startsWith("[{"))

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Invariant tests for the training-data operators — properties the DuckDB
+  * oracle can't check (hash-sketch outputs are engine-specific):
+  * approximation quality bounds against the exact baselines, determinism
+  * across runs, and plumbing correctness.
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val dir = "/root/testdata/sf0.001"
+  private def t(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+
+  test("minhash candidates ⊇ high-jaccard exact pairs (recall on strong dups)") {
+    val docs = t("documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", jaccardThreshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every minhash-verified pair IS an exact pair (verification is exact)…
+    assert(mh.subsetOf(exact))
+    // …and banding recalls the majority of strong duplicates
+    if (exact.nonEmpty)
+      assert(mh.size.toDouble / exact.size >= 0.5,
+        s"minhash recalled ${mh.size}/${exact.size}")
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val docs = t("documents")
+    def sigs() = Dedup.shingleFrame(docs, "doc_id", "text", 3)
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 16))
+      .select("id", "sig").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(sigs() == sigs())
+  }
+
+  test("simhash pairs respect the hamming bound") {
+    val pairs = Dedup.simhashPairs(t("documents"), "doc_id", "text", maxHamming = 6)
+      .collect()
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 6))
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val docs = t("documents")
+    val kept = Dedup.exact(docs, "doc_id", "text")
+    assert(kept.count() == docs.select(lower(col("text"))).distinct().count())
+  }
+
+  test("brute-force knn: rank 1 is the max-cosine neighbor") {
+    val emb = t("embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(top.length == 3)
+    assert(top.map(_.getAs[Double]("cos")).sliding(2).forall(p => p(0) >= p(1)))
+    assert(top.forall(_.getAs[Long]("n_id") != 0L)) // self excluded
+  }
+
+  test("LSH ANN results ⊆ brute-force rankable set and self-consistent") {
+    val emb = t("embeddings")
+    val q = emb.filter(col("vec_id") < 4)
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 3,
+      numPlanes = 4).collect()
+    // same-bucket by construction: each query finds itself rank-excluded
+    assert(lsh.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("n_id")))
+    // ranks are 1..k contiguous per query
+    lsh.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rows.length))
+    }
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.cosineNearDupPairs(t("embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.5, numPlanes = 4).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cos") >= 0.5)
+    }
+  }
+
+  test("langId picks a marker language deterministically") {
+    val out = t("documents").select(TextAnalysis.langId(col("text")).as("l"))
+      .groupBy("l").count().collect().map(r => r.getString(0)).toSet
+    assert(out.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val s = t("documents").select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).collect().head
+    assert(s.getDouble(0) >= 0.0 && s.getDouble(1) <= 1.0)
+  }
+
+  test("fingerprint is order-sensitive (rolling, not bag-of-chars)") {
+    import spark.implicits._
+    val df = Seq((1L, "ab"), (2L, "ba")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("native VectorDot/CosineSim match the lambda folds bit-for-bit") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.ensureRegistered(spark)
+    val emb = t("embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = emb.limit(50).select(col("vec_id").as("ida"), col("v").as("va"))
+    val b = emb.limit(50).select(col("vec_id").as("idb"), col("v").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+    val cmp = pairs.select(
+      VectorFunctions.vector_dot(col("va"), col("vb")).as("nd"),
+      Similarity.dot(col("va"), col("vb")).as("ld"),
+      VectorFunctions.cosine_sim(col("va"), col("vb")).as("nc"),
+      Similarity.cosine(col("va"), col("vb")).as("lc"))
+      .filter(col("nd") =!= col("ld") || col("nc") =!= col("lc"))
+    assert(cmp.count() == 0)
+  }
+
+  test("cosine_sim usable from plain SQL via function registration") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    t("embeddings").select(col("embedding").cast("array<double>").as("v"))
+      .limit(3).createOrReplaceTempView("emb_sql_test")
+    val r = spark.sql(
+      "SELECT cosine_sim(a.v, b.v) AS c FROM emb_sql_test a CROSS JOIN emb_sql_test b")
+      .collect()
+    assert(r.nonEmpty && r.forall(x => math.abs(x.getDouble(0)) <= 1.0 + 1e-9))
+  }
+
+  test("multimodal decode: deterministic fake features with real plumbing") {
+    val media = Multimodal.documentsAsMedia(spark, t("documents"))
+    val feats = Multimodal.decodeFeatures(media)
+    val rows = feats.orderBy("mediaId").limit(5).collect()
+    assert(rows.forall(f => f.width >= 16 && f.height >= 16 && f.embedding.length == 8))
+    // re-running produces identical features (stub is deterministic)
+    val again = Multimodal.decodeFeatures(media).orderBy("mediaId").limit(5).collect()
+    assert(rows.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.model.Tables
+
+/** Structured Streaming behavior: the streaming tumbling aggregation must
+  * converge to the batch answer once all input is processed (same
+  * `groupBy(window(...))` core — SURVEY.md §2.9 upgrade path).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling agg converges to the batch result") {
+    val q = EventStreams.startTumbling(spark, dir, "stream_tumble_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT count(*) AS n, sum(n_events) AS total FROM stream_tumble_test")
+        .collect().head
+      val batch = EventStreams.tumblingAgg(new Tables(spark, dir).events)
+        .agg(count(lit(1)).as("n"), sum(col("n_events")).as("total"))
+        .collect().head
+      // watermark: closed windows must match the batch aggregation; the
+      // append-mode memory sink emits only finalized windows, so allow the
+      // tail window(s) to still be open
+      assert(streamed.getLong(0) <= batch.getLong(0))
+      assert(streamed.getLong(0) >= batch.getLong(0) - 2,
+        s"streamed ${streamed.getLong(0)} windows vs batch ${batch.getLong(0)}")
+    } finally q.stop()
+  }
+
+  test("session aggregation plan works on batch input") {
+    val out = EventStreams.sessionAgg(new Tables(spark, dir).events)
+    assert(out.count() > 0)
+    // session starts are unique per user
+    val users = out.groupBy("user_id", "sess_start").count()
+      .filter(col("count") > 1).count()
+    assert(users == 0)
+  }
+}
