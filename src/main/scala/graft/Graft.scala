@@ -14,11 +14,17 @@ import graft.model.Catalog
   * g.toJson(g.query("/nation.limit(3)"))
   * }}}
   */
-final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Catalog.default) {
+final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Catalog.default,
+    autoLimit: Option[Int] = None) {
 
-  /** Compile a navigational query to a DataFrame plan (lazy — no action). */
-  def query(text: String): DataFrame =
-    new Planner(spark, dir, catalog).planQuery(Parser.parse(text))
+  /** Compile a navigational query to a DataFrame plan (lazy — no action).
+    * `autoLimit` mirrors the reference's `tweak.autolimit` addon: an
+    * implicit LIMIT injected into every query (interactive safety net).
+    */
+  def query(text: String): DataFrame = {
+    val df = new Planner(spark, dir, catalog).planQuery(Parser.parse(text))
+    autoLimit.fold(df)(df.limit)
+  }
 
   /** Render a result the way the reference's JSON formatter does
     * (`src/htsql/core/fmt/json.py`): a list of records. Schema-driven —

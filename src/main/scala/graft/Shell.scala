@@ -33,7 +33,13 @@ object Shell {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val g = Graft(spark, dir)
+    // tweak.autolimit analogue: implicit LIMIT on every query
+    val autoLimit = sys.env.get("GRAFT_AUTOLIMIT").flatMap { v =>
+      val n = v.toIntOption
+      if (n.isEmpty) System.err.println(s"ignoring GRAFT_AUTOLIMIT='$v' (not an integer)")
+      n
+    }
+    val g = Graft(spark, dir, autoLimit = autoLimit)
 
     def run(line: String): Unit = {
       if (line.startsWith("\\d")) {

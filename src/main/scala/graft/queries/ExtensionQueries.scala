@@ -30,6 +30,15 @@ object ExtensionQueries extends QueryModule {
         threshold = 0.2, minCommon = 2).orderBy("id_a", "id_b")
     },
 
+    // SURVEY §2.2's canonical key for the near-dup text filter over
+    // `documents`: MinHash+LSH candidates verified by exact Jaccard.
+    "q_dedup_text" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Dedup.minhashPairs(t.documents, "doc_id", "text", shingleSize = 3,
+        numHashes = 16, bands = 4, jaccardThreshold = 0.5)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    },
+
     // MinHash + LSH candidate/verified pairs (rows-only check).
     "q_dedup_minhash" -> { (s, dir) =>
       val t = new Tables(s, dir)

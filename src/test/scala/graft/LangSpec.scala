@@ -267,6 +267,12 @@ class LangSpec extends AnyFunSuite {
     assert(nations.head.schema == null || nations.head.length == 2)
   }
 
+  test("autolimit injects an implicit limit (tweak.autolimit analogue)") {
+    val limited = Graft(spark, dir, autoLimit = Some(7))
+    assert(limited.query("/customer").count() == 7)
+    assert(limited.query("/customer.limit(3)").count() == 3)
+  }
+
   test("meta catalog is queryable (tweak.meta analogue)") {
     assert(g.metaTables.count() == 10)
     assert(g.metaLinks.filter(col("direct_label") === "region").count() == 1)
