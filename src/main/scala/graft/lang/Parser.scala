@@ -164,6 +164,11 @@ private final class Parser(tokens: Vector[Token], input: String) {
       advance()
       return Item(Segment(parsePipeline()), None, None)
     }
+    // wildcard `*`: all columns of the current scope (BindWildcard)
+    if (isOp("*")) {
+      advance()
+      return Item(Ident("*"), None, None)
+    }
     // alias := expr
     val alias = (cur, tokens.lift(pos + 1)) match {
       case (Token.Ident(name, _), Some(Token.Op(":=", _))) =>
@@ -277,7 +282,17 @@ private final class Parser(tokens: Vector[Token], input: String) {
         case Token.Op(".", _) =>
           advance()
           val name = parseIdent()
-          if (isOp("(")) { advance(); e = Compose(e, Apply(name, parseArgs())) }
+          // flow methods are recognized here too so `top(orders.sort(x-), 2)`
+          // keeps direction decorators and produces proper SortOp nodes
+          if (name == "sort" && isOp("(")) {
+            advance(); val keys = parseSortKeys(); eatOp(")"); e = SortOp(e, keys)
+          } else if (name == "limit" && isOp("(")) {
+            advance()
+            val n = parseIntLit()
+            val skip = if (isOp(",")) { advance(); parseIntLit() } else 0
+            eatOp(")")
+            e = LimitOp(e, n, skip)
+          } else if (isOp("(")) { advance(); e = Compose(e, Apply(name, parseArgs())) }
           else e = Compose(e, Ident(name))
         case Token.Op("?", _) =>
           // sieve on a plural flow inside an aggregate: count(orders?p)

@@ -217,7 +217,13 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case _ => s"col_$i"
   }
 
-  private def selectItems(ctx: Ctx, items: Seq[Item]): DataFrame = {
+  private def selectItems(ctx: Ctx, items0: Seq[Item]): DataFrame = {
+    // `*` expands to the scope table's own columns (BindWildcard)
+    val items = items0.flatMap {
+      case Item(Ident("*"), _, _) =>
+        ctx.baseColumns.map(c => Item(Ident(c), None, None))
+      case it => Seq(it)
+    }
     val named = items.zipWithIndex.map { case (it, i) =>
       val name = it.alias.getOrElse(it.expr match {
         case Segment(flow) => segmentLabel(flow)
@@ -234,6 +240,8 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     val cols = named.zip(finalNames).map { case ((it, _), outName) =>
       (it.expr match {
         case Segment(flow) => planSegment(ctx, flow)
+        case Apply("top", args) if args.nonEmpty && isFlowArg(ctx, args.head) =>
+          planTop(ctx, args.head, args.lift(1))
         case e => bindScalar(ctx, e)
       }).as(outName)
     }
@@ -312,6 +320,73 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     val link = catalog.reverseLink(ctx.table, label).get
     val cond = link.parentCols.zip(rootKeys)
       .map { case (p, k) => ctx.df(p) === aggDf(k) }.reduce(_ && _)
+    val elemType = aggDf.schema(aggName).dataType
+    ctx.df = rootKeys.foldLeft(ctx.df.join(aggDf, cond, "left"))(_ drop _)
+    coalesce(col(aggName), array().cast(elemType))
+  }
+
+  private def isFlowArg(ctx: Ctx, ast: Ast): Boolean = {
+    def head(a: Ast): Option[String] = a match {
+      case Ident(n) => Some(n)
+      case Select(b, _) => head(b)
+      case Sieve(b, _) => head(b)
+      case SortOp(b, _) => head(b)
+      case Compose(b, _) => head(b)
+      case _ => None
+    }
+    head(ast).exists(n => catalog.reverseLink(ctx.table, n).isDefined)
+  }
+
+  /** `top(flow[, k])` — first k rows of an ordered plural flow per scope
+    * row (reference: BindTop in src/htsql/core/tr/fn/bind.py; the per-group
+    * top-k the Oracle dialect emulates with ROW_NUMBER). Planned as a
+    * window rank inside the child flow + the same collect-back as a nested
+    * segment; rows keep the requested sort order.
+    */
+  private def planTop(ctx: Ctx, flow: Ast, kAst: Option[Ast]): Column = {
+    val k = kAst match {
+      case Some(NumberLit(v)) if !v.contains('.') => v.toInt
+      case None => 1
+      case _ => throw new PlanError("top() requires an integer literal count")
+    }
+    // decompose: label [.sieve] [.sort(keys)] — selection inside top() not
+    // supported (navigate afterwards or use a segment)
+    var sortKeys = Seq.empty[SortKey]
+    var sievePred: Option[Ast] = None
+    def base(a: Ast): Ast = a match {
+      case SortOp(b, keys) => sortKeys = keys; b
+      case Sieve(b, p) => sievePred = Some(p); b
+      case other => other
+    }
+    var cur0 = flow
+    var prev: Ast = null
+    while (prev != cur0) { prev = cur0; cur0 = base(cur0) }
+    val label = cur0 match {
+      case Ident(n) => n
+      case other => throw new PlanError(s"top() expects a plural link flow, got: $other")
+    }
+    val (childDf, rootKeys, childCtx) = pluralFlow(ctx, Seq(label))
+    childCtx.df = childDf
+    sievePred.foreach(p => childCtx.df = childCtx.df.filter(bindScalar(childCtx, p)))
+    val pk = catalog.primaryKey(childCtx.table).filter(childCtx.baseColumns.contains)
+    val order = (sortKeys.map(sk => direction(bindScalar(childCtx, sk.expr), sk.ascending))
+      ++ pk.map(col)) // PK tie-break → deterministic
+    val w = Window.partitionBy(rootKeys.map(col): _*).orderBy(order: _*)
+    childCtx.df = childCtx.df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    val structCols = (childCtx.baseColumns :+ "__rn").map(col)
+    val aggName = s"__top_${aggCounter}"; aggCounter += 1
+    // sort_array on (__rn-first) struct keeps the requested rank order
+    val aggDf = childCtx.df
+      .groupBy(rootKeys.map(col): _*)
+      .agg(sort_array(collect_list(struct((col("__rn") +: childCtx.baseColumns.map(col)): _*)))
+        .as("__raw"))
+      .withColumn(aggName, expr(s"transform(__raw, r -> struct(${childCtx.baseColumns.map(c => s"r.$c AS $c").mkString(", ")}))"))
+      .select((rootKeys.map(col) :+ col(aggName)): _*)
+    val link = catalog.reverseLink(ctx.table, label).get
+    val cond = link.parentCols.zip(rootKeys)
+      .map { case (p, kk) => ctx.df(p) === aggDf(kk) }.reduce(_ && _)
     val elemType = aggDf.schema(aggName).dataType
     ctx.df = rootKeys.foldLeft(ctx.df.join(aggDf, cond, "left"))(_ drop _)
     coalesce(col(aggName), array().cast(elemType))
@@ -549,6 +624,9 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       else to_date(bindScalar(ctx, args.head))
     case "datetime" => to_timestamp(bindScalar(ctx, args.head))
 
+    case "top" =>
+      throw new PlanError("top() takes a plural link flow and is only valid " +
+        "as a selection item, e.g. {c_custkey, top(orders.sort(o_totalprice-), 2)}")
     case other => throw new PlanError(s"unknown function '$other'")
   }
 

@@ -267,6 +267,42 @@ class LangSpec extends AnyFunSuite {
     assert(nations.head.schema == null || nations.head.length == 2)
   }
 
+  test("wildcard selection: /customer{*, nation.n_name}") {
+    val got = g.query("/customer{*, nation.n_name}.sort(c_custkey)")
+    assert(got.columns.toSeq ==
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "n_name"))
+    assert(got.count() == 150)
+  }
+
+  test("top(): per-group top-k as ordered nested rows") {
+    val got = g.query(
+      "/customer{c_custkey, top(orders.sort(o_totalprice-), 2)}.sort(c_custkey)").collect()
+    assert(got.length == 150)
+    val withOrders = got.filter(_.getSeq[org.apache.spark.sql.Row](1).nonEmpty)
+    assert(withOrders.nonEmpty)
+    withOrders.foreach { r =>
+      val rows = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(rows.length <= 2)
+      val prices = rows.map(_.getAs[Double]("o_totalprice"))
+      assert(prices == prices.sortBy(-(_: Double))) // rank order preserved
+    }
+    // cross-check the top-1 price against a window computation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    val exp = t("orders").withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    withOrders.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](1).head.getAs[Double]("o_totalprice")
+        == exp(r.getLong(0)))
+    }
+  }
+
+  test("top() with sieve: top(orders?o_orderstatus='F', 1)") {
+    val got = g.query("/customer{c_custkey, top(orders?o_orderstatus='F', 1)}.sort(c_custkey)")
+    assert(got.count() == 150)
+  }
+
   test("autolimit injects an implicit limit (tweak.autolimit analogue)") {
     val limited = Graft(spark, dir, autoLimit = Some(7))
     assert(limited.query("/customer").count() == 7)

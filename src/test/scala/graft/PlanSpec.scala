@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these operators hold
+  * at 100 TB must survive refactors, so they're pinned here — filters reach
+  * the parquet scan, projections prune the read schema, dimension joins
+  * broadcast, aggregates split partial/final (SURVEY.md §4: all delegated
+  * to Catalyst, verified rather than hand-built).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val dir = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("sieve pushes the predicate into the parquet scan") {
+    val p = plan("q_sieve")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_totalprice"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("projection prunes the read schema") {
+    val p = plan("q_select")
+    // only the 3 selected customer columns are read
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("singular navigation joins broadcast the parent") {
+    val p = plan("q_join_singular")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+  }
+
+  test("linked aggregate splits partial/final hash aggregation") {
+    val p = plan("q_join_plural_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial+final aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"join-back not broadcast:\n$p")
+  }
+
+  test("global sort+limit plans as TakeOrderedAndProject") {
+    val p = plan("q_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"limit not fused with sort:\n$p")
+  }
+
+  test("language-front-end plans get the same pushdown") {
+    val p = spark.sessionState.executePlan(
+      Graft(spark, dir).query("/orders?o_totalprice>400000{o_orderkey}").queryExecution.logical
+    ).executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_totalprice"),
+      s"language sieve not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"language projection not pruned:\n$p")
+  }
+
+  test("whole-stage codegen covers the scalar function kit") {
+    // AQE shows codegen spans only in the final (post-execution) plan
+    val df = SparkEntry.queries("q_fn_string")(spark, dir)
+    df.collect() // count() would build a different QueryExecution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no codegen span:\n$p")
+  }
+}
