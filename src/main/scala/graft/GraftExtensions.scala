@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, VectorDot}
+import graft.functions.{CosineSim, SimHash64, VectorDot}
 
 /** SparkSessionExtensions hook — the analogue of the reference's addon
   * system (`src/htsql/core/addon.py`): drop-in registration of the engine's
@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 64-bit SimHash of an array of token hashes"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
   }
 }

@@ -142,13 +142,16 @@ object Dedup {
       maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    // stage token hashes once; the 64-bit vote fold then reads a
-    // materialized long array instead of re-hashing tokens 64 times
+    // stage token hashes once, then the native codegen'd SimHash64 kernel
+    // (graft.functions.SimHash64) — bit-identical to simhashFoldSql but one
+    // tight pass instead of 64 interpreted lambda iterations per token
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
     val hashed = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sigs = hashed.select(col("id"), expr(simhashFoldSql("hs")).as("sig"))
+    val sigs = hashed.select(col("id"),
+      graft.functions.VectorFunctions.simhash64(col("hs")).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${chunks - 1}), " +
           s"c -> shiftrightunsigned(sig, c * $width) & ${mask}L)"))

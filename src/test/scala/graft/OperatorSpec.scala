@@ -119,6 +119,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(cmp.count() == 0)
   }
 
+  test("native SimHash64 matches the SQL fold bit-for-bit") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val hashed = t("documents")
+      .select(col("doc_id"), transform(Dedup.tokens(col("text")), x => xxhash64(x)).as("hs"))
+    val cmp = hashed.select(
+      graft.functions.VectorFunctions.simhash64(col("hs")).as("native"),
+      expr(Dedup.simhashFoldSql("hs")).as("folded"))
+      .filter(col("native") =!= col("folded"))
+    assert(cmp.count() == 0)
+  }
+
   test("cosine_sim usable from plain SQL via function registration") {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     t("embeddings").select(col("embedding").cast("array<double>").as("v"))
