@@ -15,14 +15,14 @@ import graft.model.Catalog
   * }}}
   */
 final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Catalog.default,
-    autoLimit: Option[Int] = None) {
+    autoLimit: Option[Int] = None, format: String = "parquet") {
 
   /** Compile a navigational query to a DataFrame plan (lazy — no action).
     * `autoLimit` mirrors the reference's `tweak.autolimit` addon: an
     * implicit LIMIT injected into every query (interactive safety net).
     */
   def query(text: String): DataFrame = {
-    val df = new Planner(spark, dir, catalog).planQuery(Parser.parse(text))
+    val df = new Planner(spark, dir, catalog, format).planQuery(Parser.parse(text))
     autoLimit.fold(df)(df.limit)
   }
 
@@ -57,7 +57,7 @@ final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Cata
 
   def metaColumns: DataFrame = {
     import spark.implicits._
-    val tables = new graft.model.Tables(spark, dir) // handles events ts nanos
+    val tables = new graft.model.Tables(spark, dir, format) // handles events ts nanos
     catalog.tables.flatMap { t =>
       tables(t.name).schema.fields.map { f =>
         (t.name, f.name, f.dataType.simpleString, f.nullable)

@@ -39,7 +39,9 @@ object Shell {
       if (n.isEmpty) System.err.println(s"ignoring GRAFT_AUTOLIMIT='$v' (not an integer)")
       n
     }
-    val g = Graft(spark, dir, autoLimit = autoLimit)
+    // GRAFT_FORMAT=csv mounts <dir>/<table>.csv files (tweak.filedb)
+    val g = Graft(spark, dir, autoLimit = autoLimit,
+      format = sys.env.getOrElse("GRAFT_FORMAT", "parquet"))
 
     def run(line: String): Unit = {
       if (line.startsWith("\\d")) {

@@ -27,9 +27,10 @@ final class PlanError(msg: String) extends RuntimeException(msg)
   * aggregate argument, builds the child flow for it, and evaluates the rest
   * of the expression in that child scope.
   */
-final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog.default) {
+final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog.default,
+    format: String = "parquet") {
 
-  private val tables = new Tables(spark, dir)
+  private val tables = new Tables(spark, dir, format)
   private var aggCounter = 0
 
   /** Mutable per-query scope: the current axis table, its accreting

@@ -85,27 +85,36 @@ object Catalog {
   )
 }
 
-/** Lazy table loader over a scale-factor directory of parquet files.
+/** Lazy table loader over a scale-factor directory of data files.
   *
   * Replaces the reference's backend connection (`src/htsql/core/connect.py`)
-  * — instead of a DBAPI socket, tables are columnar parquet scans that
-  * Catalyst prunes and pushes filters into. At cluster scale each table is a
-  * directory of many files; `spark.read.parquet` parallelizes per file-split,
-  * so nothing here assumes single-file inputs.
+  * — instead of a DBAPI socket, tables are columnar scans that Catalyst
+  * prunes and pushes filters into. At cluster scale each table is a
+  * directory of many files; `spark.read` parallelizes per file-split, so
+  * nothing here assumes single-file inputs.
+  *
+  * `format` = "parquet" (default) or "csv" — the csv path is the analogue
+  * of the reference's `tweak.filedb` addon (mount CSV files as a database,
+  * `src/htsql/tweak/filedb/`): header row + schema inference.
   */
-final class Tables(val spark: SparkSession, val dir: String) {
+final class Tables(val spark: SparkSession, val dir: String,
+    val format: String = "parquet") {
   private val cache = scala.collection.mutable.HashMap.empty[String, DataFrame]
 
   def apply(name: String): DataFrame =
-    cache.getOrElseUpdate(name, {
-      if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        // rejects; read it as raw nanos and truncate to microseconds.
-        // Integral `div` — an epoch-nanos value exceeds double precision.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$dir/$name.parquet")
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      } else spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate(name, format match {
+      case "csv" =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(s"$dir/$name.csv")
+      case _ =>
+        if (name == "events") {
+          // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+          // rejects; read it as raw nanos and truncate to microseconds.
+          // Integral `div` — an epoch-nanos value exceeds double precision.
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val raw = spark.read.parquet(s"$dir/$name.parquet")
+          raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        } else spark.read.parquet(s"$dir/$name.parquet")
     })
 
   def region: DataFrame = apply("region")

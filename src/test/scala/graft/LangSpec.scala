@@ -309,6 +309,25 @@ class LangSpec extends AnyFunSuite {
     assert(limited.query("/customer.limit(3)").count() == 3)
   }
 
+  test("csv source: navigational queries over csv tables (tweak.filedb analogue)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Seq("region", "nation").foreach { n =>
+      t(n).coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$tmp/${n}_dir")
+      val part = new java.io.File(s"$tmp/${n}_dir").listFiles()
+        .find(_.getName.endsWith(".csv")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/$n.csv"))
+    }
+    val csvG = Graft(spark, tmp, format = "csv")
+    val got = csvG.query("/region{r_name, count(nation)}.sort(r_name)").collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) == 5L))
+  }
+
+  test("fork() usable in a selection item") {
+    val got = g.query("/part{p_partkey, brand_avg := avg(fork(p_brand).p_retailprice)}.sort(p_partkey)")
+    assert(got.count() == 200)
+  }
+
   test("meta catalog is queryable (tweak.meta analogue)") {
     assert(g.metaTables.count() == 10)
     assert(g.metaLinks.filter(col("direct_label") === "region").count() == 1)
