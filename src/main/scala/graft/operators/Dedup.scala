@@ -172,12 +172,27 @@ object Dedup {
     * sketch variants approximate). Inverted-index join on shingles keeps
     * the shuffle linear in total shingle count; `minCommon` prunes
     * accidental single-shingle collisions before the ratio.
+    *
+    * `maxDf`: at corpus scale the pair-work is Σ df(shingle)² — a handful
+    * of stop-shingles dominate it. Setting maxDf drops shingles appearing
+    * in more than that many docs from CANDIDATE GENERATION only (verify
+    * still uses full shingle sets via array_intersect), the standard
+    * prefix-filtering trade: pairs sharing only ultra-common shingles are
+    * missed, everything else is exact. Default off for oracle parity.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2): DataFrame = {
+      n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2,
+      maxDf: Option[Int] = None): DataFrame = {
     // persisted: the inverted index reads this frame twice (both join sides)
     val sh = shingleFrame(docs, idCol, textCol, n)
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val invAll = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val inv = maxDf match {
+      case Some(cap) =>
+        val rare = invAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shingle")
+        invAll.join(broadcast(rare), "shingle")
+      case None => invAll
+    }
     val a = inv.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("na"))
     val b = inv.select(col("shingle").as("shingle_r"), col("id").as("id_b"), col("n_sh").as("nb"))
     a.join(b, col("shingle") === col("shingle_r") && col("id_a") < col("id_b"))

@@ -30,6 +30,16 @@ class OperatorSpec extends AnyFunSuite {
         s"minhash recalled ${mh.size}/${exact.size}")
   }
 
+  test("ngram maxDf candidates are a subset of the unfiltered pairs") {
+    val docs = t("documents")
+    def pairs(cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3, maxDf = cap)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(None)
+    val capped = pairs(Some(20))
+    assert(capped.subsetOf(full))
+  }
+
   test("minhash signatures are deterministic across runs") {
     val docs = t("documents")
     def sigs() = Dedup.shingleFrame(docs, "doc_id", "text", 3)
