@@ -412,12 +412,19 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       itemName(k, i) -> bindScalar(ctx, k)
     }
     val kernelNames = kernelNamed.map(_._1)
+    // structural match: a selection item that IS a kernel expression (e.g.
+    // `year(o_orderdate)` for kernel `^year(o_orderdate)`) refers to the
+    // grouped column, not a fresh binding
+    val kernelByAst: Map[Ast, String] =
+      kernels.zipWithIndex.map { case (k, i) => (k: Ast) -> itemName(k, i) }.toMap
     val grouped = ctx.df.groupBy(kernelNamed.map { case (n, c) => c.as(n) }: _*)
 
     var aggExprs = Vector.empty[Column]
     val outCols = items.zipWithIndex.map { case (it, i) =>
       val name = it.alias.getOrElse(itemName(it.expr, i))
       it.expr match {
+        case e if kernelByAst.contains(e) =>
+          name -> col(kernelByAst(e))
         case e if kernelNames.contains(itemName(e, i)) && isKernelRef(e, kernelNames) =>
           name -> col(itemName(e, i))
         case Apply(fn, args) if args.exists(containsComplement) =>

@@ -149,6 +149,23 @@ class LangSpec extends AnyFunSuite {
     assertSameRows(got, exp)
   }
 
+  test("multi-kernel quotient: /(orders^{o_orderstatus, o_orderpriority}){...}") {
+    val got = g.query(
+      "/(orders^{o_orderstatus, o_orderpriority}){o_orderstatus, o_orderpriority, count(^)}" +
+        ".sort(o_orderstatus, o_orderpriority)")
+    val exp = t("orders").groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+    assertSameRows(got, exp)
+  }
+
+  test("expression kernel quotient: /(orders^year(o_orderdate)){year, count(^)}") {
+    val got = g.query("/(orders^year(o_orderdate)){year(o_orderdate), count(^)}.sort(year)")
+    val exp = t("orders").groupBy(year(col("o_orderdate")).as("year"))
+      .agg(count(lit(1)).as("count")).orderBy("year")
+    assert(got.count() == exp.count())
+  }
+
   test("bare quotient = distinct: /orders^o_orderstatus") {
     assert(g.query("/orders^o_orderstatus").count() ==
       t("orders").select("o_orderstatus").distinct().count())
