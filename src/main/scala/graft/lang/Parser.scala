@@ -321,7 +321,17 @@ private final class Parser(tokens: Vector[Token], input: String) {
     case Token.Str(v, _) => advance(); StringLit(v)
     case Token.Op("^", _) => advance(); Complement
     case Token.Op("$", _) => advance(); Ref(parseIdent())
-    case Token.Op("(", _) => advance(); val e = parseScalar(); eatOp(")"); e
+    case Token.Op("(", _) =>
+      advance()
+      val first = parseScalar()
+      if (isOp(",")) {
+        // parenthesized list: `x = ('a','b','c')` is HTSQL's IN idiom
+        val items = Seq.newBuilder[Ast]
+        items += first
+        while (isOp(",")) { advance(); items += parseScalar() }
+        eatOp(")")
+        Apply("__list", items.result())
+      } else { eatOp(")"); first }
     case Token.Ident(name, _) =>
       advance()
       if (isOp("(")) { advance(); Apply(name, parseArgs()) }

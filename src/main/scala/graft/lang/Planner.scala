@@ -547,8 +547,20 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case "or" => bindScalar(ctx, args(0)) || bindScalar(ctx, args(1))
     case "not" => !bindScalar(ctx, args.head)
     case "neg" => -bindScalar(ctx, args.head)
-    case "=" => bindScalar(ctx, args(0)) === bindScalar(ctx, args(1))
-    case "!=" => bindScalar(ctx, args(0)) =!= bindScalar(ctx, args(1))
+    // `x = (a, b, c)` is membership, `x != (a, b, c)` is exclusion
+    // (reference: IsInSig — the = operator against a parenthesized list)
+    case "=" => args(1) match {
+      case Apply("__list", items) =>
+        bindScalar(ctx, args(0)).isin(items.map(bindScalar(ctx, _)): _*)
+      case _ => bindScalar(ctx, args(0)) === bindScalar(ctx, args(1))
+    }
+    case "!=" => args(1) match {
+      case Apply("__list", items) =>
+        !bindScalar(ctx, args(0)).isin(items.map(bindScalar(ctx, _)): _*)
+      case _ => bindScalar(ctx, args(0)) =!= bindScalar(ctx, args(1))
+    }
+    case "__list" =>
+      throw new PlanError("a value list is only valid on the right of = or !=")
     case "==" => bindScalar(ctx, args(0)) <=> bindScalar(ctx, args(1))
     case "!==" => !(bindScalar(ctx, args(0)) <=> bindScalar(ctx, args(1)))
     case "<" => bindScalar(ctx, args(0)) < bindScalar(ctx, args(1))

@@ -234,6 +234,14 @@ class LangSpec extends AnyFunSuite {
     assert(got.head.getInt(1) >= 1995)
   }
 
+  test("IN idiom: x = ('a','b') and x != (...)") {
+    val n = g.query("/customer?c_mktsegment=('MACHINERY','FURNITURE')").count()
+    val e = t("customer").filter(col("c_mktsegment").isin("MACHINERY", "FURNITURE")).count()
+    assert(n == e && n > 0)
+    val n2 = g.query("/customer?c_mktsegment!=('MACHINERY','FURNITURE')").count()
+    assert(n2 == 150 - n)
+  }
+
   test("case-insensitive contains: ~") {
     val n = g.query("/customer?c_mktsegment~'hold'").count()
     val e = t("customer").filter(lower(col("c_mktsegment")).contains("hold")).count()

@@ -150,6 +150,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.forall(x => math.abs(x.getDouble(0)) <= 1.0 + 1e-9))
   }
 
+  test("salted aggregation equals direct aggregation") {
+    import graft.operators.Skew
+    val li = t("lineitem")
+    val salted = Skew.saltedCountSum(li, Seq("l_returnflag"), "l_quantity")
+      .orderBy("l_returnflag").collect()
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("sum"))
+      .orderBy("l_returnflag").collect()
+    assert(salted.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+    val sd = Skew.saltedCountDistinct(t("events"), Seq("event_type"), "user_id")
+      .orderBy("event_type").collect()
+    val dd = t("events").groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_distinct"))
+      .orderBy("event_type").collect()
+    assert(sd.map(_.toSeq).toSeq == dd.map(_.toSeq).toSeq)
+  }
+
   test("multimodal decode: deterministic fake features with real plumbing") {
     val media = Multimodal.documentsAsMedia(spark, t("documents"))
     val feats = Multimodal.decodeFeatures(media)
