@@ -1,27 +1,72 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+
+/** Per-round benchmark: one JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR. Each query gets one warm run + `runs` measured
+  * runs (median reported) so n=1 noise (JIT, first-touch page faults,
+  * cache materialization) doesn't dominate single queries.
+  */
 object Bench {
+
+  /** Forces evaluation of EVERY output column: a bare `count()` lets
+    * Catalyst prune the projections under measurement (a select-only
+    * query degenerates to a row-count scan and a broken projection
+    * would "win" the bench). Hashing all columns into a bit_xor
+    * aggregate makes each value load-bearing while collecting only one
+    * row to the driver. bit_xor (not sum) so ANSI overflow can't throw.
+    */
+  private def force(df: DataFrame): Unit = {
+    val hashed = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    hashed.agg(bit_xor(col("h")).as("x")).collect()
+    ()
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the JVM/codegen path once so the first measured query doesn't
     // absorb session startup (order below is name-sorted and deterministic)
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    try force(SparkEntry.entry(spark)) catch { case _: Throwable => }
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        force(fn(spark, sfDir)) // warm (plan + cache materialization)
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          force(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> median(times)
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          failures += name -> msg.linesIterator.take(1).mkString
+          System.err.println(s"[bench] FAILED $name: $msg")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failJson = failures
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

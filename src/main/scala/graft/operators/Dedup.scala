@@ -97,21 +97,30 @@ object Dedup {
     val base = shingleFrame(docs, idCol, textCol, shingleSize)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = base.select(col("id"), col("sh"),
+    // Empty shingle sets are excluded from candidate generation: their
+    // sentinel signature is a constant, so at corpus scale ALL short docs
+    // would share every band key — one quadratic hot bucket. They can't be
+    // near-dups by Jaccard (0/0 union) anyway, so dropping them here leaves
+    // the output unchanged.
+    val banded = base.filter(col("n_sh") > 0).select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_sig")))
 
-    val a = banded.select(col("band"), col("band_sig"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
+    // Band-join carries (band, band_sig, id) ONLY — candidate shuffle bytes
+    // stay O(docs × bands × 24B) regardless of document size. Shingle arrays
+    // are joined back per deduped pair for the exact-Jaccard verify.
+    val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))
     val b = banded.select(col("band").as("band_r"), col("band_sig").as("band_sig_r"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = a
+      col("id").as("id_b"))
+    val pairIds = a
       .join(b, col("band") === col("band_r") && col("band_sig") === col("band_sig_r") &&
         col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    pairIds
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("common").cast("double") /

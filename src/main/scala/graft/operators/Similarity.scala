@@ -10,11 +10,24 @@ import graft.functions.VectorFunctions
   * column (`array<float>`).
   *
   * Brute-force cosine top-k is the exact baseline (one broadcast of the
-  * query set, no shuffle of the corpus); the LSH-bucketed variant is the
-  * scale path: random-hyperplane signatures bucket the corpus so each query
-  * only scores its own bucket — corpus-side work drops from O(N·Q) to
-  * O(N + Q·bucket). All arithmetic is double (`cast(array<double>)`) and
-  * folds are sequential (`aggregate`), so scores are bit-deterministic.
+  * query set, no shuffle of the corpus); the LSH variant is the scale
+  * path: random-hyperplane signatures bucket the corpus so each query
+  * only scores its own buckets. Two scale controls:
+  *
+  *   - the plane count ADAPTS to corpus size (`adaptivePlanes`): buckets
+  *     per table = 2^planes grows with the corpus so expected bucket
+  *     population stays bounded (~`targetBucket`) — a fixed bucket count
+  *     would make the in-bucket pair work quadratic in corpus size;
+  *   - multiple independent tables (OR-construction, `numTables` seeds):
+  *     a pair/(query,neighbor) is a candidate if it collides in ANY
+  *     table, which restores the recall that longer signatures cost.
+  *
+  * Candidate generation shuffles (table, bucket, id) ONLY — vectors are
+  * joined back by id for the exact-cosine verify, so shuffle bytes never
+  * scale with embedding dimension. All arithmetic is double
+  * (`cast(array<double>)`) and strictly sequential (native `VectorDot` /
+  * `CosineSim` kernels and left folds), so scores are bit-deterministic
+  * regardless of cluster topology.
   */
 object Similarity {
 
@@ -28,6 +41,41 @@ object Similarity {
 
   /** cosine(a, b) = dot / (norm(a) * norm(b)). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Plane count such that expected bucket population ≈ targetBucket:
+    * ceil(log2(corpus / targetBucket)), clamped. At 1e9 docs and
+    * targetBucket=128 this is 23 planes — bucket size stays bounded as
+    * the corpus grows, which is what keeps in-bucket pair work linear
+    * overall. Callers pass `numPlanes = 0` to request adaptation.
+    */
+  def adaptivePlanes(corpusSize: Long, targetBucket: Int = 128,
+      minPlanes: Int = 2, maxPlanes: Int = 24): Int = {
+    val ratio = math.max(1.0, corpusSize.toDouble / math.max(targetBucket, 1))
+    val needed = math.ceil(math.log(ratio) / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, needed))
+  }
+
+  /** Random-hyperplane LSH signature: bit p = sign of ⟨vec, plane_p⟩.
+    * Planes come from a fixed-seed driver-side RNG (deterministic across
+    * runs and executors). Each plane ships as ONE array literal (not
+    * dim scalar literals — at dim=1024 that would be thousands of plan
+    * nodes), and the projection is the native codegen'd `vector_dot`.
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int, seed: Long): Column = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian())
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(VectorFunctions.vector_dot(vec, lit(plane)) >= 0d, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Per-table bucket ids as one array column (posexplode → (tbl, bucket)
+    * keys). Each table re-derives its planes from `seed + t·1000003`.
+    */
+  def bucketTables(vec: Column, dim: Int, numPlanes: Int, numTables: Int,
+      seed: Long): Column =
+    array((0 until numTables).map(t =>
+      hyperplaneBucket(vec, dim, numPlanes, seed + 1000003L * t)): _*)
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). Queries broadcast; ranking is a window
@@ -55,42 +103,36 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
-  /** Random-hyperplane LSH signature: bit p = sign of ⟨vec, plane_p⟩.
-    * Planes come from a fixed-seed driver-side RNG (deterministic across
-    * runs and executors) and ship as literals inside the expression —
-    * effectively a broadcast of numPlanes×dim doubles.
-    */
-  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int, seed: Long): Column = {
-    val rnd = new java.util.Random(seed)
-    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian())
-    val bits = planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(dot(vec, planeCol) >= 0d, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** LSH-bucketed ANN: score only corpus vectors sharing the query's
-    * hyperplane bucket. Recall trades off with numPlanes; candidates within
-    * the bucket are ranked by exact cosine.
+  /** Multi-table LSH ANN: score only corpus vectors sharing a query's
+    * bucket in at least one table (candidate set deduped on ids before
+    * scoring). `numPlanes = 0` derives the plane count from the corpus
+    * size. Exact cosine ranks candidates, so precision is exact — only
+    * recall is approximate.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, k: Int, numPlanes: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      vecCol: String, dim: Int, k: Int, numPlanes: Int = 0,
+      numTables: Int = 8, seed: Long = 42L, targetBucket: Int = 128): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
-    val bucket = (v: Column) => hyperplaneBucket(v, dim, numPlanes, seed)
-    // persist the cast frame first: bucket bits run numPlanes dot products
-    // over the vector, which must be an attribute, not a re-cast expression
+    // persist the cast frame first: the bucket bits run numPlanes dot
+    // products over the vector, which must be an attribute, not a re-cast
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-      .withColumn("bucket", bucket(col("n_vec")))
-      .withColumn("n_norm", norm(col("n_vec")))
+    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(c.count(), targetBucket)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-      .withColumn("bucket", bucket(col("q_vec")))
-      .withColumn("q_norm", norm(col("q_vec")))
-    val scored = c.join(broadcast(q), "bucket")
+    val cBand = c.select(col("n_id"),
+      posexplode(bucketTables(col("n_vec"), dim, planes, numTables, seed))
+        .as(Seq("tbl", "bucket")))
+    val qBand = q.select(col("q_id"),
+      posexplode(bucketTables(col("q_vec"), dim, planes, numTables, seed))
+        .as(Seq("tbl", "bucket")))
+    val cand = cBand.join(broadcast(qBand), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+      .dropDuplicates("q_id", "n_id")
+    val scored = cand
+      .join(c.withColumn("n_norm", norm(col("n_vec"))), "n_id")
+      .join(broadcast(q.withColumn("q_norm", norm(col("q_vec")))), "q_id")
       .withColumn("cos", VectorFunctions.vector_dot(col("q_vec"), col("n_vec"))
         / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
@@ -100,24 +142,35 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus against
-    * itself, verify with exact cosine ≥ threshold. The bucket join bounds
-    * the pair space; at 100 TB this is the only corpus×corpus shape that
-    * doesn't shuffle quadratically.
+  /** Embedding-cosine near-duplicate pairs: multi-table LSH buckets the
+    * corpus against itself; candidates (id pairs only — vectors join back
+    * for the verify) are verified with exact cosine ≥ threshold. With
+    * adaptive planes the in-bucket pair space stays bounded per bucket,
+    * so total pair work is linear in corpus size — the only
+    * corpus×corpus shape that survives 100 TB.
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+      dim: Int, threshold: Double, numPlanes: Int = 0, numTables: Int = 8,
+      seed: Long = 42L, targetBucket: Int = 128): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-      .withColumn("bucket", hyperplaneBucket(col("vec"), dim, numPlanes, seed))
-      .withColumn("nrm", norm(col("vec")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = c.select(col("bucket").as("bucket_r"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(b, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
-      .withColumn("cos", VectorFunctions.vector_dot(col("vec_a"), col("vec_b"))
-        / (col("nrm_a") * col("nrm_b")))
+    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(c.count(), targetBucket)
+    val banded = c.select(col("id"),
+      posexplode(bucketTables(col("vec"), dim, planes, numTables, seed))
+        .as(Seq("tbl", "bucket")))
+    val a = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("tbl").as("tbl_r"), col("bucket").as("bucket_r"),
+      col("id").as("id_b"))
+    val pairIds = a
+      .join(b, col("tbl") === col("tbl_r") && col("bucket") === col("bucket_r") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    pairIds
+      .join(c.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(c.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cos", VectorFunctions.cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -53,15 +53,17 @@ object ExtensionQueries extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
-    // Embedding-cosine near-dup pairs via hyperplane LSH (rows-only check).
+    // Embedding-cosine near-dup pairs via multi-table hyperplane LSH
+    // (rows-only check; numPlanes=0 → adaptive from corpus size).
     "q_dedup_embed" -> { (s, dir) =>
       val t = new Tables(s, dir)
       Similarity.cosineNearDupPairs(t.embeddings, "vec_id", "embedding",
-        dim = 64, threshold = 0.2, numPlanes = 6).orderBy("id_a", "id_b")
+        dim = 64, threshold = 0.2).orderBy("id_a", "id_b")
     },
 
     // Brute-force cosine top-k (exact ANN baseline) — ranks are
-    // oracle-comparable because all arithmetic is sequential double folds.
+    // oracle-comparable because all arithmetic is sequential double folds
+    // (native VectorDot loop == DuckDB list_reduce left fold, bit-exact).
     "q_sim_knn" -> { (s, dir) =>
       val t = new Tables(s, dir)
       val queries = t.embeddings.filter(col("vec_id") < 8)
@@ -70,12 +72,13 @@ object ExtensionQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
-    // LSH-bucketed ANN (the 100 TB scale path; rows-only check).
+    // Multi-table LSH ANN (the 100 TB scale path; rows-only check +
+    // a recall-vs-brute-force invariant in OperatorSpec).
     "q_sim_lsh" -> { (s, dir) =>
       val t = new Tables(s, dir)
       val queries = t.embeddings.filter(col("vec_id") < 8)
       Similarity.lshTopK(t.embeddings, queries, "vec_id", "embedding",
-        dim = 64, k = 3, numPlanes = 4)
+        dim = 64, k = 3)
         .select("q_id", "n_id", "rank")
         .orderBy("q_id", "rank")
     },
@@ -116,6 +119,30 @@ object ExtensionQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_sim_knn" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, vec,
+             sqrt(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list_transform(vec, x -> x * x)),
+               (acc, x) -> acc + x)) AS nrm
+           FROM v),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(q.vec, c.vec), p -> p[1] * p[2])),
+               (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos
+           FROM n q JOIN n c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 8),
+         ranked AS (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS "rank"
+           FROM scored)
+         SELECT q_id, n_id, "rank" FROM ranked WHERE "rank" <= 5
+         ORDER BY q_id, "rank"""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS group_size
          FROM documents GROUP BY lower(text) ORDER BY doc_id""",

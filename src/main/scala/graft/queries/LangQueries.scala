@@ -56,7 +56,7 @@ object LangQueries extends QueryModule {
          ORDER BY c_custkey""",
     "q_htsql_filtered_agg" ->
       """SELECT c_custkey,
-           coalesce(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END), 0) AS n_big
+           count(CASE WHEN o_totalprice > 400000 THEN 1 END) AS n_big
          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
     "q_htsql_quotient" ->

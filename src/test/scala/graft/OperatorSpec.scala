@@ -40,6 +40,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(capped.subsetOf(full))
   }
 
+  test("minhash: empty/short docs generate no candidate pairs (no sentinel hot bucket)") {
+    // Before the fix, every doc with < shingleSize tokens got the constant
+    // Long.MaxValue sentinel signature, so a corpus of 10k short docs would
+    // collapse into ONE quadratic bucket (~50M pairs). They must be excluded
+    // from candidate generation entirely.
+    val docs = spark.range(10000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, lit("")).otherwise(lit("word")).as("text"))
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", jaccardThreshold = 0.0)
+    assert(pairs.count() == 0)
+  }
+
+  test("multi-table LSH ANN recall ≥ 0.9 vs brute force (sf0.01)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recalled ${(brute & lsh).size}/${brute.size} = $recall")
+  }
+
   test("minhash signatures are deterministic across runs") {
     val docs = t("documents")
     def sigs() = Dedup.shingleFrame(docs, "doc_id", "text", 3)
