@@ -308,7 +308,7 @@ private final class Parser(tokens: Vector[Token], input: String) {
     if (!isOp(")")) {
       var more = true
       while (more) {
-        args += parseScalar()
+        args += parseArg()
         if (isOp(",")) advance() else more = false
       }
     }
@@ -316,11 +316,33 @@ private final class Parser(tokens: Vector[Token], input: String) {
     args.result()
   }
 
+  /** A call argument may be a scoped definition `name := expr` (or
+    * `$name := expr`) — used by `given()` — otherwise a scalar expression.
+    */
+  private def parseArg(): Ast = {
+    def assignAt(off: Int): Boolean = tokens.lift(pos + off) match {
+      case Some(Token.Op(":=", _)) => true
+      case _ => false
+    }
+    (cur, tokens.lift(pos + 1)) match {
+      case (Token.Ident(name, _), _) if assignAt(1) =>
+        advance(); advance()
+        Apply("__def", Seq(StringLit(name), parseScalar()))
+      case (Token.Op("$", _), Some(Token.Ident(name, _))) if assignAt(2) =>
+        advance(); advance(); advance()
+        Apply("__def", Seq(StringLit(name), parseScalar()))
+      case _ => parseScalar()
+    }
+  }
+
   private def parseAtom(): Ast = cur match {
     case Token.Num(v, _) => advance(); NumberLit(v)
     case Token.Str(v, _) => advance(); StringLit(v)
     case Token.Op("^", _) => advance(); Complement
     case Token.Op("$", _) => advance(); Ref(parseIdent())
+    // `@table` — detach: evaluate the flow from the ROOT scope, not the
+    // current row's scope (reference: AttachSpace / the home class)
+    case Token.Op("@", _) => advance(); Apply("@", Seq(Ident(parseIdent())))
     case Token.Op("(", _) =>
       advance()
       val first = parseScalar()

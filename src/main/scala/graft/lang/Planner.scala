@@ -543,6 +543,24 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
 
   private def applyFn(ctx: Ctx, fn: String, args: Seq[Ast]): Column = fn match {
     case _ if aggNames(fn) => bindAggregate(ctx, fn, args)
+    // given(expr, name := e, …): scoped let — the definitions extend the
+    // scope for binding `expr` ONLY (reference: BindGiven — same machinery
+    // as define() but with expression-local extent).
+    case "given" =>
+      if (args.isEmpty) throw new PlanError("given() needs an expression")
+      val defs = args.tail.map {
+        case Apply("__def", Seq(StringLit(n), e)) => n -> e
+        case other => throw new PlanError(
+          s"given() arguments after the first must be `name := expr`, got: $other")
+      }
+      val saved = ctx.defines
+      ctx.defines ++= defs
+      try bindScalar(ctx, args.head) finally ctx.defines = saved
+    case "__def" =>
+      throw new PlanError("`name := expr` is only valid as a given() argument")
+    case "@" =>
+      throw new PlanError("'@' detaches a flow from the current scope and is " +
+        "only valid inside an aggregate, e.g. count(@table)")
     case "and" => bindScalar(ctx, args(0)) && bindScalar(ctx, args(1))
     case "or" => bindScalar(ctx, args(0)) || bindScalar(ctx, args(1))
     case "not" => !bindScalar(ctx, args.head)
@@ -813,8 +831,64 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case _ => None
   }
 
+  /** If `ast` is a flow rooted at a detached `@table`, return the table and
+    * the remainder rewritten against that root (`__row__` marks the bare
+    * flow, mirroring rewriteForChild's convention).
+    */
+  private def stripDetach(ast: Ast): Option[(String, Ast)] = ast match {
+    case Apply("@", Seq(Ident(t))) => Some((t, Ident("__row__")))
+    case Compose(b, m) => stripDetach(b).map {
+      case (t, Ident("__row__")) => (t, m)
+      case (t, rest) => (t, Compose(rest, m))
+    }
+    case Sieve(b, p) => stripDetach(b).map {
+      case (t, Ident("__row__")) => (t, Sieve(Ident("__row__"), p))
+      case (t, rest) => (t, Sieve(rest, p))
+    }
+    case _ => None
+  }
+
+  /** Detached aggregate `count(@table…)`: the flow re-roots at the home
+    * scope, so the aggregate is UNCORRELATED — one global aggregation, its
+    * single row broadcast-cross-joined onto the axis (reference:
+    * AttachSpace — at scale this is a metadata-light broadcast, never a
+    * per-row subquery).
+    */
+  private def bindDetachedAggregate(ctx: Ctx, fn: String, tname: String,
+      rewritten: Ast): Column = {
+    if (!catalog.isTable(tname))
+      throw new PlanError(s"'@$tname' is not a table")
+    val childCtx = new Ctx(tname, tables(tname), ctx.defines, Set.empty)
+    val bare: Column = fn match {
+      case "exists" | "any" | "every" => lit(true)
+      case _ => lit(1L)
+    }
+    val (valueCol, valueType) = rewritten match {
+      case Ident("__row__") => (bare, None)
+      case Sieve(Ident("__row__"), pred) =>
+        childCtx.df = childCtx.df.filter(bindScalar(childCtx, pred)); (bare, None)
+      case Compose(Sieve(Ident("__row__"), pred), rest) =>
+        childCtx.df = childCtx.df.filter(bindScalar(childCtx, pred))
+        val c = bindScalar(childCtx, rest); (c, Some(dataTypeOf(childCtx, c)))
+      case other =>
+        val c = bindScalar(childCtx, other); (c, Some(dataTypeOf(childCtx, c)))
+    }
+    val aggName = s"__agg_${aggCounter}"; aggCounter += 1
+    val aggDf = childCtx.df.agg(aggregateFn(fn, valueCol, valueType).as(aggName))
+    ctx.df = ctx.df.crossJoin(broadcast(aggDf))
+    emptyDefault(fn) match {
+      case Some(d) => coalesce(col(aggName), d)
+      case None => col(aggName)
+    }
+  }
+
   private def bindAggregate(ctx: Ctx, fn: String, args: Seq[Ast]): Column = {
     val arg = args.headOption.getOrElse(throw new PlanError(s"$fn() needs an argument"))
+
+    stripDetach(arg) match {
+      case Some((tname, rewritten)) => return bindDetachedAggregate(ctx, fn, tname, rewritten)
+      case None =>
+    }
 
     // fork(): aggregate over rows sharing the kernel value — window form
     arg match {

@@ -30,13 +30,24 @@ object Multimodal {
       embedding: Array[Double]
   )
 
+  /** The decoder seam: a real implementation opens its native handle
+    * (libjpeg/ffmpeg via JNI) lazily inside the task and decodes batches;
+    * the engine's contract is only this interface. Must be Serializable —
+    * the FACTORY ships to executors, one instance is built per partition.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
   /** STUB decoder — deterministic fake standing in for a real codec.
     * A real implementation would decode `payload` (e.g. libjpeg/ffmpeg via
-    * JNI); this derives stable pseudo-features from the bytes so the
-    * pipeline is end-to-end testable. One instance per partition, mirroring
-    * how a native decoder handle would be opened once per task.
+    * JNI); this derives stable pseudo-features from the bytes (Java
+    * Arrays.hashCode over the payload — replicable byte-for-byte by the
+    * DuckDB oracle) so the pipeline is end-to-end verifiable. One instance
+    * per partition, mirroring how a native decoder handle would be opened
+    * once per task.
     */
-  final class FakeDecoder {
+  final class FakeDecoder extends MediaDecoder {
     def decode(row: MediaRow): MediaFeatures = {
       val h = java.util.Arrays.hashCode(row.payload).toLong & 0x7fffffffL
       val width = (h % 640L).toInt + 16
@@ -54,10 +65,11 @@ object Multimodal {
     * amortized per task — the shape that matters when decode is a native
     * library call.
     */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: Dataset[MediaRow],
+      mkDecoder: () => MediaDecoder = () => new FakeDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val decoder = new FakeDecoder // one per partition/task
+      val decoder = mkDecoder() // one per partition/task
       rows.map(decoder.decode)
     }
   }

@@ -107,13 +107,17 @@ object ExtensionQueries extends QueryModule {
     },
 
     // Multimodal decode pipeline: binary payload + typed metadata →
-    // per-partition (stubbed) decode → features (rows-only check).
+    // per-partition (stubbed) decode → features. The stub features are a
+    // pure function of the payload bytes (Java Arrays.hashCode), so the
+    // DuckDB oracle replicates them byte-for-byte — the PLUMBING is what's
+    // verified; a real codec swaps in via the MediaDecoder seam.
     "q_multimodal" -> { (s, dir) =>
       val t = new Tables(s, dir)
       val media = Multimodal.documentsAsMedia(s, t.documents)
       Multimodal.decodeFeatures(media).toDF()
-        .select(col("mediaId").as("media_id"), col("width"), col("height"),
-          col("nFrames").as("n_frames"))
+        .select(col("mediaId").as("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("nFrames").cast("long").as("n_frames"))
         .orderBy("media_id")
     }
   )
@@ -170,6 +174,32 @@ object ExtensionQueries extends QueryModule {
          ORDER BY id_a, id_b""",
     "q_text_stats" ->
       TextStatsOracle.sql,
+    // Replicates FakeDecoder: Java Arrays.hashCode over the UTF-8 payload
+    // (31·h + signed byte, 32-bit wrap), masked to 31 bits, then the same
+    // width/height/frames arithmetic.
+    "q_multimodal" ->
+      """WITH b AS (
+           SELECT doc_id, lower(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS nb, source
+           FROM documents),
+         bytes AS (
+           SELECT doc_id, source,
+             list_transform(range(1, nb + 1),
+               i -> (strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)) AS ub
+           FROM b),
+         h AS (
+           SELECT doc_id, source,
+             list_reduce(
+               list_prepend(CAST(1 AS BIGINT),
+                 list_transform(ub, v -> CAST(CASE WHEN v >= 128 THEN v - 256 ELSE v END AS BIGINT))),
+               (acc, v) -> ((acc * 31 + v) % 4294967296 + 4294967296) % 4294967296) % 2147483648 AS hv
+           FROM bytes)
+         SELECT doc_id AS media_id,
+           hv % 640 + 16 AS width,
+           (hv // 640) % 480 + 16 AS height,
+           CASE WHEN ('fake/' || source) LIKE 'video/%' THEN hv % 120 + 1 ELSE 1 END AS n_frames
+         FROM h ORDER BY media_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id,
            list_reduce(

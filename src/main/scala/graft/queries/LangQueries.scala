@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.Graft
 
 /** Driver-checked queries that run through the FULL language pipeline —
@@ -38,7 +39,33 @@ object LangQueries extends QueryModule {
 
     "q_htsql_twohop_agg" -> q(
       "/region{r_regionkey, n_cust := count(nation.customer), " +
-        "avg_bal := avg(nation.customer.c_acctbal)}.sort(r_regionkey)")
+        "avg_bal := avg(nation.customer.c_acctbal)}.sort(r_regionkey)"),
+
+    // given(): expression-local scoped let (reference: BindGiven)
+    "q_htsql_given" -> q(
+      "/customer{c_custkey, n_big := given(count(orders?o_totalprice>$cap), " +
+        "cap := 400000)}.sort(c_custkey)"),
+
+    // @: detached (root-scope) flow inside an aggregate — uncorrelated
+    // global aggregate broadcast onto the axis (reference: AttachSpace)
+    "q_htsql_attach" -> q(
+      "/region{r_regionkey, r_name, n_here := count(nation), " +
+        "n_all := count(@nation), " +
+        "n_big_orders := count(@orders?o_totalprice>400000)}.sort(r_regionkey)"),
+
+    // nested segment /link{…} — the signature HTSQL output shape — made
+    // driver-checkable by flattening the list-of-records column with
+    // posexplode (pos = array_sort rank by child key)
+    "q_segment" -> { (s, dir) =>
+      Graft(s, dir)
+        .query("/region{r_regionkey, r_name, /nation{n_nationkey, n_name}}")
+        .select(col("r_regionkey"), col("r_name"),
+          posexplode(col("nation")).as(Seq("pos", "n")))
+        .select(col("r_regionkey"), col("r_name"),
+          col("pos").cast("long").as("pos"),
+          col("n.n_nationkey").as("n_nationkey"), col("n.n_name").as("n_name"))
+        .orderBy("r_regionkey", "pos")
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -70,6 +97,24 @@ object LangQueries extends QueryModule {
     "q_htsql_define" ->
       """SELECT o_orderkey, o_totalprice * 0.95 AS net FROM orders
          WHERE o_totalprice * 0.95 > 380000 ORDER BY o_orderkey""",
+    "q_htsql_given" ->
+      """SELECT c_custkey,
+           count(CASE WHEN o_totalprice > 400000 THEN 1 END) AS n_big
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_htsql_attach" ->
+      """SELECT r_regionkey, r_name,
+           count(n_nationkey) AS n_here,
+           (SELECT count(*) FROM nation) AS n_all,
+           (SELECT count(*) FROM orders WHERE o_totalprice > 400000) AS n_big_orders
+         FROM region LEFT JOIN nation ON n_regionkey = r_regionkey
+         GROUP BY r_regionkey, r_name ORDER BY r_regionkey""",
+    "q_segment" ->
+      """SELECT r_regionkey, r_name,
+           CAST(row_number() OVER (PARTITION BY r_regionkey ORDER BY n_nationkey) - 1 AS BIGINT) AS pos,
+           n_nationkey, n_name
+         FROM region JOIN nation ON n_regionkey = r_regionkey
+         ORDER BY r_regionkey, pos""",
     "q_htsql_twohop_agg" ->
       """SELECT r_regionkey,
            coalesce(count(c_custkey), 0) AS n_cust,

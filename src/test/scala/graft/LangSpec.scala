@@ -94,6 +94,47 @@ class LangSpec extends AnyFunSuite {
     assertSameRows(got, exp)
   }
 
+  test("given(): expression-local scoped let") {
+    val got = g.query(
+      "/customer{c_custkey, n_big := given(count(orders?o_totalprice>$cap), cap := 400000)}.sort(c_custkey)")
+    val agg = t("orders").filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val exp = t("customer").join(agg, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_big"))
+      .orderBy("c_custkey")
+    assertSameRows(got, exp)
+  }
+
+  test("given() definitions do not leak out of the expression") {
+    val e = intercept[PlanError] {
+      g.query("/customer{c_custkey, a := given(1 + $x, x := 2), b := $x}").collect()
+    }
+    assert(e.getMessage.contains("$x"))
+  }
+
+  test("@ detach: root-scope aggregate is uncorrelated") {
+    val got = g.query("/nation{n_nationkey, n_cust := count(customer), all_cust := count(@customer)}.sort(n_nationkey)")
+    val total = t("customer").count()
+    val rows0 = got.collect()
+    assert(rows0.forall(_.getAs[Long]("all_cust") == total))
+    // correlated column still varies per row
+    assert(rows0.map(_.getAs[Long]("n_cust")).distinct.length > 1)
+  }
+
+  test("@ detach with sieve and column navigation") {
+    val got = g.query("/region{r_regionkey, mx := max(@orders?o_totalprice>400000.o_totalprice)}.sort(r_regionkey)")
+    val exp = t("orders").filter(col("o_totalprice") > 400000)
+      .agg(max("o_totalprice")).collect().head.getDouble(0)
+    got.collect().foreach(r => assert(r.getAs[Double]("mx") == exp))
+  }
+
+  test("@ outside an aggregate is a plan error") {
+    val e = intercept[PlanError] {
+      g.query("/nation{n_name, x := @customer}").collect()
+    }
+    assert(e.getMessage.contains("aggregate"))
+  }
+
   test("filtered aggregate: /customer{c_custkey, count(orders?o_totalprice>400000)}") {
     val got = g.query("/customer{c_custkey, count(orders?o_totalprice>400000)}.sort(c_custkey)")
     val agg = t("orders").filter(col("o_totalprice") > 400000)
