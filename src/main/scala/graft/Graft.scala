@@ -73,6 +73,64 @@ final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Cata
         "direct_label", "reverse_label")
   }
 
+  /** HTML table rendering (`src/htsql/core/fmt/html.py`): a minimal
+    * standalone page with the result as a styled table, values escaped.
+    */
+  def toHtml(df: DataFrame, maxRows: Int = 10000): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val head = df.columns.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = df.limit(maxRows).collect().map { r =>
+      r.toSeq.map {
+        case null => "<td class=\"null\"></td>"
+        case v => s"<td>${esc(v.toString)}</td>"
+      }.mkString("<tr>", "", "</tr>")
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>graft result</title>
+       |<style>table{border-collapse:collapse}td,th{border:1px solid #999;padding:2px 6px}td.null{background:#eee}</style>
+       |</head><body><table>
+       |<thead><tr>$head</tr></thead>
+       |<tbody>
+       |$body
+       |</tbody></table></body></html>""".stripMargin
+  }
+
+  /** XML rendering: `<result><row><col>v</col>…</row>…</result>`, values
+    * escaped; NULL renders as a self-closed tag with `null="true"` so it
+    * stays distinguishable from the empty string.
+    */
+  def toXml(df: DataFrame, maxRows: Int = 10000): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val cols = df.columns
+    val rows = df.limit(maxRows).collect().map { r =>
+      cols.zip(r.toSeq).map {
+        case (c, null) => s"  <$c null=\"true\"/>"
+        case (c, v) => s"  <$c>${esc(v.toString)}</$c>"
+      }.mkString(" <row>\n", "\n", "\n </row>")
+    }.mkString("\n")
+    s"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<result>\n$rows\n</result>"
+  }
+
+  /** Run a query WITH its optional format decorator (`/query/:json`) and
+    * render — the parser owns the decorator (reference: `summon.py`
+    * format commands), not the caller.
+    */
+  def render(text: String): String = {
+    val (ast, fmt) = Parser.parseCommand(text)
+    val df = {
+      val d = new Planner(spark, dir, catalog, format).planQuery(ast)
+      autoLimit.fold(d)(d.limit)
+    }
+    fmt.getOrElse("txt") match {
+      case "json" => toJson(df)
+      case "csv" => toCsv(df)
+      case "html" => toHtml(df)
+      case "xml" => toXml(df)
+      case "txt" | "text" => toText(df)
+      case other => throw new graft.lang.ParseError(s"unknown format ':$other'", 0)
+    }
+  }
+
   /** Plain-text table (`src/htsql/core/fmt/text.py`). */
   def toText(df: DataFrame, maxRows: Int = 100): String = {
     val rows = df.limit(maxRows).collect().map(_.toSeq.map {

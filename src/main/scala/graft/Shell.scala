@@ -10,9 +10,10 @@ import scala.io.StdIn
   *   runMain graft.Shell <dataDir> [query]       — one-shot, prints a table
   *   runMain graft.Shell <dataDir>               — REPL on stdin
   *
-  * Output format flags mirror the reference's `/:json` / `/:csv` format
-  * decorators (`src/htsql/core/cmd/summon.py`): suffix the query with
-  * `:json`, `:csv`, or `:txt` (default txt). `\d [table]` describes the
+  * Output format decorators are part of the language (`Parser
+  * .parseCommand`, mirroring `src/htsql/core/cmd/summon.py`): suffix the
+  * query with `/:json`, `/:csv`, `/:html`, `/:xml`, or `/:txt` (default
+  * txt). `\d [table]` describes the
   * model (ShellRoutine's `describe` command); `\sql <stmt>` runs raw
   * Spark SQL with the engine's native functions registered via
   * `GraftExtensions` (vector_dot, cosine_sim).
@@ -55,19 +56,16 @@ object Shell {
         println(g.toText(spark.sql(line.drop(5))))
         return
       }
-      val (query, fmt) =
-        if (line.endsWith(":json")) (line.dropRight(5), "json")
-        else if (line.endsWith(":csv")) (line.dropRight(4), "csv")
-        else if (line.endsWith(":txt")) (line.dropRight(4), "txt")
-        else (line, "txt")
-      try {
-        val df = g.query(query.trim)
-        fmt match {
-          case "json" => println(g.toJson(df))
-          case "csv" => println(g.toCsv(df))
-          case _ => println(g.toText(df))
-        }
-      } catch {
+      // `/query/:json` — the format decorator is part of the language
+      // (Parser.parseCommand); legacy `:json` suffixes still parse because
+      // they ARE the decorator syntax minus the slash — normalize them.
+      val cmd =
+        if (line.endsWith(":json") || line.endsWith(":csv") || line.endsWith(":txt") ||
+          line.endsWith(":html") || line.endsWith(":xml")) {
+          val i = line.lastIndexOf(':')
+          if (line.lift(i - 1).contains('/')) line else line.patch(i, "/:", 1)
+        } else line
+      try println(g.render(cmd)) catch {
         case e: graft.lang.ParseError => System.err.println(s"parse error: ${e.getMessage}")
         case e: graft.lang.LexError => System.err.println(s"lex error: ${e.getMessage}")
         case e: graft.lang.PlanError => System.err.println(s"plan error: ${e.getMessage}")

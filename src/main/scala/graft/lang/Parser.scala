@@ -19,6 +19,16 @@ object Parser {
     val p = new Parser(Lexer.tokenize(input), input)
     p.parseQuery()
   }
+
+  /** Parse a COMMAND: a query plus an optional trailing format decorator
+    * `/:json` / `/:csv` / `/:html` / `/:xml` / `/:txt` (reference: format
+    * summons in `src/htsql/core/cmd/summon.py` — the decorator belongs to
+    * the language, not to whoever strips suffixes off the string).
+    */
+  def parseCommand(input: String): (Ast, Option[String]) = {
+    val p = new Parser(Lexer.tokenize(input), input)
+    p.parseCommandQuery()
+  }
 }
 
 private final class Parser(tokens: Vector[Token], input: String) {
@@ -43,11 +53,23 @@ private final class Parser(tokens: Vector[Token], input: String) {
     case Token.End(_) => "end of query"
   }
 
-  def parseQuery(): Ast = {
+  def parseQuery(): Ast = parseCommandQuery() match {
+    case (flow, None) => flow
+    case (_, Some(fmt)) =>
+      throw new ParseError(s"format decorator ':$fmt' is not allowed here", cur.pos)
+  }
+
+  def parseCommandQuery(): (Ast, Option[String]) = {
     eatOp("/")
     val flow = parsePipeline()
+    // trailing `/:fmt` format decorator
+    val fmt = (cur, tokens.lift(pos + 1)) match {
+      case (Token.Op("/", _), Some(Token.Op(":", _))) =>
+        advance(); advance(); Some(parseIdent())
+      case _ => None
+    }
     cur match {
-      case Token.End(_) => flow
+      case Token.End(_) => (flow, fmt)
       case t => throw new ParseError(s"unexpected ${describe(t)} after query", t.pos)
     }
   }

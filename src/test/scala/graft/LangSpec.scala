@@ -407,6 +407,22 @@ class LangSpec extends AnyFunSuite {
     assert(g.toJson(df).startsWith("[{"))
     assert(g.toCsv(df).startsWith("r_name"))
     assert(g.toText(df).contains("r_name"))
+    val html = g.toHtml(df)
+    assert(html.contains("<th>r_name</th>") && html.contains("<td>AFRICA</td>"))
+    val xml = g.toXml(df)
+    assert(xml.startsWith("<?xml") && xml.contains("<r_name>AFRICA</r_name>"))
+  }
+
+  test("format decorators are owned by the parser: /region/:json") {
+    assert(g.render("/region{r_name}.sort(r_name).limit(1)/:json").startsWith("[{"))
+    assert(g.render("/region{r_name}.limit(1)/:csv").startsWith("r_name"))
+    assert(g.render("/region{r_name}.limit(1)/:html").contains("<table>"))
+    assert(g.render("/region{r_name}.limit(1)/:xml").startsWith("<?xml"))
+    assert(g.render("/region{r_name}.limit(1)").contains("r_name")) // default txt
+    // decorator is rejected where a plain query is expected
+    intercept[graft.lang.ParseError] { g.query("/region/:json") }
+    // unknown format name is a parse-level error
+    intercept[graft.lang.ParseError] { g.render("/region/:yaml") }
   }
 }
 
