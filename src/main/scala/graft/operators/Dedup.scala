@@ -177,6 +177,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (a, b) + (b, c) must collapse
+    * to ONE kept document, which pairwise output alone can't express.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * minimum label among itself and its neighbors (one shuffle join + one
+    * partial-aggregating groupBy per round). Rounds needed = graph
+    * diameter; near-dup clusters are near-cliques (diameter ≲ 3), so this
+    * converges in a handful of rounds even at corpus scale — the driver
+    * only ever sees one changed-row COUNT per round, never node data.
+    * `localCheckpoint` truncates lineage each round so plans stay O(1).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels.select(col("id").as("dst_id"), col("comp").as("dst_comp")),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src")).agg(min(col("dst_comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id").as("id"), labels("comp").as("old_comp"),
+          least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") =!= col("old_comp")).count()
+      labels = next.select("id", "comp")
+      i += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster assignment for EVERY document: near-dup pairs (exact n-gram
+    * Jaccard) → connected components → (id, cluster) with singletons
+    * mapping to themselves. `keep = (id == cluster)` is the dedup keep-list
+    * (the min-id representative per cluster).
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2,
+      maxDf: Option[Int] = None): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold, minCommon, maxDf)
+    val cc = connectedComponents(pairs)
+    docs.select(col(idCol))
+      .join(cc, docs(idCol) === cc("id"), "left")
+      .select(docs(idCol), coalesce(col("comp"), docs(idCol)).as("cluster"))
+      .withColumn("keep", col(idCol) === col("cluster"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (the brute-exact baseline the
     * sketch variants approximate). Inverted-index join on shingles keeps
     * the shuffle linear in total shingle count; `minCommon` prunes

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-dependent on PARTITIONING: adding an executor,
+  * re-reading with a different split size, or AQE re-coalescing changes
+  * which rows survive — unacceptable when a sample must be reproducible
+  * across reruns of a 100 TB job. Content-hash sampling decides per ROW
+  * from the row's own bytes, so membership is a pure function of the data:
+  * stable under repartitioning, retries, and topology, and any worker can
+  * re-derive it. The decision is a codegen'd column expression — no
+  * shuffle, fuses into the scan.
+  */
+object Sampling {
+
+  private val Scramble = 2654435761L // Knuth multiplicative-hash constant
+  private val Buckets = 1000000L
+
+  /** Pseudo-uniform value in [0, 1e6) derived from a content fingerprint
+    * (`TextAnalysis.fingerprint` — rolling hash < 1e9+7, so the product
+    * stays well inside Long range). The multiplicative scramble decorrelates
+    * the sampling decision from fingerprint ORDER, while staying exactly
+    * replicable in ANSI SQL for the oracle.
+    */
+  def uniformBucket(fp: Column): Column = pmod(fp * lit(Scramble), lit(Buckets))
+
+  /** Keep-predicate sampling `rate` of rows by content hash. */
+  def keepByRate(fp: Column, rate: Double): Column =
+    uniformBucket(fp) < lit((rate * Buckets).toLong)
+
+  /** Stratified deterministic sample: per-stratum rates (e.g. by language
+    * or source), `defaultRate` for unlisted strata. The typical mixture-
+    * weighting step of a corpus build — downsample over-represented
+    * strata, keep the rest. Returns the kept rows.
+    */
+  def stratifiedSample(df: DataFrame, fp: Column, strata: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(strata === lit(k), lit(r)).otherwise(acc)
+    }
+    df.filter(uniformBucket(fp) < (rateCol * Buckets).cast("long"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events` (SURVEY.md §2 extension rows; no reference analogue — the
@@ -44,6 +44,25 @@ object ExtensionQueries extends QueryModule {
       val t = new Tables(s, dir)
       Dedup.minhashPairs(t.documents, "doc_id", "text", shingleSize = 3,
         numHashes = 16, bands = 4, jaccardThreshold = 0.2).orderBy("id_a", "id_b")
+    },
+
+    // Near-dup pairs → connected components → per-doc cluster + keep-list
+    // (the step that actually dedups a corpus; min-id representative).
+    "q_dedup_clusters" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Dedup.nearDupClusters(t.documents, "doc_id", "text", n = 3,
+        threshold = 0.2, minCommon = 2).orderBy("doc_id")
+    },
+
+    // Deterministic stratified content-hash sample (stable across runs,
+    // partitioning, and cluster topology — unlike df.sample()).
+    "q_sample" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Sampling.stratifiedSample(t.documents,
+        TextAnalysis.fingerprint(col("text")), col("lang"),
+        Map("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     },
 
     // SimHash hamming-≤k pairs (rows-only check).
@@ -172,6 +191,56 @@ object ExtensionQueries extends QueryModule {
          WHERE common >= 2
            AND CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.2
          ORDER BY id_a, id_b""",
+    // Same shingle/pair pipeline as q_dedup_ngram, then transitive closure
+    // (recursive CTE) → min reachable id per node; singletons self-map.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+           FROM toks),
+         inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM inv a JOIN inv b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+           HAVING count(*) >= 2
+              AND CAST(count(*) AS DOUBLE)
+                  / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE) >= 0.2),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+         SELECT d.doc_id,
+                coalesce(c.cluster, d.doc_id) AS cluster,
+                d.doc_id = coalesce(c.cluster, d.doc_id) AS keep
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         ORDER BY d.doc_id""",
+    // Rates are binary-exact (0.25 / 0.5 / 1.0) so rate*1e6 needs no
+    // rounding and Spark's truncating cast == DuckDB's trunc().
+    "q_sample" ->
+      """WITH f AS (
+           SELECT doc_id, lang, source,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+           FROM documents)
+         SELECT doc_id, lang, source FROM f
+         WHERE (fp * 2654435761) % 1000000 <
+           CAST(trunc((CASE WHEN lang = 'en' THEN 0.25
+                            WHEN lang = 'zh' THEN 1.0
+                            ELSE 0.5 END) * 1000000) AS BIGINT)
+         ORDER BY doc_id""",
     "q_text_stats" ->
       TextStatsOracle.sql,
     // Replicates FakeDecoder: Java Arrays.hashCode over the UTF-8 payload

@@ -114,6 +114,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chains collapse, islands stay separate") {
+    import spark.implicits._
+    // path 1-2-3-4 (one component, min label 1), island pair 10-11,
+    // triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+  }
+
+  test("nearDupClusters covers every doc and keep-list is one per cluster") {
+    val docs = t("documents")
+    val cl = Dedup.nearDupClusters(docs, "doc_id", "text")
+    assert(cl.count() == docs.count())
+    val perCluster = cl.groupBy("cluster")
+      .agg(sum(col("keep").cast("long")).as("n_keep")).collect()
+    assert(perCluster.forall(_.getAs[Long]("n_keep") == 1L))
+  }
+
+  test("deterministic sampling: stable across runs and rate-monotone") {
+    import graft.operators.Sampling
+    val docs = t("documents")
+    val fp = TextAnalysis.fingerprint(col("text"))
+    def ids(rate: Double) = docs.filter(Sampling.keepByRate(fp, rate))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = ids(0.5)
+    assert(half == ids(0.5)) // run-to-run stable
+    assert(ids(0.25).subsetOf(half)) // nested: lower rate ⊆ higher rate
+    val n = docs.count().toDouble
+    assert(math.abs(half.size / n - 0.5) < 0.15) // roughly the asked rate
+  }
+
   test("langId picks a marker language deterministically") {
     val out = t("documents").select(TextAnalysis.langId(col("text")).as("l"))
       .groupBy("l").count().collect().map(r => r.getString(0)).toSet
@@ -182,9 +217,12 @@ class OperatorSpec extends AnyFunSuite {
         sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("sum"))
       .orderBy("l_returnflag").collect()
     assert(salted.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
-    val sd = Skew.saltedCountDistinct(t("events"), Seq("event_type"), "user_id")
+    // events MUST load via Tables (nanos-timestamp handling) — a raw
+    // parquet read only works if another suite already set the legacy conf
+    val events = new graft.model.Tables(spark, dir)("events")
+    val sd = Skew.saltedCountDistinct(events, Seq("event_type"), "user_id")
       .orderBy("event_type").collect()
-    val dd = t("events").groupBy("event_type")
+    val dd = events.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_distinct"))
       .orderBy("event_type").collect()
     assert(sd.map(_.toSeq).toSeq == dd.map(_.toSeq).toSeq)
