@@ -91,32 +91,12 @@ object Dedup {
       bands: Int = 4,
       jaccardThreshold: Double = 0.5
   ): DataFrame = {
-    val rows = numHashes / bands
     // staged + persisted: the signature lambda iterates `sh` numHashes
     // times, so `sh` must be a materialized attribute, not an expression
     val base = shingleFrame(docs, idCol, textCol, shingleSize)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Empty shingle sets are excluded from candidate generation: their
-    // sentinel signature is a constant, so at corpus scale ALL short docs
-    // would share every band key — one quadratic hot bucket. They can't be
-    // near-dups by Jaccard (0/0 union) anyway, so dropping them here leaves
-    // the output unchanged.
-    val banded = base.filter(col("n_sh") > 0).select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_sig")))
-
-    // Band-join carries (band, band_sig, id) ONLY — candidate shuffle bytes
-    // stay O(docs × bands × 24B) regardless of document size. Shingle arrays
-    // are joined back per deduped pair for the exact-Jaccard verify.
-    val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))
-    val b = banded.select(col("band").as("band_r"), col("band_sig").as("band_sig_r"),
-      col("id").as("id_b"))
-    val pairIds = a
-      .join(b, col("band") === col("band_r") && col("band_sig") === col("band_sig_r") &&
-        col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val pairIds = minhashCandidates(base, numHashes, bands)
 
     pairIds
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -127,6 +107,33 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** LSH candidate id pairs from a staged (id, sh, n_sh, sig) frame.
+    *
+    * Empty shingle sets are excluded from candidate generation: their
+    * sentinel signature is a constant, so at corpus scale ALL short docs
+    * would share every band key — one quadratic hot bucket. They can't be
+    * near-dups by Jaccard (0/0 union) anyway, so dropping them leaves the
+    * output unchanged.
+    *
+    * The band join carries (band, band_sig, id) ONLY — candidate shuffle
+    * bytes stay O(docs × bands × 24 B) regardless of document size (pinned
+    * by a PlanSpec assertion); shingle arrays join back per deduped pair
+    * for the exact-Jaccard verify.
+    */
+  def minhashCandidates(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val banded = base.filter(col("n_sh") > 0).select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_sig")))
+    val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))
+    val b = banded.select(col("band").as("band_r"), col("band_sig").as("band_sig_r"),
+      col("id").as("id_b"))
+    a.join(b, col("band") === col("band_r") && col("band_sig") === col("band_sig_r") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** 64-bit SimHash (Charikar): bit i is the sign of the summed ±1 votes

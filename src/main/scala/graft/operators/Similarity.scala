@@ -142,6 +142,81 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: partition
+    * the corpus into `nlist` cells (spherical k-means-lite), probe only the
+    * `nprobe` cells nearest each query. Versus LSH: cells adapt to the data
+    * distribution, so cell populations stay balanced where hyperplane
+    * buckets can skew.
+    *
+    * Deterministic end to end — seeds are the `nlist` lowest-id vectors,
+    * Lloyd refinement sums coordinates in exact decimal (partition-order
+    * independent), assignment ties break on cell index — so results are
+    * stable across runs and cluster topology. Only the nlist×dim centroid
+    * matrix ever reaches the driver (metadata-sized, like a CC round's
+    * counter); corpus rows never collect. Centroids re-enter the plan as
+    * single array literals with codegen'd `vector_dot` projections.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0d) v else v.map(_ / n)
+    }
+    var centroids: Array[Array[Double]] = c.orderBy(col("n_id"))
+      .limit(nlist).collect().map(_.getSeq[Double](1).toArray).map(normalize)
+
+    // centroids are unit vectors, so argmax dot == argmax cosine
+    def scoresCol(vec: Column): Column =
+      array(centroids.map(ct => VectorFunctions.vector_dot(vec, lit(ct))): _*)
+    def assigned(df: DataFrame): DataFrame =
+      df.withColumn("__scores", scoresCol(col("n_vec")))
+        .withColumn("cluster",
+          expr("array_position(__scores, array_max(__scores))").cast("int"))
+        .drop("__scores")
+
+    for (_ <- 1 to iters) {
+      val sums = assigned(c)
+        .select(col("cluster"), posexplode(col("n_vec")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("v").cast("decimal(38,18)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.groupBy(_.getAs[Int]("cluster")).foreach { case (cl, rows) =>
+        val mean = new Array[Double](dim)
+        rows.foreach(r => mean(r.getAs[Int]("pos")) = r.getAs[Double]("s") / r.getAs[Long]("n"))
+        if (mean.exists(_ != 0d)) next(cl - 1) = normalize(mean)
+      }
+      centroids = next
+    }
+
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qScored = q.select(col("q_id"),
+      posexplode(scoresCol(col("q_vec"))).as(Seq("cpos", "score")))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("cpos").asc)
+    val qProbes = qScored.withColumn("r", row_number().over(wq))
+      .filter(col("r") <= nprobe)
+      .select(col("q_id"), (col("cpos") + 1).as("cluster"))
+
+    val scored = assigned(c).withColumn("n_norm", norm(col("n_vec")))
+      .join(broadcast(qProbes), "cluster")
+      .join(broadcast(q.withColumn("q_norm", norm(col("q_vec")))), "q_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", VectorFunctions.vector_dot(col("q_vec"), col("n_vec"))
+        / (col("q_norm") * col("n_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs: multi-table LSH buckets the
     * corpus against itself; candidates (id pairs only — vectors join back
     * for the verify) are verified with exact cosine ≥ threshold. With

@@ -102,6 +102,17 @@ object ExtensionQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
+    // IVF ANN (coarse-quantizer scale path; rows-only check + recall
+    // invariant in OperatorSpec).
+    "q_sim_ivf" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val queries = t.embeddings.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(t.embeddings, queries, "vec_id", "embedding",
+        dim = 64, k = 3, nlist = 16, nprobe = 4)
+        .select("q_id", "n_id", "rank")
+        .orderBy("q_id", "rank")
+    },
+
     // Language ID + quality metrics + token counts per document.
     "q_text_stats" -> { (s, dir) =>
       val t = new Tables(s, dir)

@@ -57,6 +57,26 @@ object EventStreams {
       .queryName(queryName)
       .start()
 
+  /** Streaming exact dedup — the training-data-pipeline shape: keep the
+    * first occurrence per key on an unbounded stream.
+    * `dropDuplicatesWithinWatermark` keys the state store by the dedup
+    * columns and EVICTS entries once the watermark passes them, so state
+    * stays bounded on an infinite stream (a plain dropDuplicates would
+    * grow state forever — the classic streaming-dedup OOM).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicatesWithinWatermark(keys)
+
+  /** Launch the streaming dedup into an in-memory sink (smoke/testing). */
+  def startDedup(spark: SparkSession, dir: String, queryName: String,
+      keys: Seq[String]): StreamingQuery =
+    dedupStream(readEventStream(spark, dir), keys)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
   /** Sessionization on a stream: same `session_window` core as the batch
     * query; state per (user, open session), bounded by the watermark.
     */

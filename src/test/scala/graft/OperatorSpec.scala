@@ -51,6 +51,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs.count() == 0)
   }
 
+  test("IVF ANN recall ≥ 0.9 vs brute force (sf0.01) and deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ivf() = Similarity.ivfTopK(emb, q, "vec_id", "embedding", dim = 64,
+      k = 5, nlist = 16, nprobe = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf()
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recalled ${(brute & got).size}/${brute.size} = $recall")
+    assert(got == ivf()) // centroid build + probe is run-to-run stable
+  }
+
   test("multi-table LSH ANN recall ≥ 0.9 vs brute force (sf0.01)") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 8)

@@ -60,6 +60,26 @@ class PlanSpec extends AnyFunSuite {
       s"language projection not pruned:\n$p")
   }
 
+  test("minhash candidate generation shuffles ids only, never shingles") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = graft.operators.Dedup.shingleFrame(docs, "doc_id", "text", 3)
+      .withColumn("sig", graft.operators.Dedup.minhashSignature(col("sh"), 16))
+    val cand = graft.operators.Dedup.minhashCandidates(base, 16, 4)
+    assert(cand.columns.toSeq == Seq("id_a", "id_b"))
+    // the band join's renamed outputs sh_a/sh_b would only exist if shingle
+    // arrays were carried through the candidate exchange (the r01 defect)
+    val p = cand.queryExecution.executedPlan.toString
+    assert(!p.contains("sh_a") && !p.contains("sh_b"),
+      s"shingle arrays ride the candidate shuffle:\n$p")
+  }
+
+  test("detached aggregate broadcasts one global row, no per-row subquery") {
+    val p = plan("q_htsql_attach")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"detached aggregate not broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar function kit") {
     // AQE shows codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_fn_string")(spark, dir)

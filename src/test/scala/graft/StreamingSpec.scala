@@ -34,6 +34,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup converges to the batch distinct count") {
+    val q = EventStreams.startDedup(spark, dir, "stream_dedup_test",
+      Seq("user_id", "event_type"))
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT count(*) AS n FROM stream_dedup_test")
+        .collect().head.getLong(0)
+      val batch = new Tables(spark, dir).events
+        .select("user_id", "event_type").distinct().count()
+      // single-file replay: nothing is late, so dedup must match exactly
+      assert(streamed == batch, s"streamed $streamed distinct keys vs batch $batch")
+    } finally q.stop()
+  }
+
   test("session aggregation plan works on batch input") {
     val out = EventStreams.sessionAgg(new Tables(spark, dir).events)
     assert(out.count() > 0)
