@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events` (SURVEY.md §2 extension rows; no reference analogue — the
@@ -100,6 +100,21 @@ object ExtensionQueries extends QueryModule {
         dim = 64, k = 3)
         .select("q_id", "n_id", "rank")
         .orderBy("q_id", "rank")
+    },
+
+    // As-of join: each purchase enriched with the user's most recent
+    // prior-or-equal view. ts emitted as epoch micros (never raw nanos).
+    "q_asof" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
+      val views = t.events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("v_event_id"))
+      AsOf.asofJoin(purchases, views, Seq("user_id"), "ts", Seq("v_event_id"))
+        .select(col("p_event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("asof_v_event_id").as("v_event_id"))
+        .orderBy("p_event_id")
     },
 
     // IVF ANN (coarse-quantizer scale path; rows-only check + recall
@@ -252,6 +267,15 @@ object ExtensionQueries extends QueryModule {
                             WHEN lang = 'zh' THEN 1.0
                             ELSE 0.5 END) * 1000000) AS BIGINT)
          ORDER BY doc_id""",
+    // DuckDB reads the nanos parquet ts truncated to micros — identical to
+    // our loader — so ASOF ordering and epoch_us agree exactly.
+    "q_asof" ->
+      """SELECT p.event_id AS p_event_id, p.user_id,
+                epoch_us(p.ts) AS ts_us, v.event_id AS v_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p_event_id""",
     "q_text_stats" ->
       TextStatsOracle.sql,
     // Replicates FakeDecoder: Java Arrays.hashCode over the UTF-8 payload

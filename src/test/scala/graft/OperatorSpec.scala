@@ -163,6 +163,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(half.size / n - 0.5) < 0.15) // roughly the asked rate
   }
 
+  test("as-of join equals the correlated most-recent-prior row") {
+    import graft.operators.AsOf
+    val ev = new graft.model.Tables(spark, dir)("events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val r = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("v_id"))
+    val got = AsOf.asofJoin(l, r, Seq("user_id"), "ts", Seq("v_id"))
+      .select(col("p_id"), col("asof_v_id")).orderBy("p_id").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    // reference computed the quadratic way: theta-join + argmax(ts, v_id)
+    val exp = l.join(r.select(col("user_id").as("u2"), col("ts").as("ts2"), col("v_id")),
+        col("user_id") === col("u2") && col("ts2") <= col("ts"), "left")
+      .groupBy(col("p_id"))
+      .agg(max_by(col("v_id"), struct(col("ts2"), col("v_id"))).as("v_id"))
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    assert(got.keySet == exp.keySet)
+    assert(got == exp)
+  }
+
   test("langId picks a marker language deterministically") {
     val out = t("documents").select(TextAnalysis.langId(col("text")).as("l"))
       .groupBy("l").count().collect().map(r => r.getString(0)).toSet
