@@ -545,8 +545,9 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case _ if aggNames(fn) => bindAggregate(ctx, fn, args)
     // given(expr, name := e, …): scoped let — the definitions extend the
     // scope for binding `expr` ONLY (reference: BindGiven — same machinery
-    // as define() but with expression-local extent).
-    case "given" =>
+    // as define() but with expression-local extent). `where` is the
+    // reference's alias for the same binding.
+    case "given" | "where" =>
       if (args.isEmpty) throw new PlanError("given() needs an expression")
       val defs = args.tail.map {
         case Apply("__def", Seq(StringLit(n), e)) => n -> e

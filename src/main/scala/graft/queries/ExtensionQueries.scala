@@ -102,6 +102,19 @@ object ExtensionQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
+    // Semi-structured extraction: JSON props column → typed value →
+    // grouped stats (get_json_object is codegen'd; no UDF).
+    "q_json_props" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.events
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
     // As-of join: each purchase enriched with the user's most recent
     // prior-or-equal view. ts emitted as epoch micros (never raw nanos).
     "q_asof" -> { (s, dir) =>
@@ -267,6 +280,15 @@ object ExtensionQueries extends QueryModule {
                             WHEN lang = 'zh' THEN 1.0
                             ELSE 0.5 END) * 1000000) AS BIGINT)
          ORDER BY doc_id""",
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back so the arrow schema
+    // matches Spark's int64.
+    "q_json_props" ->
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+                min(k) AS min_k, max(k) AS max_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type ORDER BY event_type""",
     // DuckDB reads the nanos parquet ts truncated to micros — identical to
     // our loader — so ASOF ordering and epoch_us agree exactly.
     "q_asof" ->

@@ -105,6 +105,12 @@ class LangSpec extends AnyFunSuite {
     assertSameRows(got, exp)
   }
 
+  test("where() is the alias form of given()") {
+    val a = g.query("/region{r_name, n := given(count(nation), x := 1)}.sort(r_name)")
+    val b = g.query("/region{r_name, n := where(count(nation), x := 1)}.sort(r_name)")
+    assertSameRows(a, b)
+  }
+
   test("given() definitions do not leak out of the expression") {
     val e = intercept[PlanError] {
       g.query("/customer{c_custkey, a := given(1 + $x, x := 2), b := $x}").collect()
