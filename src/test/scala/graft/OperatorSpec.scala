@@ -30,6 +30,17 @@ class OperatorSpec extends AnyFunSuite {
         s"minhash recalled ${mh.size}/${exact.size}")
   }
 
+  test("prefix filtering is lossless: equals the full inverted-index join") {
+    val docs = t("documents")
+    for (th <- Seq(0.2, 0.5)) {
+      val got = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", threshold = th)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      val exp = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = th)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      assert(got == exp, s"prefix filter lost/invented pairs at t=$th")
+    }
+  }
+
   test("ngram maxDf candidates are a subset of the unfiltered pairs") {
     val docs = t("documents")
     def pairs(cap: Option[Int]) =
