@@ -100,7 +100,14 @@ private final class Parser(tokens: Vector[Token], input: String) {
   }
 
   private def parsePrimaryFlow(): Ast = cur match {
-    case Token.Ident(name, _) => advance(); Ident(name)
+    case Token.Ident(name, _) =>
+      advance()
+      // `/count(region)` — a top-level scalar aggregate over the ROOT scope
+      if (isOp("(")) { advance(); Apply(name, parseArgs()) }
+      else Ident(name)
+    // `/{…}` — selection in the ROOT scope (no table axis); the pipeline
+    // loop consumes the braces as a Select over the root marker
+    case Token.Op("{", _) => Ident("__root__")
     case Token.Op("(", _) => advance(); val inner = parsePipeline(); eatOp(")"); inner
     case t => throw new ParseError(s"expected a table or '(' but found ${describe(t)}", t.pos)
   }

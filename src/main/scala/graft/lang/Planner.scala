@@ -41,9 +41,29 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       val table: String,
       var df: DataFrame,
       var defines: Map[String, Ast],
-      var joined: Set[String]
+      var joined: Set[String],
+      explicitCols: Option[Seq[String]] = None
   ) {
-    val baseColumns: Seq[String] = tables(table).columns.toSeq
+    val baseColumns: Seq[String] = explicitCols.getOrElse(tables(table).columns.toSeq)
+    def isRoot: Boolean = table == "__root__"
+  }
+
+  /** The ROOT scope (reference: the home class): a one-row axis with no
+    * table — `/count(region)` and `/{…}` evaluate here, with every flow
+    * argument implicitly detached (`@`).
+    */
+  private def rootCtx: Ctx =
+    new Ctx("__root__", spark.range(1).toDF("__root"), Map.empty, Set.empty,
+      Some(Seq("__root")))
+
+  /** Re-root a flow argument's head at the home scope (used when binding
+    * aggregates in the root ctx — `/count(region)` ≡ `count(@region)`).
+    */
+  private def wrapRoot(a: Ast): Ast = a match {
+    case Ident(t) => Apply("@", Seq(Ident(t)))
+    case Compose(b, m) => Compose(wrapRoot(b), m)
+    case Sieve(b, p) => Sieve(wrapRoot(b), p)
+    case other => other
   }
 
   // -------------------------------------------------------------- entry --
@@ -60,8 +80,18 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case Ident(name) if catalog.isTable(name) =>
       Left(new Ctx(name, tables(name), Map.empty, Set.empty))
 
+    case Ident("__root__") =>
+      Left(rootCtx)
+
     case Ident(name) =>
       throw new PlanError(s"unknown table '$name'")
+
+    // `/count(region)` / `/length('abc')` — top-level scalar expression
+    // evaluated in the root scope
+    case Apply(fn, args) =>
+      val ctx = rootCtx
+      val c = bindScalar(ctx, Apply(fn, args))
+      Right(ctx.df.select(c.as(fn)))
 
     case Sieve(base, pred) =>
       planFlow(base) match {
@@ -886,7 +916,9 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   private def bindAggregate(ctx: Ctx, fn: String, args: Seq[Ast]): Column = {
     val arg = args.headOption.getOrElse(throw new PlanError(s"$fn() needs an argument"))
 
-    stripDetach(arg) match {
+    // in the root scope every flow argument is implicitly detached
+    val arg0 = if (ctx.isRoot) wrapRoot(arg) else arg
+    stripDetach(arg0) match {
       case Some((tname, rewritten)) => return bindDetachedAggregate(ctx, fn, tname, rewritten)
       case None =>
     }

@@ -53,6 +53,11 @@ object LangQueries extends QueryModule {
         "n_all := count(@nation), " +
         "n_big_orders := count(@orders?o_totalprice>400000)}.sort(r_regionkey)"),
 
+    // root-scope query: scalar aggregates with no table axis
+    "q_htsql_root" -> q(
+      "/{n_regions := count(region), n_big := count(orders?o_totalprice>400000), " +
+        "total := sum(orders.o_totalprice)}"),
+
     // nested segment /link{…} — the signature HTSQL output shape — made
     // driver-checkable by flattening the list-of-records column with
     // posexplode (pos = array_sort rank by child key)
@@ -109,6 +114,11 @@ object LangQueries extends QueryModule {
            (SELECT count(*) FROM orders WHERE o_totalprice > 400000) AS n_big_orders
          FROM region LEFT JOIN nation ON n_regionkey = r_regionkey
          GROUP BY r_regionkey, r_name ORDER BY r_regionkey""",
+    "q_htsql_root" ->
+      """SELECT (SELECT count(*) FROM region) AS n_regions,
+              (SELECT count(*) FROM orders WHERE o_totalprice > 400000) AS n_big,
+              (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                 FROM orders) AS total""",
     "q_segment" ->
       """SELECT r_regionkey, r_name,
            CAST(row_number() OVER (PARTITION BY r_regionkey ORDER BY n_nationkey) - 1 AS BIGINT) AS pos,

@@ -94,6 +94,21 @@ class LangSpec extends AnyFunSuite {
     assertSameRows(got, exp)
   }
 
+  test("root-scope scalar queries: /count(region) and /{…}") {
+    assert(g.query("/count(region)").collect().head.getLong(0) == 5L)
+    assert(g.query("/length('hello')").collect().head.getInt(0) == 5)
+    val row = g.query(
+      "/{n_regions := count(region), n_nations := count(nation), mx := max(orders.o_totalprice)}")
+      .collect().head
+    assert(row.getAs[Long]("n_regions") == 5L)
+    assert(row.getAs[Long]("n_nations") == t("nation").count())
+    assert(row.getAs[Double]("mx") ==
+      t("orders").agg(max("o_totalprice")).collect().head.getDouble(0))
+    // sieves still apply inside the detached argument
+    val n = g.query("/count(orders?o_totalprice>400000)").collect().head.getLong(0)
+    assert(n == t("orders").filter(col("o_totalprice") > 400000).count())
+  }
+
   test("given(): expression-local scoped let") {
     val got = g.query(
       "/customer{c_custkey, n_big := given(count(orders?o_totalprice>$cap), cap := 400000)}.sort(c_custkey)")
