@@ -323,11 +323,11 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     val (childDf, rootKeys, childCtx) = pluralFlow(ctx, Seq(label))
     childCtx.df = childDf
     var outItems: Option[Seq[Item]] = None
+    var sortKeys = Seq.empty[SortKey]
     stack.foreach {
       case Sieve(_, pred) => sieveCtx(childCtx, pred)
       case DefineOp(_, defs) => childCtx.defines ++= defs
-      case SortOp(_, _) => // rows are array_sort'ed; explicit sort keys fold
-      // into the struct ordering below only if selected first
+      case SortOp(_, keys) => sortKeys = keys
       case Select(_, items) => outItems = Some(items)
       case _ =>
     }
@@ -344,9 +344,34 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       }).as(name)
     }
     val aggName = s"__seg_${aggCounter}"; aggCounter += 1
-    val aggDf = childCtx.df
-      .groupBy(rootKeys.map(col): _*)
-      .agg(array_sort(collect_list(struct(structCols: _*))).as(aggName))
+    val aggDf = if (sortKeys.isEmpty) {
+      // no explicit sort: rows order by struct field order (child key first)
+      childCtx.df
+        .groupBy(rootKeys.map(col): _*)
+        .agg(array_sort(collect_list(struct(structCols: _*))).as(aggName))
+    } else {
+      // explicit `.sort(keys)`: rank rows per parent (PK tie-break for
+      // determinism), collect with the rank leading the struct, then strip
+      // it — same technique as planTop, so array order == requested order
+      val pk = catalog.primaryKey(childCtx.table).filter(childCtx.baseColumns.contains)
+      val order = sortKeys.map(sk => direction(bindScalar(childCtx, sk.expr), sk.ascending)) ++
+        pk.map(col)
+      val w = Window.partitionBy(rootKeys.map(col): _*).orderBy(order: _*)
+      val fields = structCols.zipWithIndex.map { case (c, i) => c.as(s"__f$i") }
+      val names = items.zipWithIndex.map { case (it, i) =>
+        it.alias.getOrElse(it.expr match {
+          case Segment(f) => segmentLabel(f)
+          case e => itemName(e, i)
+        })
+      }
+      childCtx.df
+        .withColumn("__rn", row_number().over(w))
+        .groupBy(rootKeys.map(col): _*)
+        .agg(sort_array(collect_list(struct((col("__rn") +: fields): _*))).as("__raw"))
+        .withColumn(aggName, expr(s"transform(__raw, r -> struct(" +
+          names.zipWithIndex.map { case (n, i) => s"r.__f$i AS `$n`" }.mkString(", ") + "))"))
+        .select((rootKeys.map(col) :+ col(aggName)): _*)
+    }
 
     val link = catalog.reverseLink(ctx.table, label).get
     val cond = link.parentCols.zip(rootKeys)

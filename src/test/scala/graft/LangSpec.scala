@@ -109,6 +109,16 @@ class LangSpec extends AnyFunSuite {
     assert(n == t("orders").filter(col("o_totalprice") > 400000).count())
   }
 
+  test("literal coercion: date columns compare against string literals") {
+    val n = g.query("/orders?o_orderdate>'1995-06-01'{o_orderkey}").count()
+    val e = t("orders").filter(col("o_orderdate") > "1995-06-01").count()
+    assert(n == e && n > 0)
+    // and in IN-list membership
+    val m = g.query("/orders?o_orderdate=('1995-06-01','1995-06-02'){o_orderkey}").count()
+    val me = t("orders").filter(col("o_orderdate").isin("1995-06-01", "1995-06-02")).count()
+    assert(m == me)
+  }
+
   test("given(): expression-local scoped let") {
     val got = g.query(
       "/customer{c_custkey, n_big := given(count(orders?o_totalprice>$cap), cap := 400000)}.sort(c_custkey)")
@@ -344,6 +354,19 @@ class LangSpec extends AnyFunSuite {
     val got = g.query("/customer{c_custkey, /events?value>1000000}.sort(c_custkey)").collect()
     assert(got.length == 150)
     got.foreach(r => assert(r.getSeq[Any](1).isEmpty)) // no event has value>1e6
+  }
+
+  test("nested segment honors explicit sort keys") {
+    val got = g.query("/region{r_name, /nation.sort(n_name-){n_name}}.sort(r_name)")
+      .collect()
+    val exp = t("nation").join(t("region"), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1)).sorted(Ordering[String].reverse).toSeq).toMap
+    got.foreach { r =>
+      val names = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+      assert(names == exp(r.getString(0)), s"segment order wrong for ${r.getString(0)}")
+    }
   }
 
   test("doubly nested segments: /region{r_name, /nation{n_name, /customer{c_name}}}") {
