@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, StreamingQuery}
 import graft.functions.Ht
 
 /** Structured Streaming versions of the event-time aggregations in
@@ -73,6 +73,42 @@ object EventStreams {
     dedupStream(readEventStream(spark, dir), keys)
       .writeStream
       .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
+  /** Per-user running profile maintained with CUSTOM state
+    * (`mapGroupsWithState`) — the escape hatch for stateful logic the
+    * built-in window/dedup operators can't express (per-key counters,
+    * decaying scores, custom session rules). State is one small case class
+    * per user in the state store; each trigger folds its new events in and
+    * emits the updated profile. TimeoutConf would evict idle users in a
+    * production job; the smoke path keeps NoTimeout so the final emit is
+    * comparable to the batch aggregate.
+    */
+  case class UserProfile(userId: Long, nEvents: Long, totalValue: Double)
+
+  def userProfiles(events: DataFrame): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserProfile, UserProfile](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0d))
+          var n = prev.nEvents
+          var total = prev.totalValue
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserProfile(userId, n, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Launch the custom-state profile fold into an in-memory sink. */
+  def startUserProfiles(spark: SparkSession, dir: String, queryName: String): StreamingQuery =
+    userProfiles(readEventStream(spark, dir))
+      .writeStream
+      .outputMode("update")
       .format("memory")
       .queryName(queryName)
       .start()

@@ -48,6 +48,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom-state user profiles converge to the batch aggregate") {
+    val q = EventStreams.startUserProfiles(spark, dir, "stream_profile_test")
+    try {
+      q.processAllAvailable()
+      // update-mode memory sink appends one row per (trigger, user); the
+      // LAST emit per user is the final state
+      val streamed = spark.sql(
+        """SELECT userId, nEvents FROM (
+             SELECT userId, nEvents,
+                    row_number() OVER (PARTITION BY userId ORDER BY nEvents DESC) AS r
+             FROM stream_profile_test) WHERE r = 1""")
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val batch = new Tables(spark, dir).events
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("session aggregation plan works on batch input") {
     val out = EventStreams.sessionAgg(new Tables(spark, dir).events)
     assert(out.count() > 0)
