@@ -320,7 +320,18 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       case other => throw new PlanError(s"segment must start with a link: $other")
     }
 
-    val (childDf, rootKeys, childCtx) = pluralFlow(ctx, Seq(label))
+    // In the ROOT scope a segment's head is a TABLE (`/{ /region{…} }` —
+    // the reference's parallel-segment output shape): the whole table
+    // aggregates into one array on the single root row. collect_list over
+    // a full table is driver-light but memory-heavy per row — autolimit /
+    // segment sieves are the guard, as with any plural segment.
+    val (childDf, rootKeys, childCtx) =
+      if (ctx.isRoot) {
+        if (!catalog.isTable(label))
+          throw new PlanError(s"unknown table '$label' in root segment")
+        val c = new Ctx(label, tables(label), ctx.defines, Set.empty)
+        (c.df, Seq.empty[String], c)
+      } else pluralFlow(ctx, Seq(label))
     childCtx.df = childDf
     var outItems: Option[Seq[Item]] = None
     var sortKeys = Seq.empty[SortKey]
@@ -373,11 +384,16 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
         .select((rootKeys.map(col) :+ col(aggName)): _*)
     }
 
-    val link = catalog.reverseLink(ctx.table, label).get
-    val cond = link.parentCols.zip(rootKeys)
-      .map { case (p, k) => ctx.df(p) === aggDf(k) }.reduce(_ && _)
     val elemType = aggDf.schema(aggName).dataType
-    ctx.df = rootKeys.foldLeft(ctx.df.join(aggDf, cond, "left"))(_ drop _)
+    if (rootKeys.isEmpty) {
+      // root segment: one aggregated row, broadcast onto the root axis
+      ctx.df = ctx.df.crossJoin(broadcast(aggDf))
+    } else {
+      val link = catalog.reverseLink(ctx.table, label).get
+      val cond = link.parentCols.zip(rootKeys)
+        .map { case (p, k) => ctx.df(p) === aggDf(k) }.reduce(_ && _)
+      ctx.df = rootKeys.foldLeft(ctx.df.join(aggDf, cond, "left"))(_ drop _)
+    }
     coalesce(col(aggName), array().cast(elemType))
   }
 

@@ -201,8 +201,11 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed labels with the first propagation fused in (min over self and
+    // direct neighbors) — initial comp(id)=id makes round 1 a plain groupBy
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("comp"))
       .localCheckpoint()
     var changed = 1L
     var i = 0

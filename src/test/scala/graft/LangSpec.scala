@@ -356,6 +356,18 @@ class LangSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getSeq[Any](1).isEmpty)) // no event has value>1e6
   }
 
+  test("root segments: /{count, /region.sort(...){...}} parallel output") {
+    val row = g.query(
+      "/{n := count(region), /region.sort(r_name-){r_name}, /nation?n_regionkey=0{n_name}}")
+      .collect().head
+    assert(row.getAs[Long]("n") == 5L)
+    val regions = row.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    assert(regions == t("region").collect().map(_.getString(1)).sorted.reverse.toSeq)
+    val nations = row.getSeq[org.apache.spark.sql.Row](2).map(_.getString(0))
+    assert(nations.toSet == t("nation").filter(col("n_regionkey") === 0)
+      .collect().map(_.getAs[String]("n_name")).toSet)
+  }
+
   test("nested segment honors explicit sort keys") {
     val got = g.query("/region{r_name, /nation.sort(n_name-){n_name}}.sort(r_name)")
       .collect()
