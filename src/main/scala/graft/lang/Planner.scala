@@ -331,6 +331,11 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
           throw new PlanError(s"unknown table '$label' in root segment")
         val c = new Ctx(label, tables(label), ctx.defines, Set.empty)
         (c.df, Seq.empty[String], c)
+      } else if (catalog.reverseLink(ctx.table, label).isEmpty) {
+        throw new PlanError(s"segment '/$label' requires a plural link from " +
+          s"'${ctx.table}'" + (if (catalog.directLink(ctx.table, label).isDefined)
+            s" — '$label' is singular here; select its columns inline ($label.col)"
+          else ""))
       } else pluralFlow(ctx, Seq(label))
     childCtx.df = childDf
     var outItems: Option[Seq[Item]] = None
@@ -822,7 +827,8 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     * child Ctx for binding the aggregated value).
     */
   private def pluralFlow(ctx: Ctx, chain: Seq[String]): (DataFrame, Seq[String], Ctx) = {
-    val first = catalog.reverseLink(ctx.table, chain.head).get
+    val first = catalog.reverseLink(ctx.table, chain.head).getOrElse(
+      throw new PlanError(s"'${ctx.table}.${chain.head}' is not a plural link"))
     var childCtx = new Ctx(first.childTable, tables(first.childTable), ctx.defines, Set.empty)
     var rootKeys = first.childCols
     chain.tail.foreach { label =>

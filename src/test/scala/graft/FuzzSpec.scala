@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lang.{LexError, ParseError, Parser, PlanError}
+
+/** Totality hardening: hostile or random input must surface as the
+  * language's own error types (with positions), never as NPEs, stack
+  * overflows, or hangs — the binder analogue of the reference's
+  * syntax-error regression tests. Seeds are fixed, so failures reproduce.
+  */
+class FuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val dir = "/root/testdata/sf0.001"
+
+  test("parser is total: random character soup never escapes Parse/LexError") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abz019_ ./{}()[]?^,:=+-*<>!~&|'$@\"\\%#"
+    (1 to 3000).foreach { i =>
+      val s = "/" + Iterator.fill(rnd.nextInt(48))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      try { Parser.parse(s); () } catch {
+        case _: ParseError | _: LexError => ()
+        case e: StackOverflowError => fail(s"stack overflow on [$s]")
+        case e: Throwable => fail(s"iteration $i: [$s] threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("binder is total: recombined fragments never escape the error types") {
+    val g = Graft(spark, dir)
+    val rnd = new scala.util.Random(7)
+    val frags = Vector(
+      "region", "nation", "customer", "orders", "nosuch",
+      "{r_name}", "{c_custkey, count(orders)}", "{*}", "{n := count(nation)}",
+      "?o_totalprice>400000", "?exists(events)", "?c_name~'a'",
+      ".sort(c_custkey)", ".sort(bogus)", ".limit(3)", ".limit(3,1)",
+      ".nation", ".region", ".define(x := 1)", "^o_orderstatus",
+      "{count(^)}", "[7]", "[3.2]", "{top(orders, 2)}",
+      "{given(count(orders?o_totalprice>$c), c := 1)}", "{count(@region)}",
+      "{/nation{n_name}}", "{c_acctbal+1}", "{upper(c_name)}", "{$missing}")
+    (1 to 400).foreach { i =>
+      val q = "/" + frags(rnd.nextInt(5)) +
+        Iterator.fill(rnd.nextInt(4))(frags(rnd.nextInt(frags.length))).mkString
+      try { g.query(q).schema; () } catch {
+        case _: ParseError | _: LexError | _: PlanError => ()
+        case e: org.apache.spark.sql.AnalysisException =>
+          fail(s"iteration $i: [$q] leaked AnalysisException: ${e.getMessage}")
+        case e: Throwable =>
+          fail(s"iteration $i: [$q] threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+}
