@@ -203,11 +203,16 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
         if pluralChainOf(ctx, path).nonEmpty && isBareChain(path) =>
       semiJoin(ctx, chainLabels(path), anti = true)
     case _ if containsFork(pred) =>
-      // window expressions can't live in a WHERE clause — materialize first
-      ctx.df = ctx.df.withColumn("__sieve", bindScalar(ctx, pred))
+      // window expressions can't live in a WHERE clause — materialize
+      // first. Bind BEFORE touching ctx.df: binding a linked/detached
+      // aggregate joins its result onto ctx.df, and reading the receiver
+      // first would filter the pre-join frame (unresolved column).
+      val cond = bindScalar(ctx, pred)
+      ctx.df = ctx.df.withColumn("__sieve", cond)
         .filter(col("__sieve")).drop("__sieve")
     case _ =>
-      ctx.df = ctx.df.filter(bindScalar(ctx, pred))
+      val cond = bindScalar(ctx, pred) // may join aggregates onto ctx.df
+      ctx.df = ctx.df.filter(cond)
   }
 
   private def containsFork(ast: Ast): Boolean = ast match {

@@ -109,6 +109,32 @@ class LangSpec extends AnyFunSuite {
     assert(n == t("orders").filter(col("o_totalprice") > 400000).count())
   }
 
+  test("sieve on a linked aggregate: /customer?count(orders)>k") {
+    val got = g.query("/customer?count(orders)>8{c_custkey}.sort(c_custkey)")
+      .collect().map(_.getLong(0)).toSeq
+    val exp = t("orders").groupBy("o_custkey").count().filter(col("count") > 8)
+      .select(col("o_custkey")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == exp && got.nonEmpty)
+  }
+
+  test("sieve on a singular chain path: ?nation.region.r_name='ASIA'") {
+    val got = g.query("/customer?nation.region.r_name='ASIA'{c_custkey}").count()
+    val exp = t("customer")
+      .join(t("nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t("region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA").count()
+    assert(got == exp && got > 0)
+  }
+
+  test("sieve against a detached aggregate: above-global-average filter") {
+    val avgBal = t("customer").agg(
+      sum(col("c_acctbal").cast("decimal(30,6)")).cast("double") / count(lit(1)))
+      .collect().head.getDouble(0)
+    val got = g.query("/customer?c_acctbal>avg(@customer.c_acctbal){c_custkey}").count()
+    val exp = t("customer").filter(col("c_acctbal") > avgBal).count()
+    assert(got == exp && got > 0)
+  }
+
   test("literal coercion: date columns compare against string literals") {
     val n = g.query("/orders?o_orderdate>'1995-06-01'{o_orderkey}").count()
     val e = t("orders").filter(col("o_orderdate") > "1995-06-01").count()
