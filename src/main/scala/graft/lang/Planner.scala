@@ -449,7 +449,10 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     }
     val (childDf, rootKeys, childCtx) = pluralFlow(ctx, Seq(label))
     childCtx.df = childDf
-    sievePred.foreach(p => childCtx.df = childCtx.df.filter(bindScalar(childCtx, p)))
+    sievePred.foreach { p =>
+      val cond = bindScalar(childCtx, p) // bind first: may join onto childCtx.df
+      childCtx.df = childCtx.df.filter(cond)
+    }
     val pk = catalog.primaryKey(childCtx.table).filter(childCtx.baseColumns.contains)
     val order = (sortKeys.map(sk => direction(bindScalar(childCtx, sk.expr), sk.ascending))
       ++ pk.map(col)) // PK tie-break → deterministic
@@ -949,9 +952,11 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     val (valueCol, valueType) = rewritten match {
       case Ident("__row__") => (bare, None)
       case Sieve(Ident("__row__"), pred) =>
-        childCtx.df = childCtx.df.filter(bindScalar(childCtx, pred)); (bare, None)
+        val cond = bindScalar(childCtx, pred) // bind first: may join onto childCtx.df
+        childCtx.df = childCtx.df.filter(cond); (bare, None)
       case Compose(Sieve(Ident("__row__"), pred), rest) =>
-        childCtx.df = childCtx.df.filter(bindScalar(childCtx, pred))
+        val cond = bindScalar(childCtx, pred)
+        childCtx.df = childCtx.df.filter(cond)
         val c = bindScalar(childCtx, rest); (c, Some(dataTypeOf(childCtx, c)))
       case other =>
         val c = bindScalar(childCtx, other); (c, Some(dataTypeOf(childCtx, c)))
@@ -1008,7 +1013,8 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     val (valueCol, valueType) = rewritten match {
       case Ident("__row__") => (bare, None)
       case Sieve(Ident("__row__"), pred) =>
-        childCtx.df = childCtx.df.filter(bindScalar(childCtx, pred)); (bare, None)
+        val cond = bindScalar(childCtx, pred) // bind first: may join onto childCtx.df
+        childCtx.df = childCtx.df.filter(cond); (bare, None)
       case other =>
         val c = bindScalar(childCtx, other)
         (c, Some(dataTypeOf(childCtx, c)))

@@ -126,6 +126,22 @@ class LangSpec extends AnyFunSuite {
     assert(got == exp && got > 0)
   }
 
+  test("detached aggregate nested inside a linked aggregate's sieve") {
+    val got = g.query(
+      "/customer{c_custkey, n := count(orders?o_totalprice>avg(@orders.o_totalprice))}.sort(c_custkey)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val avgPrice = t("orders").agg(
+      sum(col("o_totalprice").cast("decimal(30,6)")).cast("double") / count(col("o_totalprice")))
+      .collect().head.getDouble(0)
+    val exp = t("customer").join(
+        t("orders").filter(col("o_totalprice") > avgPrice)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("n"), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
   test("sieve against a detached aggregate: above-global-average filter") {
     val avgBal = t("customer").agg(
       sum(col("c_acctbal").cast("decimal(30,6)")).cast("double") / count(lit(1)))
