@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events` (SURVEY.md §2 extension rows; no reference analogue — the
@@ -113,6 +113,22 @@ object ExtensionQueries extends QueryModule {
         .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")
+    },
+
+    // Range join: for each error event, how many clicks the same user
+    // made within ±5 minutes (bucketized equi-join, not a theta join).
+    "q_range" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val errors = t.events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("e_id"))
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val near = RangeJoin.pairsWithin(errors, clicks, Seq("user_id"), "ts", "ts", 300)
+        .groupBy("e_id").agg(count(lit(1)).as("n_close"))
+      errors.join(near, Seq("e_id"), "left")
+        .select(col("e_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          coalesce(col("n_close"), lit(0L)).as("n_close"))
+        .orderBy("e_id")
     },
 
     // As-of join: each purchase enriched with the user's most recent
@@ -289,6 +305,13 @@ object ExtensionQueries extends QueryModule {
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
          GROUP BY event_type ORDER BY event_type""",
+    // Exact-µs integer arithmetic on both sides (|Δµs| <= 300e6).
+    "q_range" ->
+      """SELECT e.event_id AS e_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           (SELECT count(*) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = e.user_id
+               AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000) AS n_close
+         FROM events e WHERE e.event_type = 'error' ORDER BY e_id""",
     // DuckDB reads the nanos parquet ts truncated to micros — identical to
     // our loader — so ASOF ordering and epoch_us agree exactly.
     "q_asof" ->

@@ -194,6 +194,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("range join equals the quadratic theta-join reference") {
+    import graft.operators.RangeJoin
+    val ev = new graft.model.Tables(spark, dir)("events")
+    val l = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("e_id"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val got = RangeJoin.pairsWithin(l, r, Seq("user_id"), "ts", "ts", 300)
+      .groupBy("e_id").agg(count(lit(1)).as("n")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val exp = l.select(col("user_id").as("u"), unix_micros(col("ts")).as("us_l"), col("e_id"))
+      .join(r.select(col("user_id").as("u2"), unix_micros(col("ts")).as("us_r")),
+        col("u") === col("u2") && abs(col("us_l") - col("us_r")) <= 300000000L)
+      .groupBy("e_id").agg(count(lit(1)).as("n")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("langId picks a marker language deterministically") {
     val out = t("documents").select(TextAnalysis.langId(col("text")).as("l"))
       .groupBy("l").count().collect().map(r => r.getString(0)).toSet
