@@ -296,6 +296,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case Sieve(b, _) => segmentLabel(b)
     case SortOp(b, _) => segmentLabel(b)
     case DefineOp(b, _) => segmentLabel(b)
+    case LimitOp(b, _, _) => segmentLabel(b)
     case other => throw new PlanError(s"unsupported segment flow: $other")
   }
 
@@ -314,6 +315,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       case Sieve(b, _) => b
       case SortOp(b, _) => b
       case DefineOp(b, _) => b
+      case LimitOp(b, _, _) => b
       case other => other
     }
     // collect op wrappers outermost-last
@@ -345,10 +347,12 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     childCtx.df = childDf
     var outItems: Option[Seq[Item]] = None
     var sortKeys = Seq.empty[SortKey]
+    var segLimit: Option[(Int, Int)] = None
     stack.foreach {
       case Sieve(_, pred) => sieveCtx(childCtx, pred)
       case DefineOp(_, defs) => childCtx.defines ++= defs
       case SortOp(_, keys) => sortKeys = keys
+      case LimitOp(_, n, skip) => segLimit = Some((n, skip))
       case Select(_, items) => outItems = Some(items)
       case _ =>
     }
@@ -365,15 +369,18 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       }).as(name)
     }
     val aggName = s"__seg_${aggCounter}"; aggCounter += 1
-    val aggDf = if (sortKeys.isEmpty) {
+    val aggDf = if (sortKeys.isEmpty && segLimit.isEmpty) {
       // no explicit sort: rows order by struct field order (child key first)
       childCtx.df
         .groupBy(rootKeys.map(col): _*)
         .agg(array_sort(collect_list(struct(structCols: _*))).as(aggName))
     } else {
-      // explicit `.sort(keys)`: rank rows per parent (PK tie-break for
-      // determinism), collect with the rank leading the struct, then strip
-      // it — same technique as planTop, so array order == requested order
+      // explicit `.sort(keys)` / `.limit(n[,skip])`: rank rows per parent
+      // (PK tie-break for determinism), apply the limit window on the
+      // rank, collect with the rank leading the struct, then strip it —
+      // same technique as planTop, so array order == requested order. The
+      // limit BOUNDS per-parent collect_list memory — the guard for
+      // skewed links called out in README "Skew & memory".
       val pk = catalog.primaryKey(childCtx.table).filter(childCtx.baseColumns.contains)
       val order = sortKeys.map(sk => direction(bindScalar(childCtx, sk.expr), sk.ascending)) ++
         pk.map(col)
@@ -385,8 +392,13 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
           case e => itemName(e, i)
         })
       }
-      childCtx.df
-        .withColumn("__rn", row_number().over(w))
+      val ranked0 = childCtx.df.withColumn("__rn", row_number().over(w))
+      val ranked = segLimit match {
+        case Some((n, skip)) =>
+          ranked0.filter(col("__rn") > skip && col("__rn") <= skip + n)
+        case None => ranked0
+      }
+      ranked
         .groupBy(rootKeys.map(col): _*)
         .agg(sort_array(collect_list(struct((col("__rn") +: fields): _*))).as("__raw"))
         .withColumn(aggName, expr(s"transform(__raw, r -> struct(" +

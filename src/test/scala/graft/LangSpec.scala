@@ -423,6 +423,29 @@ class LangSpec extends AnyFunSuite {
     }
   }
 
+  test("nested segment honors limit (+skip): top-n rows per parent") {
+    val got = g.query("/region{r_name, /nation.sort(n_name).limit(2){n_name}}.sort(r_name)")
+      .collect()
+    val exp = t("nation").join(t("region"), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1)).sorted.take(2).toSeq).toMap
+    got.foreach { r =>
+      val names = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+      assert(names == exp(r.getString(0)))
+    }
+    // skip variant drops the first ranked row
+    val skipped = g.query("/region{r_name, /nation.sort(n_name).limit(2,1){n_name}}.sort(r_name)")
+      .collect()
+    skipped.foreach { r =>
+      val names = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+      val full = t("nation").join(t("region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === r.getString(0))
+        .select("n_name").collect().map(_.getString(0)).sorted.toSeq
+      assert(names == full.slice(1, 3))
+    }
+  }
+
   test("doubly nested segments: /region{r_name, /nation{n_name, /customer{c_name}}}") {
     val got = g.query("/region{r_name, /nation{n_name, /customer{c_custkey, c_name}}}.sort(r_name)")
     val row = got.collect().head
