@@ -38,7 +38,11 @@ class FuzzSpec extends AnyFunSuite {
       ".nation", ".region", ".define(x := 1)", "^o_orderstatus",
       "{count(^)}", "[7]", "[3.2]", "{top(orders, 2)}",
       "{given(count(orders?o_totalprice>$c), c := 1)}", "{count(@region)}",
-      "{/nation{n_name}}", "{c_acctbal+1}", "{upper(c_name)}", "{$missing}")
+      "{/nation{n_name}}", "{c_acctbal+1}", "{upper(c_name)}", "{$missing}",
+      "{where(1+1, x := 2)}", "{/orders.sort(o_totalprice-).limit(2){o_orderkey}}",
+      "{/events{event_id}}", "{count(@nosuch)}", "{n := count(@orders?o_totalprice>1)}",
+      "{top(orders.sort(o_totalprice-), 2)}", "?count(orders)>2",
+      "?c_acctbal>avg(@customer.c_acctbal)", ".limit(2,1)")
     (1 to 400).foreach { i =>
       val q = "/" + frags(rnd.nextInt(5)) +
         Iterator.fill(rnd.nextInt(4))(frags(rnd.nextInt(frags.length))).mkString
