@@ -357,7 +357,11 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       case _ =>
     }
     val items = outItems.getOrElse(
-      childCtx.baseColumns.map(c => Item(Ident(c), None, None)))
+      childCtx.baseColumns.map(c => Item(Ident(c), None, None))).flatMap {
+        case Item(Ident("*"), _, _) => // wildcard expands inside segments too
+          childCtx.baseColumns.map(c => Item(Ident(c), None, None))
+        case it => Seq(it)
+      }
     val structCols = items.zipWithIndex.map { case (it, i) =>
       val name = it.alias.getOrElse(it.expr match {
         case Segment(f) => segmentLabel(f)
@@ -513,34 +517,74 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     // grouped column, not a fresh binding
     val kernelByAst: Map[Ast, String] =
       kernels.zipWithIndex.map { case (k, i) => (k: Ast) -> itemName(k, i) }.toMap
-    val grouped = ctx.df.groupBy(kernelNamed.map { case (n, c) => c.as(n) }: _*)
 
     var aggExprs = Vector.empty[Column]
-    val outCols = items.zipWithIndex.map { case (it, i) =>
+    def freshAgg(c: Column): String = {
+      val n = s"__agg_${aggCounter}"; aggCounter += 1
+      aggExprs :+= c.as(n); n
+    }
+
+    // Rewrite an item expression against the GROUPED frame: kernel
+    // subexpressions become their grouped column names, aggregate
+    // subexpressions (complement or detached/linked) become fresh agg
+    // output columns — so arbitrary arithmetic OVER aggregates
+    // (`count(^)/count(@orders)`) binds after the groupBy.
+    def rewrite(e: Ast): Ast = e match {
+      case x if kernelByAst.contains(x) => Ident(kernelByAst(x))
+      case x if isKernelRef(x, kernelNames) => Ident(x match {
+        case Ident(n) => n
+        case Compose(_, Ident(n)) => n
+        case _ => itemName(x, 0)
+      })
+      case Apply(fn, args) if aggNames(fn) && args.exists(containsComplement) =>
+        val inner = args.headOption.map(stripComplement).getOrElse(Complement)
+        val (valueCol, valueType) = inner match {
+          case Complement => (lit(1L), None)
+          case other =>
+            val c = bindScalar(ctx, other)
+            (c, Some(dataTypeOf(ctx, c)))
+        }
+        Ident(freshAgg(aggregateFn(fn, valueCol, valueType)))
+      case Apply(fn, args) if aggNames(fn) =>
+        // detached (@) or linked aggregate: bind on the pre-group frame —
+        // this may join a per-row-constant column onto ctx.df — and carry
+        // it through the groupBy with min() (constant within every group)
+        val c = bindScalar(ctx, Apply(fn, args))
+        Ident(freshAgg(min(c)))
+      case Apply(fn, args) => Apply(fn, args.map(rewrite))
+      case other => other
+    }
+
+    val outSpecs = items.zipWithIndex.map { case (it, i) =>
       val name = it.alias.getOrElse(itemName(it.expr, i))
       it.expr match {
-        case e if kernelByAst.contains(e) =>
-          name -> col(kernelByAst(e))
-        case e if kernelNames.contains(itemName(e, i)) && isKernelRef(e, kernelNames) =>
-          name -> col(itemName(e, i))
-        case Apply(fn, args) if args.exists(containsComplement) =>
-          val inner = args.headOption.map(stripComplement).getOrElse(Complement)
-          val (valueCol, valueType) = inner match {
-            case Complement => (lit(1L), None)
-            case other =>
-              val c = bindScalar(ctx, other)
-              (c, Some(dataTypeOf(ctx, c)))
-          }
-          val aggName = s"__agg_${aggCounter}"; aggCounter += 1
-          aggExprs :+= aggregateFn(fn, valueCol, valueType).as(aggName)
-          name -> col(aggName)
+        // plain kernel-derived scalar with no aggregates keeps the legacy
+        // pre-group binding (covers scalar fns of kernel columns)
+        case other if !containsAggregate(other) && !kernelByAst.contains(other) &&
+          !isKernelRef(other, kernelNames) =>
+          name -> Left(bindScalar(ctx, other))
         case other =>
-          name -> bindScalar(ctx, other) // kernel-derived expression
+          name -> Right(rewrite(other))
       }
     }
-    if (aggExprs.isEmpty) aggExprs :+= count(lit(1)).as("__drop")
+    if (aggExprs.isEmpty) freshAgg(count(lit(1)))
+    // groupBy is built AFTER every bind: binding a detached aggregate
+    // joins its broadcast result onto ctx.df first
+    val grouped = ctx.df.groupBy(kernelNamed.map { case (n, c) => c.as(n) }: _*)
     val agg = grouped.agg(aggExprs.head, aggExprs.tail: _*)
-    agg.select(outCols.map { case (n, c) => c.as(n) }: _*)
+    val binder = new Planner.ColBinder(agg)
+    agg.select(outSpecs.map {
+      case (n, Left(c)) => c.as(n)
+      case (n, Right(e)) => binder.bind(e).as(n)
+    }: _*)
+  }
+
+  private def containsAggregate(ast: Ast): Boolean = ast match {
+    case Apply(fn, _) if aggNames(fn) => true
+    case Apply(_, args) => args.exists(containsAggregate)
+    case Compose(b, m) => containsAggregate(b) || containsAggregate(m)
+    case Sieve(b, p) => containsAggregate(b) || containsAggregate(p)
+    case _ => false
   }
 
   private def isKernelRef(e: Ast, kernelNames: Seq[String]): Boolean = e match {

@@ -280,6 +280,26 @@ class LangSpec extends AnyFunSuite {
     assert(got.count() == exp.count())
   }
 
+  test("quotient select: arithmetic over complement and detached aggregates") {
+    val got = g.query(
+      "/(orders^o_orderstatus){o_orderstatus, n := count(^), frac := count(^)/count(@orders)}.sort(o_orderstatus)")
+      .collect()
+    val total = t("orders").count()
+    val exp = t("orders").groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getAs[Long]("n") == exp(s))
+      assert(math.abs(r.getAs[Double]("frac") - exp(s).toDouble / total) < 1e-12)
+    }
+  }
+
+  test("wildcard expands inside nested segments") {
+    val row = g.query("/region{r_name, /nation{*}}.sort(r_name).limit(1)").collect().head
+    val nations = row.getSeq[org.apache.spark.sql.Row](1)
+    assert(nations.nonEmpty && nations.head.length == t("nation").columns.length)
+  }
+
   test("bare quotient = distinct: /orders^o_orderstatus") {
     assert(g.query("/orders^o_orderstatus").count() ==
       t("orders").select("o_orderstatus").distinct().count())
