@@ -538,13 +538,28 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       })
       case Apply(fn, args) if aggNames(fn) && args.exists(containsComplement) =>
         val inner = args.headOption.map(stripComplement).getOrElse(Complement)
+        // sieved complements (`count(^?p)`, `sum(^?p.x)`) become
+        // CONDITIONAL aggregation — the whole frame can't be filtered for
+        // one item, so non-matching rows contribute NULL, which every
+        // aggregate ignores; quantifiers coalesce their empty default.
         val (valueCol, valueType) = inner match {
           case Complement => (lit(1L), None)
+          case Sieve(Complement, pred) =>
+            val bare: Column = fn match {
+              case "exists" | "any" | "every" => lit(true)
+              case _ => lit(1L)
+            }
+            (when(bindScalar(ctx, pred), bare), None)
+          case Compose(Sieve(Complement, pred), rest) =>
+            val c = bindScalar(ctx, rest)
+            (when(bindScalar(ctx, pred), c), Some(dataTypeOf(ctx, c)))
           case other =>
             val c = bindScalar(ctx, other)
             (c, Some(dataTypeOf(ctx, c)))
         }
-        Ident(freshAgg(aggregateFn(fn, valueCol, valueType)))
+        val aggExpr = aggregateFn(fn, valueCol, valueType)
+        Ident(freshAgg(emptyDefault(fn)
+          .map(d => coalesce(aggExpr, d)).getOrElse(aggExpr)))
       case Apply(fn, args) if aggNames(fn) =>
         // detached (@) or linked aggregate: bind on the pre-group frame —
         // this may join a per-row-constant column onto ctx.df — and carry
@@ -597,12 +612,21 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case Complement => true
     case Compose(b, m) => containsComplement(b) || containsComplement(m)
     case Apply(_, args) => args.exists(containsComplement)
+    case Sieve(b, p) => containsComplement(b) || containsComplement(p)
     case _ => false
   }
 
+  /** Rewrite complement references for binding in the pre-group scope:
+    * `^` alone stays (the caller counts rows), `^.col` becomes `col`, and
+    * the rewrite recurses through expressions so predicates like
+    * `exists(^.price > k)` bind their column references correctly.
+    */
   private def stripComplement(ast: Ast): Ast = ast match {
     case Complement => Complement
     case Compose(Complement, rest) => rest
+    case Apply(f, args) => Apply(f, args.map(stripComplement))
+    case Compose(b, m) => Compose(stripComplement(b), m)
+    case Sieve(b, p) => Sieve(stripComplement(b), stripComplement(p))
     case other => other
   }
 

@@ -294,6 +294,21 @@ class LangSpec extends AnyFunSuite {
     }
   }
 
+  test("sieved complements: count(^?p), exists(^.p), sum(^?p.x)") {
+    val got = g.query(
+      "/(orders^o_orderstatus){o_orderstatus, n_big := count(^?o_totalprice>400000), " +
+        "has_big := exists(^.o_totalprice>400000)}.sort(o_orderstatus)")
+      .collect()
+    val exp = t("orders").filter(col("o_totalprice") > 400000)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getAs[Long]("n_big") == exp.getOrElse(s, 0L))
+      assert(r.getAs[Boolean]("has_big") == exp.contains(s))
+    }
+  }
+
   test("wildcard expands inside nested segments") {
     val row = g.query("/region{r_name, /nation{*}}.sort(r_name).limit(1)").collect().head
     val nations = row.getSeq[org.apache.spark.sql.Row](1)
