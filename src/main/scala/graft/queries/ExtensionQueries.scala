@@ -102,6 +102,29 @@ object ExtensionQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
+    // The capstone corpus-build pipeline, composed from the operators
+    // above: language/quality filter → near-dup cluster keep-list →
+    // deterministic content-hash sample. One declarative plan — Catalyst
+    // fuses the per-row stages into the scan; only the dedup keep-list
+    // shuffles.
+    "q_pipeline" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val keep = Dedup.nearDupClusters(docs, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id").as("k_id"))
+      docs.select(
+          col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .join(keep, col("doc_id") === col("k_id"), "left_semi")
+        .filter(col("lang_pred") === "en" && col("alpha_ratio") > 0.4 &&
+          Sampling.keepByRate(col("fp"), 0.5))
+        .select("doc_id", "lang_pred", "n_tokens")
+        .orderBy("doc_id")
+    },
+
     // Semi-structured extraction: JSON props column → typed value →
     // grouped stats (get_json_object is codegen'd; no UDF).
     "q_json_props" -> { (s, dir) =>
@@ -296,6 +319,51 @@ object ExtensionQueries extends QueryModule {
                             WHEN lang = 'zh' THEN 1.0
                             ELSE 0.5 END) * 1000000) AS BIGINT)
          ORDER BY doc_id""",
+    // Composes the clusters closure, the text-stats twin, and the
+    // fingerprint sample — the same building blocks as the Spark side.
+    "q_pipeline" ->
+      (s"""WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+           FROM toks),
+         inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM inv a JOIN inv b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+           HAVING count(*) >= 2
+              AND CAST(count(*) AS DOUBLE)
+                  / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE) >= 0.2),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+         stats AS (${TextStatsOracle.sql}),
+         f AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+           FROM documents)
+         SELECT s.doc_id, s.lang_pred, s.n_tokens
+         FROM stats s
+         JOIN f ON f.doc_id = s.doc_id
+         LEFT JOIN comp c ON c.id = s.doc_id
+         WHERE coalesce(c.cluster, s.doc_id) = s.doc_id
+           AND s.lang_pred = 'en' AND s.alpha_ratio > 0.4
+           AND (f.fp * 2654435761) % 1000000 < 500000
+         ORDER BY s.doc_id"""),
     // sum(BIGINT) is HUGEINT in DuckDB — cast back so the arrow schema
     // matches Spark's int64.
     "q_json_props" ->
