@@ -653,12 +653,26 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     else ctx.defines.get(name) match {
       case Some(d) => bindScalar(ctx, d)
       case None =>
-        if (catalog.directLink(ctx.table, name).isDefined ||
-          catalog.reverseLink(ctx.table, name).isDefined)
-          throw new PlanError(s"link '$name' used as a value; navigate to a column " +
-            s"or aggregate it")
-        else throw new PlanError(s"unknown attribute '${ctx.table}.$name'")
+        catalog.directLink(ctx.table, name) match {
+          // a singular link used as a VALUE is the target's identity
+          // (reference: links render as the parent's locator) — the FK
+          // columns ARE that identity, so no join is needed
+          case Some(link) => identityCol(link.childCols)
+          case None =>
+            if (catalog.reverseLink(ctx.table, name).isDefined)
+              throw new PlanError(s"plural link '$name' used as a value; " +
+                "aggregate it or select it as a segment (/" + name + "{…})")
+            else throw new PlanError(s"unknown attribute '${ctx.table}.$name'")
+        }
     }
+
+  /** Identity rendering: single-column keys stay their native type (so
+    * `[7]`-style locator values compare naturally); composite keys render
+    * as the dotted string the locator syntax parses.
+    */
+  private def identityCol(cols: Seq[String]): Column =
+    if (cols.length == 1) col(cols.head)
+    else concat_ws(".", cols.map(c => col(c).cast(StringType)): _*)
 
   /** Resolve `a.b.c` where the prefix is a chain of singular links and the
     * last element is a column of the final parent. Joined parents get their
@@ -815,6 +829,12 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case "hour" => hour(bindScalar(ctx, args.head))
     case "minute" => minute(bindScalar(ctx, args.head))
     case "second" => second(bindScalar(ctx, args.head))
+
+    // id(): the current row's identity — its primary key, single columns
+    // native-typed, composites dotted (reference: id() over IdentityDomain)
+    case "id" if args.isEmpty =>
+      if (ctx.isRoot) throw new PlanError("id() needs a table scope")
+      identityCol(catalog.primaryKey(ctx.table))
 
     case "text" => bindScalar(ctx, args.head).cast(StringType)
     case "integer" => bindScalar(ctx, args.head).cast(LongType)

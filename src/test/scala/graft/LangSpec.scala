@@ -94,6 +94,17 @@ class LangSpec extends AnyFunSuite {
     assertSameRows(got, exp)
   }
 
+  test("id() and links-as-values render identities") {
+    val got = g.query("/customer{key := id(), nat := nation}.sort(key).limit(3)").collect()
+    // single-column identities stay native-typed; nation renders as its FK
+    got.foreach { r =>
+      assert(r.getAs[Number]("key").longValue >= 0L)
+      assert(r.getAs[Number]("nat").longValue >= 0L)
+    }
+    val composite = g.query("/lineitem{key := id()}.limit(1)").collect().head
+    assert(composite.getString(0).split('.').length == 2) // (l_orderkey, l_linenumber)
+  }
+
   test("root-scope scalar queries: /count(region) and /{…}") {
     assert(g.query("/count(region)").collect().head.getLong(0) == 5L)
     assert(g.query("/length('hello')").collect().head.getInt(0) == 5)
