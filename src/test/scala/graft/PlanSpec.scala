@@ -80,6 +80,35 @@ class PlanSpec extends AnyFunSuite {
       s"detached aggregate not broadcast:\n$p")
   }
 
+  test("bucketed tables join without an exchange (co-located join)") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Bucketing
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    // the catalog is in-memory per JVM but the warehouse dir persists —
+    // drop both the entry and the stale location before rewriting
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Bucketing.writeBucketed(li, "li_bucketed", Seq("l_orderkey"), 8)
+    Bucketing.writeBucketed(o, "o_bucketed", Seq("o_orderkey"), 8)
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed join still shuffles — bucket metadata not used:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar function kit") {
     // AQE shows codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_fn_string")(spark, dir)
