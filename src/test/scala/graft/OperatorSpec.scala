@@ -212,6 +212,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("HLL approx distinct within relative-error bounds of the exact twin") {
+    val events = new graft.model.Tables(spark, dir)("events")
+    val approx = events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("a")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val rel = math.abs(approx(k) - e).toDouble / e
+      // default rsd is 5%; allow 3σ
+      assert(rel <= 0.15, s"HLL estimate for $k off by ${rel * 100}%: ${approx(k)} vs $e")
+    }
+    // deterministic: same input → same sketch estimate
+    val again = events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("a")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx == again)
+  }
+
   test("langId picks a marker language deterministically") {
     val out = t("documents").select(TextAnalysis.langId(col("text")).as("l"))
       .groupBy("l").count().collect().map(r => r.getString(0)).toSet
