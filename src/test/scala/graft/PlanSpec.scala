@@ -109,6 +109,17 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join still shuffles — bucket metadata not used:\n$p")
   }
 
+  test("plan lint: no query plans a raw cartesian product") {
+    // Broadcast-nested-loop over a 1-row/broadcast side is fine (detached
+    // aggregates, kNN query broadcast); an unbroadcast CartesianProduct is
+    // the O(n²) smell that only shows up at scale.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("whole-stage codegen covers the scalar function kit") {
     // AQE shows codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("q_fn_string")(spark, dir)
