@@ -70,6 +70,18 @@ object StreamQueries extends QueryModule {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
+    },
+
+    // Exact interpolated percentiles (both engines implement the standard
+    // linear-interpolation definition; rounded to 6 dp on both sides so a
+    // last-bit interpolation difference can't flap the hash).
+    "q_percentile" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.events
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .orderBy("event_type")
     }
   )
 
@@ -110,6 +122,11 @@ object StreamQueries extends QueryModule {
          FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""",
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_percentile" ->
+      """SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
          FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }
