@@ -113,6 +113,38 @@ object EventStreams {
       .queryName(queryName)
       .start()
 
+  /** Stream-stream interval join — the streaming twin of
+    * `operators.RangeJoin`: error events join same-user clicks within
+    * ±5 minutes. Both sides carry watermarks and the join condition
+    * bounds the time range, so each side's state store retains only
+    * rows inside watermark+range — bounded state on unbounded streams
+    * (an unbounded-condition stream-stream join would buffer forever).
+    */
+  def rangeJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, p: String): DataFrame = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${p}_user"),
+          expr("timestamp_micros(ts div 1000)").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+        .withWatermark(s"${p}_ts", "1 hour")
+    }
+    side("error", "l").join(side("click", "r"), expr(
+      "l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL 5 MINUTES AND l_ts + INTERVAL 5 MINUTES"))
+  }
+
+  /** Launch the interval join into an in-memory sink (smoke/testing). */
+  def startRangeJoin(spark: SparkSession, dir: String, queryName: String): StreamingQuery =
+    rangeJoinStream(spark, dir)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
   /** Sessionization on a stream: same `session_window` core as the batch
     * query; state per (user, open session), bounded by the watermark.
     */

@@ -67,6 +67,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join converges to the batch range join") {
+    val q = EventStreams.startRangeJoin(spark, dir, "stream_range_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT count(*) AS n FROM stream_range_test")
+        .collect().head.getLong(0)
+      val ev = new Tables(spark, dir).events
+      val l = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("l_id"))
+      val r = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val batch = graft.operators.RangeJoin
+        .pairsWithin(l, r, Seq("user_id"), "ts", "ts", 300).count()
+      assert(streamed == batch,
+        s"streamed $streamed interval pairs vs batch $batch")
+    } finally q.stop()
+  }
+
   test("session aggregation plan works on batch input") {
     val out = EventStreams.sessionAgg(new Tables(spark, dir).events)
     assert(out.count() > 0)
