@@ -42,6 +42,22 @@ object Similarity {
   /** cosine(a, b) = dot / (norm(a) * norm(b)). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Symmetric per-vector int8 quantization — the storage-compression
+    * step of an embedding pipeline (4× smaller than float32, dot products
+    * stay usable after dequantization by the per-vector scale). Two-step
+    * API because the scale must be STAGED as an attribute before the
+    * quantize lambda uses it (a lambda re-evaluates non-attribute
+    * subexpressions per element — the array_max would run dim times).
+    */
+  def quantScale(vec: Column): Column =
+    array_max(transform(vec, v => abs(v))) / lit(127.0)
+
+  /** q_i = round(v_i / scale) ∈ [-127, 127]; `scale` must be a staged
+    * column attribute, not an expression.
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, v => round(v / scale).cast("int"))
+
   /** Plane count such that expected bucket population ≈ targetBucket:
     * ceil(log2(corpus / targetBucket)), clamped. At 1e9 docs and
     * targetBucket=128 this is 23 planes — bucket size stays bounded as

@@ -169,6 +169,23 @@ object ExtensionQueries extends QueryModule {
         .orderBy("p_event_id")
     },
 
+    // Int8 embedding quantization, verified through integer digests
+    // (q-sum, saturation count) plus the rounded scale — array hashing
+    // pitfalls avoided, arithmetic exact on both engines.
+    "q_quantize" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val staged = t.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .persist()
+        .withColumn("s", Similarity.quantScale(col("v")))
+        .persist()
+      staged.withColumn("q", Similarity.quantizeInt8(col("v"), col("s")))
+        .select(col("vec_id"), round(col("s"), 6).as("scale6"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+        .orderBy("vec_id")
+    },
+
     // IVF ANN (coarse-quantizer scale path; rows-only check + recall
     // invariant in OperatorSpec).
     "q_sim_ivf" -> { (s, dir) =>
@@ -373,6 +390,22 @@ object ExtensionQueries extends QueryModule {
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
          GROUP BY event_type ORDER BY event_type""",
+    "q_quantize" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, vec,
+             list_max(list_transform(vec, x -> abs(x))) / 127.0 AS sc
+           FROM v),
+         q AS (
+           SELECT vec_id, sc,
+             list_transform(vec, x -> CAST(round(x / sc) AS BIGINT)) AS qq
+           FROM s)
+         SELECT vec_id, round(sc, 6) AS scale6,
+           CAST(list_sum(qq) AS BIGINT) AS q_sum,
+           CAST(len(list_filter(qq, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+         FROM q ORDER BY vec_id""",
     // Exact-µs integer arithmetic on both sides (|Δµs| <= 300e6).
     "q_range" ->
       """SELECT e.event_id AS e_id, e.user_id, epoch_us(e.ts) AS ts_us,
