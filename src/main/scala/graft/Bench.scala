@@ -18,7 +18,7 @@ object Bench {
     * row to the driver. bit_xor (not sum) so ANSI overflow can't throw.
     */
   private def force(df: DataFrame): Unit = {
-    val hashed = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    val hashed = df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
     hashed.agg(bit_xor(col("h")).as("x")).collect()
     ()
   }

@@ -188,7 +188,7 @@ object Similarity {
 
     // centroids are unit vectors, so argmax dot == argmax cosine
     def scoresCol(vec: Column): Column =
-      array(centroids.map(ct => VectorFunctions.vector_dot(vec, lit(ct))): _*)
+      array(centroids.toIndexedSeq.map(ct => VectorFunctions.vector_dot(vec, lit(ct))): _*)
     def assigned(df: DataFrame): DataFrame =
       df.withColumn("__scores", scoresCol(col("n_vec")))
         .withColumn("cluster",
