@@ -14,10 +14,13 @@ class FuzzSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.get
   val dir = "/root/testdata/sf0.001"
 
+  private val parserN = sys.env.getOrElse("GRAFT_FUZZ_PARSER_N", "3000").toInt
+  private val binderN = sys.env.getOrElse("GRAFT_FUZZ_BINDER_N", "400").toInt
+
   test("parser is total: random character soup never escapes Parse/LexError") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abz019_ ./{}()[]?^,:=+-*<>!~&|'$@\"\\%#"
-    (1 to 3000).foreach { i =>
+    (1 to parserN).foreach { i =>
       val s = "/" + Iterator.fill(rnd.nextInt(48))(alphabet(rnd.nextInt(alphabet.length))).mkString
       try { Parser.parse(s); () } catch {
         case _: ParseError | _: LexError => ()
@@ -43,7 +46,7 @@ class FuzzSpec extends AnyFunSuite {
       "{/events{event_id}}", "{count(@nosuch)}", "{n := count(@orders?o_totalprice>1)}",
       "{top(orders.sort(o_totalprice-), 2)}", "?count(orders)>2",
       "?c_acctbal>avg(@customer.c_acctbal)", ".limit(2,1)")
-    (1 to 400).foreach { i =>
+    (1 to binderN).foreach { i =>
       val q = "/" + frags(rnd.nextInt(5)) +
         Iterator.fill(rnd.nextInt(4))(frags(rnd.nextInt(frags.length))).mkString
       try { g.query(q).schema; () } catch {

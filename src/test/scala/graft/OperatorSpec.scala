@@ -232,6 +232,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(approx == again)
   }
 
+  test("approx percentile within rank-error bounds of the exact percentile") {
+    val events = new graft.model.Tables(spark, dir)("events")
+    val cmp = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("exact"),
+        expr("approx_percentile(value, 0.5, 100)").as("approx"),
+        expr("percentile(value, 0.40)").as("lo"),
+        expr("percentile(value, 0.60)").as("hi"))
+      .collect()
+    // approx_percentile guarantees rank error <= 1/accuracy = 1%; allow
+    // the [p40, p60] envelope — generous but catches a broken sketch
+    cmp.foreach { r =>
+      val a = r.getAs[Double]("approx")
+      assert(a >= r.getAs[Double]("lo") && a <= r.getAs[Double]("hi"),
+        s"approx p50 ${a} outside [p40, p60] for ${r.getString(0)}")
+    }
+  }
+
   test("langId picks a marker language deterministically") {
     val out = t("documents").select(TextAnalysis.langId(col("text")).as("l"))
       .groupBy("l").count().collect().map(r => r.getString(0)).toSet
