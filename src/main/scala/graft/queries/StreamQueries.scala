@@ -75,6 +75,10 @@ object StreamQueries extends QueryModule {
     // Exact interpolated percentiles (both engines implement the standard
     // linear-interpolation definition; rounded to 6 dp on both sides so a
     // last-bit interpolation difference can't flap the hash).
+    // SCALE NOTE: exact percentile buffers every group value in executor
+    // memory — right for the correctness gate, wrong at 100 TB. The scale
+    // path is approx_percentile (constant-memory sketch, rank error ≤
+    // 1/accuracy), pinned against this exact twin in OperatorSpec.
     "q_percentile" -> { (s, dir) =>
       val t = new Tables(s, dir)
       t.events
