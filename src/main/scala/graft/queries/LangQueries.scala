@@ -58,6 +58,20 @@ object LangQueries extends QueryModule {
       "/{n_regions := count(region), n_big := count(orders?o_totalprice>400000), " +
         "total := sum(orders.o_totalprice)}"),
 
+    // id() + singular-link-as-identity, driver-checked
+    "q_htsql_id" -> q(
+      "/customer{c_custkey, key := id(), nat := nation}.sort(c_custkey)"),
+
+    // sorted+limited nested segment, flattened for the driver gate
+    "q_segment_sorted" -> { (s, dir) =>
+      Graft(s, dir)
+        .query("/region{r_regionkey, /nation.sort(n_name-).limit(2){n_nationkey, n_name}}")
+        .select(col("r_regionkey"), posexplode(col("nation")).as(Seq("pos", "n")))
+        .select(col("r_regionkey"), col("pos").cast("long").as("pos"),
+          col("n.n_nationkey").as("n_nationkey"), col("n.n_name").as("n_name"))
+        .orderBy("r_regionkey", "pos")
+    },
+
     // nested segment /link{…} — the signature HTSQL output shape — made
     // driver-checkable by flattening the list-of-records column with
     // posexplode (pos = array_sort rank by child key)
@@ -119,6 +133,18 @@ object LangQueries extends QueryModule {
               (SELECT count(*) FROM orders WHERE o_totalprice > 400000) AS n_big,
               (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
                  FROM orders) AS total""",
+    "q_htsql_id" ->
+      """SELECT c_custkey, c_custkey AS "key", c_nationkey AS nat
+         FROM customer ORDER BY c_custkey""",
+    "q_segment_sorted" ->
+      """SELECT r_regionkey, pos, n_nationkey, n_name FROM (
+           SELECT r_regionkey,
+             CAST(row_number() OVER (PARTITION BY r_regionkey
+                   ORDER BY n_name DESC, n_nationkey) - 1 AS BIGINT) AS pos,
+             n_nationkey, n_name
+           FROM region JOIN nation ON n_regionkey = r_regionkey)
+         WHERE pos < 2
+         ORDER BY r_regionkey, pos""",
     "q_segment" ->
       """SELECT r_regionkey, r_name,
            CAST(row_number() OVER (PARTITION BY r_regionkey ORDER BY n_nationkey) - 1 AS BIGINT) AS pos,
