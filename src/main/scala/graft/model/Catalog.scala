@@ -106,6 +106,8 @@ final class Tables(val spark: SparkSession, val dir: String,
       case "csv" =>
         spark.read.option("header", "true").option("inferSchema", "true")
           .csv(s"$dir/$name.csv")
+      case "json" => // JSON-lines mounts (tweak.filedb analogue, like csv)
+        spark.read.json(s"$dir/$name.jsonl")
       case _ =>
         if (name == "events") {
           // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader

@@ -556,6 +556,19 @@ class LangSpec extends AnyFunSuite {
     assert(got.length == 5 && got.forall(_.getLong(1) == 5L))
   }
 
+  test("json source: navigational queries over json-lines tables") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Seq("region", "nation").foreach { n =>
+      t(n).coalesce(1).write.mode("overwrite").json(s"$tmp/${n}_dir")
+      val part = new java.io.File(s"$tmp/${n}_dir").listFiles()
+        .find(_.getName.endsWith(".json")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/$n.jsonl"))
+    }
+    val jsonG = Graft(spark, tmp, format = "json")
+    val got = jsonG.query("/region{r_name, count(nation)}.sort(r_name)").collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) == 5L))
+  }
+
   test("fork() usable in a selection item") {
     val got = g.query("/part{p_partkey, brand_avg := avg(fork(p_brand).p_retailprice)}.sort(p_partkey)")
     assert(got.count() == 200)
