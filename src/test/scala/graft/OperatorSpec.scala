@@ -152,6 +152,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
   }
 
+  test("connected components fails loudly when rounds are exhausted") {
+    import spark.implicits._
+    // a path graph of length 12 needs ~5 propagation rounds; maxIter=2
+    // must throw rather than silently return partial components
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s(1))).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+  }
+
   test("nearDupClusters covers every doc and keep-list is one per cluster") {
     val docs = t("documents")
     val cl = Dedup.nearDupClusters(docs, "doc_id", "text")
