@@ -22,7 +22,15 @@ final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Cata
     * implicit LIMIT injected into every query (interactive safety net).
     */
   def query(text: String): DataFrame = {
-    val df = new Planner(spark, dir, catalog, format).planQuery(Parser.parse(text))
+    val df =
+      try new Planner(spark, dir, catalog, format).planQuery(Parser.parse(text))
+      catch {
+        // bind errors name the offending symbol but carry no source
+        // position (round-3 item); until then, attach the query text so
+        // errors are self-contained in logs and REPL transcripts
+        case e: graft.lang.PlanError =>
+          throw new graft.lang.PlanError(s"${e.getMessage}\n  in query: $text")
+      }
     autoLimit.fold(df)(df.limit)
   }
 
