@@ -46,6 +46,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   ) {
     val baseColumns: Seq[String] = explicitCols.getOrElse(tables(table).columns.toSeq)
     def isRoot: Boolean = table == "__root__"
+    def isProjected: Boolean = table == "__projected__"
   }
 
   /** The ROOT scope (reference: the home class): a one-row axis with no
@@ -55,6 +56,17 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   private def rootCtx: Ctx =
     new Ctx("__root__", spark.range(1).toDF("__root"), Map.empty, Set.empty,
       Some(Seq("__root")))
+
+  /** Scope over an already-projected frame (after `{…}`, or a quotient's
+    * grouped output): names resolve to the frame's columns and the FULL
+    * scalar-function surface applies — the same `applyFn` table as table
+    * scopes, because the reference binds uniformly in every scope
+    * (`src/htsql/core/tr/fn/bind.py` dispatches one function table
+    * regardless of scope). No catalog table backs this scope, so link
+    * navigation and linked aggregates report scope errors instead.
+    */
+  private def projectedCtx(df: DataFrame): Ctx =
+    new Ctx("__projected__", df, Map.empty, Set.empty, Some(df.columns.toSeq))
 
   /** Re-root a flow argument's head at the home scope (used when binding
     * aggregates in the root ctx — `/count(region)` ≡ `count(@region)`).
@@ -96,18 +108,31 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case Sieve(base, pred) =>
       planFlow(base) match {
         case Left(ctx) => sieveCtx(ctx, pred); Left(ctx)
-        case Right(df) => Right(df.filter(new Planner.ColBinder(df).bind(pred)))
+        case Right(df) =>
+          // post-projection sieve: full binder over the projected scope
+          // (binding may cross-join detached aggregates onto ctx.df, so
+          // re-project the original columns afterwards)
+          val ctx = projectedCtx(df)
+          sieveCtx(ctx, pred)
+          Right(ctx.df.select(ctx.baseColumns.map(col): _*))
       }
 
     case DefineOp(base, defs) =>
       planFlow(base) match {
         case Left(ctx) => ctx.defines ++= defs; Left(ctx)
-        case Right(_) => throw new PlanError("define() requires a table flow")
+        case Right(df) =>
+          // define() over a projected flow: definitions bind against the
+          // projected columns (continues as a navigable projected scope)
+          val ctx = projectedCtx(df)
+          ctx.defines ++= defs
+          Left(ctx)
       }
 
     case Locator(base, ids) =>
       planFlow(base) match {
         case Left(ctx) =>
+          if (ctx.isProjected)
+            throw new PlanError("locator requires a table flow (a projected flow has no identity)")
           val pk = catalog.primaryKey(ctx.table)
           if (pk.length != ids.length)
             throw new PlanError(s"identity [${ids.mkString(".")}] has ${ids.length} fields " +
@@ -122,17 +147,17 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       planFlow(base) match {
         case Left(ctx) => Right(selectItems(ctx, items))
         case Right(df) =>
-          val b = new Planner.ColBinder(df)
-          val cols = items.zipWithIndex.map { case (it, i) =>
-            b.bind(it.expr).as(it.alias.getOrElse(itemName(it.expr, i)))
-          }
-          Right(df.select(cols: _*))
+          // re-selection over a projected flow: same selection semantics,
+          // full function surface (wildcard expands to the projected columns)
+          Right(selectItems(projectedCtx(df), items))
       }
 
     case Quotient(base, kernels) =>
       planFlow(base) match {
         case Left(ctx) => Right(quotientDistinct(ctx, kernels))
-        case Right(_) => throw new PlanError("quotient requires a table flow")
+        // quotient over a projected flow: distinct kernel values of the
+        // projection (kernels bind over the projected columns)
+        case Right(df) => Right(quotientDistinct(projectedCtx(df), kernels))
       }
 
     case SortOp(base, keys) =>
@@ -142,8 +167,9 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
           ctx.df = ctx.df.orderBy(cols: _*)
           Left(ctx)
         case Right(df) =>
-          val b = new Planner.ColBinder(df)
-          Right(df.orderBy(keys.map(k => direction(b.bind(k.expr), k.ascending)): _*))
+          val ctx = projectedCtx(df)
+          val cols = keys.map(k => direction(bindScalar(ctx, k.expr), k.ascending))
+          Right(ctx.df.orderBy(cols: _*).select(ctx.baseColumns.map(col): _*))
       }
 
     case LimitOp(base, n, skip) =>
@@ -587,11 +613,14 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     // joins its broadcast result onto ctx.df first
     val grouped = ctx.df.groupBy(kernelNamed.map { case (n, c) => c.as(n) }: _*)
     val agg = grouped.agg(aggExprs.head, aggExprs.tail: _*)
-    val binder = new Planner.ColBinder(agg)
-    agg.select(outSpecs.map {
+    // output expressions bind over the GROUPED frame with the full scalar
+    // surface (projected scope) — `round(sum(^.x)/count(^), 2)` etc.
+    val binder = projectedCtx(agg)
+    val bound = outSpecs.map {
       case (n, Left(c)) => c.as(n)
-      case (n, Right(e)) => binder.bind(e).as(n)
-    }: _*)
+      case (n, Right(e)) => bindScalar(binder, e).as(n)
+    }
+    binder.df.select(bound: _*)
   }
 
   private def containsAggregate(ast: Ast): Boolean = ast match {
@@ -652,6 +681,9 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     if (ctx.baseColumns.contains(name)) col(name)
     else ctx.defines.get(name) match {
       case Some(d) => bindScalar(ctx, d)
+      case None if ctx.isProjected =>
+        throw new PlanError(s"unknown column '$name' in projected flow " +
+          s"(columns: ${ctx.baseColumns.mkString(", ")})")
       case None =>
         catalog.directLink(ctx.table, name) match {
           // a singular link used as a VALUE is the target's identity
@@ -681,6 +713,9 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     */
   private def resolvePath(ctx: Ctx, labels: Seq[String]): Column = {
     if (labels.length == 1) return resolveName(ctx, labels.head)
+    if (ctx.isProjected)
+      throw new PlanError(s"cannot navigate '${labels.mkString(".")}' in a " +
+        "projected flow — links exist only before projection")
     val chain = labels.dropRight(1)
     val colName = labels.last
     var curTable = ctx.table
@@ -833,7 +868,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     // id(): the current row's identity — its primary key, single columns
     // native-typed, composites dotted (reference: id() over IdentityDomain)
     case "id" if args.isEmpty =>
-      if (ctx.isRoot) throw new PlanError("id() needs a table scope")
+      if (ctx.isRoot || ctx.isProjected) throw new PlanError("id() needs a table scope")
       identityCol(catalog.primaryKey(ctx.table))
 
     case "text" => bindScalar(ctx, args.head).cast(StringType)
@@ -1160,15 +1195,12 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
         case Right(_) => throw new PlanError("quotient requires a table flow")
       }
     case Select(base @ QuotientSelect(_, _, _), items) =>
-      val inner = planQuery(base)
-      val b = new Planner.ColBinder(inner)
-      inner.select(items.zipWithIndex.map { case (it, i) =>
-        b.bind(it.expr).as(it.alias.getOrElse(itemName(it.expr, i)))
-      }: _*)
+      selectItems(projectedCtx(planQuery(base)), items)
     case SortOp(QuotientSelect(base, kernels, items), keys) =>
       val df = planQuery(Select(Quotient(base, kernels), items))
-      val b = new Planner.ColBinder(df)
-      df.orderBy(keys.map(k => direction(b.bind(k.expr), k.ascending)): _*)
+      val ctx = projectedCtx(df)
+      val cols = keys.map(k => direction(bindScalar(ctx, k.expr), k.ascending))
+      ctx.df.orderBy(cols: _*).select(ctx.baseColumns.map(col): _*)
     case LimitOp(inner @ (QuotientSelect(_, _, _) | SortOp(QuotientSelect(_, _, _), _)), n, skip) =>
       val df = planQuery(inner)
       if (skip > 0) df.offset(skip).limit(n) else df.limit(n)
@@ -1176,31 +1208,3 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   }
 }
 
-object Planner {
-  /** Binder over an already-projected DataFrame: names are its columns. */
-  private[lang] final class ColBinder(df: DataFrame) {
-    def bind(ast: Ast): Column = ast match {
-      case NumberLit(v) =>
-        if (v.contains('.') || v.contains('e') || v.contains('E')) lit(v.toDouble) else lit(v.toLong)
-      case StringLit(v) => lit(v)
-      case Ident(n) =>
-        if (df.columns.contains(n)) col(n)
-        else throw new PlanError(s"unknown column '$n' in projected flow")
-      case Apply("and", Seq(a, b)) => bind(a) && bind(b)
-      case Apply("or", Seq(a, b)) => bind(a) || bind(b)
-      case Apply("not", Seq(a)) => !bind(a)
-      case Apply("neg", Seq(a)) => -bind(a)
-      case Apply("=", Seq(a, b)) => bind(a) === bind(b)
-      case Apply("!=", Seq(a, b)) => bind(a) =!= bind(b)
-      case Apply("<", Seq(a, b)) => bind(a) < bind(b)
-      case Apply("<=", Seq(a, b)) => bind(a) <= bind(b)
-      case Apply(">", Seq(a, b)) => bind(a) > bind(b)
-      case Apply(">=", Seq(a, b)) => bind(a) >= bind(b)
-      case Apply("+", Seq(a, b)) => bind(a) + bind(b)
-      case Apply("-", Seq(a, b)) => bind(a) - bind(b)
-      case Apply("*", Seq(a, b)) => bind(a) * bind(b)
-      case Apply("/", Seq(a, b)) => bind(a) / bind(b)
-      case other => throw new PlanError(s"unsupported expression in projected flow: $other")
-    }
-  }
-}

@@ -62,6 +62,14 @@ object LangQueries extends QueryModule {
     "q_htsql_id" -> q(
       "/customer{c_custkey, key := id(), nat := nation}.sort(c_custkey)"),
 
+    // post-projection scopes carry the FULL scalar-function surface
+    // (unified binder): scalar kit inside a sieve AFTER `{…}`, and a
+    // computed sort key over the projected columns (round-3 item #1)
+    "q_htsql_postproj" -> q(
+      "/customer{c_custkey, nm := upper(c_name), seg := lower(c_mktsegment)}" +
+        "?length(nm)>12&seg!='building'" +
+        ".sort(replace(nm,'CUSTOMER#',''))"),
+
     // sorted+limited nested segment, flattened for the driver gate
     "q_segment_sorted" -> { (s, dir) =>
       Graft(s, dir)
@@ -136,6 +144,11 @@ object LangQueries extends QueryModule {
     "q_htsql_id" ->
       """SELECT c_custkey, c_custkey AS "key", c_nationkey AS nat
          FROM customer ORDER BY c_custkey""",
+    "q_htsql_postproj" ->
+      """SELECT c_custkey, upper(c_name) AS nm, lower(c_mktsegment) AS seg
+         FROM customer
+         WHERE length(upper(c_name)) > 12 AND lower(c_mktsegment) <> 'building'
+         ORDER BY replace(upper(c_name), 'CUSTOMER#', '')""",
     "q_segment_sorted" ->
       """SELECT r_regionkey, pos, n_nationkey, n_name FROM (
            SELECT r_regionkey,
