@@ -132,10 +132,13 @@ object VectorFunctions {
       exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("fingerprint64",
+      exprs => Fingerprint64(exprs.head), "scala_udf")
   }
 
   /** Requires `ensureRegistered` (or GraftExtensions) on the session. */
   def vector_dot(a: Column, b: Column): Column = call_function("vector_dot", a, b)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def simhash64(hashes: Column): Column = call_function("simhash64", hashes)
+  def fingerprint64(text: Column): Column = call_function("fingerprint64", text)
 }

@@ -99,6 +99,10 @@ object Catalog {
   */
 final class Tables(val spark: SparkSession, val dir: String,
     val format: String = "parquet") {
+  // Native-kernel registration is idempotent and cheap; doing it here means
+  // every query path that touches data has the engine's functions in scope.
+  graft.functions.VectorFunctions.ensureRegistered(spark)
+
   private val cache = scala.collection.mutable.HashMap.empty[String, DataFrame]
 
   def apply(name: String): DataFrame =

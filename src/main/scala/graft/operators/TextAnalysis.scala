@@ -83,9 +83,14 @@ object TextAnalysis {
     * h = fold(31·h + code(c)) mod 1e9+7. Stays far below Long overflow
     * ((1e9+7)·31 + 255 < 2^35), so the same fold is expressible in any
     * engine with 64-bit ints — used by the DuckDB oracle.
+    *
+    * Delegates to the native codegen'd kernel
+    * [[graft.functions.Fingerprint64]] (one loop over UTF8String bytes) —
+    * bit-identical to the former `split(text,"")` + `aggregate` fold, minus
+    * the per-character array explosion and interpreted lambda. Requires
+    * `VectorFunctions.ensureRegistered` (done by `graft.model.Tables`) or
+    * `GraftExtensions` on the session.
     */
-  def fingerprint(text: Column): Column = {
-    val chars = filter(split(text, ""), c => c =!= "")
-    aggregate(chars, lit(0L), (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
-  }
+  def fingerprint(text: Column): Column =
+    graft.functions.VectorFunctions.fingerprint64(text)
 }

@@ -86,6 +86,30 @@ object StreamQueries extends QueryModule {
         .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.9)"), 6).as("p90"))
         .orderBy("event_type")
+    },
+
+    // THE 100 TB percentile path: approx_percentile's KLL-style sketch is
+    // constant-memory per group (vs `percentile`'s full value buffer) with
+    // rank error ≤ 1/accuracy. Sketch outputs are engine-specific, so the
+    // driver-gated contract is a BOUND CHECK: the approx value must land
+    // inside the exact [p-5%, p+5%] rank window (accuracy=1000 → 0.1% rank
+    // error, 50× margin). The exact-percentile bounds exist only to judge
+    // the sketch at gate scale; production code runs the approx agg alone.
+    // Oracle side emits the same all-true booleans from its own
+    // quantile_cont rank windows (monotone by definition).
+    "q_percentile_approx" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.events
+        .groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, array(0.5, 0.9), 1000)").as("ap"),
+          expr("percentile(value, 0.45)").as("lo50"),
+          expr("percentile(value, 0.55)").as("hi50"),
+          expr("percentile(value, 0.85)").as("lo90"),
+          expr("percentile(value, 0.95)").as("hi90"))
+        .select(col("event_type"),
+          (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50")).as("ok_p50"),
+          (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90")).as("ok_p90"))
+        .orderBy("event_type")
     }
   )
 
@@ -131,6 +155,11 @@ object StreamQueries extends QueryModule {
       """SELECT event_type,
            round(quantile_cont(value, 0.5), 6) AS p50,
            round(quantile_cont(value, 0.9), 6) AS p90
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_percentile_approx" ->
+      """SELECT event_type,
+           quantile_cont(value, 0.45) <= quantile_cont(value, 0.55) AS ok_p50,
+           quantile_cont(value, 0.85) <= quantile_cont(value, 0.95) AS ok_p90
          FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

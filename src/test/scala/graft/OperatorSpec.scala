@@ -260,6 +260,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_percentile_approx contract query emits all-true bound checks") {
+    // mirrors the driver gate exactly: the oracle emits TRUE per group from
+    // its own quantile_cont rank windows, so the hash matches iff every
+    // Spark-side approx value lands inside its exact ±5%-rank window
+    val rows = graft.SparkEntry.queries("q_percentile_approx")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(2),
+        s"approx percentile outside rank window for ${r.getString(0)}")
+    }
+  }
+
   test("langId picks a marker language deterministically") {
     val out = t("documents").select(TextAnalysis.langId(col("text")).as("l"))
       .groupBy("l").count().collect().map(r => r.getString(0)).toSet
@@ -295,6 +307,27 @@ class OperatorSpec extends AnyFunSuite {
       Similarity.cosine(col("va"), col("vb")).as("lc"))
       .filter(col("nd") =!= col("ld") || col("nc") =!= col("lc"))
     assert(cmp.count() == 0)
+  }
+
+  test("native Fingerprint64 matches the split+aggregate fold bit-for-bit") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // the pre-round-4 formulation: per-character array + interpreted lambda
+    val foldFp = {
+      val chars = filter(split(col("text"), ""), c => c =!= "")
+      aggregate(chars, lit(0L), (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+    }
+    val cmp = t("documents").select(
+      TextAnalysis.fingerprint(col("text")).as("native"), foldFp.as("folded"))
+      .filter(col("native") =!= col("folded"))
+    assert(cmp.count() == 0)
+    // multi-byte code points decode identically to ascii() (codePointAt)
+    import spark.implicits._
+    val uni = Seq((1L, "héllo wörld"), (2L, "日本語テキスト"), (3L, ""), (4L, "a€b"))
+      .toDF("id", "text")
+    val uniCmp = uni.select(
+      TextAnalysis.fingerprint(col("text")).as("native"), foldFp.as("folded"))
+      .filter(col("native") =!= col("folded"))
+    assert(uniCmp.count() == 0)
   }
 
   test("native SimHash64 matches the SQL fold bit-for-bit") {
