@@ -22,17 +22,21 @@ final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Cata
     * implicit LIMIT injected into every query (interactive safety net).
     */
   def query(text: String): DataFrame = {
-    val df =
-      try new Planner(spark, dir, catalog, format).planQuery(Parser.parse(text))
-      catch {
-        // bind errors name the offending symbol but carry no source
-        // position (round-3 item); until then, attach the query text so
-        // errors are self-contained in logs and REPL transcripts
-        case e: graft.lang.PlanError =>
-          throw new graft.lang.PlanError(s"${e.getMessage}\n  in query: $text")
-      }
+    val df = compile(text, Parser.parse(text))
     autoLimit.fold(df)(df.limit)
   }
+
+  /** Plan with positioned errors: parse/bind failures re-throw with the
+    * query text and a caret under the offending token (ErrorMark), so
+    * errors are self-contained in logs and REPL transcripts.
+    */
+  private def compile(text: String, ast: graft.lang.Ast): DataFrame =
+    try new Planner(spark, dir, catalog, format).planQuery(ast)
+    catch {
+      case e: graft.lang.PlanError =>
+        throw new graft.lang.PlanError(
+          graft.lang.ErrorMark(e.getMessage, text, e.pos), e.pos)
+    }
 
   /** Render a result the way the reference's JSON formatter does
     * (`src/htsql/core/fmt/json.py`): a list of records. Schema-driven —
@@ -126,7 +130,7 @@ final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Cata
   def render(text: String): String = {
     val (ast, fmt) = Parser.parseCommand(text)
     val df = {
-      val d = new Planner(spark, dir, catalog, format).planQuery(ast)
+      val d = compile(text, ast)
       autoLimit.fold(d)(d.limit)
     }
     fmt.getOrElse("txt") match {

@@ -6,7 +6,17 @@ package graft.lang
   * expressions share one node space; the binder assigns meaning, exactly as
   * the reference defers semantics to `tr/bind.py`.
   */
-sealed trait Ast
+sealed trait Ast {
+  /** Source offset of the token that introduced this node, −1 when the node
+    * was synthesized by the binder (rewrites, wildcard expansion). Held
+    * OUTSIDE the case-class fields so structural equality ignores positions:
+    * the planner keys maps on expression structure (e.g. quotient kernels
+    * matched against selection items parsed from different offsets).
+    */
+  private[this] var _pos: Int = -1
+  def pos: Int = _pos
+  def at(p: Int): this.type = { _pos = p; this }
+}
 
 object Ast {
   final case class NumberLit(value: String) extends Ast
@@ -22,8 +32,11 @@ object Ast {
   final case class Sieve(base: Ast, pred: Ast) extends Ast
   /** `base ^ kernel` quotient. */
   final case class Quotient(base: Ast, kernels: Seq[Ast]) extends Ast
-  /** `^` — complement reference inside a quotient scope. */
-  case object Complement extends Ast
+  /** `^` — complement reference inside a quotient scope. A case class (not
+    * an object) so each occurrence carries its own source position; all
+    * instances stay structurally equal.
+    */
+  final case class Complement() extends Ast
   /** `base {items}` selection. */
   final case class Select(base: Ast, items: Seq[Item]) extends Ast
   /** `base [id1.id2…]` identity locator. */

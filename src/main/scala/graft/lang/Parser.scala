@@ -81,16 +81,16 @@ private final class Parser(tokens: Vector[Token], input: String) {
     var continue = true
     while (continue) {
       cur match {
-        case Token.Op("?", _) =>
-          advance(); flow = Sieve(flow, parseScalar())
-        case Token.Op("^", _) =>
+        case Token.Op("?", p) =>
+          advance(); flow = Sieve(flow, parseScalar()).at(p)
+        case Token.Op("^", p) =>
           advance()
-          if (isOp("{")) { advance(); val items = parseItems("}"); flow = Quotient(flow, items.map(_.expr)) }
-          else flow = Quotient(flow, Seq(parseScalar()))
-        case Token.Op("{", _) =>
-          advance(); flow = Select(flow, parseItems("}"))
-        case Token.Op("[", _) =>
-          advance(); flow = Locator(flow, parseLocatorIds())
+          if (isOp("{")) { advance(); val items = parseItems("}"); flow = Quotient(flow, items.map(_.expr)).at(p) }
+          else flow = Quotient(flow, Seq(parseScalar())).at(p)
+        case Token.Op("{", p) =>
+          advance(); flow = Select(flow, parseItems("}")).at(p)
+        case Token.Op("[", p) =>
+          advance(); flow = Locator(flow, parseLocatorIds()).at(p)
         case Token.Op(".", _) =>
           advance(); flow = parseFlowMember(flow)
         case _ => continue = false
@@ -100,14 +100,14 @@ private final class Parser(tokens: Vector[Token], input: String) {
   }
 
   private def parsePrimaryFlow(): Ast = cur match {
-    case Token.Ident(name, _) =>
+    case Token.Ident(name, p) =>
       advance()
       // `/count(region)` — a top-level scalar aggregate over the ROOT scope
-      if (isOp("(")) { advance(); Apply(name, parseArgs()) }
-      else Ident(name)
+      if (isOp("(")) { advance(); Apply(name, parseArgs()).at(p) }
+      else Ident(name).at(p)
     // `/{…}` — selection in the ROOT scope (no table axis); the pipeline
     // loop consumes the braces as a Select over the root marker
-    case Token.Op("{", _) => Ident("__root__")
+    case Token.Op("{", p) => Ident("__root__").at(p)
     case Token.Op("(", _) => advance(); val inner = parsePipeline(); eatOp(")"); inner
     case t => throw new ParseError(s"expected a table or '(' but found ${describe(t)}", t.pos)
   }
@@ -116,15 +116,15 @@ private final class Parser(tokens: Vector[Token], input: String) {
     * sort/limit/define.
     */
   private def parseFlowMember(base: Ast): Ast = cur match {
-    case Token.Ident("sort", _) =>
-      advance(); eatOp("("); val keys = parseSortKeys(); eatOp(")"); SortOp(base, keys)
-    case Token.Ident("limit", _) =>
+    case Token.Ident("sort", p) =>
+      advance(); eatOp("("); val keys = parseSortKeys(); eatOp(")"); SortOp(base, keys).at(p)
+    case Token.Ident("limit", p) =>
       advance(); eatOp("(")
       val n = parseIntLit()
       val skip = if (isOp(",")) { advance(); parseIntLit() } else 0
       eatOp(")")
-      LimitOp(base, n, skip)
-    case Token.Ident("define", _) =>
+      LimitOp(base, n, skip).at(p)
+    case Token.Ident("define", p) =>
       advance(); eatOp("(")
       val defs = Seq.newBuilder[(String, Ast)]
       var more = true
@@ -135,11 +135,11 @@ private final class Parser(tokens: Vector[Token], input: String) {
         if (isOp(",")) advance() else more = false
       }
       eatOp(")")
-      DefineOp(base, defs.result())
-    case Token.Ident(name, _) =>
+      DefineOp(base, defs.result()).at(p)
+    case Token.Ident(name, p) =>
       advance()
-      if (isOp("(")) { advance(); val args = parseArgs(); Compose(base, Apply(name, args)) }
-      else Compose(base, Ident(name))
+      if (isOp("(")) { advance(); val args = parseArgs(); Compose(base, Apply(name, args).at(p)).at(p) }
+      else Compose(base, Ident(name).at(p)).at(p)
     case t => throw new ParseError(s"expected member name after '.' but found ${describe(t)}", t.pos)
   }
 
@@ -190,13 +190,15 @@ private final class Parser(tokens: Vector[Token], input: String) {
   private def parseItem(): Item = {
     // nested segment: `/link{…}` inside a selection
     if (isOp("/")) {
+      val p = cur.pos
       advance()
-      return Item(Segment(parsePipeline()), None, None)
+      return Item(Segment(parsePipeline()).at(p), None, None)
     }
     // wildcard `*`: all columns of the current scope (BindWildcard)
     if (isOp("*")) {
+      val p = cur.pos
       advance()
-      return Item(Ident("*"), None, None)
+      return Item(Ident("*").at(p), None, None)
     }
     // alias := expr
     val alias = (cur, tokens.lift(pos + 1)) match {
@@ -240,18 +242,18 @@ private final class Parser(tokens: Vector[Token], input: String) {
 
   private def parseOr(): Ast = {
     var e = parseAnd()
-    while (isOp("|")) { advance(); e = Apply("or", Seq(e, parseAnd())) }
+    while (isOp("|")) { val p = cur.pos; advance(); e = Apply("or", Seq(e, parseAnd())).at(p) }
     e
   }
 
   private def parseAnd(): Ast = {
     var e = parseNot()
-    while (isOp("&")) { advance(); e = Apply("and", Seq(e, parseNot())) }
+    while (isOp("&")) { val p = cur.pos; advance(); e = Apply("and", Seq(e, parseNot())).at(p) }
     e
   }
 
   private def parseNot(): Ast =
-    if (isOp("!")) { advance(); Apply("not", Seq(parseNot())) }
+    if (isOp("!")) { val p = cur.pos; advance(); Apply("not", Seq(parseNot())).at(p) }
     else parseCmp()
 
   private val cmpOps = Set("=", "!=", "==", "!==", "<", "<=", ">", ">=", "~", "!~")
@@ -259,8 +261,8 @@ private final class Parser(tokens: Vector[Token], input: String) {
   private def parseCmp(): Ast = {
     val e = parseAdd()
     cur match {
-      case Token.Op(op, _) if cmpOps(op) =>
-        advance(); Apply(op, Seq(e, parseAdd()))
+      case Token.Op(op, p) if cmpOps(op) =>
+        advance(); Apply(op, Seq(e, parseAdd())).at(p)
       case _ => e
     }
   }
@@ -272,8 +274,8 @@ private final class Parser(tokens: Vector[Token], input: String) {
       cur match {
         // a trailing +/- immediately before , } ) is a direction decorator
         // for the enclosing item list — leave it for the caller
-        case Token.Op("+", _) if !peekIsItemEnd(1) => advance(); e = Apply("+", Seq(e, parseMul()))
-        case Token.Op("-", _) if !peekIsItemEnd(1) => advance(); e = Apply("-", Seq(e, parseMul()))
+        case Token.Op("+", p) if !peekIsItemEnd(1) => advance(); e = Apply("+", Seq(e, parseMul())).at(p)
+        case Token.Op("-", p) if !peekIsItemEnd(1) => advance(); e = Apply("-", Seq(e, parseMul())).at(p)
         case _ => continue = false
       }
     }
@@ -285,8 +287,8 @@ private final class Parser(tokens: Vector[Token], input: String) {
     var continue = true
     while (continue) {
       cur match {
-        case Token.Op("*", _) => advance(); e = Apply("*", Seq(e, parseUnary()))
-        case Token.Op("/", _) => advance(); e = Apply("/", Seq(e, parseUnary()))
+        case Token.Op("*", p) => advance(); e = Apply("*", Seq(e, parseUnary())).at(p)
+        case Token.Op("/", p) => advance(); e = Apply("/", Seq(e, parseUnary())).at(p)
         case _ => continue = false
       }
     }
@@ -294,7 +296,7 @@ private final class Parser(tokens: Vector[Token], input: String) {
   }
 
   private def parseUnary(): Ast =
-    if (isOp("-")) { advance(); Apply("neg", Seq(parseUnary())) }
+    if (isOp("-")) { val p = cur.pos; advance(); Apply("neg", Seq(parseUnary())).at(p) }
     else parsePostfix()
 
   private def parsePostfix(): Ast = {
@@ -310,22 +312,23 @@ private final class Parser(tokens: Vector[Token], input: String) {
       cur match {
         case Token.Op(".", _) =>
           advance()
+          val p = cur.pos
           val name = parseIdent()
           // flow methods are recognized here too so `top(orders.sort(x-), 2)`
           // keeps direction decorators and produces proper SortOp nodes
           if (name == "sort" && isOp("(")) {
-            advance(); val keys = parseSortKeys(); eatOp(")"); e = SortOp(e, keys)
+            advance(); val keys = parseSortKeys(); eatOp(")"); e = SortOp(e, keys).at(p)
           } else if (name == "limit" && isOp("(")) {
             advance()
             val n = parseIntLit()
             val skip = if (isOp(",")) { advance(); parseIntLit() } else 0
             eatOp(")")
-            e = LimitOp(e, n, skip)
-          } else if (isOp("(")) { advance(); e = Compose(e, Apply(name, parseArgs())) }
-          else e = Compose(e, Ident(name))
-        case Token.Op("?", _) =>
+            e = LimitOp(e, n, skip).at(p)
+          } else if (isOp("(")) { advance(); e = Compose(e, Apply(name, parseArgs()).at(p)).at(p) }
+          else e = Compose(e, Ident(name).at(p)).at(p)
+        case Token.Op("?", p) =>
           // sieve on a plural flow inside an aggregate: count(orders?p)
-          advance(); e = Sieve(e, parseScalar())
+          advance(); e = Sieve(e, parseScalar()).at(p)
         case _ => continue = false
       }
     }
@@ -354,24 +357,27 @@ private final class Parser(tokens: Vector[Token], input: String) {
       case _ => false
     }
     (cur, tokens.lift(pos + 1)) match {
-      case (Token.Ident(name, _), _) if assignAt(1) =>
+      case (Token.Ident(name, p), _) if assignAt(1) =>
         advance(); advance()
-        Apply("__def", Seq(StringLit(name), parseScalar()))
-      case (Token.Op("$", _), Some(Token.Ident(name, _))) if assignAt(2) =>
+        Apply("__def", Seq(StringLit(name).at(p), parseScalar())).at(p)
+      case (Token.Op("$", p0), Some(Token.Ident(name, p))) if assignAt(2) =>
         advance(); advance(); advance()
-        Apply("__def", Seq(StringLit(name), parseScalar()))
+        Apply("__def", Seq(StringLit(name).at(p), parseScalar())).at(p0)
       case _ => parseScalar()
     }
   }
 
   private def parseAtom(): Ast = cur match {
-    case Token.Num(v, _) => advance(); NumberLit(v)
-    case Token.Str(v, _) => advance(); StringLit(v)
-    case Token.Op("^", _) => advance(); Complement
-    case Token.Op("$", _) => advance(); Ref(parseIdent())
+    case Token.Num(v, p) => advance(); NumberLit(v).at(p)
+    case Token.Str(v, p) => advance(); StringLit(v).at(p)
+    case Token.Op("^", p) => advance(); Complement().at(p)
+    case Token.Op("$", p) => advance(); Ref(parseIdent()).at(p)
     // `@table` — detach: evaluate the flow from the ROOT scope, not the
     // current row's scope (reference: AttachSpace / the home class)
-    case Token.Op("@", _) => advance(); Apply("@", Seq(Ident(parseIdent())))
+    case Token.Op("@", p) =>
+      advance()
+      val ip = cur.pos
+      Apply("@", Seq(Ident(parseIdent()).at(ip))).at(p)
     case Token.Op("(", _) =>
       advance()
       val first = parseScalar()
@@ -381,12 +387,12 @@ private final class Parser(tokens: Vector[Token], input: String) {
         items += first
         while (isOp(",")) { advance(); items += parseScalar() }
         eatOp(")")
-        Apply("__list", items.result())
+        Apply("__list", items.result()).at(first.pos)
       } else { eatOp(")"); first }
-    case Token.Ident(name, _) =>
+    case Token.Ident(name, p) =>
       advance()
-      if (isOp("(")) { advance(); Apply(name, parseArgs()) }
-      else Ident(name)
+      if (isOp("(")) { advance(); Apply(name, parseArgs()).at(p) }
+      else Ident(name).at(p)
     case t => throw new ParseError(s"unexpected ${describe(t)}", t.pos)
   }
 }

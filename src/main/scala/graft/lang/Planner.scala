@@ -8,7 +8,12 @@ import graft.model.{Catalog, Link, Tables}
 import graft.functions.Ht
 import Ast._
 
-final class PlanError(msg: String) extends RuntimeException(msg)
+/** Bind/plan error. `pos` is the source offset of the narrowest AST node
+  * whose binding failed (−1 when no positioned node encloses the failure);
+  * the API boundary (`Graft.query`) renders a caret under it — the analogue
+  * of the reference's marked input spans (`src/htsql/core/error.py`).
+  */
+final class PlanError(msg: String, val pos: Int = -1) extends RuntimeException(msg)
 
 /** Binder + planner: navigational AST → Spark `DataFrame` plan.
   *
@@ -85,10 +90,24 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case Right(df) => df
   }
 
+  /** Re-throw a position-less PlanError with the current node's position —
+    * wrapped around every dispatch point, so the NARROWEST positioned node
+    * on the failing path wins (inner binds run inside their own wrapper
+    * first). Keeps the ~40 throw sites position-free.
+    */
+  private def reposition[A](ast: Ast)(body: => A): A =
+    try body catch {
+      case e: PlanError if e.pos < 0 && ast.pos >= 0 =>
+        throw new PlanError(e.getMessage, ast.pos)
+    }
+
   /** A flow is either still a navigable table scope (Left) or a projected /
     * grouped result (Right).
     */
-  private def planFlow(ast: Ast): Either[Ctx, DataFrame] = ast match {
+  private def planFlow(ast: Ast): Either[Ctx, DataFrame] =
+    reposition(ast)(planFlowImpl(ast))
+
+  private def planFlowImpl(ast: Ast): Either[Ctx, DataFrame] = ast match {
     case Ident(name) if catalog.isTable(name) =>
       Left(new Ctx(name, tables(name), Map.empty, Set.empty))
 
@@ -187,6 +206,10 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       // parent table (each nation's region, duplicates preserved)
       planFlow(base) match {
         case Left(ctx) =>
+          // a projected scope kept navigable by define() still has no links
+          // — same scope error as the Right branch, not a catalog miss
+          if (ctx.isProjected)
+            throw new PlanError("cannot navigate after projection")
           member match {
             case Ident(name) =>
               catalog.directLink(ctx.table, name) match {
@@ -358,6 +381,9 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     // aggregates into one array on the single root row. collect_list over
     // a full table is driver-light but memory-heavy per row — autolimit /
     // segment sieves are the guard, as with any plural segment.
+    if (ctx.isProjected)
+      throw new PlanError("cannot select a segment after projection — " +
+        "links exist only before projection")
     val (childDf, rootKeys, childCtx) =
       if (ctx.isRoot) {
         if (!catalog.isTable(label))
@@ -563,20 +589,20 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
         case _ => itemName(x, 0)
       })
       case Apply(fn, args) if aggNames(fn) && args.exists(containsComplement) =>
-        val inner = args.headOption.map(stripComplement).getOrElse(Complement)
+        val inner = args.headOption.map(stripComplement).getOrElse(Complement())
         // sieved complements (`count(^?p)`, `sum(^?p.x)`) become
         // CONDITIONAL aggregation — the whole frame can't be filtered for
         // one item, so non-matching rows contribute NULL, which every
         // aggregate ignores; quantifiers coalesce their empty default.
         val (valueCol, valueType) = inner match {
-          case Complement => (lit(1L), None)
-          case Sieve(Complement, pred) =>
+          case Complement() => (lit(1L), None)
+          case Sieve(Complement(), pred) =>
             val bare: Column = fn match {
               case "exists" | "any" | "every" => lit(true)
               case _ => lit(1L)
             }
             (when(bindScalar(ctx, pred), bare), None)
-          case Compose(Sieve(Complement, pred), rest) =>
+          case Compose(Sieve(Complement(), pred), rest) =>
             val c = bindScalar(ctx, rest)
             (when(bindScalar(ctx, pred), c), Some(dataTypeOf(ctx, c)))
           case other =>
@@ -638,7 +664,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   }
 
   private def containsComplement(ast: Ast): Boolean = ast match {
-    case Complement => true
+    case Complement() => true
     case Compose(b, m) => containsComplement(b) || containsComplement(m)
     case Apply(_, args) => args.exists(containsComplement)
     case Sieve(b, p) => containsComplement(b) || containsComplement(p)
@@ -651,8 +677,8 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     * `exists(^.price > k)` bind their column references correctly.
     */
   private def stripComplement(ast: Ast): Ast = ast match {
-    case Complement => Complement
-    case Compose(Complement, rest) => rest
+    case c @ Complement() => c
+    case Compose(Complement(), rest) => rest
     case Apply(f, args) => Apply(f, args.map(stripComplement))
     case Compose(b, m) => Compose(stripComplement(b), m)
     case Sieve(b, p) => Sieve(stripComplement(b), stripComplement(p))
@@ -661,26 +687,43 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
 
   // ------------------------------------------------- scalar expressions --
 
-  private def bindScalar(ctx: Ctx, ast: Ast): Column = ast match {
+  private def bindScalar(ctx: Ctx, ast: Ast): Column =
+    reposition(ast)(bindScalarImpl(ctx, ast))
+
+  private def bindScalarImpl(ctx: Ctx, ast: Ast): Column = ast match {
     case NumberLit(v) =>
       if (v.contains('.') || v.contains('e') || v.contains('E')) lit(v.toDouble) else lit(v.toLong)
     case StringLit(v) => lit(v)
     case Ident(name) => resolveName(ctx, name)
     case Ref(name) =>
       ctx.defines.get(name) match {
-        case Some(d) => bindScalar(ctx, d)
+        case Some(d) =>
+          // same self-removal as resolveName: `$x` inside x's own body
+          // cannot re-enter the definition
+          val saved = ctx.defines
+          ctx.defines -= name
+          try bindScalar(ctx, d) finally ctx.defines = saved
         case None => throw new PlanError(s"unknown reference $$$name")
       }
     case Compose(_, _) => resolvePath(ctx, chainLabels(ast))
     case Apply(fn, args) => applyFn(ctx, fn, args)
-    case Complement => throw new PlanError("'^' is only valid inside a quotient selection")
+    case Complement() => throw new PlanError("'^' is only valid inside a quotient selection")
     case other => throw new PlanError(s"unsupported scalar expression: $other")
   }
 
   private def resolveName(ctx: Ctx, name: String): Column =
-    if (ctx.baseColumns.contains(name)) col(name)
-    else ctx.defines.get(name) match {
-      case Some(d) => bindScalar(ctx, d)
+    // defines FIRST: the most recent definition wins over a same-named
+    // column (reference lookup order — `define(a := b+1)` after a
+    // projection of `a` must not be silently shadowed by the column).
+    // The body binds with its own name OFF the scope: `define(x := x+1)`
+    // reads the underlying column, and definition cycles terminate in an
+    // unknown-name error instead of recursing.
+    ctx.defines.get(name) match {
+      case Some(d) =>
+        val saved = ctx.defines
+        ctx.defines -= name
+        try bindScalar(ctx, d) finally ctx.defines = saved
+      case None if ctx.baseColumns.contains(name) => col(name)
       case None if ctx.isProjected =>
         throw new PlanError(s"unknown column '$name' in projected flow " +
           s"(columns: ${ctx.baseColumns.mkString(", ")})")
@@ -1188,7 +1231,9 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   /** plan() override hook for Select-over-Quotient (checked before the
     * generic planFlow cases via this entry point).
     */
-  def planQuery(ast: Ast): DataFrame = ast match {
+  def planQuery(ast: Ast): DataFrame = reposition(ast)(planQueryImpl(ast))
+
+  private def planQueryImpl(ast: Ast): DataFrame = ast match {
     case QuotientSelect(base, kernels, items) =>
       planFlow(base) match {
         case Left(ctx) => quotientSelect(ctx, kernels, items)

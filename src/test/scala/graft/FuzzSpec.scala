@@ -50,7 +50,12 @@ class FuzzSpec extends AnyFunSuite {
       val q = "/" + frags(rnd.nextInt(5)) +
         Iterator.fill(rnd.nextInt(4))(frags(rnd.nextInt(frags.length))).mkString
       try { g.query(q).schema; () } catch {
-        case _: ParseError | _: LexError | _: PlanError => ()
+        case _: ParseError | _: LexError => ()
+        case e: PlanError =>
+          // every binder error must carry a usable source position (the
+          // planQuery wrapper guarantees at least the root node's offset)
+          assert(e.pos >= 0 && e.pos <= q.length,
+            s"iteration $i: [$q] PlanError without position: ${e.getMessage}")
         case e: org.apache.spark.sql.AnalysisException =>
           fail(s"iteration $i: [$q] leaked AnalysisException: ${e.getMessage}")
         case e: Throwable =>

@@ -426,8 +426,49 @@ class LangSpec extends AnyFunSuite {
     intercept[PlanError](g.query("/customer{c_bogus}").collect())
   }
 
+  test("bind errors render a caret under the offending token") {
+    val e = intercept[PlanError](g.query("/customer{c_bogus}"))
+    // `c_bogus` starts at offset 10; the echo line indents by 12
+    assert(e.pos == 10)
+    assert(e.getMessage ==
+      "unknown attribute 'customer.c_bogus'\n" +
+      "  in query: /customer{c_bogus}\n" +
+      (" " * ("  in query: ".length + 10)) + "^")
+  }
+
+  test("caret lands mid-expression, not at the query head") {
+    val e = intercept[PlanError](g.query("/customer{c_custkey, c_acctbal + oops}"))
+    assert(e.pos == "/customer{c_custkey, c_acctbal + ".length)
+    assert(e.getMessage.endsWith("^"))
+  }
+
   test("plural link outside aggregate raises PlanError") {
     intercept[PlanError](g.query("/region{nation.n_name}").collect())
+  }
+
+  test("navigation after projection is a scoped error, never a sentinel leak") {
+    val e1 = intercept[PlanError](g.query("/customer{c_custkey}.nation"))
+    assert(e1.getMessage.contains("cannot navigate after projection"))
+    // define() keeps the projected scope navigable (Left) — same message
+    val e2 = intercept[PlanError](g.query("/customer{c_custkey}.define(x := 1).nation"))
+    assert(e2.getMessage.contains("cannot navigate after projection"))
+    assert(!e2.getMessage.contains("__projected__"))
+    val e3 = intercept[PlanError](g.query("/customer{c_custkey}.define(x := 1){x, /orders}"))
+    assert(e3.getMessage.contains("after projection"))
+    assert(!e3.getMessage.contains("__projected__"))
+  }
+
+  test("define() shadows a same-named column; body sees the outer scope") {
+    // table scope: the definition wins over the column, its body reads it
+    val got = g.query("/nation.define(n_name := upper(n_name)){n_nationkey, n_name}.sort(n_nationkey)")
+    val exp = t("nation").select(col("n_nationkey"), upper(col("n_name")).as("n_name"))
+      .orderBy("n_nationkey")
+    assertSameRows(got, exp)
+    // projected scope: define over an already-projected column
+    val got2 = g.query("/region{r_regionkey, k := r_regionkey}.define(k := k+1){r_regionkey, k}.sort(r_regionkey)")
+    val exp2 = t("region").select(col("r_regionkey"), (col("r_regionkey") + 1).as("k"))
+      .orderBy("r_regionkey")
+    assertSameRows(got2, exp2)
   }
 
   test("nested segment: /region{r_name, /nation{n_name}}") {
