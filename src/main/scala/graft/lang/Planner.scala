@@ -69,6 +69,12 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     * (`src/htsql/core/tr/fn/bind.py` dispatches one function table
     * regardless of scope). No catalog table backs this scope, so link
     * navigation and linked aggregates report scope errors instead.
+    *
+    * Known divergence from the reference: HTSQL keeps the underlying table
+    * scope visible after a selection (a sieve after `{…}` may reference
+    * un-selected base columns); here a projected scope exposes ONLY the
+    * projected columns. Tracked in SURVEY §2.11 — re-selecting the needed
+    * column (or sieving before the projection) is the workaround.
     */
   private def projectedCtx(df: DataFrame): Ctx =
     new Ctx("__projected__", df, Map.empty, Set.empty, Some(df.columns.toSeq))
@@ -160,6 +166,15 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
           ctx.df = ctx.df.filter(cond)
           Left(ctx)
         case Right(_) => throw new PlanError("locator requires a table flow")
+      }
+
+    // quotient WITH selection: the group is the row — complement aggregates
+    // join the same groupBy (recognized here, not in a planQuery special
+    // case, so any pipeline suffix composes: re-select, sieve, sort, limit)
+    case Select(Quotient(base, kernels), items) =>
+      planFlow(base) match {
+        case Left(ctx) => Right(quotientSelect(ctx, kernels, items))
+        case Right(df) => Right(quotientSelect(projectedCtx(df), kernels, items))
       }
 
     case Select(base, items) =>
@@ -1219,37 +1234,10 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
 
   private def direction(c: Column, asc: Boolean): Column = if (asc) c.asc else c.desc
 
-  // quotient-with-selection entry: Select(Quotient(..)) is recognized here
-  // because selection semantics differ over a quotient.
-  private object QuotientSelect {
-    def unapply(ast: Ast): Option[(Ast, Seq[Ast], Seq[Item])] = ast match {
-      case Select(Quotient(base, kernels), items) => Some((base, kernels, items))
-      case _ => None
-    }
-  }
-
-  /** plan() override hook for Select-over-Quotient (checked before the
-    * generic planFlow cases via this entry point).
+  /** Public entry: one uniform pipeline — quotient selection is a planFlow
+    * case, so every pipeline suffix (re-select, sieve, sort, limit, define)
+    * composes over it like over any other projected flow.
     */
-  def planQuery(ast: Ast): DataFrame = reposition(ast)(planQueryImpl(ast))
-
-  private def planQueryImpl(ast: Ast): DataFrame = ast match {
-    case QuotientSelect(base, kernels, items) =>
-      planFlow(base) match {
-        case Left(ctx) => quotientSelect(ctx, kernels, items)
-        case Right(_) => throw new PlanError("quotient requires a table flow")
-      }
-    case Select(base @ QuotientSelect(_, _, _), items) =>
-      selectItems(projectedCtx(planQuery(base)), items)
-    case SortOp(QuotientSelect(base, kernels, items), keys) =>
-      val df = planQuery(Select(Quotient(base, kernels), items))
-      val ctx = projectedCtx(df)
-      val cols = keys.map(k => direction(bindScalar(ctx, k.expr), k.ascending))
-      ctx.df.orderBy(cols: _*).select(ctx.baseColumns.map(col): _*)
-    case LimitOp(inner @ (QuotientSelect(_, _, _) | SortOp(QuotientSelect(_, _, _), _)), n, skip) =>
-      val df = planQuery(inner)
-      if (skip > 0) df.offset(skip).limit(n) else df.limit(n)
-    case other => plan(other)
-  }
+  def planQuery(ast: Ast): DataFrame = reposition(ast)(plan(ast))
 }
 

@@ -645,6 +645,83 @@ class LangSpec extends AnyFunSuite {
     // unknown format name is a parse-level error
     intercept[graft.lang.ParseError] { g.render("/region/:yaml") }
   }
+
+  // ---- unified binder: full function surface in post-projection scopes ----
+  // (the r3 projectedCtx refactor claims uniform dispatch; these goldens pin
+  // each kit in sieves/sorts/re-selections AFTER `{…}` and over quotient
+  // outputs, plus the scoped error paths)
+
+  test("post-projection date kit: sieve and sort on a projected date") {
+    val got = g.query("/orders{o_orderkey, d := o_orderdate}?month(d)=3.sort(day(d), o_orderkey)")
+    val exp = t("orders").select(col("o_orderkey"), col("o_orderdate").as("d"))
+      .filter(month(col("d")) === 3)
+      .orderBy(dayofmonth(col("d")), col("o_orderkey"))
+    assertSameRows(got, exp)
+  }
+
+  test("post-projection null kit: is_null/null_if sieve, if_null re-selection") {
+    val got = g.query(
+      "/customer{c_custkey, seg := null_if(c_mktsegment,'BUILDING')}" +
+        "?!is_null(seg){c_custkey, s := if_null(seg,'NONE')}.sort(c_custkey)")
+    val exp = t("customer")
+      .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      .filter(!col("seg").isNull)
+      .select(col("c_custkey"), coalesce(col("seg"), lit("NONE")).as("s"))
+      .orderBy("c_custkey")
+    assertSameRows(got, exp)
+  }
+
+  test("post-projection conditional kit: if/switch over projected columns") {
+    val got = g.query(
+      "/customer{c_custkey, bal := c_acctbal}" +
+        "{c_custkey, tier := if(bal>5000,'hi',bal>0,'mid','lo'), " +
+        "m := switch(c_custkey-c_custkey, 0, 'zero', 'other')}.sort(c_custkey)")
+    val exp = t("customer").select(
+        col("c_custkey"),
+        when(col("c_acctbal") > 5000, "hi").when(col("c_acctbal") > 0, "mid")
+          .otherwise("lo").as("tier"),
+        lit("zero").as("m"))
+      .orderBy("c_custkey")
+    assertSameRows(got, exp)
+  }
+
+  test("post-projection cast kit: casts in sieve and computed sort key") {
+    val got = g.query(
+      "/customer{c_custkey, bal := c_acctbal}" +
+        "?head(text(c_custkey),1)='1'.sort(integer(bal), c_custkey)")
+    val exp = t("customer").select(col("c_custkey"), col("c_acctbal").as("bal"))
+      .filter(substring(col("c_custkey").cast("string"), 1, 1) === "1")
+      .orderBy(col("bal").cast("long"), col("c_custkey"))
+    assertSameRows(got, exp)
+  }
+
+  test("quotient outputs take the full function surface: sort + re-selection") {
+    val sorted = g.query(
+      "/(customer^c_mktsegment){seg := c_mktsegment, n := count(^)}.sort(length(seg)-, seg)")
+    val expSorted = t("customer").groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(length(col("seg")).desc, col("seg"))
+    assertSameRows(sorted, expSorted)
+    val reselected = g.query(
+      "/(customer^c_mktsegment){seg := c_mktsegment, n := count(^)}" +
+        "{s := upper(seg), n2 := n*2}.sort(s)")
+    val expRe = t("customer").groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .select(upper(col("seg")).as("s"), (col("n") * 2).as("n2"))
+      .orderBy("s")
+    assertSameRows(reselected, expRe)
+  }
+
+  test("id() and locator in a projected flow are scoped errors") {
+    val e1 = intercept[PlanError](g.query("/customer{c_custkey}{id()}"))
+    assert(e1.getMessage.contains("table scope"))
+    val e2 = intercept[PlanError](g.query("/customer{c_custkey}[1]"))
+    assert(e2.getMessage.contains("table flow"))
+    // define() keeps the flow navigable but still projected — identity error
+    val e3 = intercept[PlanError](g.query("/customer{c_custkey}.define(x := 1)[1]"))
+    assert(e3.getMessage.contains("no identity"))
+    assert(!e3.getMessage.contains("__projected__"))
+  }
 }
 
 /** One shared local session for all suites. */
