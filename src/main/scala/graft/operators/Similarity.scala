@@ -158,33 +158,101 @@ object Similarity {
       .select("q_id", "n_id", "rank", "cos")
   }
 
+  private def normalizeVec(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0d) v else v.map(_ / n)
+  }
+
+  /** One executor-side Lloyd update: decimal-exact per-coordinate means,
+    * re-assembled into ONE array row per non-empty cluster. This is the
+    * only frame the IVF trainer collects — ≤ nlist rows per iteration
+    * regardless of corpus size and dim (the per-(cluster,pos) stage stays
+    * distributed with map-side partial aggregation; the second groupBy
+    * shuffles nlist×dim mean scalars, never corpus rows).
+    */
+  private[graft] def lloydMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("n_vec")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(sum(col("v").cast("decimal(38,18)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .groupBy("cluster")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+        x => x.getField("m")).as("mean"))
+
+  /** k-means++ (D²-weighted) seeding over a deterministic bounded sample:
+    * the `samplePerList × nlist` corpus vectors with the smallest
+    * `xxhash64(id)` (content-addressed — independent of partitioning and
+    * row order) are collected once; each next seed is drawn with
+    * probability ∝ its cosine distance to the chosen set, via a FIXED-seed
+    * RNG over the deterministic pool order — so seeding is run-to-run
+    * stable while spreading seeds across the data's density (pure
+    * farthest-point maxmin pins seeds to outliers and measurably hurts
+    * probe recall on clustered corpora). O(pool · nlist · dim) driver
+    * scalar ops with an incremental min-distance array — the standard
+    * bounded-training-sample regime of IVF coarse quantizers.
+    */
+  private[graft] def farthestPointSeeds(c: DataFrame, nlist: Int,
+      samplePerList: Int = 32, seed: Long = 42L): Array[Array[Double]] = {
+    val pool = c.orderBy(xxhash64(col("n_id")), col("n_id"))
+      .limit(math.max(nlist, 1) * math.max(samplePerList, 1))
+      .select("n_vec").collect()
+      .map(r => normalizeVec(r.getSeq[Double](0).toArray))
+    if (pool.isEmpty) return Array.empty
+    val k = math.min(nlist, pool.length)
+    val rnd = new java.util.Random(seed)
+    val seeds = Array.newBuilder[Array[Double]]
+    seeds += pool(0)
+    // cosine distance to the chosen set; unit vectors so dist = 1 − dot
+    val minDist = pool.map(v => math.max(0d, 1d - v.zip(pool(0)).map { case (a, b) => a * b }.sum))
+    var chosen = 1
+    while (chosen < k) {
+      val total = minDist.sum
+      val pick =
+        if (total <= 0d) chosen % pool.length // degenerate pool: round-robin
+        else {
+          var r = rnd.nextDouble() * total
+          var i = 0
+          while (i < pool.length - 1 && r >= minDist(i)) { r -= minDist(i); i += 1 }
+          i
+        }
+      val s = pool(pick)
+      seeds += s
+      var i = 0
+      while (i < pool.length) {
+        val d = math.max(0d, 1d - s.zip(pool(i)).map { case (a, b) => a * b }.sum)
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+      chosen += 1
+    }
+    seeds.result()
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: partition
     * the corpus into `nlist` cells (spherical k-means-lite), probe only the
     * `nprobe` cells nearest each query. Versus LSH: cells adapt to the data
     * distribution, so cell populations stay balanced where hyperplane
     * buckets can skew.
     *
-    * Deterministic end to end — seeds are the `nlist` lowest-id vectors,
-    * Lloyd refinement sums coordinates in exact decimal (partition-order
-    * independent), assignment ties break on cell index — so results are
-    * stable across runs and cluster topology. Only the nlist×dim centroid
-    * matrix ever reaches the driver (metadata-sized, like a CC round's
-    * counter); corpus rows never collect. Centroids re-enter the plan as
-    * single array literals with codegen'd `vector_dot` projections.
+    * Deterministic end to end — farthest-point seeds over a hash-ordered
+    * bounded sample, Lloyd refinement sums coordinates in exact decimal
+    * (partition-order independent), assignment ties break on cell index —
+    * so results are stable across runs and cluster topology. The driver
+    * sees only metadata: the seed pool once, then ≤ nlist mean rows per
+    * Lloyd iteration (`lloydMeans`); corpus rows never collect. Centroids
+    * re-enter the plan as single array literals with codegen'd
+    * `vector_dot` projections.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, assignReplicas: Int = 3): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    def normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0d) v else v.map(_ / n)
-    }
-    var centroids: Array[Array[Double]] = c.orderBy(col("n_id"))
-      .limit(nlist).collect().map(_.getSeq[Double](1).toArray).map(normalize)
+    var centroids: Array[Array[Double]] = farthestPointSeeds(c, nlist)
 
     // centroids are unit vectors, so argmax dot == argmax cosine
     def scoresCol(vec: Column): Column =
@@ -194,19 +262,24 @@ object Similarity {
         .withColumn("cluster",
           expr("array_position(__scores, array_max(__scores))").cast("int"))
         .drop("__scores")
+    // index-side redundant assignment: each corpus vector enters its top-R
+    // cells (standard IVF recall knob — storage ×R, probe work unchanged;
+    // neighbors on a cell boundary stay reachable from adjacent probes)
+    def multiAssigned(df: DataFrame, replicas: Int): DataFrame = {
+      val ws = Window.partitionBy(col("n_id")).orderBy(col("score").desc, col("cpos").asc)
+      df.select(col("n_id"), col("n_vec"),
+          posexplode(scoresCol(col("n_vec"))).as(Seq("cpos", "score")))
+        .withColumn("r", row_number().over(ws))
+        .filter(col("r") <= replicas)
+        .select(col("n_id"), col("n_vec"), (col("cpos") + 1).as("cluster"))
+    }
 
     for (_ <- 1 to iters) {
-      val sums = assigned(c)
-        .select(col("cluster"), posexplode(col("n_vec")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg(sum(col("v").cast("decimal(38,18)")).cast("double").as("s"),
-          count(lit(1)).as("n"))
-        .collect()
+      val means = lloydMeans(assigned(c)).collect() // ≤ nlist rows
       val next = centroids.map(_.clone())
-      sums.groupBy(_.getAs[Int]("cluster")).foreach { case (cl, rows) =>
-        val mean = new Array[Double](dim)
-        rows.foreach(r => mean(r.getAs[Int]("pos")) = r.getAs[Double]("s") / r.getAs[Long]("n"))
-        if (mean.exists(_ != 0d)) next(cl - 1) = normalize(mean)
+      means.foreach { r =>
+        val mean = r.getSeq[Double](1).toArray
+        if (mean.exists(_ != 0d)) next(r.getAs[Int]("cluster") - 1) = normalizeVec(mean)
       }
       centroids = next
     }
@@ -220,10 +293,12 @@ object Similarity {
       .filter(col("r") <= nprobe)
       .select(col("q_id"), (col("cpos") + 1).as("cluster"))
 
-    val scored = assigned(c).withColumn("n_norm", norm(col("n_vec")))
+    val index = multiAssigned(c, math.max(1, assignReplicas))
+    val scored = index.withColumn("n_norm", norm(col("n_vec")))
       .join(broadcast(qProbes), "cluster")
-      .join(broadcast(q.withColumn("q_norm", norm(col("q_vec")))), "q_id")
       .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id") // replicas meet several probes once
+      .join(broadcast(q.withColumn("q_norm", norm(col("q_vec")))), "q_id")
       .withColumn("cos", VectorFunctions.vector_dot(col("q_vec"), col("n_vec"))
         / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)

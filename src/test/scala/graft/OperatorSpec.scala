@@ -76,6 +76,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == ivf()) // centroid build + probe is run-to-run stable
   }
 
+  test("IVF Lloyd update collects ≤ nlist rows; seeding is bounded and stable") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("n_id"),
+      col("embedding").cast("array<double>").as("n_vec"))
+    val nlist = 16
+    val seeds = Similarity.farthestPointSeeds(c, nlist)
+    assert(seeds.length == nlist)
+    assert(seeds.map(_.toSeq).distinct.length == nlist) // greedy never repeats a seed
+    // seeding is content-addressed → identical on a re-run
+    assert(Similarity.farthestPointSeeds(c, nlist).map(_.toSeq).toSeq ==
+      seeds.map(_.toSeq).toSeq)
+    // the ONLY frame the trainer collects: one mean row per non-empty cluster
+    val assigned = c.withColumn("cluster",
+      (abs(xxhash64(col("n_id"))) % nlist + 1).cast("int"))
+    val means = Similarity.lloydMeans(assigned)
+    assert(means.count() <= nlist)
+    // means carry full-dim arrays (no per-coordinate rows reach the driver)
+    assert(means.head().getSeq[Double](1).length == 64)
+  }
+
   test("multi-table LSH ANN recall ≥ 0.9 vs brute force (sf0.01)") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 8)
