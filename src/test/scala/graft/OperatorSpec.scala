@@ -174,13 +174,25 @@ class OperatorSpec extends AnyFunSuite {
 
   test("connected components fails loudly when rounds are exhausted") {
     import spark.implicits._
-    // a path graph of length 12 needs ~5 propagation rounds; maxIter=2
-    // must throw rather than silently return partial components
-    val chain = (1L to 12L).sliding(2).map(s => (s.head, s(1))).toSeq
+    // even with pointer jumping, label reach after 2 rounds is bounded by a
+    // small constant — a 4000-node path cannot finish; it must throw rather
+    // than silently return partial components
+    val chain = (1L to 4000L).sliding(2).map(s => (s.head, s(1))).toSeq
       .toDF("id_a", "id_b")
     intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIter = 2).collect()
     }
+  }
+
+  test("connected components: 64-node path converges in O(log d) rounds") {
+    import spark.implicits._
+    // diameter 63 — plain min-propagation would need >25 rounds and throw;
+    // pointer jumping must land it comfortably inside the default budget
+    val chain = (1L to 64L).sliding(2).map(s => (s.head, s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 64L).forall(cc(_) == 1L))
   }
 
   test("nearDupClusters covers every doc and keep-list is one per cluster") {
