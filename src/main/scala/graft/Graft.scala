@@ -40,21 +40,47 @@ final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Cata
 
   /** Render a result the way the reference's JSON formatter does
     * (`src/htsql/core/fmt/json.py`): a list of records. Schema-driven —
-    * nested segments (array-of-struct columns) nest naturally.
+    * nested segments (array-of-struct columns) nest naturally. `maxRows`
+    * bounds the driver-side collect like the other renderers; full exports
+    * go through [[writeJson]], which never collects.
     */
-  def toJson(df: DataFrame): String =
-    df.toJSON.collect().mkString("[", ",", "]")
+  def toJson(df: DataFrame, maxRows: Int = 10000): String =
+    df.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
 
-  /** CSV rendering (`src/htsql/core/fmt/csv.py`): header + rows. */
-  def toCsv(df: DataFrame): String = {
+  /** CSV rendering (`src/htsql/core/fmt/csv.py`): header + rows. Bounded by
+    * `maxRows` (full exports: [[writeCsv]]).
+    */
+  def toCsv(df: DataFrame, maxRows: Int = 10000): String = {
     val header = df.columns.mkString(",")
-    val rows = df.collect().map(_.toSeq.map {
+    val rows = df.limit(maxRows).collect().map(_.toSeq.map {
       case null => ""
       case s: String if s.contains(",") || s.contains("\"") =>
         "\"" + s.replace("\"", "\"\"") + "\""
       case v => v.toString
     }.mkString(","))
     (header +: rows).mkString("\n")
+  }
+
+  /** Full-result JSON-lines export — distributed `df.write`, nothing ever
+    * reaches the driver (the scale path the in-memory renderers cap away).
+    */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Full-result CSV export (header included), distributed like
+    * [[writeJson]]. Nested segment columns are JSON-encoded first — Spark's
+    * CSV sink rejects array/struct columns.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit = {
+    val flat = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType =>
+          d.withColumn(f.name, org.apache.spark.sql.functions.to_json(df(f.name)))
+        case _ => d
+      }
+    }
+    flat.write.mode("overwrite").option("header", "true").csv(path)
   }
 
   /** Queryable model catalog — the analogue of the reference's `tweak.meta`

@@ -634,6 +634,26 @@ class LangSpec extends AnyFunSuite {
     assert(xml.startsWith("<?xml") && xml.contains("<r_name>AFRICA</r_name>"))
   }
 
+  test("in-memory renderers cap at maxRows; write* exports the full result") {
+    val df = g.query("/customer{c_custkey, c_name}.sort(c_custkey)")
+    // bounded collect — no renderer pulls an unbounded result to the driver
+    val json = g.toJson(df, maxRows = 3)
+    assert(json.count(_ == '{') == 3)
+    val csv = g.toCsv(df, maxRows = 3)
+    assert(csv.linesIterator.size == 4) // header + 3 rows
+    // the full-export path is distributed df.write, not a collect
+    val tmp = java.nio.file.Files.createTempDirectory("graft-export").toString
+    g.writeJson(df, s"$tmp/j")
+    assert(spark.read.json(s"$tmp/j").count() == df.count())
+    g.writeCsv(df, s"$tmp/c")
+    assert(spark.read.option("header", "true").csv(s"$tmp/c").count() == df.count())
+    // nested segment columns JSON-encode instead of crashing the CSV sink
+    g.writeCsv(g.query("/region{r_name, /nation{n_name}}"), s"$tmp/seg")
+    val seg = spark.read.option("header", "true").csv(s"$tmp/seg")
+    assert(seg.count() == 5)
+    assert(seg.columns.toSeq == Seq("r_name", "nation"))
+  }
+
   test("format decorators are owned by the parser: /region/:json") {
     assert(g.render("/region{r_name}.sort(r_name).limit(1)/:json").startsWith("[{"))
     assert(g.render("/region{r_name}.limit(1)/:csv").startsWith("r_name"))
