@@ -841,18 +841,28 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     // (reference: IsInSig — the = operator against a parenthesized list)
     case "=" => args(1) match {
       case Apply("__list", items) =>
+        items.foreach(checkEnumLiteral(ctx, args(0), _))
         bindScalar(ctx, args(0)).isin(items.map(bindScalar(ctx, _)): _*)
-      case _ => bindScalar(ctx, args(0)) === bindScalar(ctx, args(1))
+      case _ =>
+        checkEnumComparison(ctx, args(0), args(1))
+        bindScalar(ctx, args(0)) === bindScalar(ctx, args(1))
     }
     case "!=" => args(1) match {
       case Apply("__list", items) =>
+        items.foreach(checkEnumLiteral(ctx, args(0), _))
         !bindScalar(ctx, args(0)).isin(items.map(bindScalar(ctx, _)): _*)
-      case _ => bindScalar(ctx, args(0)) =!= bindScalar(ctx, args(1))
+      case _ =>
+        checkEnumComparison(ctx, args(0), args(1))
+        bindScalar(ctx, args(0)) =!= bindScalar(ctx, args(1))
     }
     case "__list" =>
       throw new PlanError("a value list is only valid on the right of = or !=")
-    case "==" => bindScalar(ctx, args(0)) <=> bindScalar(ctx, args(1))
-    case "!==" => !(bindScalar(ctx, args(0)) <=> bindScalar(ctx, args(1)))
+    case "==" =>
+      checkEnumComparison(ctx, args(0), args(1))
+      bindScalar(ctx, args(0)) <=> bindScalar(ctx, args(1))
+    case "!==" =>
+      checkEnumComparison(ctx, args(0), args(1))
+      !(bindScalar(ctx, args(0)) <=> bindScalar(ctx, args(1)))
     case "<" => bindScalar(ctx, args(0)) < bindScalar(ctx, args(1))
     case "<=" => bindScalar(ctx, args(0)) <= bindScalar(ctx, args(1))
     case ">" => bindScalar(ctx, args(0)) > bindScalar(ctx, args(1))
@@ -919,9 +929,26 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case "year" => year(bindScalar(ctx, args.head))
     case "month" => month(bindScalar(ctx, args.head))
     case "day" => dayofmonth(bindScalar(ctx, args.head))
-    case "hour" => hour(bindScalar(ctx, args.head))
-    case "minute" => minute(bindScalar(ctx, args.head))
-    case "second" => second(bindScalar(ctx, args.head))
+    case "hour" => timePart(ctx, args.head, hour)
+    case "minute" => timePart(ctx, args.head, minute)
+    case "second" => timePart(ctx, args.head, second)
+
+    // time(): TimeDomain (upstream `src/htsql/core/domain.py (TimeDomain)`)
+    // as normalized 'HH:mm:ss' text — Spark 4.1's native TIME type is still
+    // feature-flagged and only partially wired through functions/sinks, and
+    // a text time round-trips every renderer and the parquet/DuckDB oracle.
+    // Invalid time strings become NULL, matching the other cast functions
+    // under non-ANSI literal coercion.
+    case "time" =>
+      val c = bindScalar(ctx, args.head)
+      dataTypeOf(ctx, c) match {
+        case TimestampType | DateType =>
+          date_format(c.cast(TimestampType), "HH:mm:ss")
+        case _ =>
+          date_format(try_to_timestamp(
+            concat(lit("1970-01-01 "), c.cast(StringType)),
+            lit("yyyy-MM-dd HH:mm:ss")), "HH:mm:ss")
+      }
 
     // id(): the current row's identity — its primary key, single columns
     // native-typed, composites dotted (reference: id() over IdentityDomain)
@@ -944,6 +971,69 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       throw new PlanError("top() takes a plural link flow and is only valid " +
         "as a selection item, e.g. {c_custkey, top(orders.sort(o_totalprice-), 2)}")
     case other => throw new PlanError(s"unknown function '$other'")
+  }
+
+  /** hour/minute/second over DateTime columns directly; over TEXT they also
+    * accept TimeDomain values ('HH:mm:ss') by trying a time-of-day parse
+    * when the plain timestamp parse yields NULL — one codegen'd coalesce,
+    * no UDF.
+    */
+  private def timePart(ctx: Ctx, a: Ast, f: Column => Column): Column = {
+    val c = bindScalar(ctx, a)
+    dataTypeOf(ctx, c) match {
+      case StringType =>
+        coalesce(f(try_to_timestamp(c)),
+          f(try_to_timestamp(concat(lit("1970-01-01 "), c),
+            lit("yyyy-MM-dd HH:mm:ss"))))
+      case _ => f(c)
+    }
+  }
+
+  /** Resolve the (table, column) a comparison side refers to WITHOUT
+    * binding — pure catalog metadata walk along singular links; None when
+    * the side is not a plain column reference in a table scope.
+    */
+  private def columnTarget(ctx: Ctx, ast: Ast): Option[(String, String)] = {
+    if (ctx.isRoot || ctx.isProjected) return None
+    ast match {
+      // a define shadowing the column wins at lookup, so don't enum-check it
+      case Ident(n) if !ctx.defines.contains(n) => Some((ctx.table, n))
+      case Compose(_, _) =>
+        try {
+          val ls = chainLabels(ast)
+          var cur = ctx.table
+          var ok = true
+          ls.dropRight(1).foreach { l =>
+            catalog.directLink(cur, l) match {
+              case Some(link) => cur = link.parentTable
+              case None => ok = false
+            }
+          }
+          if (ok) Some((cur, ls.last)) else None
+        } catch { case _: PlanError => None }
+      case _ => None
+    }
+  }
+
+  /** Bind-time enum-label validation (reference: EnumDomain literal
+    * coercion): comparing a declared enum column against a string literal
+    * that is not one of its labels is an error, not a silently-empty
+    * filter. Checked in both operand orders and for IN-lists.
+    */
+  private def checkEnumLiteral(ctx: Ctx, colSide: Ast, litSide: Ast): Unit =
+    (columnTarget(ctx, colSide), litSide) match {
+      case (Some((table, column)), StringLit(v)) =>
+        catalog.enumLabels(table, column).foreach { labels =>
+          if (!labels.contains(v))
+            throw new PlanError(s"'$v' is not a label of enum $table.$column " +
+              s"(labels: ${labels.mkString(", ")})")
+        }
+      case _ => ()
+    }
+
+  private def checkEnumComparison(ctx: Ctx, l: Ast, r: Ast): Unit = {
+    checkEnumLiteral(ctx, l, r)
+    checkEnumLiteral(ctx, r, l)
   }
 
   private def intArg(ast: Ast, fn: String): Int = ast match {

@@ -30,6 +30,13 @@ final case class Link(
   */
 final case class TableDef(name: String, primaryKey: Seq[String])
 
+/** Enum column declaration (reference: `EnumDomain` in
+  * `src/htsql/core/domain.py` — a text column restricted to a label list).
+  * Parquet has no enum metadata, so labels are declared here; the binder
+  * validates string literals compared against the column at bind time.
+  */
+final case class EnumDef(table: String, column: String, labels: Seq[String])
+
 /** The engine's catalog/model graph: tables, primary keys, FK links.
   *
   * Replaces the reference's introspection + model graph
@@ -38,8 +45,15 @@ final case class TableDef(name: String, primaryKey: Seq[String])
   * metadata, which HTSQL navigation requires, so we keep our own registry.
   * Column types come from parquet footers at load time.
   */
-final class Catalog(val tables: Seq[TableDef], val links: Seq[Link]) {
+final class Catalog(val tables: Seq[TableDef], val links: Seq[Link],
+    val enums: Seq[EnumDef] = Seq.empty) {
   private val byName: Map[String, TableDef] = tables.map(t => t.name -> t).toMap
+  private val enumsByCol: Map[(String, String), Seq[String]] =
+    enums.map(e => (e.table, e.column) -> e.labels).toMap
+
+  /** Labels of a declared enum column, if any. */
+  def enumLabels(table: String, column: String): Option[Seq[String]] =
+    enumsByCol.get((table, column))
 
   def table(name: String): TableDef =
     byName.getOrElse(name, throw new IllegalArgumentException(s"unknown table: $name"))
@@ -81,6 +95,13 @@ object Catalog {
       Link("lineitem", Seq("l_partkey"), "part", Seq("p_partkey"), "part", "lineitem"),
       Link("lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey"), "supplier", "lineitem"),
       Link("events", Seq("user_id"), "customer", Seq("c_custkey"), "customer", "events")
+    ),
+    enums = Seq(
+      EnumDef("orders", "o_orderstatus", Seq("F", "O", "P")),
+      EnumDef("customer", "c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+      EnumDef("lineitem", "l_returnflag", Seq("A", "N", "R")),
+      EnumDef("lineitem", "l_linestatus", Seq("F", "O"))
     )
   )
 }

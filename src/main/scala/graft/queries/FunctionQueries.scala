@@ -103,6 +103,17 @@ object FunctionQueries extends QueryModule {
       ).orderBy("o_orderkey")
     },
 
+    // Time kit: TimeDomain (`time()` cast + hour/minute/second extractors)
+    // as normalized 'HH:mm:ss' text — through the FULL language pipeline,
+    // since time() is a binder feature. events.ts is µs-truncated
+    // identically on both engines (Tables loader / DuckDB nanos read).
+    "q_fn_time" -> { (s, dir) =>
+      graft.Graft(s, dir).query(
+        "/events{event_id, t := time(ts), h := hour(time(ts)), " +
+          "m := minute(time(ts)), sec := second(time(ts)), " +
+          "lt := time('07:08:09'), lh := hour(time('07:08:09'))}.sort(event_id)")
+    },
+
     // Cast kit: BindCast family — text()/integer()/date() conversions.
     // (No double→text casts: engines format floats differently.)
     "q_fn_cast" -> { (s, dir) =>
@@ -170,6 +181,15 @@ object FunctionQueries extends QueryModule {
            (nullif(o_orderstatus,'O') = 'F' OR o_totalprice <= 250000) AS or3vl,
            (nullif(o_orderstatus,'O') IS NOT DISTINCT FROM NULL) AS ns_eq_null
          FROM orders ORDER BY o_orderkey""",
+    "q_fn_time" ->
+      """SELECT event_id,
+           strftime(ts, '%H:%M:%S') AS t,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(minute(ts) AS INTEGER) AS m,
+           CAST(second(ts) AS INTEGER) AS sec,
+           '07:08:09' AS lt,
+           CAST(7 AS INTEGER) AS lh
+         FROM events ORDER BY event_id""",
     "q_fn_cast" ->
       """SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR) AS key_txt,

@@ -732,6 +732,38 @@ class LangSpec extends AnyFunSuite {
     assertSameRows(reselected, expRe)
   }
 
+  test("time(): TimeDomain as normalized text with working extractors") {
+    val ev = new graft.model.Tables(spark, dir).events
+    val got = g.query("/events{event_id, t := time(ts), h := hour(time(ts)), " +
+      "sec := second(time(ts))}.sort(event_id).limit(20)")
+    val exp = ev.select(col("event_id"), date_format(col("ts"), "HH:mm:ss").as("t"),
+        hour(col("ts")).as("h"), second(col("ts")).as("sec"))
+      .orderBy("event_id").limit(20)
+    assertSameRows(got, exp)
+    // literals normalize; invalid times are NULL like the other casts
+    val row = g.query(
+      "/{lt := time('07:08:09'), lh := hour(time('07:08:09')), bad := time('25:00:00')}")
+      .collect().head
+    assert(row.getString(0) == "07:08:09")
+    assert(row.getInt(1) == 7)
+    assert(row.isNullAt(2))
+  }
+
+  test("enum labels validate at bind time") {
+    val e = intercept[PlanError](g.query("/orders?o_orderstatus='X'"))
+    assert(e.getMessage.contains("not a label of enum orders.o_orderstatus"))
+    assert(e.getMessage.contains("F, O, P"))
+    // valid labels bind and run
+    assert(g.query("/orders?o_orderstatus='F'.limit(1)").count() == 1)
+    // literal-on-left, IN-lists, and singular-chain targets validate too
+    intercept[PlanError](g.query("/orders?'Z'=o_orderstatus"))
+    intercept[PlanError](g.query("/customer?c_mktsegment=('BUILDING','BOGUS')"))
+    intercept[PlanError](g.query("/lineitem?order.o_orderstatus='Q'"))
+    // a define shadowing the enum column wins lookup, so it is exempt
+    assert(g.query("/orders.define(o_orderstatus := 'X')?o_orderstatus='X'.limit(1)")
+      .count() == 1)
+  }
+
   test("id() and locator in a projected flow are scoped errors") {
     val e1 = intercept[PlanError](g.query("/customer{c_custkey}{id()}"))
     assert(e1.getMessage.contains("table scope"))
