@@ -52,6 +52,23 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     val baseColumns: Seq[String] = explicitCols.getOrElse(tables(table).columns.toSeq)
     def isRoot: Boolean = table == "__root__"
     def isProjected: Boolean = table == "__projected__"
+    /** Pending output decoration: a `{…}` selection does NOT re-scope the
+      * flow (reference: selection decorates output, the table scope stays
+      * visible to later sieves/sorts — `tr/bind.py` keeps binding in the
+      * same lookup context). Materialized by `plan()`.
+      */
+    var selection: Option[Seq[Item]] = None
+    /** Sort deferred past a pending selection: aggregate items join onto
+      * the frame at materialization, which would destroy an eager orderBy,
+      * so the bound keys re-apply just before the final projection.
+      */
+    var pendingSort: Seq[Column] = Nil
+    /** Linked/detached aggregates already joined onto `df`, keyed by
+      * (fn, argument AST, defines snapshot) → the bound column. Lets an
+      * aggregate referenced twice (e.g. a selection alias reused in a
+      * sieve) join once instead of once per reference.
+      */
+    val aggCache = scala.collection.mutable.Map.empty[(String, Ast, Map[String, Ast]), Column]
   }
 
   /** The ROOT scope (reference: the home class): a one-row axis with no
@@ -62,22 +79,39 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     new Ctx("__root__", spark.range(1).toDF("__root"), Map.empty, Set.empty,
       Some(Seq("__root")))
 
-  /** Scope over an already-projected frame (after `{…}`, or a quotient's
-    * grouped output): names resolve to the frame's columns and the FULL
+  /** Scope over a genuinely projected frame — a quotient's grouped output
+    * or a root-scope computation. (A plain `{…}` selection does NOT come
+    * here: it decorates the surviving table scope, `Ctx.selection` —
+    * reference parity.) Names resolve to the frame's columns and the FULL
     * scalar-function surface applies — the same `applyFn` table as table
     * scopes, because the reference binds uniformly in every scope
     * (`src/htsql/core/tr/fn/bind.py` dispatches one function table
     * regardless of scope). No catalog table backs this scope, so link
     * navigation and linked aggregates report scope errors instead.
-    *
-    * Known divergence from the reference: HTSQL keeps the underlying table
-    * scope visible after a selection (a sieve after `{…}` may reference
-    * un-selected base columns); here a projected scope exposes ONLY the
-    * projected columns. Tracked in SURVEY §2.11 — re-selecting the needed
-    * column (or sieving before the projection) is the workaround.
     */
   private def projectedCtx(df: DataFrame): Ctx =
     new Ctx("__projected__", df, Map.empty, Set.empty, Some(df.columns.toSeq))
+
+  /** Replace free references to `name` (bare or `$name`) with `repl` —
+    * used to chain redefinitions lexically. Does not descend into a
+    * `given()` that rebinds the same name (that inner scope shadows).
+    */
+  private def substituteName(ast: Ast, name: String, repl: Ast): Ast = ast match {
+    case Ident(`name`) => repl
+    case Ref(`name`) => repl
+    case Apply(fn @ ("given" | "where"), args)
+        if args.tail.exists {
+          case Apply("__def", Seq(StringLit(`name`), _)) => true
+          case _ => false
+        } => Apply(fn, args) // inner := rebinds the name; leave untouched
+    case Apply(fn, args) => Apply(fn, args.map(substituteName(_, name, repl)))
+    case Compose(b, m) => Compose(substituteName(b, name, repl), m)
+    case Sieve(b, p) => Sieve(substituteName(b, name, repl), substituteName(p, name, repl))
+    case SortOp(b, keys) =>
+      SortOp(substituteName(b, name, repl),
+        keys.map(k => SortKey(substituteName(k.expr, name, repl), k.ascending)))
+    case other => other
+  }
 
   /** Re-root a flow argument's head at the home scope (used when binding
     * aggregates in the root ctx — `/count(region)` ≡ `count(@region)`).
@@ -92,7 +126,13 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   // -------------------------------------------------------------- entry --
 
   def plan(ast: Ast): DataFrame = planFlow(ast) match {
-    case Left(ctx) => ctx.df.select(ctx.baseColumns.map(col): _*)
+    case Left(ctx) =>
+      ctx.selection match {
+        case Some(items) => selectItems(ctx, items)
+        case None =>
+          val base = ctx.df.select(ctx.baseColumns.map(col): _*)
+          if (ctx.pendingSort.nonEmpty) base.orderBy(ctx.pendingSort: _*) else base
+      }
     case Right(df) => df
   }
 
@@ -144,7 +184,16 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
 
     case DefineOp(base, defs) =>
       planFlow(base) match {
-        case Left(ctx) => ctx.defines ++= defs; Left(ctx)
+        case Left(ctx) =>
+          // redefinition chains lexically: the new body sees the PREVIOUS
+          // definition of the same name (define(k := k+1) after k := x
+          // means k := x+1), matching reference lookup order
+          defs.foreach { case (n, body) =>
+            val chained = ctx.defines.get(n)
+              .map(old => substituteName(body, n, old)).getOrElse(body)
+            ctx.defines += n -> chained
+          }
+          Left(ctx)
         case Right(df) =>
           // define() over a projected flow: definitions bind against the
           // projected columns (continues as a navigable projected scope)
@@ -179,10 +228,23 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
 
     case Select(base, items) =>
       planFlow(base) match {
-        case Left(ctx) => Right(selectItems(ctx, items))
+        case Left(ctx) =>
+          // selection decorates output; the scope SURVIVES (reference
+          // parity: a later sieve/sort may reference un-selected base
+          // columns). Aliases become scope definitions; re-selection
+          // replaces the previous decoration.
+          items.foreach {
+            case Item(expr, Some(alias), _) if !expr.isInstanceOf[Segment] =>
+              val body = ctx.defines.get(alias)
+                .map(old => substituteName(expr, alias, old)).getOrElse(expr)
+              ctx.defines += alias -> body
+            case _ => ()
+          }
+          ctx.selection = Some(items)
+          Left(ctx)
         case Right(df) =>
-          // re-selection over a projected flow: same selection semantics,
-          // full function surface (wildcard expands to the projected columns)
+          // re-selection over a grouped/projected frame: selection binds
+          // against the frame's columns with the full function surface
           Right(selectItems(projectedCtx(df), items))
       }
 
@@ -198,7 +260,12 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       planFlow(base) match {
         case Left(ctx) =>
           val cols = keys.map(k => direction(bindScalar(ctx, k.expr), k.ascending))
-          ctx.df = ctx.df.orderBy(cols: _*)
+          if (ctx.selection.isDefined)
+            // defer past the pending selection: materialization may still
+            // join aggregate items onto the frame, which drops an eager
+            // order — the bound keys re-apply before the final projection
+            ctx.pendingSort = cols
+          else ctx.df = ctx.df.orderBy(cols: _*)
           Left(ctx)
         case Right(df) =>
           val ctx = projectedCtx(df)
@@ -209,6 +276,9 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case LimitOp(base, n, skip) =>
       planFlow(base) match {
         case Left(ctx) =>
+          // a deferred sort must pick the rows the limit keeps; the final
+          // re-order after materialization restores presentation order
+          if (ctx.pendingSort.nonEmpty) ctx.df = ctx.df.orderBy(ctx.pendingSort: _*)
           ctx.df = if (skip > 0) ctx.df.offset(skip).limit(n) else ctx.df.limit(n)
           Left(ctx)
         case Right(df) =>
@@ -345,7 +415,11 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
         case e => bindScalar(ctx, e)
       }).as(outName)
     }
-    val projected = ctx.df.select(cols: _*)
+    // a sort deferred past the selection re-applies now that every item is
+    // bound (aggregate joins are done) — project-after-order keeps the order
+    val ordered =
+      if (ctx.pendingSort.nonEmpty) ctx.df.orderBy(ctx.pendingSort: _*) else ctx.df
+    val projected = ordered.select(cols: _*)
     val sortCols = named.zip(finalNames).collect {
       case ((Item(_, _, Some(asc)), _), outName) => direction(col(outName), asc)
     }
@@ -1256,10 +1330,20 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   private def bindAggregate(ctx: Ctx, fn: String, args: Seq[Ast]): Column = {
     val arg = args.headOption.getOrElse(throw new PlanError(s"$fn() needs an argument"))
 
+    // window (fork) aggregates don't join, so only joining forms cache
+    val cacheable = arg match {
+      case Compose(Apply("fork", _), _) => false
+      case _ => true
+    }
+    val key = (fn, arg, ctx.defines)
+    if (cacheable) ctx.aggCache.get(key).foreach(c => return c)
+    def cached(c: Column): Column = { if (cacheable) ctx.aggCache(key) = c; c }
+
     // in the root scope every flow argument is implicitly detached
     val arg0 = if (ctx.isRoot) wrapRoot(arg) else arg
     stripDetach(arg0) match {
-      case Some((tname, rewritten)) => return bindDetachedAggregate(ctx, fn, tname, rewritten)
+      case Some((tname, rewritten)) =>
+        return cached(bindDetachedAggregate(ctx, fn, tname, rewritten))
       case None =>
     }
 
@@ -1314,10 +1398,10 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     // child FK names never collide with the parent's own columns in this
     // catalog, so a name-based drop removes exactly the join keys
     ctx.df = rootKeys.foldLeft(ctx.df.join(aggDf, cond, "left"))(_ drop _)
-    emptyDefault(fn) match {
+    cached(emptyDefault(fn) match {
       case Some(d) => coalesce(col(aggName), d)
       case None => col(aggName)
-    }
+    })
   }
 
   // ---------------------------------------------------------------- misc --

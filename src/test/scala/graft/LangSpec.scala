@@ -446,14 +446,36 @@ class LangSpec extends AnyFunSuite {
     intercept[PlanError](g.query("/region{nation.n_name}").collect())
   }
 
-  test("navigation after projection is a scoped error, never a sentinel leak") {
-    val e1 = intercept[PlanError](g.query("/customer{c_custkey}.nation"))
+  test("the table scope survives a selection (reference parity)") {
+    // sieve on an UN-selected base column after {…}
+    val got = g.query("/customer{c_custkey}?c_acctbal>0.sort(c_custkey)")
+    val exp = t("customer").filter(col("c_acctbal") > 0)
+      .select("c_custkey").orderBy("c_custkey")
+    assertSameRows(got, exp)
+    // sort by an un-selected base column; limit rides the deferred sort
+    val got2 = g.query("/customer{c_custkey}.sort(c_acctbal-, c_custkey).limit(3)")
+    val exp2 = t("customer").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .select("c_custkey").limit(3)
+    assertSameRows(got2, exp2)
+    // navigation after selection re-roots the flow (selection drops)
+    assert(g.query("/customer{c_custkey}.nation").count() == 150)
+    // linked aggregate in the sieve over a selected flow
+    val got3 = g.query("/customer{c_custkey, n := count(orders)}?n>8.sort(c_custkey)")
+    val agg = t("orders").groupBy("o_custkey").count().filter(col("count") > 8)
+    assert(got3.count() == agg.count() && got3.count() > 0)
+  }
+
+  test("navigation after a quotient projection is a scoped error, never a sentinel leak") {
+    val e1 = intercept[PlanError](
+      g.query("/(customer^c_mktsegment){seg := c_mktsegment}.nation"))
     assert(e1.getMessage.contains("cannot navigate after projection"))
     // define() keeps the projected scope navigable (Left) — same message
-    val e2 = intercept[PlanError](g.query("/customer{c_custkey}.define(x := 1).nation"))
+    val e2 = intercept[PlanError](
+      g.query("/(customer^c_mktsegment){seg := c_mktsegment}.define(x := 1).nation"))
     assert(e2.getMessage.contains("cannot navigate after projection"))
     assert(!e2.getMessage.contains("__projected__"))
-    val e3 = intercept[PlanError](g.query("/customer{c_custkey}.define(x := 1){x, /orders}"))
+    val e3 = intercept[PlanError](
+      g.query("/(customer^c_mktsegment){seg := c_mktsegment}.define(x := 1){x, /orders}"))
     assert(e3.getMessage.contains("after projection"))
     assert(!e3.getMessage.contains("__projected__"))
   }
@@ -764,13 +786,20 @@ class LangSpec extends AnyFunSuite {
       .count() == 1)
   }
 
-  test("id() and locator in a projected flow are scoped errors") {
-    val e1 = intercept[PlanError](g.query("/customer{c_custkey}{id()}"))
+  test("id() and locator after a selection keep working; quotient outputs error") {
+    // scope survives the selection, so identity stays available
+    val row = g.query("/customer{c_name}[1]").collect()
+    assert(row.length == 1)
+    assert(g.query("/customer{c_custkey}{k := id()}.sort(k).limit(2)").count() == 2)
+    // a quotient output has no identity — scoped errors, no sentinel leak
+    val e1 = intercept[PlanError](
+      g.query("/(customer^c_mktsegment){seg := c_mktsegment}{id()}"))
     assert(e1.getMessage.contains("table scope"))
-    val e2 = intercept[PlanError](g.query("/customer{c_custkey}[1]"))
+    val e2 = intercept[PlanError](
+      g.query("/(customer^c_mktsegment){seg := c_mktsegment}[1]"))
     assert(e2.getMessage.contains("table flow"))
-    // define() keeps the flow navigable but still projected — identity error
-    val e3 = intercept[PlanError](g.query("/customer{c_custkey}.define(x := 1)[1]"))
+    val e3 = intercept[PlanError](
+      g.query("/(customer^c_mktsegment){seg := c_mktsegment}.define(x := 1)[1]"))
     assert(e3.getMessage.contains("no identity"))
     assert(!e3.getMessage.contains("__projected__"))
   }
