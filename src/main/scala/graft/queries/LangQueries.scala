@@ -70,6 +70,14 @@ object LangQueries extends QueryModule {
         "?length(nm)>12&seg!='building'" +
         ".sort(replace(nm,'CUSTOMER#',''))"),
 
+    // selection decorates output, the scope SURVIVES (round-4 parity):
+    // the sieve references an UN-selected base column and navigates a
+    // singular chain AFTER `{…}` — both only visible because the table
+    // scope outlives the selection, as in the reference
+    "q_htsql_selscope" -> q(
+      "/customer{c_custkey, seg := c_mktsegment}" +
+        "?c_acctbal>0&nation.region.r_name='ASIA'.sort(c_custkey)"),
+
     // sorted+limited nested segment, flattened for the driver gate
     "q_segment_sorted" -> { (s, dir) =>
       Graft(s, dir)
@@ -149,6 +157,13 @@ object LangQueries extends QueryModule {
          FROM customer
          WHERE length(upper(c_name)) > 12 AND lower(c_mktsegment) <> 'building'
          ORDER BY replace(upper(c_name), 'CUSTOMER#', '')""",
+    "q_htsql_selscope" ->
+      """SELECT c_custkey, c_mktsegment AS seg
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE c_acctbal > 0 AND r_name = 'ASIA'
+         ORDER BY c_custkey""",
     "q_segment_sorted" ->
       """SELECT r_regionkey, pos, n_nationkey, n_name FROM (
            SELECT r_regionkey,
