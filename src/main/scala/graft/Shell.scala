@@ -56,6 +56,18 @@ object Shell {
         println(g.toText(spark.sql(line.drop(5))))
         return
       }
+      // the analogue of the reference's show-the-SQL shell command
+      // (`tweak.shell` exposes the compiled SQL of a query): print the
+      // optimized physical plan Catalyst chose for a navigational query
+      if (line.startsWith("\\explain ")) {
+        try println(g.query(line.drop(9).trim).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode))
+        catch {
+          case e: graft.lang.ParseError => System.err.println(s"parse error: ${e.getMessage}")
+          case e: graft.lang.PlanError => System.err.println(s"plan error: ${e.getMessage}")
+        }
+        return
+      }
       // `/query/:json` — the format decorator is part of the language
       // (Parser.parseCommand); legacy `:json` suffixes still parse because
       // they ARE the decorator syntax minus the slash — normalize them.

@@ -60,6 +60,19 @@ class PlanSpec extends AnyFunSuite {
       s"language projection not pruned:\n$p")
   }
 
+  test("surviving-selection sieve still pushes down and prunes") {
+    // the round-4 decorated-selection model must not cost plan quality: a
+    // sieve on an UN-selected base column after `{…}` still reaches the
+    // scan as a pushed filter, and the scan reads only the two live columns
+    val p = spark.sessionState.executePlan(
+      Graft(spark, dir).query("/customer{c_custkey}?c_acctbal>0").queryExecution.logical
+    ).executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(c_acctbal"),
+      s"post-selection sieve not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_acctbal:double>"),
+      s"post-selection scan not pruned:\n$p")
+  }
+
   test("minhash candidate generation shuffles ids only, never shingles") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
