@@ -45,7 +45,12 @@ class FuzzSpec extends AnyFunSuite {
       "{where(1+1, x := 2)}", "{/orders.sort(o_totalprice-).limit(2){o_orderkey}}",
       "{/events{event_id}}", "{count(@nosuch)}", "{n := count(@orders?o_totalprice>1)}",
       "{top(orders.sort(o_totalprice-), 2)}", "?count(orders)>2",
-      "?c_acctbal>avg(@customer.c_acctbal)", ".limit(2,1)")
+      "?c_acctbal>avg(@customer.c_acctbal)", ".limit(2,1)",
+      // round-4 surface: time kit, enum literals, surviving-selection scope
+      "{t := time('12:34:56')}", "{h := hour(time('12:34:56'))}",
+      "?o_orderstatus='F'", "?o_orderstatus='X'", "?c_mktsegment=('BUILDING','BOGUS')",
+      "{c_custkey}?c_acctbal>0", "{c_custkey}.sort(c_acctbal-)", "{c_name}[1]",
+      "{k := id()}", ".define(o_orderstatus := 'X')?o_orderstatus='X'")
     (1 to binderN).foreach { i =>
       val q = "/" + frags(rnd.nextInt(5)) +
         Iterator.fill(rnd.nextInt(4))(frags(rnd.nextInt(frags.length))).mkString
