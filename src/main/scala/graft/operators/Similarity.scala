@@ -262,17 +262,27 @@ object Similarity {
         .withColumn("cluster",
           expr("array_position(__scores, array_max(__scores))").cast("int"))
         .drop("__scores")
+    // top-R cell ids per vector, picked MAP-SIDE with array ops (sort the
+    // (score, cell) pairs, slice R) — exploding all nlist scores through a
+    // per-vector rank window would shuffle corpus×nlist rows at production
+    // cell counts. Ties break on cell index, same as the probe ranking.
+    def topCells(vec: Column, r: Int): Column = {
+      val paired = zip_with(scoresCol(vec),
+        sequence(lit(1), lit(centroids.length)),
+        (s, c) => struct(s.as("s"), c.as("c")))
+      val sorted = array_sort(paired, (a, b) =>
+        when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1)
+          .when(a.getField("c") < b.getField("c"), -1).otherwise(1))
+      slice(sorted, 1, r)
+    }
     // index-side redundant assignment: each corpus vector enters its top-R
     // cells (standard IVF recall knob — storage ×R, probe work unchanged;
     // neighbors on a cell boundary stay reachable from adjacent probes)
-    def multiAssigned(df: DataFrame, replicas: Int): DataFrame = {
-      val ws = Window.partitionBy(col("n_id")).orderBy(col("score").desc, col("cpos").asc)
+    def multiAssigned(df: DataFrame, replicas: Int): DataFrame =
       df.select(col("n_id"), col("n_vec"),
-          posexplode(scoresCol(col("n_vec"))).as(Seq("cpos", "score")))
-        .withColumn("r", row_number().over(ws))
-        .filter(col("r") <= replicas)
-        .select(col("n_id"), col("n_vec"), (col("cpos") + 1).as("cluster"))
-    }
+          explode(topCells(col("n_vec"), replicas)).as("t"))
+        .select(col("n_id"), col("n_vec"), col("t.c").as("cluster"))
 
     for (_ <- 1 to iters) {
       val means = lloydMeans(assigned(c)).collect() // ≤ nlist rows
@@ -286,12 +296,9 @@ object Similarity {
 
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val qScored = q.select(col("q_id"),
-      posexplode(scoresCol(col("q_vec"))).as(Seq("cpos", "score")))
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("cpos").asc)
-    val qProbes = qScored.withColumn("r", row_number().over(wq))
-      .filter(col("r") <= nprobe)
-      .select(col("q_id"), (col("cpos") + 1).as("cluster"))
+    // nprobe nearest cells per query — same map-side top-R selection
+    val qProbes = q.select(col("q_id"), explode(topCells(col("q_vec"), nprobe)).as("t"))
+      .select(col("q_id"), col("t.c").as("cluster"))
 
     val index = multiAssigned(c, math.max(1, assignReplicas))
     val scored = index.withColumn("n_norm", norm(col("n_vec")))
