@@ -77,17 +77,46 @@ object Multimodal {
   /** Demo ingestion: wrap the `documents` table's text bytes as fake media
     * payloads (the environment has no real media files) — exercises the
     * binary column + metadata struct + decode pipeline end to end.
+    * `mimeCol` lets callers assign media types (the default marks nothing
+    * as video; pass a CASE over doc ids to exercise the video path).
     */
-  def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+  def documentsAsMedia(spark: SparkSession, docs: DataFrame,
+      mimeCol: org.apache.spark.sql.Column = null): Dataset[MediaRow] = {
     import spark.implicits._
+    val mime = Option(mimeCol).getOrElse(concat(lit("fake/"), col("source")))
     docs.select(
       col("doc_id").as("mediaId"),
       encode(col("text"), "UTF-8").as("payload"),
       struct(
-        concat(lit("fake/"), col("source")).as("mime"),
+        mime.as("mime"),
         col("n_chars").as("sizeBytes"),
         concat(lit("mem://doc/"), col("doc_id")).as("sourceUri")
       ).as("meta")
     ).as[MediaRow]
+  }
+
+  /** Resize stage: fit decoded dimensions within (maxW, maxH) preserving
+    * aspect ratio, never upscaling. The dimension math is codec-independent
+    * and runs as pure codegen'd column arithmetic — only the pixel
+    * resampling itself belongs behind the `MediaDecoder` seam.
+    */
+  def resizeTo(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val factor = least(lit(1.0),
+      lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"))
+    features
+      .withColumn("r_width", greatest(lit(1L), round(col("width") * factor).cast("long")))
+      .withColumn("r_height", greatest(lit(1L), round(col("height") * factor).cast("long")))
+  }
+
+  /** Frame-sampling stage: up to `targetFrames` evenly-spaced frame indices
+    * per media row (step = ceil(nFrames / target)), exploded to one row per
+    * kept frame — the planning half of video decode ("which frames reach
+    * the decoder"), as pure column ops; images sample their single frame.
+    */
+  def sampleFrames(features: DataFrame, targetFrames: Int): DataFrame = {
+    val step = greatest(lit(1L),
+      ceil(col("nFrames") / lit(targetFrames.toDouble)).cast("long"))
+    features.withColumn("frame_idx",
+      explode(sequence(lit(0L), col("nFrames").cast("long") - 1, step)))
   }
 }

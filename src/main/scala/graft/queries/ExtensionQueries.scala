@@ -233,6 +233,22 @@ object ExtensionQueries extends QueryModule {
           col("height").cast("long").as("height"),
           col("nFrames").cast("long").as("n_frames"))
         .orderBy("media_id")
+    },
+
+    // resize + frame-sample stages over the decoded features (every third
+    // doc plays a video so the multi-frame path is exercised); dimension
+    // and frame-index math is codec-independent column arithmetic, so the
+    // oracle checks it exactly
+    "q_media_frames" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val media = Multimodal.documentsAsMedia(s, t.documents,
+        when(col("doc_id") % 3 === 0, lit("video/mp4"))
+          .otherwise(concat(lit("image/"), col("source"))))
+      val feats = Multimodal.decodeFeatures(media).toDF()
+      Multimodal.sampleFrames(Multimodal.resizeTo(feats, 256, 256), targetFrames = 4)
+        .select(col("mediaId").as("media_id"), col("r_width"), col("r_height"),
+          col("frame_idx"))
+        .orderBy("media_id", "frame_idx")
     }
   )
 
@@ -450,6 +466,46 @@ object ExtensionQueries extends QueryModule {
            (hv // 640) % 480 + 16 AS height,
            CASE WHEN ('fake/' || source) LIKE 'video/%' THEN hv % 120 + 1 ELSE 1 END AS n_frames
          FROM h ORDER BY media_id""",
+    "q_media_frames" ->
+      """WITH b AS (
+           SELECT doc_id, lower(hex(encode(text))) AS hx,
+                  octet_length(encode(text)) AS nb, source
+           FROM documents),
+         bytes AS (
+           SELECT doc_id, source,
+             list_transform(range(1, nb + 1),
+               i -> (strpos('0123456789abcdef', substr(hx, 2*i - 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1)) AS ub
+           FROM b),
+         h AS (
+           SELECT doc_id, source,
+             list_reduce(
+               list_prepend(CAST(1 AS BIGINT),
+                 list_transform(ub, v -> CAST(CASE WHEN v >= 128 THEN v - 256 ELSE v END AS BIGINT))),
+               (acc, v) -> ((acc * 31 + v) % 4294967296 + 4294967296) % 4294967296) % 2147483648 AS hv
+           FROM bytes),
+         dims AS (
+           SELECT doc_id AS media_id,
+             hv % 640 + 16 AS width,
+             (hv // 640) % 480 + 16 AS height,
+             CASE WHEN (CASE WHEN doc_id % 3 = 0 THEN 'video/mp4'
+                             ELSE 'image/' || source END) LIKE 'video/%'
+                  THEN hv % 120 + 1 ELSE 1 END AS n_frames
+           FROM h),
+         rs AS (
+           SELECT media_id, width, height, n_frames,
+             least(1.0, 256.0 / width, 256.0 / height) AS f
+           FROM dims),
+         rr AS (
+           SELECT media_id,
+             CAST(greatest(1, CAST(round(width * f) AS BIGINT)) AS BIGINT) AS r_width,
+             CAST(greatest(1, CAST(round(height * f) AS BIGINT)) AS BIGINT) AS r_height,
+             CAST(greatest(1, CAST(ceil(n_frames / 4.0) AS BIGINT)) AS BIGINT) AS step,
+             n_frames
+           FROM rs)
+         SELECT media_id, r_width, r_height,
+           unnest(range(0, n_frames, step)) AS frame_idx
+         FROM rr ORDER BY media_id, frame_idx""",
     "q_text_fingerprint" ->
       """SELECT doc_id,
            list_reduce(

@@ -195,6 +195,28 @@ class OperatorSpec extends AnyFunSuite {
     assert((1L to 64L).forall(cc(_) == 1L))
   }
 
+  test("media resize bounds dimensions; frame sampling stays within target") {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val docs = t("documents")
+    val media = graft.operators.Multimodal.documentsAsMedia(spark, docs,
+      when(col("doc_id") % 3 === 0, lit("video/mp4"))
+        .otherwise(concat(lit("image/"), col("source"))))
+    val feats = graft.operators.Multimodal.decodeFeatures(media).toDF()
+    val sampled = graft.operators.Multimodal.sampleFrames(
+      graft.operators.Multimodal.resizeTo(feats, 256, 256), targetFrames = 4)
+    val rows = sampled.collect()
+    // resize never exceeds the box and never upscales past the original
+    rows.foreach { r =>
+      assert(r.getAs[Long]("r_width") <= 256 && r.getAs[Long]("r_height") <= 256)
+      assert(r.getAs[Long]("r_width") <= r.getAs[Int]("width"))
+    }
+    // ≤ target frames per media row; videos (doc_id % 3 == 0) may have many
+    val perMedia = rows.groupBy(_.getAs[Long]("mediaId")).view.mapValues(_.length)
+    assert(perMedia.values.forall(_ <= 4))
+    assert(rows.exists(r => r.getAs[Long]("mediaId") % 3 == 0 && r.getAs[Long]("frame_idx") > 0),
+      "no video sampled more than one frame")
+  }
+
   test("nearDupClusters covers every doc and keep-list is one per cluster") {
     val docs = t("documents")
     val cl = Dedup.nearDupClusters(docs, "doc_id", "text")
