@@ -54,7 +54,7 @@ final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Cata
     val header = df.columns.mkString(",")
     val rows = df.limit(maxRows).collect().map(_.toSeq.map {
       case null => ""
-      case s: String if s.contains(",") || s.contains("\"") =>
+      case s: String if s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r') =>
         "\"" + s.replace("\"", "\"\"") + "\""
       case v => v.toString
     }.mkString(","))

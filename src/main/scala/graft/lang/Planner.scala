@@ -52,6 +52,14 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     val baseColumns: Seq[String] = explicitCols.getOrElse(tables(table).columns.toSeq)
     def isRoot: Boolean = table == "__root__"
     def isProjected: Boolean = table == "__projected__"
+    /** Names in `defines` that were INHERITED from an enclosing scope
+      * (aggregate child flows, segments, detached flows carry the parent's
+      * definitions in). An inherited name must not shadow this scope's own
+      * columns — the reference resolves the inner scope's attributes first
+      * — while a definition made IN this scope still wins (redefinition).
+      */
+    var inherited: Set[String] = Set.empty
+
     /** Pending output decoration: a `{…}` selection does NOT re-scope the
       * flow (reference: selection decorates output, the table scope stays
       * visible to later sieves/sorts — `tr/bind.py` keeps binding in the
@@ -192,6 +200,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
             val chained = ctx.defines.get(n)
               .map(old => substituteName(body, n, old)).getOrElse(body)
             ctx.defines += n -> chained
+            ctx.inherited -= n
           }
           Left(ctx)
         case Right(df) =>
@@ -238,6 +247,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
               val body = ctx.defines.get(alias)
                 .map(old => substituteName(expr, alias, old)).getOrElse(expr)
               ctx.defines += alias -> body
+              ctx.inherited -= alias
             case _ => ()
           }
           ctx.selection = Some(items)
@@ -423,7 +433,12 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     val sortCols = named.zip(finalNames).collect {
       case ((Item(_, _, Some(asc)), _), outName) => direction(col(outName), asc)
     }
-    if (sortCols.nonEmpty) projected.orderBy(sortCols: _*) else projected
+    // pendingSort comes from a LATER `.sort()` in the pipeline, so it wins
+    // over the selection's own direction decorators (`{x-}.sort(y)` orders
+    // by y) — matching the pre-decoration behavior where the later sort
+    // re-ordered the projected frame
+    if (sortCols.nonEmpty && ctx.pendingSort.isEmpty) projected.orderBy(sortCols: _*)
+    else projected
   }
 
   // ------------------------------------------------------ nested segments
@@ -478,6 +493,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
         if (!catalog.isTable(label))
           throw new PlanError(s"unknown table '$label' in root segment")
         val c = new Ctx(label, tables(label), ctx.defines, Set.empty)
+        c.inherited = ctx.defines.keySet
         (c.df, Seq.empty[String], c)
       } else if (catalog.reverseLink(ctx.table, label).isEmpty) {
         throw new PlanError(s"segment '/$label' requires a plural link from " +
@@ -804,10 +820,16 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     // defines FIRST: the most recent definition wins over a same-named
     // column (reference lookup order — `define(a := b+1)` after a
     // projection of `a` must not be silently shadowed by the column).
+    // EXCEPT names merely inherited from an enclosing scope: the inner
+    // scope's own columns beat those (reference: inner lookup first), so a
+    // parent selection alias can't capture a child-table column inside an
+    // aggregate or segment.
     // The body binds with its own name OFF the scope: `define(x := x+1)`
     // reads the underlying column, and definition cycles terminate in an
     // unknown-name error instead of recursing.
     ctx.defines.get(name) match {
+      case Some(_) if ctx.inherited(name) && ctx.baseColumns.contains(name) =>
+        col(name)
       case Some(d) =>
         val saved = ctx.defines
         ctx.defines -= name
@@ -900,8 +922,11 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
           s"given() arguments after the first must be `name := expr`, got: $other")
       }
       val saved = ctx.defines
+      val savedInherited = ctx.inherited
       ctx.defines ++= defs
-      try bindScalar(ctx, args.head) finally ctx.defines = saved
+      ctx.inherited --= defs.map(_._1)
+      try bindScalar(ctx, args.head)
+      finally { ctx.defines = saved; ctx.inherited = savedInherited }
     case "__def" =>
       throw new PlanError("`name := expr` is only valid as a given() argument")
     case "@" =>
@@ -1195,6 +1220,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     val first = catalog.reverseLink(ctx.table, chain.head).getOrElse(
       throw new PlanError(s"'${ctx.table}.${chain.head}' is not a plural link"))
     var childCtx = new Ctx(first.childTable, tables(first.childTable), ctx.defines, Set.empty)
+    childCtx.inherited = ctx.defines.keySet
     var rootKeys = first.childCols
     chain.tail.foreach { label =>
       val link = catalog.reverseLink(childCtx.table, label).getOrElse(
@@ -1203,6 +1229,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       // can be grouped straight back to the original axis
       val prev = childCtx.df.select((rootKeys ++ link.parentCols).distinct.map(col): _*)
       val next = new Ctx(link.childTable, tables(link.childTable), ctx.defines, Set.empty)
+      next.inherited = ctx.defines.keySet
       val cond = link.childCols.zip(link.parentCols)
         .map { case (c, p) => next.df(c) === prev(p) }.reduce(_ && _)
       next.df = next.df.join(prev, cond, "inner")
@@ -1302,6 +1329,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     if (!catalog.isTable(tname))
       throw new PlanError(s"'@$tname' is not a table")
     val childCtx = new Ctx(tname, tables(tname), ctx.defines, Set.empty)
+    childCtx.inherited = ctx.defines.keySet
     val bare: Column = fn match {
       case "exists" | "any" | "every" => lit(true)
       case _ => lit(1L)
@@ -1335,7 +1363,20 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       case Compose(Apply("fork", _), _) => false
       case _ => true
     }
-    val key = (fn, arg, ctx.defines)
+    // key on the defines the argument can actually SEE (its free names):
+    // a full-snapshot key would miss the advertised reuse case, because a
+    // selection alias binds its body with itself self-removed while the
+    // materialization bind runs under the full map
+    def freeNames(a: Ast): Set[String] = a match {
+      case Ident(n) => Set(n)
+      case Ref(n) => Set(n)
+      case Apply(_, as) => as.flatMap(freeNames).toSet
+      case Compose(b, m) => freeNames(b) ++ freeNames(m)
+      case Sieve(b, p) => freeNames(b) ++ freeNames(p)
+      case SortOp(b, ks) => freeNames(b) ++ ks.flatMap(k => freeNames(k.expr))
+      case _ => Set.empty
+    }
+    val key = (fn, arg, ctx.defines.view.filterKeys(freeNames(arg)).toMap)
     if (cacheable) ctx.aggCache.get(key).foreach(c => return c)
     def cached(c: Column): Column = { if (cacheable) ctx.aggCache(key) = c; c }
 

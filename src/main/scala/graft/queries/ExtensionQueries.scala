@@ -192,7 +192,7 @@ object ExtensionQueries extends QueryModule {
       val t = new Tables(s, dir)
       val queries = t.embeddings.filter(col("vec_id") < 8)
       Similarity.ivfTopK(t.embeddings, queries, "vec_id", "embedding",
-        dim = 64, k = 3, nlist = 16, nprobe = 4)
+        k = 3, nlist = 16, nprobe = 4)
         .select("q_id", "n_id", "rank")
         .orderBy("q_id", "rank")
     },

@@ -446,6 +446,28 @@ class LangSpec extends AnyFunSuite {
     intercept[PlanError](g.query("/region{nation.n_name}").collect())
   }
 
+  test("a later .sort() wins over the selection's direction decorators") {
+    val got = g.query("/customer{c_custkey, c_acctbal-}.sort(c_custkey).limit(5)")
+    val exp = t("customer").orderBy("c_custkey")
+      .select(col("c_custkey"), col("c_acctbal")).limit(5)
+    assertSameRows(got, exp)
+  }
+
+  test("a parent selection alias does not capture a child-scope column") {
+    // `nm` aliases a CUSTOMER column; inside the orders aggregate the child
+    // scope's own columns must still win over the inherited definition —
+    // and a child column named by the alias body must not leak across
+    val got = g.query(
+      "/customer{c_custkey, nm := c_name}?count(orders?o_totalprice>400000)>0.sort(c_custkey)")
+    val agg = t("orders").filter(col("o_totalprice") > 400000)
+      .select("o_custkey").distinct()
+    assert(got.count() == agg.count() && got.count() > 0)
+    // alias sharing a CHILD column's name: child scope reads its own column
+    val got2 = g.query(
+      "/customer{c_custkey, o_totalprice := c_acctbal}?count(orders?o_totalprice>400000)>0")
+    assert(got2.count() == agg.count())
+  }
+
   test("the table scope survives a selection (reference parity)") {
     // sieve on an UN-selected base column after {…}
     val got = g.query("/customer{c_custkey}?c_acctbal>0.sort(c_custkey)")

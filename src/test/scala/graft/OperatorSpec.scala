@@ -67,7 +67,7 @@ class OperatorSpec extends AnyFunSuite {
     val q = emb.filter(col("vec_id") < 8)
     val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def ivf() = Similarity.ivfTopK(emb, q, "vec_id", "embedding", dim = 64,
+    def ivf() = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
       k = 5, nlist = 16, nprobe = 4)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = ivf()
