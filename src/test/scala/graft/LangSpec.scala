@@ -446,6 +446,30 @@ class LangSpec extends AnyFunSuite {
     intercept[PlanError](g.query("/region{nation.n_name}").collect())
   }
 
+  test("selection items can reference earlier aliases in the same selection") {
+    val got = g.query("/customer{c_custkey, half := c_acctbal/2, q := half/2}.sort(c_custkey)")
+    val exp = t("customer").select(col("c_custkey"),
+        (col("c_acctbal") / 2).as("half"), (col("c_acctbal") / 2 / 2).as("q"))
+      .orderBy("c_custkey")
+    assertSameRows(got, exp)
+  }
+
+  test("define() with an aggregate body is usable in sieves and output") {
+    val got = g.query(
+      "/customer.define(total := sum(orders.o_totalprice))?total>400000{c_custkey, total}.sort(c_custkey)")
+    val agg = t("orders").groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").as("total"))
+      .filter(col("total") > 400000)
+    val exp = t("customer").join(agg, col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "total").orderBy("c_custkey")
+    assertSameRows(got, exp)
+    // the aggCache collapses the sieve-time and output binds to ONE join
+    val joins = got.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.length == 1, s"aggregate joined more than once:\n${got.queryExecution.optimizedPlan}")
+  }
+
   test("a later .sort() wins over the selection's direction decorators") {
     val got = g.query("/customer{c_custkey, c_acctbal-}.sort(c_custkey).limit(5)")
     val exp = t("customer").orderBy("c_custkey")
