@@ -446,6 +446,25 @@ class LangSpec extends AnyFunSuite {
     intercept[PlanError](g.query("/region{nation.n_name}").collect())
   }
 
+  test("quotients and re-selections compose over selected flows via aliases") {
+    // alias as quotient kernel over a selected flow
+    val distinctSegs = g.query("/customer{seg := c_mktsegment}^seg")
+    assert(distinctSegs.collect().map(_.getString(0)).toSet ==
+      t("customer").select("c_mktsegment").distinct().collect().map(_.getString(0)).toSet)
+    // full quotient selection (complement count) over the selected flow
+    val grouped = g.query("/(customer{seg := c_mktsegment}^seg){seg, n := count(^)}.sort(seg)")
+    val expGrouped = t("customer").groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n")).orderBy("seg")
+    assertSameRows(grouped, expGrouped)
+    // re-selection referencing an aggregate alias from the first selection
+    val re = g.query("/customer{c_custkey, n := count(orders)}{c_custkey, n2 := n*2}.sort(c_custkey)")
+    val agg = t("orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val expRe = t("customer").join(agg, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), (coalesce(col("cnt"), lit(0L)) * 2).as("n2"))
+      .orderBy("c_custkey")
+    assertSameRows(re, expRe)
+  }
+
   test("selection items can reference earlier aliases in the same selection") {
     val got = g.query("/customer{c_custkey, half := c_acctbal/2, q := half/2}.sort(c_custkey)")
     val exp = t("customer").select(col("c_custkey"),
