@@ -250,6 +250,16 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
               ctx.inherited -= alias
             case _ => ()
           }
+          // direction decorators ARE this selection's ordering: translate
+          // them into the deferred sort, so a later `.limit()` picks its
+          // rows under this order, and a later `.sort()` or decorated
+          // re-selection REPLACES it (later op wins). A decorator-less
+          // re-selection leaves the standing flow order alone.
+          val decor = items.collect {
+            case Item(e, _, Some(asc)) if !e.isInstanceOf[Segment] =>
+              direction(bindScalar(ctx, e), asc)
+          }
+          if (decor.nonEmpty) ctx.pendingSort = decor
           ctx.selection = Some(items)
           Left(ctx)
         case Right(df) =>
@@ -507,7 +517,11 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     var segLimit: Option[(Int, Int)] = None
     stack.foreach {
       case Sieve(_, pred) => sieveCtx(childCtx, pred)
-      case DefineOp(_, defs) => childCtx.defines ++= defs
+      case DefineOp(_, defs) =>
+        // segment-local definitions are LOCAL: clear the inherited mark so
+        // they win over same-named child columns like every other define
+        childCtx.defines ++= defs
+        childCtx.inherited --= defs.map(_._1)
       case SortOp(_, keys) => sortKeys = keys
       case LimitOp(_, n, skip) => segLimit = Some((n, skip))
       case Select(_, items) => outItems = Some(items)
@@ -1095,8 +1109,12 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   private def columnTarget(ctx: Ctx, ast: Ast): Option[(String, String)] = {
     if (ctx.isRoot || ctx.isProjected) return None
     ast match {
-      // a define shadowing the column wins at lookup, so don't enum-check it
-      case Ident(n) if !ctx.defines.contains(n) => Some((ctx.table, n))
+      // skip only when a define actually WINS lookup; an INHERITED name
+      // that loses to this scope's own column still reads the column, so
+      // the enum check must still apply there
+      case Ident(n) if !ctx.defines.contains(n) ||
+          (ctx.inherited(n) && ctx.baseColumns.contains(n)) =>
+        Some((ctx.table, n))
       case Compose(_, _) =>
         try {
           val ls = chainLabels(ast)
@@ -1363,10 +1381,12 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       case Compose(Apply("fork", _), _) => false
       case _ => true
     }
-    // key on the defines the argument can actually SEE (its free names):
-    // a full-snapshot key would miss the advertised reuse case, because a
-    // selection alias binds its body with itself self-removed while the
-    // materialization bind runs under the full map
+    // key on the defines the argument can actually SEE — its free names,
+    // closed TRANSITIVELY through define bodies (x := y means a
+    // redefinition of y must change x's key too). A full-snapshot key
+    // would miss the advertised reuse case, because a selection alias
+    // binds its body with itself self-removed while the materialization
+    // bind runs under the full map.
     def freeNames(a: Ast): Set[String] = a match {
       case Ident(n) => Set(n)
       case Ref(n) => Set(n)
@@ -1376,7 +1396,15 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       case SortOp(b, ks) => freeNames(b) ++ ks.flatMap(k => freeNames(k.expr))
       case _ => Set.empty
     }
-    val key = (fn, arg, ctx.defines.view.filterKeys(freeNames(arg)).toMap)
+    @annotation.tailrec
+    def closure(names: Set[String], seen: Set[String]): Set[String] = {
+      val fresh = names -- seen
+      if (fresh.isEmpty) names
+      else closure(names ++ fresh.flatMap(n =>
+        ctx.defines.get(n).map(freeNames).getOrElse(Set.empty)), seen ++ fresh)
+    }
+    val key = (fn, arg,
+      ctx.defines.view.filterKeys(closure(freeNames(arg), Set.empty)).toMap)
     if (cacheable) ctx.aggCache.get(key).foreach(c => return c)
     def cached(c: Column): Column = { if (cacheable) ctx.aggCache(key) = c; c }
 

@@ -211,18 +211,15 @@ object Similarity {
     // bounded cosine metric (d ∈ [0,2]) squaring over-rewards outliers and
     // measurably hurts probe recall here (0.825 vs 0.925 at the gate
     // params) — the gentler roulette still spreads seeds across density
-    def w(i: Int): Double = minDist(i)
     var chosen = 1
     while (chosen < k) {
-      var total = 0d
-      var j = 0
-      while (j < pool.length) { total += w(j); j += 1 }
+      val total = minDist.sum
       val pick =
         if (total <= 0d) chosen % pool.length // degenerate pool: round-robin
         else {
           var r = rnd.nextDouble() * total
           var i = 0
-          while (i < pool.length - 1 && r >= w(i)) { r -= w(i); i += 1 }
+          while (i < pool.length - 1 && r >= minDist(i)) { r -= minDist(i); i += 1 }
           i
         }
       val s = pool(pick)

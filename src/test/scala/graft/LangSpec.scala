@@ -489,6 +489,42 @@ class LangSpec extends AnyFunSuite {
     assert(joins.length == 1, s"aggregate joined more than once:\n${got.queryExecution.optimizedPlan}")
   }
 
+  test("aggregate cache invalidates when a transitive define dependency changes") {
+    // x := y; redefining y must rebind count(orders?o_totalprice>x)
+    val got = g.query(
+      "/customer.define(y := 100000).define(x := y)?count(orders?o_totalprice>x)>0" +
+        ".define(y := 400000)?count(orders?o_totalprice>x)>0{c_custkey}.sort(c_custkey)")
+    val exp = t("orders").filter(col("o_totalprice") > 400000)
+      .select("o_custkey").distinct().count()
+    assert(got.count() == exp && exp > 0)
+  }
+
+  test("re-selection decorators replace a deferred sort and order a later limit") {
+    val got = g.query("/customer{c_custkey}.sort(c_acctbal){c_custkey-}.limit(5)")
+    val exp = t("customer").select("c_custkey").orderBy(col("c_custkey").desc).limit(5)
+    assertSameRows(got, exp)
+    // decorator + later limit without an intervening sort: top-5 by the
+    // decorator, not 5 arbitrary rows sorted afterwards
+    val got2 = g.query("/customer{c_custkey, c_acctbal-}.limit(5)")
+    val exp2 = t("customer").orderBy(col("c_acctbal").desc)
+      .select("c_custkey", "c_acctbal").limit(5)
+    assertSameRows(got2, exp2)
+  }
+
+  test("segment-local define() wins over a same-named inherited definition") {
+    val got = g.query(
+      "/region.define(n_name := 'P'){r_regionkey, /nation.define(n_name := 'Q'){lbl := n_name}}" +
+        ".sort(r_regionkey)").collect()
+    val seg = got.head.getSeq[org.apache.spark.sql.Row](1)
+    assert(seg.nonEmpty && seg.forall(_.getString(0) == "Q"))
+  }
+
+  test("enum validation still applies when the column wins over an inherited alias") {
+    val e = intercept[PlanError](g.query(
+      "/customer{c_custkey, o_orderstatus := c_name}?count(orders?o_orderstatus='BOGUS')>0"))
+    assert(e.getMessage.contains("not a label of enum orders.o_orderstatus"))
+  }
+
   test("a later .sort() wins over the selection's direction decorators") {
     val got = g.query("/customer{c_custkey, c_acctbal-}.sort(c_custkey).limit(5)")
     val exp = t("customer").orderBy("c_custkey")
