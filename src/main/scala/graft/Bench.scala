@@ -65,7 +65,10 @@ object Bench {
     val failJson = failures
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failJson,"sf":"$sfDir"}""")
+    // headline fields LAST: the driver keeps only a tail of stdout, and the
+    // per-query map is long enough to push a leading "value" out of the
+    // window (JSON key order is semantically irrelevant)
+    println(s"""{"queries":$qs,"failures":$failJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

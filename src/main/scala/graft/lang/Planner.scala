@@ -118,6 +118,28 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     case SortOp(b, keys) =>
       SortOp(substituteName(b, name, repl),
         keys.map(k => SortKey(substituteName(k.expr, name, repl), k.ascending)))
+    case Select(b, items) =>
+      // an item alias `name := …` rebinds the name for LATER items (its own
+      // body still sees the previous binding — chaining); stop substituting
+      // from the item after the shadow
+      val shadowAt = items.indexWhere(_.alias.contains(name))
+      Select(substituteName(b, name, repl), items.zipWithIndex.map { case (it, i) =>
+        if (shadowAt >= 0 && i > shadowAt) it
+        else it.copy(expr = substituteName(it.expr, name, repl))
+      })
+    case Quotient(b, kernels) =>
+      Quotient(substituteName(b, name, repl), kernels.map(substituteName(_, name, repl)))
+    case LimitOp(b, n, skip) => LimitOp(substituteName(b, name, repl), n, skip)
+    case Locator(b, ids) => Locator(substituteName(b, name, repl), ids)
+    case Segment(f) => Segment(substituteName(f, name, repl))
+    case DefineOp(b, defs) =>
+      // same shadowing rule as given(): a def of the same name rebinds it
+      // for later defs; its own body chains through the previous binding
+      val shadowAt = defs.indexWhere(_._1 == name)
+      DefineOp(substituteName(b, name, repl), defs.zipWithIndex.map { case ((n2, body), i) =>
+        if (shadowAt >= 0 && i > shadowAt) (n2, body)
+        else (n2, substituteName(body, name, repl))
+      })
     case other => other
   }
 
@@ -241,26 +263,35 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
           // selection decorates output; the scope SURVIVES (reference
           // parity: a later sieve/sort may reference un-selected base
           // columns). Aliases become scope definitions; re-selection
-          // replaces the previous decoration.
-          items.foreach {
-            case Item(expr, Some(alias), _) if !expr.isInstanceOf[Segment] =>
+          // replaces the previous decoration. Each aliased item's expr is
+          // SNAPSHOTTED as its chained body — the item then binds with its
+          // own name OFF the scope, applying the definition exactly once
+          // (binding the raw expr would resolve its free occurrence of the
+          // alias through the just-registered definition a second time:
+          // {k := k+1} must read the underlying column, not k+1+1), and a
+          // define() AFTER the selection redefines the name for later
+          // sieves/sorts without rewriting the already-chosen output
+          // (reference: the selector binds where it appears).
+          val snap = items.map {
+            case it @ Item(expr, Some(alias), _) if !expr.isInstanceOf[Segment] =>
               val body = ctx.defines.get(alias)
                 .map(old => substituteName(expr, alias, old)).getOrElse(expr)
               ctx.defines += alias -> body
               ctx.inherited -= alias
-            case _ => ()
+              it.copy(expr = body)
+            case it => it
           }
           // direction decorators ARE this selection's ordering: translate
           // them into the deferred sort, so a later `.limit()` picks its
           // rows under this order, and a later `.sort()` or decorated
           // re-selection REPLACES it (later op wins). A decorator-less
           // re-selection leaves the standing flow order alone.
-          val decor = items.collect {
-            case Item(e, _, Some(asc)) if !e.isInstanceOf[Segment] =>
-              direction(bindScalar(ctx, e), asc)
+          val decor = snap.collect {
+            case Item(e, alias, Some(asc)) if !e.isInstanceOf[Segment] =>
+              direction(bindSansAlias(ctx, e, alias), asc)
           }
           if (decor.nonEmpty) ctx.pendingSort = decor
-          ctx.selection = Some(items)
+          ctx.selection = Some(snap)
           Left(ctx)
         case Right(df) =>
           // re-selection over a grouped/projected frame: selection binds
@@ -432,7 +463,9 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
         case Segment(flow) => planSegment(ctx, flow)
         case Apply("top", args) if args.nonEmpty && isFlowArg(ctx, args.head) =>
           planTop(ctx, args.head, args.lift(1))
-        case e => bindScalar(ctx, e)
+        // aliased items bind their snapshotted body with the alias off the
+        // scope — one application of the definition (see the Select branch)
+        case e => bindSansAlias(ctx, e, it.alias)
       }).as(outName)
     }
     // a sort deferred past the selection re-applies now that every item is
@@ -808,6 +841,20 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
 
   private def bindScalar(ctx: Ctx, ast: Ast): Column =
     reposition(ast)(bindScalarImpl(ctx, ast))
+
+  /** Bind a selection item's (snapshotted) body with its own alias removed
+    * from the scope: the definition was already applied by the Select-time
+    * chaining, so a free occurrence of the name inside the body must reach
+    * the underlying column / older scope, never re-enter the definition.
+    */
+  private def bindSansAlias(ctx: Ctx, e: Ast, alias: Option[String]): Column =
+    alias match {
+      case Some(a) if ctx.defines.contains(a) =>
+        val saved = ctx.defines
+        ctx.defines -= a
+        try bindScalar(ctx, e) finally ctx.defines = saved
+      case _ => bindScalar(ctx, e)
+    }
 
   private def bindScalarImpl(ctx: Ctx, ast: Ast): Column = ast match {
     case NumberLit(v) =>

@@ -116,7 +116,11 @@ object Multimodal {
   def sampleFrames(features: DataFrame, targetFrames: Int): DataFrame = {
     val step = greatest(lit(1L),
       ceil(col("nFrames") / lit(targetFrames.toDouble)).cast("long"))
-    features.withColumn("frame_idx",
-      explode(sequence(lit(0L), col("nFrames").cast("long") - 1, step)))
+    // a frame-less row (nFrames <= 0) contributes no rows rather than
+    // making sequence() throw on an empty 0..-1 range
+    features
+      .filter(col("nFrames") > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("nFrames").cast("long") - 1, step)))
   }
 }

@@ -436,6 +436,15 @@ class LangSpec extends AnyFunSuite {
       (" " * ("  in query: ".length + 10)) + "^")
   }
 
+  test("caret lands on the right line of a multi-line query") {
+    val e = intercept[PlanError](g.query("/customer{c_custkey,\n  c_bogus}"))
+    assert(e.getMessage ==
+      "unknown attribute 'customer.c_bogus'\n" +
+      "  in query: /customer{c_custkey,\n" +
+      "              c_bogus}\n" +
+      (" " * ("  in query: ".length + 2)) + "^")
+  }
+
   test("caret lands mid-expression, not at the query head") {
     val e = intercept[PlanError](g.query("/customer{c_custkey, c_acctbal + oops}"))
     assert(e.pos == "/customer{c_custkey, c_acctbal + ".length)
@@ -463,6 +472,27 @@ class LangSpec extends AnyFunSuite {
       .select(col("c_custkey"), (coalesce(col("cnt"), lit(0L)) * 2).as("n2"))
       .orderBy("c_custkey")
     assertSameRows(re, expRe)
+  }
+
+  test("a self-referencing selection alias applies its body exactly once") {
+    // {x := x+1} reads the underlying column — NOT the new definition
+    // (double-application would yield 2..6)
+    val got = g.query("/region{r_regionkey := r_regionkey+1}.sort(r_regionkey)")
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // re-selection chaining: the second k sees the FIRST k, once (×2, not ×4)
+    val got2 = g.query("/region{k := r_regionkey}{k := k*2}.sort(k)")
+    assert(got2.collect().map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    // a direction decorator on the self-referencing alias orders by the
+    // single application too
+    val got3 = g.query("/region{r_regionkey := r_regionkey+1 -}.limit(2)")
+    assert(got3.collect().map(_.getLong(0)).toSeq == Seq(5L, 4L))
+  }
+
+  test("define() after a selection rebinds later sieves, not the chosen output") {
+    // the selector binds where it appears (reference parity): the sieve
+    // sees k := k+1 (column+1 > 2), the output keeps k = column
+    val got = g.query("/region{k := r_regionkey}.define(k := k+1)?k>2.sort(k)")
+    assert(got.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(2L, 3L, 4L))
   }
 
   test("selection items can reference earlier aliases in the same selection") {
