@@ -188,12 +188,14 @@ object Dedup {
     * turns near-dup PAIRS into dedup CLUSTERS (a, b) + (b, c) must collapse
     * to ONE kept document, which pairwise output alone can't express.
     *
-    * Min-label propagation with POINTER JUMPING: each round every node
-    * adopts the minimum label among itself and its neighbors (one shuffle
-    * join + one partial-aggregating groupBy), then label paths halve via
+    * Min-label propagation with DEFERRED POINTER JUMPING: each round every
+    * node adopts the minimum label among itself and its neighbors (one
+    * shuffle join + one partial-aggregating groupBy, fused via a message
+    * union); from round `jumpAfter` on, label paths additionally halve via
     * `comp := comp(comp)` (one node-sized self-join) — so chain-shaped
     * graphs converge in O(log diameter) rounds, not O(diameter), while
-    * near-clique dup clusters still finish in 1-2 rounds. The convergence
+    * near-clique dup clusters pay nothing for the jump they never need
+    * (they finish in 1-2 plain rounds). The convergence
     * check FOLDS into the round's single job: the next frame is a lazy
     * `localCheckpoint` and the changed-count aggregate is the action that
     * materializes it, so the driver sees one counter per round and no
@@ -201,7 +203,7 @@ object Dedup {
     * releases in `finally`, including on the non-convergence throw.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 25, jumpAfter: Int = 3): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -215,19 +217,38 @@ object Dedup {
       var changed = 1L
       var i = 0
       while (changed > 0 && i < maxIter) {
-        val nbrMin = edges.join(labels.select(col("id").as("dst_id"), col("comp").as("dst_comp")),
-            col("dst") === col("dst_id"))
-          .groupBy(col("src")).agg(min(col("dst_comp")).as("nbr_comp"))
-        val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(labels("id").as("id"), labels("comp").as("old_comp"),
-            least(labels("comp"), coalesce(col("nbr_comp"), labels("comp"))).as("comp"))
-        // pointer jump: follow my label's OWN label (labels always satisfy
-        // comp(id) ≤ id, so the jump only ever lowers)
-        val byId = stepped.select(col("id").as("j_id"), col("comp").as("j_comp"))
-        val next = stepped.join(byId, col("comp") === col("j_id"), "left")
-          .select(col("id"), col("old_comp"),
-            least(col("comp"), coalesce(col("j_comp"), col("comp"))).as("comp"))
-          .localCheckpoint(eager = false)
+        // fused round: each edge forwards comp(src) to dst (edges are
+        // bidirectional, so neighbor minima flow both ways) and the union
+        // with the self rows min-aggregates — ONE shuffle join + ONE
+        // partial-aggregating groupBy. The self row doubles as the
+        // old-label carrier for the convergence counter; every node has
+        // exactly one (labels are seeded from both edge endpoints).
+        val msgs = edges
+          .join(labels.select(col("id").as("src_id"), col("comp")),
+            col("src") === col("src_id"))
+          .select(col("dst").as("id"), col("comp").as("cand"),
+            lit(null).cast("long").as("self_comp"))
+        val self = labels.select(col("id"), col("comp").as("cand"),
+          col("comp").as("self_comp"))
+        val stepped = msgs.union(self).groupBy("id")
+          .agg(min(col("cand")).as("comp"), min(col("self_comp")).as("old_comp"))
+        // pointer jump (comp := comp(comp)) halves label paths, but its
+        // node-sized self-join is pure overhead on the near-clique graphs
+        // dup clusters actually form (done in 2-3 plain rounds) — engage it
+        // only once plain propagation has had `jumpAfter` rounds, after
+        // which chain-shaped graphs still converge in O(log diameter). The
+        // checkpoint lets the join read `stepped` once instead of
+        // recomputing the whole round's lineage per side.
+        val next0 =
+          if (i < jumpAfter) stepped
+          else {
+            val s = stepped.localCheckpoint(eager = false)
+            val byId = s.select(col("id").as("j_id"), col("comp").as("j_comp"))
+            s.join(byId, s("comp") === col("j_id"), "left")
+              .select(s("id"), s("old_comp"),
+                least(s("comp"), coalesce(col("j_comp"), s("comp"))).as("comp"))
+          }
+        val next = next0.localCheckpoint(eager = false)
         // the ONE action of the round: materializes the checkpoint and
         // computes the convergence counter in the same pass
         changed = next.agg(count(when(col("comp") =!= col("old_comp"), 1)))

@@ -50,6 +50,9 @@ object Profile {
       Dedup.minhashPairs(docs, "doc_id", "text", jaccardThreshold = 0.2).count())
     time("full simhash pairs")(
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6).count())
+    time("nearDupClusters")(
+      Dedup.nearDupClusters(docs, "doc_id", "text", n = 3,
+        threshold = 0.2, minCommon = 2).count())
     spark.stop()
   }
 }
