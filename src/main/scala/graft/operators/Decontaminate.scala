@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag corpus documents that share n-gram
+  * shingles with an evaluation set, the standard pre-training hygiene step
+  * (n-gram overlap decontamination as published for GPT-3/PaLM training
+  * corpora; no reference analogue — the reference stops at relational
+  * navigation).
+  *
+  * Scale shape: the benchmark side is SMALL by nature (eval suites are
+  * thousands of documents, the corpus is billions), so its distinct
+  * shingle set broadcasts — the 100 TB corpus is scanned once, shingles
+  * explode map-side into a broadcast hash join, and the per-document
+  * overlap count partial-aggregates before the only shuffle (8-byte doc
+  * ids + counts). Nothing corpus-sized ever shuffles on a string key.
+  */
+object Decontaminate {
+
+  /** Per-document overlap with the benchmark shingle set:
+    * (idCol, overlap = #distinct shared n-gram shingles,
+    * contaminated = overlap ≥ minOverlap). Every input document appears
+    * exactly once; zero-overlap documents report overlap = 0.
+    */
+  def flagContaminated(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      minOverlap: Int = 2): DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+    val benchSh = benchmark
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("shingle"))
+      .distinct()
+    // doc shingles are distinct per doc (Dedup.shingles), so the join hits
+    // each shared shingle once and count(*) IS the distinct-overlap count
+    val overlap = docSh.join(broadcast(benchSh), "shingle")
+      .groupBy(idCol).agg(count(lit(1)).as("overlap"))
+    docs.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        (coalesce(col("overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+}

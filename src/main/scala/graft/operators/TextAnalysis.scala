@@ -79,6 +79,35 @@ object TextAnalysis {
     lenScore * 0.4d + alphaRatio(text) * 0.4d + stopScore * 0.2d
   }
 
+  /** Fraction of tokens that repeat an earlier token (1 − distinct/total)
+    * — the cheapest of the published repetition signals for filtering
+    * looping/boilerplate documents (Gopher's repetition rules family,
+    * Rae et al. 2021). Pure per-row array ops, fuses into the scan.
+    */
+  def duplicateTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0d)).otherwise(
+      lit(1d) - size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Fraction of n-gram occurrences claimed by the single most frequent
+    * n-gram (Gopher's top-n-gram signal: near 1.0 ⇒ the document is one
+    * phrase looping). Per-row compute only — the distinct×grams comparison
+    * matrix is bounded by document length, so there is no shuffle and cost
+    * stays linear in corpus size.
+    */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = when(size(toks) < n, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(toks) - (n - 1)))
+    val grams = transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))
+    val maxFreq = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    when(size(grams) === 0, lit(0d)).otherwise(
+      coalesce(maxFreq, lit(0)).cast("double") / size(grams).cast("double"))
+  }
+
   /** Polynomial rolling-hash fingerprint over characters:
     * h = fold(31·h + code(c)) mod 1e9+7. Stays far below Long overflow
     * ((1e9+7)·31 + 255 < 2^35), so the same fold is expressible in any

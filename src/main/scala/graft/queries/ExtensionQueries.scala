@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, RangeJoin, Redact, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events` (SURVEY.md §2 extension rows; no reference analogue — the
@@ -217,6 +217,48 @@ object ExtensionQueries extends QueryModule {
       t.documents.select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")
+      ).orderBy("doc_id")
+    },
+
+    // Gopher-style repetition metrics (duplicate-token fraction, top
+    // 2-/3-gram occupancy) — the looping-document pre-filter.
+    "q_quality_rep" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.documents.select(
+        col("doc_id"),
+        TextAnalysis.duplicateTokenFraction(col("text")).as("dup_tok_frac"),
+        TextAnalysis.topNgramFraction(col("text"), 2).as("top2_frac"),
+        TextAnalysis.topNgramFraction(col("text"), 3).as("top3_frac")
+      ).orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: corpus docs sharing ≥2 3-gram shingles
+    // with the (broadcast) benchmark subset get flagged.
+    "q_decontaminate" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val bench = t.documents.filter(col("doc_id") % 97 === 0)
+      Decontaminate.flagContaminated(t.documents, "doc_id", "text",
+        bench, "text", n = 3, minOverlap = 2).orderBy("doc_id")
+    },
+
+    // PII redaction: deterministic synthetic PII (the corpus itself is
+    // clean) appended per doc, then scrubbed + counted — verifies the
+    // regex surface byte-for-byte against the oracle's RE2.
+    "q_redact" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val piiText = concat(
+        substring(col("text"), 1, 40),
+        lit(" u"), col("doc_id").cast("string"),
+        lit("@example.com call 555-010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+        ((col("doc_id") * 7) % 256).cast("string"))
+      t.documents.select(
+        col("doc_id"),
+        Redact.scrub(piiText).as("clean"),
+        Redact.emailCount(piiText).cast("long").as("n_email"),
+        Redact.phoneCount(piiText).cast("long").as("n_phone"),
+        Redact.ipCount(piiText).cast("long").as("n_ip")
       ).orderBy("doc_id")
     },
 
@@ -512,7 +554,77 @@ object ExtensionQueries extends QueryModule {
              list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // same token/gram construction as the Spark side, same double divisions
+    "q_quality_rep" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, t,
+             list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+               i -> list_aggregate(list_slice(t, i, i + 1), 'string_agg', ' ')) AS g2,
+             list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+               i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' ')) AS g3
+           FROM toks)
+         SELECT doc_id,
+           CASE WHEN len(t) = 0 THEN 0.0 ELSE
+             1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+           END AS dup_tok_frac,
+           CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+             CAST(coalesce(list_max(list_transform(list_distinct(g2),
+               x -> len(list_filter(g2, y -> y = x)))), 0) AS DOUBLE)
+               / CAST(len(g2) AS DOUBLE)
+           END AS top2_frac,
+           CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+             CAST(coalesce(list_max(list_transform(list_distinct(g3),
+               x -> len(list_filter(g3, y -> y = x)))), 0) AS DOUBLE)
+               / CAST(len(g3) AS DOUBLE)
+           END AS top3_frac
+         FROM grams ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+           FROM toks),
+         bench AS (
+           SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
+         inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         ov AS (
+           SELECT i.doc_id, count(*) AS overlap
+           FROM inv i JOIN bench b ON i.shingle = b.shingle
+           GROUP BY i.doc_id)
+         SELECT d.doc_id,
+           coalesce(o.overlap, 0) AS overlap,
+           coalesce(o.overlap, 0) >= 2 AS contaminated
+         FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
+         ORDER BY d.doc_id""",
+    // identical RE2-safe patterns, identical synthetic PII construction
+    "q_redact" ->
+      """WITH pii AS (
+           SELECT doc_id,
+             substring(text, 1, 40) || ' u' || CAST(doc_id AS VARCHAR)
+               || '@example.com call 555-010-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+               || CAST((doc_id * 7) % 256 AS VARCHAR) AS s
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(s,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean,
+           CAST(len(regexp_extract_all(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(s,
+             '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(s,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+         FROM pii ORDER BY doc_id"""
   )
 }
 

@@ -338,6 +338,58 @@ class OperatorSpec extends AnyFunSuite {
     assert(s.getDouble(0) >= 0.0 && s.getDouble(1) <= 1.0)
   }
 
+  test("repetition metrics: hand-computed fractions on crafted docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),        // 6 toks, 2 distinct; g2 = 5, "a b"×3
+      (2L, "x y z"),              // no repetition; each 2-gram unique
+      (3L, "w")                   // single token: no 2-grams at all
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.duplicateTokenFraction(col("text")).as("dup"),
+        TextAnalysis.topNgramFraction(col("text"), 2).as("top2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(out(1L)._1 - (1.0 - 2.0 / 6.0)) < 1e-12)
+    assert(math.abs(out(1L)._2 - 3.0 / 5.0) < 1e-12)
+    assert(out(2L)._1 == 0.0 && math.abs(out(2L)._2 - 0.5) < 1e-12)
+    assert(out(3L)._1 == 0.0 && out(3L)._2 == 0.0)
+  }
+
+  test("decontamination flags exactly the overlapping docs, with counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 3 shingles with bench
+      (2L, "alpha beta gamma zeta eta"),      // shares 1 shingle
+      (3L, "one two three four five")         // shares none
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon theta").toDF("text")
+    val out = graft.operators.Decontaminate
+      .flagContaminated(docs, "doc_id", "text", bench, "text", n = 3, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (3L, true))
+    assert(out(2L) == (1L, false))
+    assert(out(3L) == (0L, false))
+    assert(out.size == 3) // every doc reported exactly once
+  }
+
+  test("redaction scrubs emails/phones/ips and leaves clean text alone") {
+    import spark.implicits._
+    import graft.operators.Redact
+    val df = Seq(
+      (1L, "mail bob.smith+x@mail.example.org now"),
+      (2L, "call 415-555-0199 or visit 192.168.0.1 twice: 10.0.0.7"),
+      (3L, "no pii here, just words and 42 numbers 3.14")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), Redact.scrub(col("text")).as("c"),
+        Redact.emailCount(col("text")).as("e"),
+        Redact.phoneCount(col("text")).as("p"),
+        Redact.ipCount(col("text")).as("i"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) == (("mail <EMAIL> now", 1, 0, 0)))
+    assert(out(2L) == (("call <PHONE> or visit <IP> twice: <IP>", 0, 1, 2)))
+    assert(out(3L) == (("no pii here, just words and 42 numbers 3.14", 0, 0, 0)))
+  }
+
   test("fingerprint is order-sensitive (rolling, not bag-of-chars)") {
     import spark.implicits._
     val df = Seq((1L, "ab"), (2L, "ba")).toDF("id", "text")
