@@ -114,33 +114,74 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
         } => Apply(fn, args) // inner := rebinds the name; leave untouched
     case Apply(fn, args) => Apply(fn, args.map(substituteName(_, name, repl)))
     case Compose(b, m) => Compose(substituteName(b, name, repl), m)
-    case Sieve(b, p) => Sieve(substituteName(b, name, repl), substituteName(p, name, repl))
+    case Sieve(b, p) =>
+      // a shadow introduced anywhere in the base flow (nested selection
+      // alias, define, kernel column) covers operands bound in that
+      // flow's scope — the predicate's occurrences are the INNER binding
+      Sieve(substituteName(b, name, repl),
+        if (introducesShadow(b, name)) p else substituteName(p, name, repl))
     case SortOp(b, keys) =>
       SortOp(substituteName(b, name, repl),
-        keys.map(k => SortKey(substituteName(k.expr, name, repl), k.ascending)))
+        if (introducesShadow(b, name)) keys
+        else keys.map(k => SortKey(substituteName(k.expr, name, repl), k.ascending)))
     case Select(b, items) =>
       // an item alias `name := …` rebinds the name for LATER items (its own
       // body still sees the previous binding — chaining); stop substituting
-      // from the item after the shadow
-      val shadowAt = items.indexWhere(_.alias.contains(name))
-      Select(substituteName(b, name, repl), items.zipWithIndex.map { case (it, i) =>
-        if (shadowAt >= 0 && i > shadowAt) it
-        else it.copy(expr = substituteName(it.expr, name, repl))
-      })
+      // from the item after the shadow. A shadow from the base flow covers
+      // every item.
+      val nb = substituteName(b, name, repl)
+      if (introducesShadow(b, name)) Select(nb, items)
+      else {
+        val shadowAt = items.indexWhere(_.alias.contains(name))
+        Select(nb, items.zipWithIndex.map { case (it, i) =>
+          if (shadowAt >= 0 && i > shadowAt) it
+          else it.copy(expr = substituteName(it.expr, name, repl))
+        })
+      }
     case Quotient(b, kernels) =>
-      Quotient(substituteName(b, name, repl), kernels.map(substituteName(_, name, repl)))
+      Quotient(substituteName(b, name, repl),
+        if (introducesShadow(b, name)) kernels
+        else kernels.map(substituteName(_, name, repl)))
     case LimitOp(b, n, skip) => LimitOp(substituteName(b, name, repl), n, skip)
     case Locator(b, ids) => Locator(substituteName(b, name, repl), ids)
     case Segment(f) => Segment(substituteName(f, name, repl))
     case DefineOp(b, defs) =>
       // same shadowing rule as given(): a def of the same name rebinds it
       // for later defs; its own body chains through the previous binding
-      val shadowAt = defs.indexWhere(_._1 == name)
-      DefineOp(substituteName(b, name, repl), defs.zipWithIndex.map { case ((n2, body), i) =>
-        if (shadowAt >= 0 && i > shadowAt) (n2, body)
-        else (n2, substituteName(body, name, repl))
-      })
+      val nb = substituteName(b, name, repl)
+      if (introducesShadow(b, name)) DefineOp(nb, defs)
+      else {
+        val shadowAt = defs.indexWhere(_._1 == name)
+        DefineOp(nb, defs.zipWithIndex.map { case ((n2, body), i) =>
+          if (shadowAt >= 0 && i > shadowAt) (n2, body)
+          else (n2, substituteName(body, name, repl))
+        })
+      }
     case other => other
+  }
+
+  /** Does planning this flow leave `name` bound in the resulting scope —
+    * a selection alias, a define, or a quotient kernel column of that name
+    * (the projected scope resolves the kernel's output column first)?
+    * Operands bound in such a flow's scope must not be substituted when
+    * chaining redefinitions: their occurrences refer to the inner binding.
+    */
+  private def introducesShadow(ast: Ast, name: String): Boolean = ast match {
+    case Select(b, items) =>
+      items.exists(_.alias.contains(name)) || introducesShadow(b, name)
+    case DefineOp(b, defs) =>
+      defs.exists(_._1 == name) || introducesShadow(b, name)
+    case Quotient(b, kernels) =>
+      kernels.exists {
+        case Ident(n) => n == name
+        case Compose(_, Ident(n)) => n == name
+        case _ => false
+      } || introducesShadow(b, name)
+    case Sieve(b, _) => introducesShadow(b, name)
+    case SortOp(b, _) => introducesShadow(b, name)
+    case LimitOp(b, _, _) => introducesShadow(b, name)
+    case Locator(b, _) => introducesShadow(b, name)
+    case _ => false
   }
 
   /** Re-root a flow argument's head at the home scope (used when binding

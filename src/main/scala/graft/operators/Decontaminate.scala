@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Benchmark decontamination — flag corpus documents that share n-gram
   * shingles with an evaluation set, the standard pre-training hygiene step
@@ -26,10 +27,15 @@ object Decontaminate {
   def flagContaminated(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 3,
       minOverlap: Int = 2): DataFrame = {
-    val docSh = docs.select(col(idCol),
-      explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+    // corpus side stages tokens/shingles through the persisted projection
+    // (Dedup.shingleFrame) — the hot-path staging rule: an inline
+    // shingle expression would re-run the tokenizer per shingle index
+    val docSh = Dedup.shingleFrame(docs, idCol, textCol, n)
+      .select(col("id").as(idCol), explode(col("sh")).as("shingle"))
     val benchSh = benchmark
-      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("shingle"))
+      .select(Dedup.tokens(col(benchTextCol)).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(explode(Dedup.shinglesFromTokens(col("toks"), n)).as("shingle"))
       .distinct()
     // doc shingles are distinct per doc (Dedup.shingles), so the join hits
     // each shared shingle once and count(*) IS the distinct-overlap count

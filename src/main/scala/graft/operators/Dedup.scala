@@ -26,10 +26,17 @@ object Dedup {
     * texts shorter than n tokens produce an empty shingle set (Spark
     * `sequence(1,0)` would otherwise count DOWN).
     */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    array_distinct(ngramsFromTokens(toks, n))
+
+  /** Word n-grams WITH duplicates (repetition analysis needs the
+    * occurrence counts shingling throws away). Same staging rule and
+    * same `sequence(1,0)`-counts-down guard as [[shinglesFromTokens]].
+    */
+  def ngramsFromTokens(toks: Column, n: Int): Column = {
     val idx = when(size(toks) < n, array().cast("array<int>"))
       .otherwise(sequence(lit(1), size(toks) - (n - 1)))
-    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))
+    transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
   /** Convenience single-expression form — ONLY for one-shot evaluation
@@ -227,7 +234,9 @@ object Dedup {
           .join(labels.select(col("id").as("src_id"), col("comp")),
             col("src") === col("src_id"))
           .select(col("dst").as("id"), col("comp").as("cand"),
-            lit(null).cast("long").as("self_comp"))
+            // typed to the actual label column so non-long id types don't
+            // get widened (or rejected) by the union
+            lit(null).cast(labels.schema("comp").dataType).as("self_comp"))
         val self = labels.select(col("id"), col("comp").as("cand"),
           col("comp").as("self_comp"))
         val stepped = msgs.union(self).groupBy("id")

@@ -22,13 +22,23 @@ object Redact {
   /** All PII categories replaced with their tags. Email first: an address
     * contains digit/dot runs the narrower patterns could nibble at.
     */
-  def scrub(text: Column): Column = {
-    val noEmail = regexp_replace(text, emailPattern, "<EMAIL>")
-    val noPhone = regexp_replace(noEmail, phonePattern, "<PHONE>")
-    regexp_replace(noPhone, ipPattern, "<IP>")
-  }
+  def scrub(text: Column): Column =
+    regexp_replace(afterPhones(text), ipPattern, "<IP>")
 
+  private def afterEmails(text: Column): Column =
+    regexp_replace(text, emailPattern, "<EMAIL>")
+  private def afterPhones(text: Column): Column =
+    regexp_replace(afterEmails(text), phonePattern, "<PHONE>")
+
+  /** Counters run on the SAME progressively-scrubbed intermediates as
+    * `scrub`, so each count is exactly the number of `<TAG>`s scrub emits
+    * for that category — digit runs inside an email (555-010-1234@x.com)
+    * are email hits, never phone/IP hits, and the three counts reconcile
+    * with the placeholder totals in the output.
+    */
   def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
-  def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
-  def ipCount(text: Column): Column = regexp_count(text, lit(ipPattern))
+  def phoneCount(text: Column): Column =
+    regexp_count(afterEmails(text), lit(phonePattern))
+  def ipCount(text: Column): Column =
+    regexp_count(afterPhones(text), lit(ipPattern))
 }

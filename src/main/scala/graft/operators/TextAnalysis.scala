@@ -82,31 +82,41 @@ object TextAnalysis {
   /** Fraction of tokens that repeat an earlier token (1 − distinct/total)
     * — the cheapest of the published repetition signals for filtering
     * looping/boilerplate documents (Gopher's repetition rules family,
-    * Rae et al. 2021). Pure per-row array ops, fuses into the scan.
+    * Rae et al. 2021). `toks` must be an ALREADY-STAGED attribute (see
+    * `Dedup.shinglesFromTokens`'s staging rule) on hot paths.
     */
-  def duplicateTokenFraction(text: Column): Column = {
-    val toks = tokens(text)
+  def duplicateTokenFractionFromTokens(toks: Column): Column =
     when(size(toks) === 0, lit(0d)).otherwise(
       lit(1d) - size(array_distinct(toks)).cast("double") /
         size(toks).cast("double"))
-  }
+
+  /** One-shot convenience form — tokenizes inline; hot paths stage the
+    * token array first (same rule as `Dedup.shingles`).
+    */
+  def duplicateTokenFraction(text: Column): Column =
+    duplicateTokenFractionFromTokens(tokens(text))
 
   /** Fraction of n-gram occurrences claimed by the single most frequent
     * n-gram (Gopher's top-n-gram signal: near 1.0 ⇒ the document is one
-    * phrase looping). Per-row compute only — the distinct×grams comparison
-    * matrix is bounded by document length, so there is no shuffle and cost
-    * stays linear in corpus size.
+    * phrase looping). `grams` must be an ALREADY-STAGED attribute holding
+    * `Dedup.ngramsFromTokens(toks, n)` — the distinct×grams comparison
+    * matrix reads it per element, so an inline expression would re-run the
+    * tokenizer per comparison. Per-row compute only: no shuffle, cost
+    * linear in corpus size.
     */
-  def topNgramFraction(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val idx = when(size(toks) < n, array().cast("array<int>"))
-      .otherwise(sequence(lit(1), size(toks) - (n - 1)))
-    val grams = transform(idx, i => concat_ws(" ", slice(toks, i, lit(n))))
+  def topNgramFractionFromGrams(grams: Column): Column = {
     val maxFreq = array_max(transform(array_distinct(grams),
       g => size(filter(grams, x => x === g))))
     when(size(grams) === 0, lit(0d)).otherwise(
       coalesce(maxFreq, lit(0)).cast("double") / size(grams).cast("double"))
   }
+
+  /** One-shot convenience form — builds tokens AND grams inline; ONLY for
+    * literal/test evaluation, never a corpus scan (quadratic re-tokenize).
+    */
+  def topNgramFraction(text: Column, n: Int): Column =
+    topNgramFractionFromGrams(
+      graft.operators.Dedup.ngramsFromTokens(tokens(text), n))
 
   /** Polynomial rolling-hash fingerprint over characters:
     * h = fold(31·h + code(c)) mod 1e9+7. Stays far below Long overflow

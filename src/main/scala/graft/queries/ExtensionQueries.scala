@@ -221,14 +221,25 @@ object ExtensionQueries extends QueryModule {
     },
 
     // Gopher-style repetition metrics (duplicate-token fraction, top
-    // 2-/3-gram occupancy) — the looping-document pre-filter.
+    // 2-/3-gram occupancy) — the looping-document pre-filter. Tokens and
+    // gram arrays stage through persisted projections (the hot-path
+    // staging rule): the occupancy lambdas read attributes per element,
+    // never re-running the tokenizer.
     "q_quality_rep" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      t.documents.select(
+      val toks = t.documents
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grams = toks
+        .select(col("doc_id"), col("toks"),
+          Dedup.ngramsFromTokens(col("toks"), 2).as("g2"),
+          Dedup.ngramsFromTokens(col("toks"), 3).as("g3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      grams.select(
         col("doc_id"),
-        TextAnalysis.duplicateTokenFraction(col("text")).as("dup_tok_frac"),
-        TextAnalysis.topNgramFraction(col("text"), 2).as("top2_frac"),
-        TextAnalysis.topNgramFraction(col("text"), 3).as("top3_frac")
+        TextAnalysis.duplicateTokenFractionFromTokens(col("toks")).as("dup_tok_frac"),
+        TextAnalysis.topNgramFractionFromGrams(col("g2")).as("top2_frac"),
+        TextAnalysis.topNgramFractionFromGrams(col("g3")).as("top3_frac")
       ).orderBy("doc_id")
     },
 
@@ -620,9 +631,12 @@ object ExtensionQueries extends QueryModule {
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean,
            CAST(len(regexp_extract_all(s,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(s,
+           CAST(len(regexp_extract_all(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
-           CAST(len(regexp_extract_all(s,
+           CAST(len(regexp_extract_all(regexp_replace(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
          FROM pii ORDER BY doc_id"""
   )

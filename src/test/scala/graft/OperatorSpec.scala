@@ -378,7 +378,10 @@ class OperatorSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "mail bob.smith+x@mail.example.org now"),
       (2L, "call 415-555-0199 or visit 192.168.0.1 twice: 10.0.0.7"),
-      (3L, "no pii here, just words and 42 numbers 3.14")
+      (3L, "no pii here, just words and 42 numbers 3.14"),
+      // digit runs inside an email attribute to EMAIL, never phone/ip —
+      // counters reconcile with the placeholders scrub actually emits
+      (4L, "x 555-010-1234@example.com y")
     ).toDF("id", "text")
     val out = df.select(col("id"), Redact.scrub(col("text")).as("c"),
         Redact.emailCount(col("text")).as("e"),
@@ -388,6 +391,7 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1L) == (("mail <EMAIL> now", 1, 0, 0)))
     assert(out(2L) == (("call <PHONE> or visit <IP> twice: <IP>", 0, 1, 2)))
     assert(out(3L) == (("no pii here, just words and 42 numbers 3.14", 0, 0, 0)))
+    assert(out(4L) == (("x <EMAIL> y", 1, 0, 0)))
   }
 
   test("fingerprint is order-sensitive (rolling, not bag-of-chars)") {
