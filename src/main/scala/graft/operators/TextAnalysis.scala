@@ -99,16 +99,25 @@ object TextAnalysis {
   /** Fraction of n-gram occurrences claimed by the single most frequent
     * n-gram (Gopher's top-n-gram signal: near 1.0 ⇒ the document is one
     * phrase looping). `grams` must be an ALREADY-STAGED attribute holding
-    * `Dedup.ngramsFromTokens(toks, n)` — the distinct×grams comparison
-    * matrix reads it per element, so an inline expression would re-run the
-    * tokenizer per comparison. Per-row compute only: no shuffle, cost
-    * linear in corpus size.
+    * `Dedup.ngramsFromTokens(toks, n)` (the staging rule). Per-row compute
+    * only — max frequency = longest equal run of the SORTED gram array,
+    * one O(G log G) sort + one linear fold per row instead of the
+    * distinct×grams comparison matrix; no shuffle, cost linear in corpus
+    * size.
     */
   def topNgramFractionFromGrams(grams: Column): Column = {
-    val maxFreq = array_max(transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g))))
+    val sorted = array_sort(grams)
+    val best = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     when(size(grams) === 0, lit(0d)).otherwise(
-      coalesce(maxFreq, lit(0)).cast("double") / size(grams).cast("double"))
+      best.cast("double") / size(grams).cast("double"))
   }
 
   /** One-shot convenience form — builds tokens AND grams inline; ONLY for

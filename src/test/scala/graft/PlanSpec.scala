@@ -87,6 +87,31 @@ class PlanSpec extends AnyFunSuite {
       s"shingle arrays ride the candidate shuffle:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark shingles; corpus never shuffles strings") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n$p")
+    // allowed exchanges: (doc_id, count) aggregation shuffles, plus exactly
+    // ONE shingle exchange — the BENCHMARK side's distinct(), which is the
+    // small broadcast build input. A second shingle exchange would mean the
+    // corpus side shuffles its strings (the defect this pin prevents).
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.count(_.contains("shingle")) <= 1,
+      s"corpus shingle strings ride a shuffle:\n${shuffles.mkString("\n")}")
+    assert(shuffles.forall(l => !l.contains("text")),
+      s"corpus text rides a shuffle:\n${shuffles.mkString("\n")}")
+  }
+
+  test("repetition metrics read staged gram attributes, not inline tokenizers") {
+    // the lambda-staging rule: the final projection's transform/filter
+    // lambdas must reference the persisted columns (toks/g2/g3), never a
+    // split() of the raw text — an InMemoryTableScan feeding the project
+    // proves the stage boundary held
+    val df = SparkEntry.queries("q_quality_rep")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), s"gram stage not materialized:\n$p")
+  }
+
   test("detached aggregate broadcasts one global row, no per-row subquery") {
     val p = plan("q_htsql_attach")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
