@@ -50,7 +50,12 @@ class FuzzSpec extends AnyFunSuite {
       "{t := time('12:34:56')}", "{h := hour(time('12:34:56'))}",
       "?o_orderstatus='F'", "?o_orderstatus='X'", "?c_mktsegment=('BUILDING','BOGUS')",
       "{c_custkey}?c_acctbal>0", "{c_custkey}.sort(c_acctbal-)", "{c_name}[1]",
-      "{k := id()}", ".define(o_orderstatus := 'X')?o_orderstatus='X'")
+      "{k := id()}", ".define(o_orderstatus := 'X')?o_orderstatus='X'",
+      // round-5 surface: self-referencing / chaining selection aliases,
+      // decorated self-references, define-after-selection rebinds
+      "{c_acctbal := c_acctbal+1}", "{k := c_acctbal}{k := k*2}",
+      "{c_acctbal := c_acctbal*2 -}", ".define(c_acctbal := c_acctbal+1)",
+      "{k := c_acctbal}.define(k := k+1)?k>0", "{k := upper(k)}")
     (1 to binderN).foreach { i =>
       val q = "/" + frags(rnd.nextInt(5)) +
         Iterator.fill(rnd.nextInt(4))(frags(rnd.nextInt(frags.length))).mkString
