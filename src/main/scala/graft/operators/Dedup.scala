@@ -289,30 +289,39 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs (the brute-exact baseline the
-    * sketch variants approximate). Inverted-index join on shingles: ONE
-    * shuffle on the shingle key + a partial-aggregating groupBy — the
-    * minimal-shuffle shape when shingle frequencies are benign (measured:
-    * the prefix-filtered variant's extra df-join and per-doc window cost
-    * 5× more here). When a corpus has stop-shingles (Σ df² blowup), switch
-    * to [[ngramJaccardPairsPrefix]] — same output, pruned candidates — or
-    * cap lossily with `maxDf`.
+    * sketch variants approximate; exact to within a ~2⁻⁶⁴ digest-collision
+    * term — see the inline note). Inverted-index join on the shingles'
+    * 64-bit digests: ONE 8-byte-keyed shuffle + a partial-aggregating
+    * groupBy — the minimal-shuffle shape when shingle frequencies are
+    * benign (measured: the prefix-filtered variant's extra df-join and
+    * per-doc window cost 5× more here). When a corpus has stop-shingles
+    * (Σ df² blowup), switch to [[ngramJaccardPairsPrefix]] — same output,
+    * pruned candidates, string-keyed (strictly exact) — or cap lossily
+    * with `maxDf`.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2,
       maxDf: Option[Int] = None): DataFrame = {
-    // persisted: the inverted index reads this frame twice (both join sides)
+    // persisted: the inverted index reads this frame twice (both join sides).
+    // The join key is the shingle's 64-bit digest, computed map-side before
+    // the exchange — the one corpus-sized shuffle carries 8-byte keys, never
+    // shingle strings. A cross-shingle collision inside a candidate pair
+    // (P ≈ pair_shingles²/2⁶⁴) could inflate a common count by one; at any
+    // realistic corpus that is ~10⁻¹⁰-grade — the strictly-exact
+    // string-keyed path remains [[ngramJaccardPairsPrefix]].
     val sh = shingleFrame(docs, idCol, textCol, n)
     val invAll = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val inv = maxDf match {
       case Some(cap) =>
-        val rare = invAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("shingle")
-        invAll.join(broadcast(rare), "shingle")
+        val rare = invAll.groupBy("sh_h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("sh_h")
+        invAll.join(broadcast(rare), "sh_h")
       case None => invAll
     }
-    val a = inv.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("na"))
-    val b = inv.select(col("shingle").as("shingle_r"), col("id").as("id_b"), col("n_sh").as("nb"))
-    a.join(b, col("shingle") === col("shingle_r") && col("id_a") < col("id_b"))
+    val a = inv.select(col("sh_h"), col("id").as("id_a"), col("n_sh").as("na"))
+    val b = inv.select(col("sh_h").as("sh_h_r"), col("id").as("id_b"), col("n_sh").as("nb"))
+    a.join(b, col("sh_h") === col("sh_h_r") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)

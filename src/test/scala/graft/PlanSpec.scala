@@ -87,6 +87,14 @@ class PlanSpec extends AnyFunSuite {
       s"shingle arrays ride the candidate shuffle:\n$p")
   }
 
+  test("ngram pair generation shuffles 8-byte digests, never shingle strings") {
+    val df = SparkEntry.queries("q_dedup_ngram")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.forall(l => !l.contains("shingle")),
+      s"shingle strings ride a shuffle:\n${shuffles.mkString("\n")}")
+  }
+
   test("decontamination broadcasts the benchmark shingles; corpus never shuffles strings") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
