@@ -66,6 +66,14 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       * same lookup context). Materialized by `plan()`.
       */
     var selection: Option[Seq[Item]] = None
+    /** The defines in force when `selection` was taken: items bind under
+      * THIS map at materialization (the selector binds where it appears),
+      * so a `define()` between the selection and the end of the pipeline
+      * redefines names for later sieves/sorts without rewriting the
+      * already-chosen output — including items that reference ANOTHER
+      * alias the later define shadows.
+      */
+    var selectionDefines: Map[String, Ast] = Map.empty
     /** Sort deferred past a pending selection: aggregate items join onto
       * the frame at materialization, which would destroy an eager orderBy,
       * so the bound keys re-apply just before the final projection.
@@ -199,7 +207,12 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   def plan(ast: Ast): DataFrame = planFlow(ast) match {
     case Left(ctx) =>
       ctx.selection match {
-        case Some(items) => selectItems(ctx, items)
+        case Some(items) =>
+          // materialize under the selection-time defines: later define()s
+          // affect later sieves/sorts, never the already-chosen output
+          val saved = ctx.defines
+          ctx.defines = ctx.selectionDefines
+          try selectItems(ctx, items) finally ctx.defines = saved
         case None =>
           val base = ctx.df.select(ctx.baseColumns.map(col): _*)
           if (ctx.pendingSort.nonEmpty) base.orderBy(ctx.pendingSort: _*) else base
@@ -333,6 +346,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
           }
           if (decor.nonEmpty) ctx.pendingSort = decor
           ctx.selection = Some(snap)
+          ctx.selectionDefines = ctx.defines
           Left(ctx)
         case Right(df) =>
           // re-selection over a grouped/projected frame: selection binds

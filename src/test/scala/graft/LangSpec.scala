@@ -493,6 +493,13 @@ class LangSpec extends AnyFunSuite {
     // sees k := k+1 (column+1 > 2), the output keeps k = column
     val got = g.query("/region{k := r_regionkey}.define(k := k+1)?k>2.sort(k)")
     assert(got.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(2L, 3L, 4L))
+    // cross-alias: item b references alias a; a later define of a must not
+    // rewrite b's already-chosen binding (but DOES drive the later sieve)
+    val got2 = g.query(
+      "/region{a := r_regionkey, b := a*10}.define(a := 0)?a=0.sort(b)")
+    assert(got2.collect().map(r => (r.getAs[Number](0).longValue,
+      r.getAs[Number](1).longValue)).toSeq ==
+      (0L to 4L).map(k => (k, k * 10)))
   }
 
   test("selection items can reference earlier aliases in the same selection") {
