@@ -30,8 +30,7 @@ object TextAnalysis {
   /** Predicted language: argmax of marker-word counts; ties resolve in
     * fixed order en > es > de > fr; no markers at all → "und".
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langIdFromTokens(toks: Column): Column = {
     val counts = Seq("en", "es", "de", "fr").map(l => l -> markerCount(toks, l))
     val top = greatest(counts.map(_._2): _*)
     counts.foldLeft(when(top === 0L, lit("und"))) { case (acc, (l, c)) =>
@@ -39,8 +38,11 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def tokenCountFromTokens(toks: Column): Column = size(toks).cast("long")
+  def tokenCount(text: Column): Column = tokenCountFromTokens(tokens(text))
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric symbols — the standard pre-tokenizer shape.
@@ -49,19 +51,22 @@ object TextAnalysis {
     regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
 
   /** Ratio of tokens that are (any-language) stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatioFromTokens(toks: Column): Column = {
     val all = markers.values.flatten.toSeq.distinct
     size(filter(toks, t => t.isin(all: _*))).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
   }
 
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFromTokens(tokens(text))
+
   /** Mean token length. */
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLengthFromTokens(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
-  }
+
+  def meanTokenLength(text: Column): Column =
+    meanTokenLengthFromTokens(tokens(text))
 
   /** Fraction of characters that are a-z or space (low → noisy doc). */
   def alphaRatio(text: Column): Column =

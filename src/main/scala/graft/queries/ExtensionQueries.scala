@@ -197,16 +197,22 @@ object ExtensionQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
-    // Language ID + quality metrics + token counts per document.
+    // Language ID + quality metrics + token counts per document. Tokens
+    // stage ONCE through a persisted projection; the four token-based
+    // metrics read the attribute instead of re-splitting per metric.
     "q_text_stats" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      t.documents.select(
+      val staged = t.documents
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      staged.select(
         col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_pred"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"),
+        TextAnalysis.tokenCountFromTokens(col("toks")).as("n_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
-        TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"),
-        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.meanTokenLengthFromTokens(col("toks")).as("mean_tok_len"),
+        TextAnalysis.stopwordRatioFromTokens(col("toks")).as("stop_ratio"),
         TextAnalysis.alphaRatio(col("text")).as("alpha_ratio")
       ).orderBy("doc_id")
     },
