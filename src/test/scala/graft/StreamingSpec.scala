@@ -85,6 +85,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data; on-time windows finalize exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val ms = MemoryStream[(java.sql.Timestamp, Int)]
+    val agg = ms.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(sum(col("v")).as("s"))
+      .select(col("window.start").cast("string").as("w"), col("s"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      ms.addData((ts("10:00"), 1), (ts("10:05"), 2))
+      q.processAllAvailable()
+      ms.addData((ts("11:00"), 5)) // watermark → 10:50; 10:00 window closes
+      q.processAllAvailable()
+      ms.addData((ts("10:01"), 100)) // LATE beyond watermark: dropped
+      q.processAllAvailable()
+      ms.addData((ts("12:00"), 7)) // close the 11:00 window
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT w, s FROM late_test").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the finalized 10:00 window holds only the on-time rows — the late
+      // +100 never reappears and the window is emitted exactly once
+      assert(rows("2026-01-01 10:00:00") == 3L, s"late row leaked: $rows")
+      assert(rows("2026-01-01 11:00:00") == 5L)
+      assert(spark.sql("SELECT count(*) FROM late_test WHERE w = '2026-01-01 10:00:00'")
+        .collect().head.getLong(0) == 1L)
+    } finally q.stop()
+  }
+
   test("session aggregation plan works on batch input") {
     val out = EventStreams.sessionAgg(new Tables(spark, dir).events)
     assert(out.count() > 0)
