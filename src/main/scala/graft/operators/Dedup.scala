@@ -272,6 +272,44 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Corpus-level repeated-window removal — the substring-dedup step of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") at token-window granularity: every token covered by a
+    * w-token window whose text occurs ≥2 times anywhere in the corpus
+    * (including twice inside one document) is dropped; the cleaned text
+    * and removed-token count come back per document.
+    *
+    * Scale shape: windows explode map-side to (id, pos, 64-bit digest);
+    * the global occurrence count and the join-back both shuffle 8-byte
+    * digests + ints, never window text; covered start positions aggregate
+    * per document (bounded by the document's own token count). The final
+    * keep-filter is a per-row lambda over the staged token attribute.
+    * Digest collisions can only remove a genuinely-unique window
+    * (P ≈ windows²/2⁶⁴ corpus-wide — negligible), never corrupt text.
+    */
+  def removeRepeatedWindows(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    val toksDf = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wins = toksDf
+      .select(col("id"),
+        posexplode(ngramsFromTokens(col("toks"), w)).as(Seq("pos", "win")))
+      .select(col("id"), col("pos"), xxhash64(col("win")).as("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val covered = wins.join(dup, "h")
+      .groupBy("id").agg(array_sort(collect_set(col("pos"))).as("starts"))
+    val joined = toksDf.join(covered, Seq("id"), "left")
+    // a token at index i survives unless some start s covers it (s ≤ i < s+w)
+    val kept = when(col("starts").isNull, col("toks")).otherwise(
+      filter(col("toks"), (t, i) =>
+        !exists(col("starts"), s => i >= s && i < s + lit(w))))
+    joined.select(col("id").as(idCol),
+      concat_ws(" ", kept).as("clean"),
+      (size(col("toks")) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Cluster assignment for EVERY document: near-dup pairs (exact n-gram
     * Jaccard) → connected components → (id, cluster) with singletons
     * mapping to themselves. `keep = (id == cluster)` is the dedup keep-list

@@ -249,6 +249,14 @@ object ExtensionQueries extends QueryModule {
       ).orderBy("doc_id")
     },
 
+    // Corpus-level repeated-window removal (Lee et al. 2022 substring
+    // dedup at token-window granularity).
+    "q_dedup_substring" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Dedup.removeRepeatedWindows(t.documents, "doc_id", "text", w = 10)
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination: corpus docs sharing ≥2 3-gram shingles
     // with the (broadcast) benchmark subset get flagged.
     "q_decontaminate" -> { (s, dir) =>
@@ -599,6 +607,34 @@ object ExtensionQueries extends QueryModule {
                / CAST(len(g3) AS DOUBLE)
            END AS top3_frac
          FROM grams ORDER BY doc_id""",
+    // same windows, grouped by TEXT oracle-side (digest-free), same
+    // 0-based keep filter; empty results coalesce to '' like concat_ws
+    "q_dedup_substring" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         wins AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - 9, 0) + 1),
+             i -> struct_pack(pos := i - 1,
+               win := list_aggregate(list_slice(t, i, i + 9), 'string_agg', ' ')))) AS u
+           FROM toks),
+         w2 AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM wins),
+         dup AS (SELECT win FROM w2 GROUP BY win HAVING count(*) >= 2),
+         cov AS (
+           SELECT doc_id, list(DISTINCT pos) AS starts
+           FROM w2 JOIN dup USING (win) GROUP BY doc_id),
+         kept AS (
+           SELECT t.doc_id,
+             CASE WHEN c.starts IS NULL THEN t.t
+                  ELSE list_filter(t.t, (x, i) ->
+                    len(list_filter(c.starts, s -> i - 1 >= s AND i - 1 < s + 10)) = 0)
+             END AS k, t.t AS t
+           FROM toks t LEFT JOIN cov c USING (doc_id))
+         SELECT doc_id,
+           coalesce(list_aggregate(k, 'string_agg', ' '), '') AS clean,
+           CAST(len(t) - len(k) AS BIGINT) AS n_removed
+         FROM kept ORDER BY doc_id""",
     "q_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

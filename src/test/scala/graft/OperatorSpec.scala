@@ -355,6 +355,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L)._1 == 0.0 && out(3L)._2 == 0.0)
   }
 
+  test("repeated-window removal drops cross-doc and intra-doc repeats, keeps unique text") {
+    import spark.implicits._
+    val repeat = (1 to 4).map(i => s"w$i").mkString(" ") // 4-token window
+    val docs = Seq(
+      (1L, s"alpha $repeat omega"),          // shares the window with doc 2
+      (2L, s"beta $repeat gamma delta"),
+      (3L, s"$repeat x $repeat"),            // intra-doc repetition
+      (4L, "totally unique words here only") // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedWindows(docs, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("alpha omega", 4L)))
+    assert(out(2L) == (("beta gamma delta", 4L)))
+    // doc 3: both window starts (0 and 5) covered; token 'x' at index 4 —
+    // covered by neither start? start 0 covers 0..3, start 5 covers 5..8;
+    // but the window "w2 w3 w4 x" etc. are unique, so only exact repeats go
+    assert(out(3L) == (("x", 8L)))
+    assert(out(4L) == (("totally unique words here only", 0L)))
+  }
+
   test("decontamination flags exactly the overlapping docs, with counts") {
     import spark.implicits._
     val docs = Seq(
