@@ -78,6 +78,13 @@ object LangQueries extends QueryModule {
       "/customer{c_custkey, seg := c_mktsegment}" +
         "?c_acctbal>0&nation.region.r_name='ASIA'.sort(c_custkey)"),
 
+    // round-5 alias semantics, driver-gated end-to-end: a self-referencing
+    // alias applies ONCE, a cross-referencing item binds at the selection
+    // site, and a later define() drives the sieve without rewriting the
+    // chosen output (the selector binds where it appears)
+    "q_htsql_aliasing" -> q(
+      "/region{a := r_regionkey+1, b := a*10}.define(a := 0)?a=0.sort(b)"),
+
     // sorted+limited nested segment, flattened for the driver gate
     "q_segment_sorted" -> { (s, dir) =>
       Graft(s, dir)
@@ -164,6 +171,10 @@ object LangQueries extends QueryModule {
          JOIN region ON n_regionkey = r_regionkey
          WHERE c_acctbal > 0 AND r_name = 'ASIA'
          ORDER BY c_custkey""",
+    "q_htsql_aliasing" ->
+      """SELECT CAST(r_regionkey + 1 AS BIGINT) AS a,
+              CAST((r_regionkey + 1) * 10 AS BIGINT) AS b
+         FROM region ORDER BY b""",
     "q_segment_sorted" ->
       """SELECT r_regionkey, pos, n_nationkey, n_name FROM (
            SELECT r_regionkey,
