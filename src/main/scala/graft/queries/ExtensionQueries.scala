@@ -125,6 +125,38 @@ object ExtensionQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Capstone v2 — the corpus HYGIENE pipeline, composing the round-5
+    // operators end-to-end: repetition-quality filter → benchmark
+    // decontamination (broadcast) → corpus-level substring removal →
+    // exact dedup of the CLEANED text (min-id keep-list). One declarative
+    // plan; per-row stages fuse, the only corpus shuffles carry digests,
+    // ids, and counts.
+    "q_pipeline_hygiene" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val toks = docs
+        .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grams = toks
+        .select(col("doc_id"), col("text"), col("toks"),
+          Dedup.ngramsFromTokens(col("toks"), 2).as("g2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val passRep = grams.filter(
+          TextAnalysis.duplicateTokenFractionFromTokens(col("toks")) < 0.6 &&
+          TextAnalysis.topNgramFractionFromGrams(col("g2")) < 0.15)
+        .select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val clean_flags = Decontaminate.flagContaminated(passRep, "doc_id", "text",
+        bench, "text", n = 3, minOverlap = 2)
+      val surviving = passRep.join(
+        clean_flags.filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
+      val cleaned = Dedup.removeRepeatedWindows(surviving, "doc_id", "text", w = 10)
+      val keep = Dedup.exact(cleaned, "doc_id", "clean").select("doc_id")
+      cleaned.join(keep, Seq("doc_id"), "left_semi")
+        .select("doc_id", "clean", "n_removed")
+        .orderBy("doc_id")
+    },
+
     // Semi-structured extraction: JSON props column → typed value →
     // grouped stats (get_json_object is codegen'd; no UDF).
     "q_json_props" -> { (s, dir) =>
@@ -580,6 +612,73 @@ object ExtensionQueries extends QueryModule {
                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    // capstone v2: the four hygiene stages composed, each mirroring its
+    // stand-alone oracle (repetition filter uses the distinct-count
+    // formulation — value-identical to the run-length fold)
+    "q_pipeline_hygiene" ->
+      """WITH toks AS (
+           SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, text, t,
+             list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+               i -> list_aggregate(list_slice(t, i, i + 1), 'string_agg', ' ')) AS g2
+           FROM toks),
+         rep AS (
+           SELECT doc_id, text FROM grams
+           WHERE (CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) END) < 0.6
+             AND (CASE WHEN len(g2) = 0 THEN 0.0
+                  ELSE CAST(coalesce(list_max(list_transform(list_distinct(g2),
+                      x -> len(list_filter(g2, y -> y = x)))), 0) AS DOUBLE)
+                    / CAST(len(g2) AS DOUBLE) END) < 0.15),
+         btoks AS (
+           SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents WHERE doc_id % 97 = 0),
+         bsh AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' ')))) AS shingle
+           FROM btoks),
+         rsh AS (
+           SELECT r.doc_id, r.text, list_distinct(list_transform(
+             range(1, greatest(len(string_split_regex(trim(lower(r.text)), '\s+')) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(string_split_regex(trim(lower(r.text)), '\s+'), i, i + 2), 'string_agg', ' '))) AS s
+           FROM rep r),
+         ov AS (
+           SELECT i.doc_id, count(*) AS overlap
+           FROM (SELECT doc_id, unnest(s) AS shingle FROM rsh) i
+           JOIN bsh USING (shingle) GROUP BY i.doc_id),
+         surv AS (
+           SELECT rs.doc_id, rs.text FROM rsh rs
+           LEFT JOIN ov ON rs.doc_id = ov.doc_id
+           WHERE coalesce(ov.overlap, 0) < 2),
+         stoks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM surv),
+         wins AS (
+           SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 9, 0) + 1),
+             i -> struct_pack(pos := i - 1,
+               win := list_aggregate(list_slice(t, i, i + 9), 'string_agg', ' ')))) AS u
+           FROM stoks),
+         w2 AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM wins),
+         dupw AS (SELECT win FROM w2 GROUP BY win HAVING count(*) >= 2),
+         cov AS (
+           SELECT doc_id, list(DISTINCT pos) AS starts
+           FROM w2 JOIN dupw USING (win) GROUP BY doc_id),
+         kept AS (
+           SELECT t.doc_id,
+             CASE WHEN c.starts IS NULL THEN t.t
+                  ELSE list_filter(t.t, (x, i) ->
+                    len(list_filter(c.starts, s -> i - 1 >= s AND i - 1 < s + 10)) = 0)
+             END AS k, t.t AS t
+           FROM stoks t LEFT JOIN cov c USING (doc_id)),
+         cleaned AS (
+           SELECT doc_id, coalesce(list_aggregate(k, 'string_agg', ' '), '') AS clean,
+                  CAST(len(t) - len(k) AS BIGINT) AS n_removed
+           FROM kept),
+         keepers AS (SELECT min(doc_id) AS doc_id FROM cleaned GROUP BY lower(clean))
+         SELECT c.doc_id, c.clean, c.n_removed
+         FROM cleaned c JOIN keepers USING (doc_id) ORDER BY c.doc_id""",
     // same token/gram construction as the Spark side, same double divisions
     "q_quality_rep" ->
       """WITH toks AS (
