@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.model.Tables
 import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, RangeJoin, Redact, Sampling, Similarity, TextAnalysis}
 
@@ -136,20 +137,20 @@ object ExtensionQueries extends QueryModule {
       val docs = t.documents
       val toks = docs
         .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("toks"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val grams = toks
         .select(col("doc_id"), col("text"), col("toks"),
           Dedup.ngramsFromTokens(col("toks"), 2).as("g2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val passRep = grams.filter(
           TextAnalysis.duplicateTokenFractionFromTokens(col("toks")) < 0.6 &&
           TextAnalysis.topNgramFractionFromGrams(col("g2")) < 0.15)
         .select("doc_id", "text")
       val bench = docs.filter(col("doc_id") % 97 === 0)
-      val clean_flags = Decontaminate.flagContaminated(passRep, "doc_id", "text",
+      val cleanFlags = Decontaminate.flagContaminated(passRep, "doc_id", "text",
         bench, "text", n = 3, minOverlap = 2)
       val surviving = passRep.join(
-        clean_flags.filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
+        cleanFlags.filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
       val cleaned = Dedup.removeRepeatedWindows(surviving, "doc_id", "text", w = 10)
       val keep = Dedup.exact(cleaned, "doc_id", "clean").select("doc_id")
       cleaned.join(keep, Seq("doc_id"), "left_semi")
@@ -237,7 +238,7 @@ object ExtensionQueries extends QueryModule {
       val staged = t.documents
         .select(col("doc_id"), col("text"),
           TextAnalysis.tokens(col("text")).as("toks"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       staged.select(
         col("doc_id"),
         TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"),
@@ -267,12 +268,12 @@ object ExtensionQueries extends QueryModule {
       val t = new Tables(s, dir)
       val toks = t.documents
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val grams = toks
         .select(col("doc_id"), col("toks"),
           Dedup.ngramsFromTokens(col("toks"), 2).as("g2"),
           Dedup.ngramsFromTokens(col("toks"), 3).as("g3"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       grams.select(
         col("doc_id"),
         TextAnalysis.duplicateTokenFractionFromTokens(col("toks")).as("dup_tok_frac"),
