@@ -301,10 +301,31 @@ object Dedup {
     val covered = wins.join(dup, "h")
       .groupBy("id").agg(array_sort(collect_set(col("pos"))).as("starts"))
     val joined = toksDf.join(covered, Seq("id"), "left")
-    // a token at index i survives unless some start s covers it (s ≤ i < s+w)
+    // Merge the sorted starts into disjoint covered INTERVALS (a start s
+    // covers [s, s+w)), then rebuild the kept tokens as the slices between
+    // intervals. A per-token `exists(starts, …)` scan would be
+    // O(tokens × starts) — quadratic for exactly the looping documents this
+    // operator targets (a doc that is one repeated phrase has ~every
+    // position in `starts`); the merged-interval form collapses that case
+    // to ONE interval and costs O(starts + tokens) per row.
+    val intervals = aggregate(col("starts"),
+      array().cast("array<struct<lo:int,hi:int>>"),
+      (acc, s) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > 0 && s <= last.getField("hi") + 1,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("lo").as("lo"),
+              greatest(last.getField("hi"), s + lit(w - 1)).as("hi")))))
+          .otherwise(concat(acc,
+            array(struct(s.as("lo"), (s + lit(w - 1)).as("hi")))))
+      })
+    // gap k spans [prev_hi+1, next_lo): slice bounds from the interval list
+    val gapLo = concat(array(lit(0)), transform(intervals, iv => iv.getField("hi") + 1))
+    val gapHi = concat(transform(intervals, iv => iv.getField("lo")),
+      array(size(col("toks"))))
     val kept = when(col("starts").isNull, col("toks")).otherwise(
-      filter(col("toks"), (t, i) =>
-        !exists(col("starts"), s => i >= s && i < s + lit(w))))
+      flatten(zip_with(gapLo, gapHi, (lo, hi) =>
+        slice(col("toks"), lo + 1, greatest(hi - lo, lit(0))))))
     joined.select(col("id").as(idCol),
       concat_ws(" ", kept).as("clean"),
       (size(col("toks")) - size(kept)).cast("long").as("n_removed"))

@@ -135,23 +135,29 @@ object ExtensionQueries extends QueryModule {
     "q_pipeline_hygiene" -> { (s, dir) =>
       val t = new Tables(s, dir)
       val docs = t.documents
+      // text is cached ONCE (in toks); the gram stage persists only what
+      // its lambdas read, and survivors join the text back from the cache
       val toks = docs
         .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val grams = toks
-        .select(col("doc_id"), col("text"), col("toks"),
+        .select(col("doc_id"), col("toks"),
           Dedup.ngramsFromTokens(col("toks"), 2).as("g2"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val passRep = grams.filter(
           TextAnalysis.duplicateTokenFractionFromTokens(col("toks")) < 0.6 &&
           TextAnalysis.topNgramFractionFromGrams(col("g2")) < 0.15)
-        .select("doc_id", "text")
+        .select("doc_id")
+        .join(toks.select("doc_id", "text"), Seq("doc_id"))
       val bench = docs.filter(col("doc_id") % 97 === 0)
       val cleanFlags = Decontaminate.flagContaminated(passRep, "doc_id", "text",
         bench, "text", n = 3, minOverlap = 2)
       val surviving = passRep.join(
         cleanFlags.filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
+      // both the keep-list and the final projection read the cleaned frame:
+      // persist it so the window-count shuffles run once, not twice
       val cleaned = Dedup.removeRepeatedWindows(surviving, "doc_id", "text", w = 10)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val keep = Dedup.exact(cleaned, "doc_id", "clean").select("doc_id")
       cleaned.join(keep, Seq("doc_id"), "left_semi")
         .select("doc_id", "clean", "n_removed")

@@ -81,9 +81,11 @@ object LangQueries extends QueryModule {
     // round-5 alias semantics, driver-gated end-to-end: a self-referencing
     // alias applies ONCE, a cross-referencing item binds at the selection
     // site, and a later define() drives the sieve without rewriting the
-    // chosen output (the selector binds where it appears)
+    // chosen output (the selector binds where it appears). The sort sits
+    // BEFORE the define: after it, b rebinds through a=0 to a constant
+    // and the order would fold away (live-scope binding, by design).
     "q_htsql_aliasing" -> q(
-      "/region{a := r_regionkey+1, b := a*10}.define(a := 0)?a=0.sort(b)"),
+      "/region{a := r_regionkey+1, b := a*10}.sort(b).define(a := 0)?a=0"),
 
     // sorted+limited nested segment, flattened for the driver gate
     "q_segment_sorted" -> { (s, dir) =>

@@ -496,7 +496,7 @@ class LangSpec extends AnyFunSuite {
     // cross-alias: item b references alias a; a later define of a must not
     // rewrite b's already-chosen binding (but DOES drive the later sieve)
     val got2 = g.query(
-      "/region{a := r_regionkey, b := a*10}.define(a := 0)?a=0.sort(b)")
+      "/region{a := r_regionkey, b := a*10}.sort(b).define(a := 0)?a=0")
     assert(got2.collect().map(r => (r.getAs[Number](0).longValue,
       r.getAs[Number](1).longValue)).toSeq ==
       (0L to 4L).map(k => (k, k * 10)))

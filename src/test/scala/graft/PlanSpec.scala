@@ -110,14 +110,22 @@ class PlanSpec extends AnyFunSuite {
       s"corpus text rides a shuffle:\n${shuffles.mkString("\n")}")
   }
 
-  test("repetition metrics read staged gram attributes, not inline tokenizers") {
-    // the lambda-staging rule: the final projection's transform/filter
-    // lambdas must reference the persisted columns (toks/g2/g3), never a
-    // split() of the raw text — an InMemoryTableScan feeding the project
-    // proves the stage boundary held
-    val df = SparkEntry.queries("q_quality_rep")(spark, dir)
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("InMemoryTableScan"), s"gram stage not materialized:\n$p")
+  test("repetition and text-stat metrics read staged attributes, not inline tokenizers") {
+    // the lambda-staging rule: the final projection's transform/filter/
+    // aggregate lambdas must reference the persisted columns (toks/g2/g3),
+    // never a split() of the raw text — the cache boundary must exist AND
+    // no tokenizer may survive above it in the consuming plan
+    for (key <- Seq("q_quality_rep", "q_text_stats")) {
+      val df = SparkEntry.queries(key)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      val boundary = p.indexOf("InMemoryTableScan")
+      assert(boundary >= 0, s"$key: stage not materialized:\n$p")
+      // the tokenizer may only appear BELOW the cache boundary (inside the
+      // cached relation's build plan); any split() above it means a lambda
+      // re-inlined the tokenizer into the consuming projection
+      assert(!p.substring(0, boundary).contains("split("),
+        s"$key: a tokenizer re-inlined above the cache boundary:\n$p")
+    }
   }
 
   test("detached aggregate broadcasts one global row, no per-row subquery") {
