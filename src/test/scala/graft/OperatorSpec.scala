@@ -375,6 +375,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) == (("totally unique words here only", 0L)))
   }
 
+  test("repeated-window removal matches a brute-force model on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    (1 to 6).foreach { trial =>
+      val w = 2 + rnd.nextInt(3) // 2..4
+      val docs = (0 until 15).map { id =>
+        val len = rnd.nextInt(30)
+        (id.toLong, Seq.fill(len)(s"t${rnd.nextInt(4)}").mkString(" "))
+      }
+      // reference model: per-token exists() over raw covered starts — the
+      // formulation the merged-interval rewrite must stay equal to
+      val model: Map[Long, (String, Long)] = {
+        val toks = docs.map { case (id, t) =>
+          id -> t.trim.toLowerCase.split("\\s+").toSeq
+        }.toMap
+        val wins = toks.toSeq.flatMap { case (id, ts) =>
+          if (ts.length < w) Nil
+          else (0 to ts.length - w).map(p => (id, p, ts.slice(p, p + w).mkString(" ")))
+        }
+        val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+        val covered = wins.filter(x => counts(x._3) >= 2)
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        toks.map { case (id, ts) =>
+          val cov = covered.getOrElse(id, Set.empty[Int])
+          val kept = ts.zipWithIndex.collect {
+            case (t, i) if !cov.exists(s => i >= s && i < s + w) => t
+          }
+          id -> (kept.mkString(" "), (ts.length - kept.length).toLong)
+        }
+      }
+      val out = Dedup.removeRepeatedWindows(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(out == model, s"trial $trial (w=$w): mismatch\n got $out\n exp $model")
+    }
+  }
+
   test("decontamination flags exactly the overlapping docs, with counts") {
     import spark.implicits._
     val docs = Seq(
