@@ -375,6 +375,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) == (("totally unique words here only", 0L)))
   }
 
+  test("top-n-gram run-length fold equals the count-based model on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 60).map { id =>
+      val len = rnd.nextInt(25)
+      (id.toLong, Seq.fill(len)(s"t${rnd.nextInt(3)}").mkString(" "))
+    }
+    val n = 2
+    val model = docs.map { case (id, t) =>
+      val ts = t.trim.toLowerCase.split("\\s+").toSeq
+      val grams = if (ts.length < n) Nil
+        else (0 to ts.length - n).map(p => ts.slice(p, p + n).mkString(" "))
+      val frac = if (grams.isEmpty) 0.0
+        else grams.groupBy(identity).values.map(_.size).max.toDouble / grams.size
+      id -> frac
+    }.toMap
+    val staged = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.ngramsFromTokens(col("toks"), n).as("g"))
+    val out = staged
+      .select(col("doc_id"), TextAnalysis.topNgramFractionFromGrams(col("g")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.foreach { case (id, _) =>
+      assert(math.abs(out(id) - model(id)) < 1e-12, s"doc $id: ${out(id)} vs ${model(id)}")
+    }
+  }
+
   test("repeated-window removal matches a brute-force model on random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(123)
