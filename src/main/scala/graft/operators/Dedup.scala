@@ -296,6 +296,13 @@ object Dedup {
       .select(col("id"),
         posexplode(ngramsFromTokens(col("toks"), w)).as(Seq("pos", "win")))
       .select(col("id"), col("pos"), xxhash64(col("win")).as("h"))
+    // Occurrence count via partial-aggregating groupBy + hash join-back —
+    // NOT count().over(Window.partitionBy(h)): the window form saves one
+    // shuffle but buffers each digest's whole partition, and a boilerplate
+    // window repeated millions of times (the dup-heavy corpora this
+    // operator exists for) becomes a single spilling straggler task. The
+    // join streams hot keys against the tiny dup table instead; the second
+    // wins evaluation is a map-side explode over the persisted tokens.
     val dup = wins.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val covered = wins.join(dup, "h")
