@@ -31,6 +31,18 @@ object Sampling {
   def keepByRate(fp: Column, rate: Double): Column =
     uniformBucket(fp) < lit((rate * Buckets).toLong)
 
+  /** EXACTLY k rows, deterministically: the k smallest (scrambled-hash,
+    * tiebreak) pairs. Rate sampling can't hit a row budget ("exactly 1M
+    * documents for this mixture") — ordering by a content-derived key and
+    * cutting at k can, and stays reproducible across topologies like every
+    * other decision here. Spark plans ORDER BY+LIMIT as per-partition
+    * top-k + merge (TakeOrderedAndProject) for small k and a range-
+    * partitioned sort + GlobalLimit beyond the top-k fallback threshold —
+    * both scale; nothing quadratic, no full collect.
+    */
+  def exactKByHash(df: DataFrame, fp: Column, tiebreak: Column, k: Int): DataFrame =
+    df.orderBy(uniformBucket(fp), tiebreak).limit(k)
+
   /** Stratified deterministic sample: per-stratum rates (e.g. by language
     * or source), `defaultRate` for unlisted strata. The typical mixture-
     * weighting step of a corpus build — downsample over-represented

@@ -66,6 +66,19 @@ object ExtensionQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Exact-k deterministic sample: the k smallest (scrambled-hash, id)
+    // pairs — a row BUDGET, where rate sampling can only hit an
+    // expectation. Plans as per-partition top-k (TakeOrderedAndProject).
+    "q_sample_exactk" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Sampling.exactKByHash(
+          t.documents.select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp")),
+          col("fp"), col("doc_id"), k = 200)
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    },
+
     // SimHash hamming-≤k pairs (rows-only check).
     "q_dedup_simhash" -> { (s, dir) =>
       val t = new Tables(s, dir)
@@ -443,6 +456,19 @@ object ExtensionQueries extends QueryModule {
          ORDER BY d.doc_id""",
     // Rates are binary-exact (0.25 / 0.5 / 1.0) so rate*1e6 needs no
     // rounding and Spark's truncating cast == DuckDB's trunc().
+    "q_sample_exactk" ->
+      """WITH f AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+           FROM documents),
+         s AS (
+           SELECT doc_id, fp FROM f
+           ORDER BY (fp * 2654435761) % 1000000, doc_id LIMIT 200)
+         SELECT doc_id, fp FROM s ORDER BY doc_id""",
     "q_sample" ->
       """WITH f AS (
            SELECT doc_id, lang, source,

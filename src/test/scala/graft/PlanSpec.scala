@@ -87,6 +87,12 @@ class PlanSpec extends AnyFunSuite {
       s"shingle arrays ride the candidate shuffle:\n$p")
   }
 
+  test("exact-k hash sample plans as per-partition top-k") {
+    val p = plan("q_sample_exactk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact-k sample did not plan as top-k:\n$p")
+  }
+
   test("ngram pair generation shuffles 8-byte digests, never shingle strings") {
     val df = SparkEntry.queries("q_dedup_ngram")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
