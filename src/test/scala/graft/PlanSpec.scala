@@ -87,6 +87,15 @@ class PlanSpec extends AnyFunSuite {
       s"shingle arrays ride the candidate shuffle:\n$p")
   }
 
+  test("repeated-window removal shuffles digests and positions, never window text") {
+    val df = SparkEntry.queries("q_dedup_substring")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.nonEmpty)
+    assert(shuffles.forall(l => !l.contains("win#") && !l.contains("text")),
+      s"window text rides a shuffle:\n${shuffles.mkString("\n")}")
+  }
+
   test("exact-k hash sample plans as per-partition top-k") {
     val p = plan("q_sample_exactk")
     assert(p.contains("TakeOrderedAndProject"),
