@@ -52,13 +52,22 @@ object StreamQueries extends QueryModule {
         .orderBy("user_id", "sess_start")
     },
 
-    // Approximate distinct users per event type (HLL++) — engine-specific
-    // sketch, rows-only check; q_count_distinct is the exact twin.
+    // Approximate distinct users per event type (HLL++). The sketch value
+    // is engine-specific, so the driver-gated contract is a BOUND CHECK:
+    // the estimate must land within ±15% (3σ at the default 5% rsd) of
+    // the exact count — an all-true column the oracle reproduces as
+    // literal TRUE. The estimate's accuracy itself stays pinned in
+    // OperatorSpec; q_count_distinct is the exact twin.
     "q_dist_approx" -> { (s, dir) =>
       val t = new Tables(s, dir)
       t.events
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id")).as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .select(col("event_type"),
+          (col("approx").cast("double") >= col("exact") * 0.85 &&
+            col("approx").cast("double") <= col("exact") * 1.15)
+            .as("within_3sigma"))
         .orderBy("event_type")
     },
 
@@ -114,6 +123,11 @@ object StreamQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the bound-check column is literally TRUE per group when the HLL
+    // estimate honors its 3σ envelope — any drift breaks the hash
+    "q_dist_approx" ->
+      """SELECT event_type, TRUE AS within_3sigma
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_stream_tumble" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
            event_type, count(*) AS n_events,
