@@ -207,13 +207,38 @@ private final class Parser(tokens: Vector[Token], input: String) {
       case _ => None
     }
     val expr = parseScalar()
-    val direction = cur match {
+    var direction: Option[Boolean] = cur match {
       case Token.Op("+", _) if peekIsItemEnd(1) => advance(); Some(true)
       case Token.Op("-", _) if peekIsItemEnd(1) => advance(); Some(false)
       case _ => None
     }
-    Item(expr, alias, direction)
+    // `:as title` decorator (reference: the `as()` decorator in
+    // src/htsql/core/tr/fn/bind.py — sets the output column title); the
+    // title may be a quoted string or a bare identifier and wins over an
+    // `alias :=` prefix. A direction decorator composes on either side.
+    val title = cur match {
+      case Token.Op(":", _) =>
+        tokens.lift(pos + 1) match {
+          case Some(Token.Ident("as", _)) =>
+            advance(); advance()
+            cur match {
+              case Token.Str(s, p) => advance(); Some(s)
+              case Token.Ident(n, p) => advance(); Some(n)
+              case other => throw new ParseError(
+                ":as needs a title (string or identifier)", other.pos)
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+    if (direction.isEmpty) direction = cur match {
+      case Token.Op("+", _) if peekIsItemEnd(1) => advance(); Some(true)
+      case Token.Op("-", _) if peekIsItemEnd(1) => advance(); Some(false)
+      case _ => None
+    }
+    Item(expr, title.orElse(alias), direction)
   }
+
 
   private def parseSortKeys(): Seq[SortKey] = {
     val keys = Seq.newBuilder[SortKey]
@@ -233,6 +258,13 @@ private final class Parser(tokens: Vector[Token], input: String) {
 
   private def peekIsItemEnd(offset: Int): Boolean = tokens.lift(pos + offset) match {
     case Some(Token.Op(",", _)) | Some(Token.Op("}", _)) | Some(Token.Op(")", _)) => true
+    // a `:as` title decorator also ends the item expression, so a trailing
+    // +/- before it reads as a direction decorator, not binary arithmetic
+    case Some(Token.Op(":", _)) =>
+      tokens.lift(pos + offset + 1) match {
+        case Some(Token.Ident("as", _)) => true
+        case _ => false
+      }
     case _ => false
   }
 

@@ -474,6 +474,25 @@ class LangSpec extends AnyFunSuite {
     assertSameRows(re, expRe)
   }
 
+  test(":as decorator titles the output column") {
+    // quoted title (spaces allowed), bare-identifier title, and a
+    // direction decorator on either side of the title
+    val got = g.query("/customer{c_custkey, c_name :as 'Customer Name'}.sort(c_custkey).limit(2)")
+    assert(got.columns.toSeq == Seq("c_custkey", "Customer Name"))
+    val got2 = g.query("/customer{c_custkey, c_acctbal :as bal}?bal>0.sort(c_custkey).limit(2)")
+    assert(got2.columns.toSeq == Seq("c_custkey", "bal"))
+    val got3 = g.query("/customer{c_custkey, c_acctbal- :as 'Balance'}.limit(2)")
+    assert(got3.columns.toSeq == Seq("c_custkey", "Balance"))
+    val top2 = got3.collect().map(_.getAs[Number](1).doubleValue)
+    assert(top2.toSeq == top2.toSeq.sortBy(-(_: Double)))
+    val got4 = g.query("/customer{c_custkey, c_acctbal :as 'Balance' +}.limit(2)")
+    assert(got4.columns.toSeq == Seq("c_custkey", "Balance"))
+    // `:as` wins over an `alias :=` prefix for the OUTPUT name (single
+    // title slot — a deliberate superset: the title is also referenceable)
+    val got5 = g.query("/customer{c_custkey, n := c_acctbal :as bal2}?bal2>0.limit(2)")
+    assert(got5.columns.toSeq == Seq("c_custkey", "bal2"))
+  }
+
   test("a self-referencing selection alias applies its body exactly once") {
     // {x := x+1} reads the underlying column — NOT the new definition
     // (double-application would yield 2..6)
