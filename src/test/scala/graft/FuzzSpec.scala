@@ -55,7 +55,8 @@ class FuzzSpec extends AnyFunSuite {
       // decorated self-references, define-after-selection rebinds
       "{c_acctbal := c_acctbal+1}", "{k := c_acctbal}{k := k*2}",
       "{c_acctbal := c_acctbal*2 -}", ".define(c_acctbal := c_acctbal+1)",
-      "{k := c_acctbal}.define(k := k+1)?k>0", "{k := upper(k)}")
+      "{k := c_acctbal}.define(k := k+1)?k>0", "{k := upper(k)}",
+      "{c_name :as 'Title'}", "{c_acctbal- :as bal}", "{x := c_acctbal :as y}")
     (1 to binderN).foreach { i =>
       val q = "/" + frags(rnd.nextInt(5)) +
         Iterator.fill(rnd.nextInt(4))(frags(rnd.nextInt(frags.length))).mkString
