@@ -36,6 +36,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS); set at session build so no
+      // query depends on Tables having loaded events first
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm the JVM/codegen path once so the first measured query doesn't
@@ -57,6 +60,11 @@ object Bench {
           failures += name -> msg.linesIterator.take(1).mkString
           System.err.println(s"[bench] FAILED $name: $msg")
           name -> -1.0
+      } finally {
+        // staging caches live per-query: measured runs reuse the warm
+        // run's blocks, then the next query starts with an empty cache
+        // (77 queries of staging residue would otherwise accumulate)
+        graft.operators.Staging.releaseAll()
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -56,6 +56,11 @@ object Ast {
   /** Selection item: expression with optional alias (`alias := expr`) and
     * optional sort direction decorator (`expr+` / `expr-`).
     */
-  final case class Item(expr: Ast, alias: Option[String], direction: Option[Boolean])
+  // `alias` is the `name :=` scope binding; `title` is the `:as` output
+  // header. They are DISTINCT (reference: the as() decorator in
+  // src/htsql/core/tr/fn/bind.py only retitles the column — the := name
+  // stays referenceable by later sieves/sorts).
+  final case class Item(expr: Ast, alias: Option[String], direction: Option[Boolean],
+                        title: Option[String] = None)
   final case class SortKey(expr: Ast, ascending: Boolean)
 }

@@ -213,9 +213,10 @@ private final class Parser(tokens: Vector[Token], input: String) {
       case _ => None
     }
     // `:as title` decorator (reference: the `as()` decorator in
-    // src/htsql/core/tr/fn/bind.py — sets the output column title); the
-    // title may be a quoted string or a bare identifier and wins over an
-    // `alias :=` prefix. A direction decorator composes on either side.
+    // src/htsql/core/tr/fn/bind.py — sets the output column title ONLY);
+    // the title may be a quoted string or a bare identifier. An `alias :=`
+    // prefix keeps its scope binding alongside the title. A direction
+    // decorator composes on either side.
     val title = cur match {
       case Token.Op(":", _) =>
         tokens.lift(pos + 1) match {
@@ -236,7 +237,7 @@ private final class Parser(tokens: Vector[Token], input: String) {
       case Token.Op("-", _) if peekIsItemEnd(1) => advance(); Some(false)
       case _ => None
     }
-    Item(expr, title.orElse(alias), direction)
+    Item(expr, alias, direction, title)
   }
 
 

@@ -140,7 +140,8 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       val nb = substituteName(b, name, repl)
       if (introducesShadow(b, name)) Select(nb, items)
       else {
-        val shadowAt = items.indexWhere(_.alias.contains(name))
+        val shadowAt = items.indexWhere(it =>
+          it.alias.contains(name) || it.title.contains(name))
         Select(nb, items.zipWithIndex.map { case (it, i) =>
           if (shadowAt >= 0 && i > shadowAt) it
           else it.copy(expr = substituteName(it.expr, name, repl))
@@ -176,7 +177,8 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     */
   private def introducesShadow(ast: Ast, name: String): Boolean = ast match {
     case Select(b, items) =>
-      items.exists(_.alias.contains(name)) || introducesShadow(b, name)
+      items.exists(it => it.alias.contains(name) || it.title.contains(name)) ||
+        introducesShadow(b, name)
     case DefineOp(b, defs) =>
       defs.exists(_._1 == name) || introducesShadow(b, name)
     case Quotient(b, kernels) =>
@@ -327,11 +329,19 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
           // sieves/sorts without rewriting the already-chosen output
           // (reference: the selector binds where it appears).
           val snap = items.map {
-            case it @ Item(expr, Some(alias), _) if !expr.isInstanceOf[Segment] =>
-              val body = ctx.defines.get(alias)
-                .map(old => substituteName(expr, alias, old)).getOrElse(expr)
-              ctx.defines += alias -> body
-              ctx.inherited -= alias
+            case it @ Item(expr, alias, _, title)
+                if !expr.isInstanceOf[Segment] && (alias.nonEmpty || title.nonEmpty) =>
+              // both the `:=` alias and the `:as` title become scope names
+              // (the alias per the reference; the title as a deliberate
+              // superset so `{x :as t}?t>0` reads naturally) — each
+              // self-reference resolves to the PRIOR definition, once
+              var body = expr
+              for (n <- (alias.toSeq ++ title).distinct; old <- ctx.defines.get(n))
+                body = substituteName(body, n, old)
+              for (n <- (alias.toSeq ++ title).distinct) {
+                ctx.defines += n -> body
+                ctx.inherited -= n
+              }
               it.copy(expr = body)
             case it => it
           }
@@ -341,8 +351,8 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
           // re-selection REPLACES it (later op wins). A decorator-less
           // re-selection leaves the standing flow order alone.
           val decor = snap.collect {
-            case Item(e, alias, Some(asc)) if !e.isInstanceOf[Segment] =>
-              direction(bindSansAlias(ctx, e, alias), asc)
+            case Item(e, alias, Some(asc), title) if !e.isInstanceOf[Segment] =>
+              direction(bindSansAlias(ctx, e, alias.toSeq ++ title), asc)
           }
           if (decor.nonEmpty) ctx.pendingSort = decor
           ctx.selection = Some(snap)
@@ -496,12 +506,13 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   private def selectItems(ctx: Ctx, items0: Seq[Item]): DataFrame = {
     // `*` expands to the scope table's own columns (BindWildcard)
     val items = items0.flatMap {
-      case Item(Ident("*"), _, _) =>
+      case Item(Ident("*"), _, _, _) =>
         ctx.baseColumns.map(c => Item(Ident(c), None, None))
       case it => Seq(it)
     }
     val named = items.zipWithIndex.map { case (it, i) =>
-      val name = it.alias.getOrElse(it.expr match {
+      // `:as` retitles the OUTPUT column; the `:=` alias stays the scope name
+      val name = it.title.orElse(it.alias).getOrElse(it.expr match {
         case Segment(flow) => segmentLabel(flow)
         case e => itemName(e, i)
       })
@@ -520,7 +531,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
           planTop(ctx, args.head, args.lift(1))
         // aliased items bind their snapshotted body with the alias off the
         // scope — one application of the definition (see the Select branch)
-        case e => bindSansAlias(ctx, e, it.alias)
+        case e => bindSansAlias(ctx, e, it.alias.toSeq ++ it.title)
       }).as(outName)
     }
     // a sort deferred past the selection re-applies now that every item is
@@ -529,7 +540,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       if (ctx.pendingSort.nonEmpty) ctx.df.orderBy(ctx.pendingSort: _*) else ctx.df
     val projected = ordered.select(cols: _*)
     val sortCols = named.zip(finalNames).collect {
-      case ((Item(_, _, Some(asc)), _), outName) => direction(col(outName), asc)
+      case ((Item(_, _, Some(asc), _), _), outName) => direction(col(outName), asc)
     }
     // pendingSort comes from a LATER `.sort()` in the pipeline, so it wins
     // over the selection's own direction decorators (`{x-}.sort(y)` orders
@@ -617,12 +628,12 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     }
     val items = outItems.getOrElse(
       childCtx.baseColumns.map(c => Item(Ident(c), None, None))).flatMap {
-        case Item(Ident("*"), _, _) => // wildcard expands inside segments too
+        case Item(Ident("*"), _, _, _) => // wildcard expands inside segments too
           childCtx.baseColumns.map(c => Item(Ident(c), None, None))
         case it => Seq(it)
       }
     val structCols = items.zipWithIndex.map { case (it, i) =>
-      val name = it.alias.getOrElse(it.expr match {
+      val name = it.title.orElse(it.alias).getOrElse(it.expr match {
         case Segment(f) => segmentLabel(f)
         case e => itemName(e, i)
       })
@@ -650,7 +661,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       val w = Window.partitionBy(rootKeys.map(col): _*).orderBy(order: _*)
       val fields = structCols.zipWithIndex.map { case (c, i) => c.as(s"__f$i") }
       val names = items.zipWithIndex.map { case (it, i) =>
-        it.alias.getOrElse(it.expr match {
+        it.title.orElse(it.alias).getOrElse(it.expr match {
           case Segment(f) => segmentLabel(f)
           case e => itemName(e, i)
         })
@@ -830,7 +841,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     }
 
     val outSpecs = items.zipWithIndex.map { case (it, i) =>
-      val name = it.alias.getOrElse(itemName(it.expr, i))
+      val name = it.title.orElse(it.alias).getOrElse(itemName(it.expr, i))
       it.expr match {
         // plain kernel-derived scalar with no aggregates keeps the legacy
         // pre-group binding (covers scalar fns of kernel columns)
@@ -902,14 +913,15 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     * chaining, so a free occurrence of the name inside the body must reach
     * the underlying column / older scope, never re-enter the definition.
     */
-  private def bindSansAlias(ctx: Ctx, e: Ast, alias: Option[String]): Column =
-    alias match {
-      case Some(a) if ctx.defines.contains(a) =>
-        val saved = ctx.defines
-        ctx.defines -= a
-        try bindScalar(ctx, e) finally ctx.defines = saved
-      case _ => bindScalar(ctx, e)
+  private def bindSansAlias(ctx: Ctx, e: Ast, names: Seq[String]): Column = {
+    val shadowed = names.filter(ctx.defines.contains)
+    if (shadowed.isEmpty) bindScalar(ctx, e)
+    else {
+      val saved = ctx.defines
+      ctx.defines --= shadowed
+      try bindScalar(ctx, e) finally ctx.defines = saved
     }
+  }
 
   private def bindScalarImpl(ctx: Ctx, ast: Ast): Column = ast match {
     case NumberLit(v) =>

@@ -138,7 +138,12 @@ final class Tables(val spark: SparkSession, val dir: String,
           // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
           // rejects; read it as raw nanos and truncate to microseconds.
           // Integral `div` — an epoch-nanos value exceeds double precision.
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          // The legacy conf must come from the SESSION BUILDER: setting it
+          // here as a load side effect made every direct events read
+          // order-dependent on a prior Tables load. Fail loudly instead.
+          require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+            "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
+              "builder before reading events (TIMESTAMP(NANOS) parquet)")
           val raw = spark.read.parquet(s"$dir/$name.parquet")
           raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
         } else spark.read.parquet(s"$dir/$name.parquet")

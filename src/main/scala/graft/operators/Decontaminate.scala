@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import Staging.Stageable
 
 /** Benchmark decontamination — flag corpus documents that share n-gram
   * shingles with an evaluation set, the standard pre-training hygiene step
@@ -32,9 +33,13 @@ object Decontaminate {
     // shingle expression would re-run the tokenizer per shingle index
     val docSh = Dedup.shingleFrame(docs, idCol, textCol, n)
       .select(col("id").as(idCol), explode(col("sh")).as("shingle"))
+    // this persist is a staging BARRIER, not a reuse cache: without it
+    // CollapseProject inlines the tokenizer into the shingle lambda and
+    // re-runs it per shingle index (O(len²) per doc). Registered with
+    // Staging, so the harness releases it after the consuming action.
     val benchSh = benchmark
       .select(Dedup.tokens(col(benchTextCol)).as("toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
       .select(explode(Dedup.shinglesFromTokens(col("toks"), n)).as("shingle"))
       .distinct()
     // doc shingles are distinct per doc (Dedup.shingles), so the join hits

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import Staging.Stageable
 
 /** Large-scale text deduplication operators (training-data pipeline block).
   *
@@ -52,11 +53,11 @@ object Dedup {
   def shingleFrame(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toksDf = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
     toksDf
       .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
   }
 
   /** Exact dedup: keep the lowest-id row per identical (normalized) text.
@@ -102,7 +103,7 @@ object Dedup {
     // times, so `sh` must be a materialized attribute, not an expression
     val base = shingleFrame(docs, idCol, textCol, shingleSize)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
     val pairIds = minhashCandidates(base, numHashes, bands)
 
     pairIds
@@ -172,7 +173,7 @@ object Dedup {
     val hashed = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("hs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
     val sigs = hashed.select(col("id"),
       graft.functions.VectorFunctions.simhash64(col("hs")).as("sig"))
       .select(col("id"), col("sig"),
@@ -291,7 +292,7 @@ object Dedup {
       w: Int = 10): DataFrame = {
     val toksDf = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
     val wins = toksDf
       .select(col("id"),
         posexplode(ngramsFromTokens(col("toks"), w)).as(Seq("pos", "win")))
@@ -318,13 +319,19 @@ object Dedup {
     val intervals = aggregate(col("starts"),
       array().cast("array<struct<lo:int,hi:int>>"),
       (acc, s) => {
-        val last = element_at(acc, -1)
-        when(size(acc) > 0 && s <= last.getField("hi") + 1,
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(last.getField("lo").as("lo"),
-              greatest(last.getField("hi"), s + lit(w - 1)).as("hi")))))
-          .otherwise(concat(acc,
-            array(struct(s.as("lo"), (s + lit(w - 1)).as("hi")))))
+        val newIv = array(struct(s.as("lo"), (s + lit(w - 1)).as("hi")))
+        // the empty-acc case branches FIRST so no path can evaluate
+        // element_at on an empty array (ANSI INVALID_ARRAY_INDEX) —
+        // guarding via `size(acc) > 0 && …` worked only through And's
+        // short-circuit, which a refactor could silently drop
+        when(size(acc) === 0, newIv).otherwise {
+          val last = element_at(acc, -1)
+          when(s <= last.getField("hi") + 1,
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(last.getField("lo").as("lo"),
+                greatest(last.getField("hi"), s + lit(w - 1)).as("hi")))))
+            .otherwise(concat(acc, newIv))
+        }
       })
     // gap k spans [prev_hi+1, next_lo): slice bounds from the interval list
     val gapLo = concat(array(lit(0)), transform(intervals, iv => iv.getField("hi") + 1))

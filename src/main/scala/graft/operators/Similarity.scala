@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
+import Staging.Stageable
 import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
@@ -103,10 +104,10 @@ object Similarity {
     // persist the cast frames and precompute norms once per vector —
     // otherwise the float→double cast and the norm fold re-run per PAIR
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
       .withColumn("n_norm", norm(col("n_vec")))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
       .withColumn("q_norm", norm(col("q_vec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
@@ -132,10 +133,10 @@ object Similarity {
     // persist the cast frame first: the bucket bits run numPlanes dot
     // products over the vector, which must be an attribute, not a re-cast
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
     val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(c.count(), targetBucket)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
     val cBand = c.select(col("n_id"),
       posexplode(bucketTables(col("n_vec"), dim, planes, numTables, seed))
         .as(Seq("tbl", "bucket")))
@@ -255,7 +256,7 @@ object Similarity {
       iters: Int = 2, assignReplicas: Int = 3): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
 
     var centroids: Array[Array[Double]] = farthestPointSeeds(c, nlist)
 
@@ -300,7 +301,7 @@ object Similarity {
     }
 
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
     // nprobe nearest cells per query — same map-side top-R selection
     val qProbes = q.select(col("q_id"), explode(topCells(col("q_vec"), nprobe)).as("t"))
       .select(col("q_id"), col("t.c").as("cluster"))
@@ -332,7 +333,7 @@ object Similarity {
       seed: Long = 42L, targetBucket: Int = 128): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .stagePersist()
     val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(c.count(), targetBucket)
     val banded = c.select(col("id"),
       posexplode(bucketTables(col("vec"), dim, planes, numTables, seed))

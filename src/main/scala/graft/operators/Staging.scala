@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Registry for persisted STAGING frames.
+  *
+  * Operators persist narrow projections as a staging BARRIER: Spark
+  * re-evaluates non-attribute subexpressions inside higher-order-function
+  * lambdas PER ELEMENT, and `CollapseProject` re-inlines a plain
+  * `withColumn`/`select` stage, so a persisted projection is the only way
+  * to guarantee a token/shingle array is computed once per row. Those
+  * persists are NOT reuse caches — once the query's action has run they
+  * are dead weight, and in a long-lived session (the benchmark harness
+  * runs 77 queries back-to-back) the cached blocks accumulate until the
+  * block manager is all staging residue.
+  *
+  * Every staging persist therefore routes through [[stage]], and the
+  * harness (Bench / Verify / the embedded API) calls [[releaseAll]] after
+  * the action that consumes the query. `connectedComponents` keeps its own
+  * tighter `finally`-scoped release because its frames die inside the call.
+  */
+object Staging {
+
+  private val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  /** Persist `df` as a staging frame and register it for release. */
+  def stage(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    synchronized {
+      val p = df.persist(level)
+      live += p
+      p
+    }
+
+  /** Unpersist every staging frame registered since the last release.
+    * Non-blocking: eviction proceeds in the background while the next
+    * query plans.
+    */
+  def releaseAll(): Unit = synchronized {
+    live.foreach(_.unpersist(false))
+    live.clear()
+  }
+
+  /** Number of currently-registered staging frames (for tests). */
+  def liveCount: Int = synchronized(live.size)
+
+  /** Postfix form: `df.stagePersist()` reads like the `.persist(...)` it
+    * replaces at the ~20 staging sites.
+    */
+  implicit final class Stageable(private val df: DataFrame) extends AnyVal {
+    def stagePersist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+      stage(df, level)
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.operators.Staging.Stageable
 import graft.model.Tables
 import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, RangeJoin, Redact, Sampling, Similarity, TextAnalysis}
 
@@ -152,11 +153,11 @@ object ExtensionQueries extends QueryModule {
       // its lambdas read, and survivors join the text back from the cache
       val toks = docs
         .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("toks"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .stagePersist()
       val grams = toks
         .select(col("doc_id"), col("toks"),
           Dedup.ngramsFromTokens(col("toks"), 2).as("g2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .stagePersist()
       val passRep = grams.filter(
           TextAnalysis.duplicateTokenFractionFromTokens(col("toks")) < 0.6 &&
           TextAnalysis.topNgramFractionFromGrams(col("g2")) < 0.15)
@@ -170,7 +171,7 @@ object ExtensionQueries extends QueryModule {
       // both the keep-list and the final projection read the cleaned frame:
       // persist it so the window-count shuffles run once, not twice
       val cleaned = Dedup.removeRepeatedWindows(surviving, "doc_id", "text", w = 10)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .stagePersist()
       val keep = Dedup.exact(cleaned, "doc_id", "clean").select("doc_id")
       cleaned.join(keep, Seq("doc_id"), "left_semi")
         .select("doc_id", "clean", "n_removed")
@@ -228,9 +229,9 @@ object ExtensionQueries extends QueryModule {
       val t = new Tables(s, dir)
       val staged = t.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .persist()
+        .stagePersist()
         .withColumn("s", Similarity.quantScale(col("v")))
-        .persist()
+        .stagePersist()
       staged.withColumn("q", Similarity.quantizeInt8(col("v"), col("s")))
         .select(col("vec_id"), round(col("s"), 6).as("scale6"),
           aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
@@ -257,7 +258,7 @@ object ExtensionQueries extends QueryModule {
       val staged = t.documents
         .select(col("doc_id"), col("text"),
           TextAnalysis.tokens(col("text")).as("toks"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .stagePersist()
       staged.select(
         col("doc_id"),
         TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"),
@@ -287,12 +288,12 @@ object ExtensionQueries extends QueryModule {
       val t = new Tables(s, dir)
       val toks = t.documents
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .stagePersist()
       val grams = toks
         .select(col("doc_id"), col("toks"),
           Dedup.ngramsFromTokens(col("toks"), 2).as("g2"),
           Dedup.ngramsFromTokens(col("toks"), 3).as("g3"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .stagePersist()
       grams.select(
         col("doc_id"),
         TextAnalysis.duplicateTokenFractionFromTokens(col("toks")).as("dup_tok_frac"),

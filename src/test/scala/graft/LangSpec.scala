@@ -487,10 +487,16 @@ class LangSpec extends AnyFunSuite {
     assert(top2.toSeq == top2.toSeq.sortBy(-(_: Double)))
     val got4 = g.query("/customer{c_custkey, c_acctbal :as 'Balance' +}.limit(2)")
     assert(got4.columns.toSeq == Seq("c_custkey", "Balance"))
-    // `:as` wins over an `alias :=` prefix for the OUTPUT name (single
-    // title slot — a deliberate superset: the title is also referenceable)
+    // `:as` wins over an `alias :=` prefix for the OUTPUT name only: the
+    // := alias KEEPS its scope binding (reference parity — as() retitles
+    // the header), and the title is also referenceable (superset)
     val got5 = g.query("/customer{c_custkey, n := c_acctbal :as bal2}?bal2>0.limit(2)")
     assert(got5.columns.toSeq == Seq("c_custkey", "bal2"))
+    val got6 = g.query("/customer{c_custkey, n := c_acctbal :as bal2}?n>0.sort(c_custkey).limit(2)")
+    assert(got6.columns.toSeq == Seq("c_custkey", "bal2"))
+    val got6ref = g.query("/customer{c_custkey, n := c_acctbal}?n>0.sort(c_custkey).limit(2)")
+    assert(got6.collect().map(_.getLong(0)).toSeq ==
+      got6ref.collect().map(_.getLong(0)).toSeq)
   }
 
   test("a self-referencing selection alias applies its body exactly once") {
@@ -971,6 +977,9 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS); the conf lives in the session
+      // builder (not Tables) so suite order can never matter
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

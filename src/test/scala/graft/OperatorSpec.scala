@@ -16,6 +16,24 @@ class OperatorSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
   private def t(name: String) = spark.read.parquet(s"$dir/$name.parquet")
 
+  test("events reads in a fresh session with no prior Tables load") {
+    // the nanos conf lives in every session BUILDER now (Tables used to set
+    // it as a load side effect, making direct events reads order-dependent)
+    val fresh = spark.newSession()
+    val ev = new graft.model.Tables(fresh, dir).events
+    assert(ev.count() > 0)
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+  }
+
+  test("staging persists register and release through Staging") {
+    graft.operators.Staging.releaseAll()
+    val docs = t("documents")
+    Dedup.shingleFrame(docs, "doc_id", "text", 3).count()
+    assert(graft.operators.Staging.liveCount >= 2) // toks + shingles stages
+    graft.operators.Staging.releaseAll()
+    assert(graft.operators.Staging.liveCount == 0)
+  }
+
   test("minhash candidates ⊇ high-jaccard exact pairs (recall on strong dups)") {
     val docs = t("documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
