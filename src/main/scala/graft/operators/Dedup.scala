@@ -98,10 +98,23 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       jaccardThreshold: Double = 0.5
+  ): DataFrame =
+    minhashPairsFrom(shingleFrame(docs, idCol, textCol, shingleSize),
+      numHashes, bands, jaccardThreshold)
+
+  /** [[minhashPairs]] over a prebuilt [[shingleFrame]] — lets a gate query
+    * share ONE staged shingle frame between the sketch and its exact twin
+    * instead of tokenizing the corpus twice.
+    */
+  def minhashPairsFrom(
+      sh: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      jaccardThreshold: Double = 0.5
   ): DataFrame = {
     // staged + persisted: the signature lambda iterates `sh` numHashes
     // times, so `sh` must be a materialized attribute, not an expression
-    val base = shingleFrame(docs, idCol, textCol, shingleSize)
+    val base = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .stagePersist()
     val pairIds = minhashCandidates(base, numHashes, bands)
@@ -155,27 +168,39 @@ object Dedup {
                      (s, h) -> s + IF((shiftrightunsigned(h, i) & 1) = 1, 1L, -1L)
                    ) >= 0L, shiftleft(1L, i), 0L))"""
 
-  /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming.
-    *
-    * Candidate generation by the pigeonhole banding trick: split the 64-bit
-    * signature into (maxHamming/width + 1) chunks — any pair within the
-    * distance budget matches exactly on at least one chunk. Join per chunk,
-    * verify with `bit_count(xor)`.
+  /** Staged (id, sig) SimHash signature frame. The whole tokenize →
+    * xxhash64-per-token → SimHash64 chain is ONE per-row expression (each
+    * array argument evaluates once per row), so the only persist worth
+    * paying is the 16-byte-per-row signature frame itself — both join
+    * sides of a pair search read it. (Round 5 persisted the token-hash
+    * ARRAYS and recomputed the kernel per side: bigger cache, double
+    * kernel work — the r05→r06 simhash fix.)
+    */
+  def simhashSigs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // native codegen'd SimHash64 kernel (graft.functions.SimHash64) —
+    // bit-identical to simhashFoldSql but one tight pass instead of 64
+    // interpreted lambda iterations per token
+    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col(idCol).as("id"),
+        graft.functions.VectorFunctions.simhash64(
+          transform(tokens(col(textCol)), t => xxhash64(t))).as("sig"))
+      .stagePersist()
+  }
+
+  /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming —
+    * APPROXIMATE candidate generation by single-chunk pigeonhole banding:
+    * split the 64-bit signature into `chunks` chunks and join per chunk.
+    * The superset guarantee ("some chunk matches exactly") only holds for
+    * maxHamming ≤ chunks − 1; beyond that recall is partial (measured
+    * 0.61 at maxHamming=6, chunks=4). [[simhashPairsExact]] is the exact
+    * construction; this form survives as the cheaper wide-chunk mode.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    // stage token hashes once, then the native codegen'd SimHash64 kernel
-    // (graft.functions.SimHash64) — bit-identical to simhashFoldSql but one
-    // tight pass instead of 64 interpreted lambda iterations per token
-    graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
-    val hashed = docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), transform(col("toks"), t => xxhash64(t)).as("hs"))
-      .stagePersist()
-    val sigs = hashed.select(col("id"),
-      graft.functions.VectorFunctions.simhash64(col("hs")).as("sig"))
+    val sigs = simhashSigs(docs, idCol, textCol)
       .select(col("id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${chunks - 1}), " +
           s"c -> shiftrightunsigned(sig, c * $width) & ${mask}L)"))
@@ -186,6 +211,40 @@ object Dedup {
       col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, col("chunk") === col("chunk_r") && col("chunk_val") === col("chunk_val_r") &&
         col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** EXACT SimHash pair search for hamming ≤ 6 — the multi-block
+    * construction of Manku et al. 2007 ("Detecting Near-Duplicates for Web
+    * Crawling"): split the signature into 8 blocks of 8 bits; a pair with
+    * ≤ 6 differing bits has ≥ 2 clean blocks, so it matches exactly on at
+    * least one of the 28 two-block COMBINATIONS. Joining on
+    * (combo, block_i ⧺ block_j) keys gives a guaranteed candidate superset
+    * with 16-bit key entropy — narrow 8-bit single-block keys would put
+    * corpus/256 docs in every bucket (quadratic in-bucket work at scale),
+    * while combo keys keep expected bucket population corpus/65536 per
+    * combo. Shuffle carries (key, id, sig) = 24 B × 28 rows/doc; the
+    * `bit_count` verify makes the output exactly the hamming ≤ maxHamming
+    * pair set.
+    */
+  def simhashPairsExact(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 6,
+      s"8-block/2-combo construction guarantees maxHamming ≤ 6, got $maxHamming")
+    val sigs = simhashSigs(docs, idCol, textCol)
+    def block(k: Int): Column =
+      shiftrightunsigned(col("sig"), k * 8).bitwiseAND(lit(0xFFL))
+    val combos = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+    val keys = array(combos.zipWithIndex.map { case ((i, j), c) =>
+      lit(c.toLong << 16) + block(i) * lit(256L) + block(j)
+    }: _*)
+    val exploded = sigs.select(col("id"), col("sig"), explode(keys).as("k"))
+    val a = exploded.select(col("k"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = exploded.select(col("k").as("k_r"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, col("k") === col("k_r") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
@@ -374,15 +433,27 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2,
+      maxDf: Option[Int] = None): DataFrame =
+    ngramJaccardPairsFrom(shingleFrame(docs, idCol, textCol, n),
+      threshold, minCommon, maxDf)
+      .select("id_a", "id_b", "jaccard")
+
+  /** [[ngramJaccardPairs]] over a prebuilt [[shingleFrame]], keeping the
+    * `common` overlap count in the output — the gate queries share one
+    * staged shingle frame between this exact twin and the sketch under
+    * test, and derive both the minCommon≥2 and the ≥1 pair sets from one
+    * inverted-index pass.
+    */
+  def ngramJaccardPairsFrom(sh: DataFrame,
+      threshold: Double = 0.2, minCommon: Int = 2,
       maxDf: Option[Int] = None): DataFrame = {
-    // persisted: the inverted index reads this frame twice (both join sides).
-    // The join key is the shingle's 64-bit digest, computed map-side before
-    // the exchange — the one corpus-sized shuffle carries 8-byte keys, never
-    // shingle strings. A cross-shingle collision inside a candidate pair
-    // (P ≈ pair_shingles²/2⁶⁴) could inflate a common count by one; at any
-    // realistic corpus that is ~10⁻¹⁰-grade — the strictly-exact
-    // string-keyed path remains [[ngramJaccardPairsPrefix]].
-    val sh = shingleFrame(docs, idCol, textCol, n)
+    // persisted (inside shingleFrame): the inverted index reads the frame
+    // twice (both join sides). The join key is the shingle's 64-bit digest,
+    // computed map-side before the exchange — the one corpus-sized shuffle
+    // carries 8-byte keys, never shingle strings. A cross-shingle collision
+    // inside a candidate pair (P ≈ pair_shingles²/2⁶⁴) could inflate a
+    // common count by one; at any realistic corpus that is ~10⁻¹⁰-grade —
+    // the strictly-exact string-keyed path remains [[ngramJaccardPairsPrefix]].
     val invAll = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
       .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val inv = maxDf match {
@@ -401,7 +472,7 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "jaccard", "common")
   }
 
   /** [[ngramJaccardPairs]] with LOSSLESS prefix filtering (Chaudhuri

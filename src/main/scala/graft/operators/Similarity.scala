@@ -128,7 +128,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, numPlanes: Int = 0,
-      numTables: Int = 8, seed: Long = 42L, targetBucket: Int = 128): DataFrame = {
+      numTables: Int = 16, seed: Long = 42L, targetBucket: Int = 128): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     // persist the cast frame first: the bucket bits run numPlanes dot
     // products over the vector, which must be an attribute, not a re-cast
@@ -329,7 +329,7 @@ object Similarity {
     * corpus×corpus shape that survives 100 TB.
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, numPlanes: Int = 0, numTables: Int = 8,
+      dim: Int, threshold: Double, numPlanes: Int = 0, numTables: Int = 16,
       seed: Long = 42L, targetBucket: Int = 128): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))

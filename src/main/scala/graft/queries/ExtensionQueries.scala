@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.operators.Staging.Stageable
@@ -11,10 +12,18 @@ import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, RangeJoin, Redac
   * reference stops at relational navigation).
   *
   * Oracle SQL is supplied wherever DuckDB can reproduce the computation
-  * bit-for-bit (exact dedup, n-gram Jaccard, text stats, fingerprints);
-  * hash-sketch operators (MinHash/SimHash/LSH — engine-specific xxhash64 /
-  * RNG) get the driver's rows-only check and are locked down by ScalaTest
-  * invariants instead.
+  * bit-for-bit (exact dedup, n-gram Jaccard, text stats, fingerprints).
+  * Hash-sketch operators (MinHash/SimHash/LSH/IVF — engine-specific
+  * xxhash64 / RNG) are driver-GATED instead (round 6, the q_dist_approx
+  * pattern): each emits precision/recall bound-check booleans against an
+  * exact twin computed in the same plan, plus a cross-engine-checkable
+  * count where DuckDB can reproduce one. The oracle emits the booleans as
+  * literal TRUE — any bound violation flips a value and breaks the hash.
+  * Every exact twin keeps a 100 TB-safe shape: the knn twin is the linear
+  * production baseline, the ngram twin is the linear inverted index, and
+  * the brute-force twins are BOUNDED to a fixed id<256 subset, so no gate
+  * smuggles a quadratic corpus-scale plan. Raw-pair outputs stay pinned in
+  * OperatorSpec.
   */
 object ExtensionQueries extends QueryModule {
 
@@ -33,19 +42,22 @@ object ExtensionQueries extends QueryModule {
     },
 
     // SURVEY §2.2's canonical key for the near-dup text filter over
-    // `documents`: MinHash+LSH candidates verified by exact Jaccard.
+    // `documents`: MinHash+LSH candidates verified by exact Jaccard —
+    // driver-GATED against the exact n-gram twin at threshold 0.5.
     "q_dedup_text" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      Dedup.minhashPairs(t.documents, "doc_id", "text", shingleSize = 3,
-        numHashes = 16, bands = 4, jaccardThreshold = 0.5)
-        .select("id_a", "id_b").orderBy("id_a", "id_b")
+      minhashGate(t.documents, jaccardThreshold = 0.5)
     },
 
-    // MinHash + LSH candidate/verified pairs (rows-only check).
+    // MinHash + LSH verified pairs, gated at threshold 0.2. One staged
+    // shingle frame feeds both the sketch and the exact inverted-index
+    // twin; n_exact is cross-checked against DuckDB's own pair count,
+    // precision_ok pins sketch ⊆ exact≥1-common set (the verify step is
+    // exact Jaccard, so a false here is a bug, not bad luck), recall_ok
+    // pins banding recall ≥ 0.75 (measured 0.96 at sf0.01, 1.0 at sf0.1).
     "q_dedup_minhash" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      Dedup.minhashPairs(t.documents, "doc_id", "text", shingleSize = 3,
-        numHashes = 16, bands = 4, jaccardThreshold = 0.2).orderBy("id_a", "id_b")
+      minhashGate(t.documents, jaccardThreshold = 0.2)
     },
 
     // Near-dup pairs → connected components → per-doc cluster + keep-list
@@ -80,19 +92,78 @@ object ExtensionQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
-    // SimHash hamming-≤k pairs (rows-only check).
+    // SimHash hamming-≤6 pairs — EXACT via the Manku 8-block/2-combo
+    // construction (round 6; the old 4-chunk pigeonhole missed 39% of
+    // true pairs at maxHamming=6). Gated: an independent brute-force
+    // all-pairs pass over the bounded doc_id<256 subset must agree with
+    // the op's output EXACTLY (both directions), the hamming bound must
+    // hold corpus-wide, and the result must be non-empty. DuckDB cannot
+    // compute xxhash64/SimHash, so the oracle emits the booleans as
+    // literal TRUE — all four are deterministic (no RNG anywhere).
     "q_dedup_simhash" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 6)
-        .orderBy("id_a", "id_b")
+      val docs = t.documents
+      val pairs = Dedup.simhashPairsExact(docs, "doc_id", "text", maxHamming = 6)
+        .stagePersist()
+      val sigs = Dedup.simhashSigs(docs.filter(col("doc_id") < 256), "doc_id", "text")
+      val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+      val bruteSub = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 6)
+        .select("id_a", "id_b")
+        .stagePersist()
+      val opSub = pairs.filter(col("id_a") < 256 && col("id_b") < 256)
+        .select("id_a", "id_b")
+      val nMissing = bruteSub.join(opSub, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      val nExtra = opSub.join(bruteSub, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_extra"))
+      val bound = pairs.agg(
+        coalesce(max(col("hamming")) <= 6, lit(true)).as("hamming_ok"),
+        count(lit(1)).as("n_pairs"))
+      broadcast(bound).crossJoin(broadcast(nMissing)).crossJoin(broadcast(nExtra))
+        .select(
+          (col("n_missing") === 0).as("subset_complete"),
+          (col("n_extra") === 0).as("subset_exact"),
+          col("hamming_ok"),
+          (col("n_pairs") > 0).as("nonempty"))
     },
 
     // Embedding-cosine near-dup pairs via multi-table hyperplane LSH
-    // (rows-only check; numPlanes=0 → adaptive from corpus size).
+    // (numPlanes=0 → adaptive from corpus size). Gated: n_strong = the
+    // EXACT count of cos≥0.3 pairs inside the bounded vec_id<256 subset,
+    // cross-checked against DuckDB's own sequential-fold arithmetic
+    // (bit-exact — same construction the q_sim_knn oracle proves);
+    // precision_ok pins every emitted pair's verified cosine ≥ threshold;
+    // recall_ok pins subset recall on strong pairs ≥ 0.9 (measured 0.99
+    // at sf0.01 with 8 tables; 16 tables since round 6).
     "q_dedup_embed" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      Similarity.cosineNearDupPairs(t.embeddings, "vec_id", "embedding",
-        dim = 64, threshold = 0.2).orderBy("id_a", "id_b")
+      val emb = t.embeddings
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.2).stagePersist()
+      val sub = emb.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+        .stagePersist()
+      val withNorm = sub.withColumn("nrm", Similarity.norm(col("vec")))
+      val a = withNorm.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+      val b = withNorm.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
+      val strong = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cos", graft.functions.VectorFunctions.vector_dot(col("va"), col("vb"))
+          / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.3)
+        .select("id_a", "id_b")
+        .stagePersist()
+      val nStrong = strong.agg(count(lit(1)).as("n_strong"))
+      val nHit = pairs.filter(col("id_a") < 256 && col("id_b") < 256)
+        .join(strong, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val prec = pairs.agg(
+        coalesce(min(col("cos")) >= 0.2, lit(true)).as("precision_ok"))
+      broadcast(nStrong).crossJoin(broadcast(nHit)).crossJoin(broadcast(prec))
+        .select(col("n_strong"), col("precision_ok"),
+          (col("n_strong") === 0 ||
+            col("n_hit") >= col("n_strong") * lit(0.9)).as("recall_ok"))
     },
 
     // Brute-force cosine top-k (exact ANN baseline) — ranks are
@@ -106,15 +177,17 @@ object ExtensionQueries extends QueryModule {
         .orderBy("q_id", "rank")
     },
 
-    // Multi-table LSH ANN (the 100 TB scale path; rows-only check +
-    // a recall-vs-brute-force invariant in OperatorSpec).
+    // Multi-table LSH ANN (the 100 TB scale path). Driver-gated: each
+    // query's top-3 is scored against the EXACT brute-force top-3 (the
+    // q_sim_knn production baseline — linear, query side broadcast);
+    // recall_ok = at least 2 of 3 exact neighbors recovered per query
+    // (measured 3/3 on every query at sf0.01; deterministic — fixed
+    // seeds, no RNG at eval time). OperatorSpec keeps the ≥0.9 overall
+    // recall pin.
     "q_sim_lsh" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      val queries = t.embeddings.filter(col("vec_id") < 8)
-      Similarity.lshTopK(t.embeddings, queries, "vec_id", "embedding",
-        dim = 64, k = 3)
-        .select("q_id", "n_id", "rank")
-        .orderBy("q_id", "rank")
+      annRecallGate(t.embeddings,
+        (emb, q) => Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 3))
     },
 
     // The capstone corpus-build pipeline, composed from the operators
@@ -239,15 +312,15 @@ object ExtensionQueries extends QueryModule {
         .orderBy("vec_id")
     },
 
-    // IVF ANN (coarse-quantizer scale path; rows-only check + recall
-    // invariant in OperatorSpec).
+    // IVF ANN (coarse-quantizer scale path), gated like q_sim_lsh:
+    // per-query ≥2-of-3 recall vs the exact brute-force ranking
+    // (measured min 2/3 at sf0.01 — one boundary query probes past
+    // nprobe=4 cells; deterministic seeding so no flap).
     "q_sim_ivf" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      val queries = t.embeddings.filter(col("vec_id") < 8)
-      Similarity.ivfTopK(t.embeddings, queries, "vec_id", "embedding",
-        k = 3, nlist = 16, nprobe = 4)
-        .select("q_id", "n_id", "rank")
-        .orderBy("q_id", "rank")
+      annRecallGate(t.embeddings,
+        (emb, q) => Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 3, nlist = 16, nprobe = 4))
     },
 
     // Language ID + quality metrics + token counts per document. Tokens
@@ -372,6 +445,82 @@ object ExtensionQueries extends QueryModule {
     }
   )
 
+  /** MinHash-vs-exact-twin bound-check gate (q_dist_approx pattern).
+    *
+    * One staged shingle frame feeds both sides; the exact twin is ONE
+    * inverted-index pass at minCommon=1 keeping the `common` column, from
+    * which both the ≥2-common exact set (recall denominator, matching the
+    * q_dedup_ngram oracle) and the ≥1-common superset (precision
+    * reference) derive. The 1-row aggregates broadcast-nested-loop join —
+    * no unbroadcast cartesian.
+    */
+  private def minhashGate(docs: DataFrame, jaccardThreshold: Double): DataFrame = {
+    val sh = Dedup.shingleFrame(docs, "doc_id", "text", 3)
+    val pairsAll = Dedup.ngramJaccardPairsFrom(sh, jaccardThreshold, minCommon = 1)
+      .stagePersist()
+    val exact2 = pairsAll.filter(col("common") >= 2).select("id_a", "id_b")
+    val mh = Dedup.minhashPairsFrom(sh, numHashes = 16, bands = 4,
+      jaccardThreshold = jaccardThreshold)
+      .select("id_a", "id_b")
+      .stagePersist()
+    val nExact = exact2.agg(count(lit(1)).as("n_exact"))
+    val nHit = mh.join(exact2, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nPrecMiss = mh.join(pairsAll.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_miss"))
+    broadcast(nExact).crossJoin(broadcast(nHit)).crossJoin(broadcast(nPrecMiss))
+      .select(col("n_exact"),
+        (col("n_miss") === 0).as("precision_ok"),
+        (col("n_exact") === 0 ||
+          col("n_hit") >= col("n_exact") * lit(0.75)).as("recall_ok"))
+  }
+
+  /** ANN-vs-exact-knn recall gate: per query, recall_ok = the approximate
+    * index recovered ≥2 of the exact top-3 (exact twin = bruteForceTopK,
+    * the linear production baseline). Emits one row per query id so the
+    * driver's hash covers each query's outcome, not just an average.
+    */
+  private def annRecallGate(emb: DataFrame,
+      ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+      .select("q_id", "n_id")
+      .stagePersist()
+    val got = ann(emb, q).select("q_id", "n_id")
+    val hits = exact.join(got, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    q.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_hit"), lit(0L)) >= 2).as("recall_ok"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB side of [[minhashGate]]: the exact n-gram pair count at the
+    * gate's threshold (same CTE pipeline as the q_dedup_ngram oracle) plus
+    * the literal-TRUE booleans.
+    */
+  private def minhashGateOracle(threshold: Double): String =
+    s"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+         FROM toks),
+       inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+                count(*) AS common
+         FROM inv a JOIN inv b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4)
+       SELECT count(*) AS n_exact, TRUE AS precision_ok, TRUE AS recall_ok
+       FROM pairs
+       WHERE common >= 2
+         AND CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= $threshold"""
+
   def oracleSql: Map[String, String] = Map(
     "q_sim_knn" ->
       """WITH v AS (
@@ -400,6 +549,38 @@ object ExtensionQueries extends QueryModule {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS group_size
          FROM documents GROUP BY lower(text) ORDER BY doc_id""",
+    // bound-check gates (round 6): n_exact is DuckDB's own exact-twin pair
+    // count; the booleans are literal TRUE — a precision/recall violation
+    // on the Spark side flips a value and breaks the driver's hash
+    "q_dedup_minhash" -> minhashGateOracle(0.2),
+    "q_dedup_text" -> minhashGateOracle(0.5),
+    "q_dedup_simhash" ->
+      """SELECT TRUE AS subset_complete, TRUE AS subset_exact,
+                TRUE AS hamming_ok, TRUE AS nonempty""",
+    // n_strong mirrors the Spark side's bounded-subset exact twin with the
+    // same sequential-fold double arithmetic (the q_sim_knn construction)
+    "q_dedup_embed" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings WHERE vec_id < 256),
+         n AS (
+           SELECT vec_id, vec,
+             sqrt(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list_transform(vec, x -> x * x)),
+               (acc, x) -> acc + x)) AS nrm
+           FROM v)
+         SELECT count(*) AS n_strong, TRUE AS precision_ok, TRUE AS recall_ok
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2])),
+             (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3""",
+    "q_sim_lsh" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 8 ORDER BY q_id""",
+    "q_sim_ivf" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 8 ORDER BY q_id""",
     "q_dedup_ngram" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

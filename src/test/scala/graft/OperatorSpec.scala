@@ -139,6 +139,24 @@ class OperatorSpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 6))
   }
 
+  test("exact simhash (8-block/2-combo) equals brute-force hamming pairs") {
+    val docs = t("documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val op = pairSet(Dedup.simhashPairsExact(docs, "doc_id", "text", maxHamming = 6))
+    // independent reference: all-pairs bit_count over the signature frame
+    val sigs = Dedup.simhashSigs(docs, "doc_id", "text")
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val brute = pairSet(a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 6))
+    assert(op == brute, s"op=${op.size} brute=${brute.size} " +
+      s"missing=${(brute -- op).size} extra=${(op -- brute).size}")
+    // the cheap wide-chunk mode is a subset (its recall is partial by design)
+    val approx = pairSet(Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6))
+    assert(approx.subsetOf(op))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val docs = t("documents")
     val kept = Dedup.exact(docs, "doc_id", "text")
