@@ -153,18 +153,25 @@ final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Cata
     * render — the parser owns the decorator (reference: `summon.py`
     * format commands), not the caller.
     */
-  def render(text: String): String = {
+  def render(text: String): String = renderWithFormat(text)._1
+
+  /** [[render]] with a caller-supplied DEFAULT format (the HTTP server's
+    * Accept-header fallback) and the chosen format returned alongside the
+    * body — the parser-owned `/:fmt` decorator always wins over the
+    * default.
+    */
+  def renderWithFormat(text: String, defaultFmt: String = "txt"): (String, String) = {
     val (ast, fmt) = Parser.parseCommand(text)
     val df = {
       val d = compile(text, ast)
       autoLimit.fold(d)(d.limit)
     }
-    fmt.getOrElse("txt") match {
-      case "json" => toJson(df)
-      case "csv" => toCsv(df)
-      case "html" => toHtml(df)
-      case "xml" => toXml(df)
-      case "txt" | "text" => toText(df)
+    fmt.getOrElse(defaultFmt) match {
+      case "json" => (toJson(df), "json")
+      case "csv" => (toCsv(df), "csv")
+      case "html" => (toHtml(df), "html")
+      case "xml" => (toXml(df), "xml")
+      case "txt" | "text" => (toText(df), "txt")
       case other => throw new graft.lang.ParseError(s"unknown format ':$other'", 0)
     }
   }

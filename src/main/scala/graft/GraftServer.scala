@@ -1,0 +1,132 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.SparkSession
+
+/** HTTP entry point — the reference's PRIMARY user-facing mode
+  * (`src/htsql/ctl/server.py` (ServeRoutine), `src/htsql/core/wsgi.py`):
+  * a query IS a URL, `GET /school{name, count(department)}/:json` returns
+  * the rendered result.
+  *
+  * The request path + raw query string reconstruct the query text —
+  * HTSQL's `?sieve` syntax lives in the URL query part, and `+` is the
+  * language's plus operator, so only %XX percent-escapes are decoded
+  * (WSGI semantics: PATH_INFO unquoted, QUERY_STRING passed through the
+  * same unquoting by the reference's own parser — never
+  * form-urlencoding's `+`→space).
+  *
+  * Format: the parser-owned `/:fmt` decorator wins; otherwise the Accept
+  * header maps to a renderer (json/csv/html/xml/txt); default txt.
+  * Parse/bind errors return text/plain 400s carrying the existing
+  * caret-marked excerpt (ErrorMark), like the reference's marked spans.
+  *
+  * Scale note: rendering collects AT MOST the renderers' row caps onto
+  * this single-process server (the same bounded collect the embedded API
+  * uses); full-result exports stay distributed via writeJson/writeCsv.
+  * The handler runs on a small thread pool — Spark job scheduling inside
+  * one session is already concurrent-safe.
+  */
+final class GraftServer(engine: Graft, port: Int = 0) {
+
+  private val contentTypes = Map(
+    "json" -> "application/json; charset=utf-8",
+    "csv" -> "text/csv; charset=utf-8",
+    "html" -> "text/html; charset=utf-8",
+    "xml" -> "application/xml; charset=utf-8",
+    "txt" -> "text/plain; charset=utf-8")
+
+  /** Accept-header → renderer, first match wins; unknown → txt. */
+  private[graft] def fmtFromAccept(accept: String): String = {
+    val a = Option(accept).getOrElse("").toLowerCase
+    if (a.contains("application/json")) "json"
+    else if (a.contains("text/csv")) "csv"
+    else if (a.contains("text/html")) "html"
+    else if (a.contains("application/xml") || a.contains("text/xml")) "xml"
+    else "txt"
+  }
+
+  /** Decode %XX escapes ONLY (leave `+` alone — it is the language's plus
+    * operator, not a form-encoded space).
+    */
+  private[graft] def percentDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { out.write(Integer.parseInt(hex, 16)); i += 3 }
+        catch { case _: NumberFormatException => out.write(c.toByte); i += 1 }
+      } else { out.write(s.substring(i, i + 1).getBytes(UTF_8)); i += 1 }
+    }
+    new String(out.toByteArray, UTF_8)
+  }
+
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "GET") respond(ex, 405, "txt", "method not allowed")
+        else {
+          val uri = ex.getRequestURI
+          val raw = uri.getRawPath +
+            Option(uri.getRawQuery).map("?" + _).getOrElse("")
+          val text = percentDecode(raw)
+          val fmt = fmtFromAccept(ex.getRequestHeaders.getFirst("Accept"))
+          try {
+            val (body, usedFmt) = engine.renderWithFormat(text, fmt)
+            respond(ex, 200, usedFmt, body)
+          } catch {
+            case e: graft.lang.ParseError =>
+              respond(ex, 400, "txt", graft.lang.ErrorMark(e.getMessage, text, e.pos))
+            case e: graft.lang.LexError =>
+              respond(ex, 400, "txt", graft.lang.ErrorMark(e.getMessage, text, e.pos))
+            case e: graft.lang.PlanError =>
+              // compile() already attached the caret excerpt to the message
+              respond(ex, 400, "txt", e.getMessage)
+          }
+        }
+      } catch {
+        case e: Throwable => respond(ex, 500, "txt",
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+      } finally ex.close()
+  })
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  private def respond(ex: HttpExchange, status: Int, fmt: String, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentTypes(fmt))
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  def start(): GraftServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  /** The actually-bound port (useful when constructed with port 0). */
+  def boundPort: Int = server.getAddress.getPort
+}
+
+/** `runMain graft.GraftHttp <dataDir> [port]` — serve a data directory. */
+object GraftHttp {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println("usage: graft.GraftHttp <dataDir> [port]"); sys.exit(2) }
+    val dir = args(0)
+    val port = args.lift(1).flatMap(_.toIntOption).getOrElse(8080)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-http")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val srv = new GraftServer(Graft(spark, dir), port).start()
+    println(s"graft http server on port ${srv.boundPort} over $dir")
+    Thread.currentThread.join()
+  }
+}

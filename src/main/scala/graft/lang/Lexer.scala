@@ -24,6 +24,10 @@ object Lexer {
   // scan.py's grammar rules)
   private val operators = Seq(
     ":=", "!==", "==", "!=", "<=", ">=", "!~", "->",
+    // `/:` is ONE token (the format-decorator marker): lexing it whole
+    // removes the division-vs-decorator ambiguity in `…?x=0/:json`, where
+    // the scalar parser would otherwise read `0/` as arithmetic
+    "/:",
     "/", ".", "{", "}", "(", ")", "[", "]", "?", "^", ",", ":",
     "+", "-", "*", "=", "<", ">", "~", "&", "|", "!", "$", "@"
   )

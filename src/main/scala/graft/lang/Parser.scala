@@ -62,10 +62,9 @@ private final class Parser(tokens: Vector[Token], input: String) {
   def parseCommandQuery(): (Ast, Option[String]) = {
     eatOp("/")
     val flow = parsePipeline()
-    // trailing `/:fmt` format decorator
-    val fmt = (cur, tokens.lift(pos + 1)) match {
-      case (Token.Op("/", _), Some(Token.Op(":", _))) =>
-        advance(); advance(); Some(parseIdent())
+    // trailing `/:fmt` format decorator (`/:` lexes as one token)
+    val fmt = cur match {
+      case Token.Op("/:", _) => advance(); Some(parseIdent())
       case _ => None
     }
     cur match {

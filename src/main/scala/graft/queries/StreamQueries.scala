@@ -52,6 +52,19 @@ object StreamQueries extends QueryModule {
         .orderBy("user_id", "sess_start")
     },
 
+    // The tumbling aggregate executed by the ACTUAL streaming engine
+    // (round 6): readStream file source → stateful window agg → memory
+    // sink, one Trigger.AvailableNow drain. The batch tumbling SQL is the
+    // oracle — incremental execution must converge to the batch answer
+    // exactly. (q_stream_tumble keeps the batch plan; this key pins the
+    // streaming runtime itself into the driver gate.)
+    "q_stream_live" -> { (s, dir) =>
+      graft.streaming.EventStreams.runTumblingAvailableNow(s, dir)
+        .select(unix_timestamp(col("bucket_start")).as("bucket_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    },
+
     // Approximate distinct users per event type (HLL++). The sketch value
     // is engine-specific, so the driver-gated contract is a BOUND CHECK:
     // the estimate must land within ±15% (3σ at the default 5% rsd) of
@@ -85,9 +98,12 @@ object StreamQueries extends QueryModule {
     // linear-interpolation definition; rounded to 6 dp on both sides so a
     // last-bit interpolation difference can't flap the hash).
     // SCALE NOTE: exact percentile buffers every group value in executor
-    // memory — right for the correctness gate, wrong at 100 TB. The scale
-    // path is approx_percentile (constant-memory sketch, rank error ≤
-    // 1/accuracy), pinned against this exact twin in OperatorSpec.
+    // memory — right for the correctness gate, wrong at 100 TB. It is
+    // deliberately CONFINED to this gate harness: the engine's public
+    // percentile surface is operators.Quantiles (percentile_approx only),
+    // and OperatorSpec pins that the exact aggregate appears nowhere else
+    // in the main tree. Gate exposure is bounded: the groups under test
+    // are the 5 event types of the fixture, never an unbounded key.
     "q_percentile" -> { (s, dir) =>
       val t = new Tables(s, dir)
       t.events
@@ -129,6 +145,13 @@ object StreamQueries extends QueryModule {
       """SELECT event_type, TRUE AS within_3sigma
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_stream_tumble" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // identical oracle as the batch twin: the streaming engine must land
+    // on the same buckets, counts, and decimal-exact sums
+    "q_stream_live" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
            event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value

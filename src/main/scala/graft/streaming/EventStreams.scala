@@ -33,7 +33,11 @@ object EventStreams {
     * loader in `graft.model.Tables`.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same fail-loudly rule as graft.model.Tables: the nanos conf belongs
+    // in the session BUILDER, not in a load-time side effect
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
+        "builder before streaming events (TIMESTAMP(NANOS) parquet)")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream
       .schema(schema)
@@ -56,6 +60,28 @@ object EventStreams {
       .format("memory")
       .queryName(queryName)
       .start()
+
+  /** One-shot genuinely-streaming run of the tumbling aggregation: the
+    * events fixture flows through the INCREMENTAL engine (FileStreamSource
+    * → stateful window aggregation → memory sink) under
+    * `Trigger.AvailableNow`, which drains all available input and stops.
+    * Complete output mode so every window emits on the bounded replay —
+    * the result is then byte-comparable to the batch tumbling oracle.
+    * Returns the sink table (re-runnable: the sink view is dropped first).
+    */
+  def runTumblingAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_live"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val q = tumblingAgg(readEventStream(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 
   /** Streaming exact dedup — the training-data-pipeline shape: keep the
     * first occurrence per key on an unbounded stream.

@@ -157,6 +157,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(approx.subsetOf(op))
   }
 
+  test("public percentile surface plans the sketch, never the exact buffer") {
+    val ev = new graft.model.Tables(spark, dir).events
+    val df = graft.operators.Quantiles.groupPercentiles(
+      ev, col("event_type"), col("value"), Seq(0.5, 0.9))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("percentile_approx"), s"sketch missing:\n$plan")
+    // exact `percentile(` must not appear (negative-lookbehind excludes
+    // the sketch's own `percentile_approx(`, which cannot match `(`)
+    assert("(?<![_a-z])percentile\\(".r.findFirstIn(plan).isEmpty,
+      s"exact percentile in public plan:\n$plan")
+  }
+
+  test("exact percentile is confined to the gate harness file") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter { p =>
+        val txt = java.nio.file.Files.readString(p)
+        "(?<![_a-z])percentile\\(".r.findFirstIn(txt).isDefined
+      }
+      .map(_.getFileName.toString).toList.sorted
+    // the ONLY file allowed to plan the exact aggregate is the driver-gate
+    // harness that judges the sketch at bounded gate scale
+    assert(offenders == List("StreamQueries.scala"),
+      s"exact percentile leaked into: $offenders")
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val docs = t("documents")
     val kept = Dedup.exact(docs, "doc_id", "text")

@@ -1,0 +1,94 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integration tests for the HTTP entry point: real requests through
+  * socket → parse → plan → render, covering the formats, the Accept
+  * fallback, decorator precedence, percent-decoding, and caret-marked
+  * 400s (the reference's primary WSGI mode, `src/htsql/core/wsgi.py`).
+  */
+class ServerSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  val dir = "/root/testdata/sf0.001"
+  private lazy val server = new GraftServer(Graft(spark, dir)).start()
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String, accept: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+    accept.foreach(b.header("Accept", _))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("GET /region/:json returns the rendered records") {
+    val r = get("/region/:json")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("").startsWith("application/json"))
+    assert(r.body().startsWith("[") && r.body().contains("\"r_name\""))
+  }
+
+  test("GET /region{r_name}/:csv returns header + rows") {
+    val r = get("/region%7Br_name%7D/:csv") // browser-escaped braces decode
+    assert(r.statusCode() == 200)
+    assert(r.body().linesIterator.next() == "r_name")
+    assert(r.body().linesIterator.size == 6) // header + 5 regions
+  }
+
+  test("sieve syntax rides the URL query string") {
+    val r = get("/nation?n_regionkey=0/:json")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("n_name"))
+  }
+
+  test("Accept header picks the format when no decorator is given") {
+    val json = get("/region", accept = Some("application/json"))
+    assert(json.headers().firstValue("Content-Type").orElse("").startsWith("application/json"))
+    assert(json.body().startsWith("["))
+    val html = get("/region", accept = Some("text/html"))
+    assert(html.body().contains("<table>"))
+    val txt = get("/region")
+    assert(txt.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"))
+    assert(txt.body().contains("r_name"))
+  }
+
+  test("the /:fmt decorator wins over Accept") {
+    val r = get("/region/:csv", accept = Some("application/json"))
+    assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/csv"))
+  }
+
+  test("xml renders with escaped values") {
+    val r = get("/region/:xml")
+    assert(r.statusCode() == 200)
+    assert(r.body().startsWith("<?xml") && r.body().contains("<r_name>"))
+  }
+
+  test("bind errors return caret-marked 400s") {
+    val r = get("/customer%7Bc_bogus%7D")
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("c_bogus"))
+    assert(r.body().contains("in query:") && r.body().contains("^"),
+      s"no caret mark in:\n${r.body()}")
+  }
+
+  test("parse errors return caret-marked 400s") {
+    val r = get("/customer%7B") // unclosed selection
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("in query:") && r.body().contains("^"))
+  }
+
+  test("non-GET methods are rejected") {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}/region"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 405)
+  }
+
+  test("plus stays an operator through the URL (no form-decoding)") {
+    // /customer{c_custkey+1} — '+' must NOT decode to a space
+    val r = get("/customer%7Bc_custkey+1%7D.limit(1)/:json")
+    assert(r.statusCode() == 200, r.body())
+  }
+}

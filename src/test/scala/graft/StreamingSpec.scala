@@ -34,6 +34,17 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AvailableNow one-shot run equals the batch aggregate exactly") {
+    val live = EventStreams.runTumblingAvailableNow(spark, dir, "stream_live_test")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.tumblingAgg(new Tables(spark, dir).events)
+      .collect().map(_.toSeq).toSet
+    assert(live == batch, s"live=${live.size} rows vs batch=${batch.size}")
+    // and it re-runs cleanly (the sink view is dropped on entry)
+    val again = EventStreams.runTumblingAvailableNow(spark, dir, "stream_live_test")
+    assert(again.count() == batch.size)
+  }
+
   test("streaming dedup converges to the batch distinct count") {
     val q = EventStreams.startDedup(spark, dir, "stream_dedup_test",
       Seq("user_id", "event_type"))
