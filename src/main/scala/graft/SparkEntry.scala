@@ -16,7 +16,8 @@ object SparkEntry {
     FunctionQueries,
     ExtensionQueries,
     StreamQueries,
-    LangQueries
+    LangQueries,
+    EtlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
