@@ -128,13 +128,19 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, numPlanes: Int = 0,
-      numTables: Int = 16, seed: Long = 42L, targetBucket: Int = 128): DataFrame = {
+      numTables: Int = 16, seed: Long = 42L, targetBucket: Int = 128,
+      corpusSize: Long = -1L): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     // persist the cast frame first: the bucket bits run numPlanes dot
     // products over the vector, which must be an attribute, not a re-cast
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
       .stagePersist()
-    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(c.count(), targetBucket)
+    // plane count from corpus size: pass `corpusSize` when known (a 100 TB
+    // caller knows its table's row count — the count() fallback is a full
+    // scan, fine only at gate/bench scale where the frame is cached anyway)
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else adaptivePlanes(if (corpusSize > 0) corpusSize else c.count(), targetBucket)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
       .stagePersist()
     val cBand = c.select(col("n_id"),
@@ -330,11 +336,14 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int = 0, numTables: Int = 16,
-      seed: Long = 42L, targetBucket: Int = 128): DataFrame = {
+      seed: Long = 42L, targetBucket: Int = 128, corpusSize: Long = -1L): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .stagePersist()
-    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(c.count(), targetBucket)
+    // same corpusSize contract as lshTopK: known size skips the count() scan
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else adaptivePlanes(if (corpusSize > 0) corpusSize else c.count(), targetBucket)
     val banded = c.select(col("id"),
       posexplode(bucketTables(col("vec"), dim, planes, numTables, seed))
         .as(Seq("tbl", "bucket")))
