@@ -74,4 +74,27 @@ class FuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("command parser is total over format-decorator tails (/: is one token)") {
+    val rnd = new scala.util.Random(11)
+    val bases = Vector(
+      "/region", "/nation?n_regionkey=0", "/customer?c_acctbal>0.5",
+      "/orders?o_totalprice>400000", "/region{r_name}", "/customer{c_custkey+1}",
+      "/nation.limit(3)", "/customer?c_custkey=1+0", "/region{r_name}.sort(r_name)")
+    val tails = Vector(
+      "/:json", "/:csv", "/:html", "/:xml", "/:txt", "/:bogus", "/:", "/::",
+      "/:json/:csv", "/ :json", "/: json", ":json", "//:json", "/:json?x>0")
+    (1 to 300).foreach { i =>
+      val q = bases(rnd.nextInt(bases.length)) + tails(rnd.nextInt(tails.length))
+      try { Parser.parseCommand(q); () } catch {
+        case _: ParseError | _: LexError => ()
+        case e: Throwable =>
+          fail(s"iteration $i: [$q] threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // the decorator composes with a numeric sieve tail (the division
+    // ambiguity the single-token lex removes): both must parse
+    assert(Parser.parseCommand("/nation?n_regionkey=0/:json")._2.contains("json"))
+    assert(Parser.parseCommand("/customer?c_acctbal>0.5/:csv")._2.contains("csv"))
+  }
 }
