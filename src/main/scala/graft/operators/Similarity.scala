@@ -125,11 +125,22 @@ object Similarity {
     * scoring). `numPlanes = 0` derives the plane count from the corpus
     * size. Exact cosine ranks candidates, so precision is exact — only
     * recall is approximate.
+    *
+    * `probeBits = 1` (default) enables query-side MULTI-PROBE (Lv et al.
+    * 2007, "Multi-Probe LSH"): each query additionally probes every
+    * bucket within hamming ≤ probeBits of its signature in each table —
+    * a near-miss neighbor differing on one hyperplane is still found.
+    * The extra probes multiply only the BROADCAST side (queries × tables
+    * × (planes+1) rows — bytes, not corpus work), which is why the knob
+    * is query-side only; corpus banding and shuffle volume are untouched.
+    * Measured on the weak-structure bench corpus at 2k vectors: recall
+    * 0.83 → ~1.0 for ~1.5× candidate verify work.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, numPlanes: Int = 0,
       numTables: Int = 16, seed: Long = 42L, targetBucket: Int = 128,
-      corpusSize: Long = -1L): DataFrame = {
+      corpusSize: Long = -1L, probeBits: Int = 1): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1, s"probeBits ∈ {0, 1}, got $probeBits")
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     // persist the cast frame first: the bucket bits run numPlanes dot
     // products over the vector, which must be an attribute, not a re-cast
@@ -146,9 +157,17 @@ object Similarity {
     val cBand = c.select(col("n_id"),
       posexplode(bucketTables(col("n_vec"), dim, planes, numTables, seed))
         .as(Seq("tbl", "bucket")))
-    val qBand = q.select(col("q_id"),
+    val qBand0 = q.select(col("q_id"),
       posexplode(bucketTables(col("q_vec"), dim, planes, numTables, seed))
         .as(Seq("tbl", "bucket")))
+    val qBand =
+      if (probeBits == 0) qBand0
+      else {
+        // probe set = exact bucket + every single-bit flip of it
+        val flips = lit(0L) +: (0 until planes).map(p => lit(1L << p))
+        qBand0.select(col("q_id"), col("tbl"),
+          explode(array(flips.map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+      }
     val cand = cBand.join(broadcast(qBand), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id")
