@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence packing — the batch-construction step of an LLM training
+  * pipeline: concatenate documents into fixed token-budget bins so
+  * training sequences waste no padding.
+  *
+  * Distributed shape: a GLOBAL greedy pack would be a total order over
+  * the corpus (one sort, one worker finishing the tail), so packing is
+  * SHARD-LOCAL, which is how production packers actually run — each
+  * worker packs its own shard and a bin never crosses shards. The shard
+  * is content-addressed (`fingerprint % shards`, like every Sampling
+  * decision: stable under repartitioning/retries), the in-shard order is
+  * (fingerprint, id) — deterministic — and the bin index is the running
+  * token sum before the document, integer-divided by the budget. A
+  * document that crosses a budget boundary belongs to the bin its first
+  * token lands in (standard pack-then-truncate semantics; bins overflow
+  * by at most one document, they are never left short).
+  *
+  * Scale: the per-shard window is a running UNBOUNDED PRECEDING sum over
+  * a sort — Spark evaluates it streamingly per partition (no per-key
+  * buffering); shards = O(cluster parallelism) and each holds corpus/shards
+  * rows. Everything is integer arithmetic on a 64-bit content hash, so
+  * the DuckDB oracle replicates it bit-for-bit.
+  */
+object Packing {
+
+  /** Assign every document to (shard, bin, pos): `bin` is globally unique
+    * (shard ⊗ in-shard bin), `pos` is the document's token offset inside
+    * its shard's running stream.
+    */
+  def packByBudget(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int = 2048, shards: Int = 32): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val base = docs.select(
+      col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    val shard = pmod(col("fp"), lit(shards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("fp"), col("id"))
+    base.withColumn("shard", shard)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("id").as(idCol), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("pos"),
+        (col("shard") * lit(1000000L) +
+          expr(s"(cum - n_tokens) div ${budget}L")).as("bin"))
+  }
+}

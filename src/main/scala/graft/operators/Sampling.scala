@@ -55,4 +55,21 @@ object Sampling {
     }
     df.filter(uniformBucket(fp) < (rateCol * Buckets).cast("long"))
   }
+
+  /** Deterministic train/val/test assignment by content hash — every
+    * pipeline's final fan-out. Same contract as the samplers: membership
+    * is a pure function of the row's bytes (a document lands in the same
+    * split on every rerun, cluster, and data layout — and a near-dup's
+    * EXACT copy can never straddle splits because identical text ⇒
+    * identical fingerprint ⇒ identical split). Fractions are bucket
+    * cutoffs on the scrambled hash: [0, train) → "train",
+    * [train, train+val) → "val", rest → "test". No shuffle — a codegen'd
+    * CASE that fuses into the scan.
+    */
+  def assignSplit(fp: Column, trainFrac: Double, valFrac: Double): Column = {
+    val b = uniformBucket(fp)
+    val tCut = (trainFrac * Buckets).toLong
+    val vCut = ((trainFrac + valFrac) * Buckets).toLong
+    when(b < tCut, "train").when(b < vCut, "val").otherwise("test")
+  }
 }

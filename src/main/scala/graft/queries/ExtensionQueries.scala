@@ -343,6 +343,27 @@ object ExtensionQueries extends QueryModule {
       ).orderBy("doc_id")
     },
 
+    // Sequence packing: shard-local fixed-token-budget bin assignment —
+    // the batch-construction step of a training pipeline (bins never
+    // cross shards; shard + order + bin all content-addressed, so the
+    // packing is identical on every rerun and cluster layout).
+    "q_pack" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      graft.operators.Packing.packByBudget(t.documents, "doc_id", "text",
+        budget = 512, shards = 8).orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test split by content hash (98/1/1):
+    // a document lands in the same split on every rerun; exact copies
+    // can never straddle splits.
+    "q_split" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.documents.select(col("doc_id"),
+        Sampling.assignSplit(TextAnalysis.fingerprint(col("text")), 0.98, 0.01)
+          .as("split"))
+        .orderBy("doc_id")
+    },
+
     // Rolling-hash document fingerprint (content-defined identity).
     "q_text_fingerprint" -> { (s, dir) =>
       val t = new Tables(s, dir)
@@ -820,6 +841,41 @@ object ExtensionQueries extends QueryModule {
          SELECT media_id, r_width, r_height,
            unnest(range(0, n_frames, step)) AS frame_idx
          FROM rr ORDER BY media_id, frame_idx""",
+    // same fingerprint fold + scramble as q_sample; shard/order/bin are
+    // pure integer arithmetic so the window cumsum matches bit-for-bit
+    "q_pack" ->
+      """WITH f AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         s AS (
+           SELECT doc_id, fp % 8 AS shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY fp % 8 ORDER BY fp, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+           FROM f)
+         SELECT doc_id, shard, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS pos,
+           CAST(shard * 1000000 + (cum - n_tokens) // 512 AS BIGINT) AS bin
+         FROM s ORDER BY doc_id""",
+    "q_split" ->
+      """WITH f AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN (fp * 2654435761) % 1000000 < 980000 THEN 'train'
+                WHEN (fp * 2654435761) % 1000000 < 990000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM f ORDER BY doc_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id,
            list_reduce(

@@ -186,6 +186,49 @@ class OperatorSpec extends AnyFunSuite {
       s"exact percentile leaked into: $offenders")
   }
 
+  test("sequence packing: bins are shard-local, ordered, and budget-bounded") {
+    val docs = t("documents")
+    val packed = graft.operators.Packing
+      .packByBudget(docs, "doc_id", "text", budget = 256, shards = 4)
+      .collect()
+    assert(packed.length == docs.count())
+    // a bin never crosses shards (bin encodes its shard)
+    packed.foreach(r =>
+      assert(r.getAs[Long]("bin") / 1000000L == r.getAs[Long]("shard")))
+    // within a bin, the FIRST doc starts below the budget boundary (a doc
+    // may overflow past it, but a bin is never opened past the boundary)
+    packed.groupBy(_.getAs[Long]("bin")).foreach { case (bin, rows) =>
+      val localStart = rows.map(_.getAs[Long]("pos")).min
+      assert(localStart / 256 == bin % 1000000L,
+        s"bin $bin opened at pos $localStart")
+    }
+    // deterministic
+    val again = graft.operators.Packing
+      .packByBudget(docs, "doc_id", "text", budget = 256, shards = 4)
+      .collect().map(_.toSeq).toSet
+    assert(again == packed.map(_.toSeq).toSet)
+  }
+
+  test("split assignment is a pure function of content (copies co-travel)") {
+    import org.apache.spark.sql.functions.lit
+    val docs = t("documents")
+    val s1 = docs.select(col("doc_id"),
+      graft.operators.Sampling.assignSplit(
+        TextAnalysis.fingerprint(col("text")), 0.9, 0.05).as("split"))
+    val frac = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(frac("train") / n > 0.8 && frac("train") / n < 0.97)
+    assert(frac.getOrElse("val", 0L) + frac.getOrElse("test", 0L) > 0)
+    // identical text ⇒ identical split, regardless of id
+    val dup = docs.limit(1).select(lit(999999L).as("doc_id"), col("text"))
+    val orig = s1.filter(col("doc_id") === 0).collect()(0).getString(1)
+    val copy = dup.select(graft.operators.Sampling.assignSplit(
+      TextAnalysis.fingerprint(col("text")), 0.9, 0.05).as("split"))
+      .collect()(0).getString(0)
+    assert(orig == copy)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val docs = t("documents")
     val kept = Dedup.exact(docs, "doc_id", "text")
