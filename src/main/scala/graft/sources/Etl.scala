@@ -93,8 +93,17 @@ final class Etl(val spark: SparkSession, val workDir: String) {
     */
   def merge(name: String, source: DataFrame, keys: Seq[String]): Unit = {
     val cur = read(name)
-    val src = aligned(cur, source)
-    rewrite(name, cur.join(broadcast(src.select(keys.map(col): _*)), keys, "left_anti")
-      .unionByName(src))
+    rewrite(name, Etl.mergedState(cur, aligned(cur, source), keys))
   }
+}
+
+object Etl {
+  /** The merge post-state plan, exposed for plan-shape tests: table-side
+    * rows pass through a BROADCAST anti join (the table never shuffles)
+    * and the source appends.
+    */
+  private[graft] def mergedState(cur: DataFrame, src: DataFrame,
+      keys: Seq[String]): DataFrame =
+    cur.join(broadcast(src.select(keys.map(col): _*)), keys, "left_anti")
+      .unionByName(src)
 }

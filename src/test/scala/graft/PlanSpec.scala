@@ -178,6 +178,45 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join still shuffles — bucket metadata not used:\n$p")
   }
 
+  test("sequence packing plans one shard exchange and a running window") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.Packing.packByBudget(docs, "doc_id", "text",
+      budget = 512, shards = 8)
+    df.collect()
+    // AQE echoes the initial plan after the final one — count exchanges
+    // in the FINAL section only
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(p.contains("Window"), s"no window:\n$p")
+    // exactly ONE exchange: the hash partitioning on the shard key (the
+    // running sum evaluates streamingly inside each sorted partition)
+    assert("Exchange".r.findAllIn(p).size == 1, s"extra exchanges:\n$p")
+  }
+
+  test("split assignment fuses into the scan (no exchange at all)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = docs.select(col("doc_id"),
+      graft.operators.Sampling.assignSplit(
+        graft.operators.TextAnalysis.fingerprint(col("text")), 0.98, 0.01).as("split"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"split should be shuffle-free:\n$p")
+  }
+
+  test("ETL merge broadcasts the change set; the table side never shuffles") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cur = spark.read.parquet(s"$dir/region.parquet")
+    val src = Seq((0, "X"), (99, "Y")).toDF("r_regionkey", "r_name")
+    val df = graft.sources.Etl.mergedState(cur, src, Seq("r_regionkey"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"merge not a broadcast anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"table side shuffled:\n$p")
+  }
+
   test("plan lint: no query plans a raw cartesian product") {
     // Broadcast-nested-loop over a 1-row/broadcast side is fine (detached
     // aggregates, kNN query broadcast); an unbroadcast CartesianProduct is
