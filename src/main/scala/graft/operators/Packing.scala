@@ -40,7 +40,11 @@ object Packing {
       TextAnalysis.fingerprint(col(textCol)).as("fp"),
       TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
     val shard = pmod(col("fp"), lit(shards.toLong))
+    // explicit ROWS frame: Spark's default is RANGE (peer rows would share
+    // a cum), which only coincides with the oracle's ROWS frame because the
+    // (fp, id) order key is unique — make the intended semantics literal
     val w = Window.partitionBy(col("shard")).orderBy(col("fp"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.withColumn("shard", shard)
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("id").as(idCol), col("shard"), col("n_tokens"),
