@@ -86,6 +86,18 @@ class ServerSpec extends AnyFunSuite {
     assert(r.statusCode() == 405)
   }
 
+  test("concurrent requests all succeed (Spark job scheduling is shared)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 12).map { i =>
+      Future(get(if (i % 2 == 0) "/region/:json" else "/nation.limit(2)/:csv"))
+    }
+    val rs = Await.result(Future.sequence(fs), 60.seconds)
+    assert(rs.forall(_.statusCode() == 200))
+    assert(rs.count(_.body().startsWith("[")) == 6) // the json half
+  }
+
   test("plus stays an operator through the URL (no form-decoding)") {
     // /customer{c_custkey+1} — '+' must NOT decode to a space
     val r = get("/customer%7Bc_custkey+1%7D.limit(1)/:json")
