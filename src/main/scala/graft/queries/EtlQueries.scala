@@ -30,17 +30,31 @@ object EtlQueries extends QueryModule {
       etl.insert("region", t.nation.filter(col("n_nationkey") < 3)
         .select((col("n_nationkey") + 100).as("r_regionkey"),
           col("n_name").as("r_name"), lit("inserted").as("r_comment")))
-      // update: rewrite the comment of even-keyed rows only
-      etl.update("region", col("r_regionkey") % 2 === 0,
-        Map("r_comment" -> concat(lit("U:"), col("r_name"))))
-      // delete: drop one row
-      etl.delete("region", col("r_regionkey") === 3)
-      // merge: upsert — key 1 exists (replaced), key 200 is new (appended)
-      etl.merge("region",
-        Seq((1, "MERGED1", "m"), (200, "MERGED200", "m"))
-          .toDF("r_regionkey", "r_name", "r_comment"),
-        Seq("r_regionkey"))
-      etl.read("region").orderBy("r_regionkey")
+      // update + delete + merge run as ONE transaction (upstream `do()`):
+      // one shadow generation, one commit marker, one swap
+      etl.transact { tx =>
+        // update: rewrite the comment of even-keyed rows only
+        tx.update("region", col("r_regionkey") % 2 === 0,
+          Map("r_comment" -> concat(lit("U:"), col("r_name"))))
+        // delete: drop one row
+        tx.delete("region", col("r_regionkey") === 3)
+        // merge: upsert — key 1 exists (replaced), key 200 is new (appended)
+        tx.merge("region",
+          Seq((1, "MERGED1", "m"), (200, "MERGED200", "m"))
+            .toDF("r_regionkey", "r_name", "r_comment"),
+          Seq("r_regionkey"))
+      }
+      // materialize the read-back (the driver's hash still verifies the
+      // whole write → swap → read-back loop), then remove the working dir
+      // so repeated runs leave no /tmp residue
+      val result = etl.read("region").orderBy("r_regionkey")
+      val rows = result.collect()
+      val schema = result.schema
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }
   )
 

@@ -6,17 +6,37 @@ import org.apache.spark.sql.functions._
 
 /** ETL write commands over a directory of parquet tables — the analogue of
   * the reference's `tweak.etl` addon (`src/htsql/tweak/etl/cmd/insert.py`
-  * (ProduceInsert), `update.py`, `delete.py`, `merge.py`, `copy.py`).
+  * (ProduceInsert), `update.py`, `delete.py`, `merge.py`, `copy.py`, and
+  * the multi-command `do()` routine in `src/htsql/tweak/etl/cmd/command.py`).
   *
   * Parquet is immutable, so every mutating command is COPY-ON-WRITE: plan
   * the post-state declaratively (the write itself is a distributed job —
   * nothing ever collects), write it to a shadow directory, then swap the
-  * directories in one filesystem rename. The swap is a driver-side
-  * metadata operation, O(1) regardless of table size; readers that opened
-  * the old files keep a consistent snapshot (POSIX/HDFS rename semantics).
+  * directories. The swap is driver-side metadata work, O(1) regardless of
+  * table size.
+  *
+  * CRASH ATOMICITY is a write-ahead commit-marker protocol — a directory
+  * is self-healing at every step:
+  *
+  *   1. STAGE    every post-state writes to `<name>.parquet.swap`;
+  *               the live directories are never touched.
+  *   2. COMMIT   a `_txn_commit` marker naming the staged tables is
+  *               published with a create-then-rename (atomic on
+  *               POSIX/HDFS). This is the commit point.
+  *   3. SWAP     per table: rename live → `.bak`, rename `.swap` → live,
+  *               then drop the `.bak`s and the marker.
+  *
+  * Recovery (run before every commit and by any read that finds a marker
+  * or a missing live dir): if the marker exists, every shadow it names was
+  * fully written, so the transaction ROLLS FORWARD — each listed swap is
+  * completed idempotently. Without a marker the commit point was never
+  * reached, so stray `.swap` dirs are uncommitted debris (deleted) and a
+  * `.bak` without its live dir restores. At no step can a crash lose the
+  * pre-state AND the post-state.
+  *
   * A production deployment would layer a transactional table format's
   * commit log over the same shape; the sandbox has no such dependency, so
-  * this is the minimal honest equivalent — single-writer, last-swap-wins,
+  * this is the minimal honest equivalent — SINGLE-WRITER, last-commit-wins,
   * no isolation between concurrent writers (documented, like the
   * reference's autocommit ETL).
   *
@@ -27,73 +47,169 @@ import org.apache.spark.sql.functions._
 final class Etl(val spark: SparkSession, val workDir: String) {
 
   private def tablePath(name: String): String = s"$workDir/$name.parquet"
+  private def livePath(name: String) = new Path(tablePath(name))
+  private def swapPath(name: String) = new Path(tablePath(name) + ".swap")
+  private def bakPath(name: String) = new Path(tablePath(name) + ".bak")
+  private val markerPath = new Path(s"$workDir/_txn_commit")
+  private val markerTmpPath = new Path(s"$workDir/_txn_commit.tmp")
 
-  def read(name: String): DataFrame = spark.read.parquet(tablePath(name))
+  private def fs: FileSystem =
+    new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Bulk load (`copy.py`): materialize `df` as table `name`. */
-  def copy(name: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(tablePath(name))
-
-  /** Rewrite `name` with the post-state `df` via shadow-dir + rename —
-    * Spark refuses to overwrite a path that is also an input of the same
-    * plan, and a partial in-place overwrite could torch the table.
+  /** Read table `name`, healing any interrupted commit first. The fast
+    * path (live dir present, no marker) costs two existence checks.
     */
-  private def rewrite(name: String, df: DataFrame): Unit = {
-    val path = new Path(tablePath(name))
-    val shadow = new Path(tablePath(name) + ".swap")
-    df.write.mode("overwrite").parquet(shadow.toString)
-    val fs = FileSystem.get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
-    if (!fs.rename(shadow, path))
-      throw new IllegalStateException(s"swap failed for $name")
+  def read(name: String): DataFrame = {
+    val f = fs
+    if (f.exists(markerPath) || !f.exists(livePath(name))) recover(f)
+    spark.read.parquet(tablePath(name))
   }
 
-  /** Align `rows` to the table's column set by NAME (the reference's
-    * insert validates fields against the catalog and rejects unknowns —
-    * `src/htsql/tweak/etl/cmd/insert.py`, BuildExtractNode).
+  /** `copy.py`: materialize `df` as table `name` (replacing any previous
+    * state atomically).
     */
-  private def aligned(cur: DataFrame, rows: DataFrame): DataFrame = {
-    val unknown = rows.columns.toSet -- cur.columns.toSet
-    require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
-    val missing = cur.columns.toSet -- rows.columns.toSet
-    require(missing.isEmpty, s"missing columns: ${missing.mkString(", ")}")
-    rows.select(cur.columns.map(c => col(c).cast(cur.schema(c).dataType)): _*)
-  }
+  def copy(name: String, df: DataFrame): Unit = transact(_.copy(name, df))
 
   /** `insert.py`: append rows (schema-aligned, type-coerced). */
-  def insert(name: String, rows: DataFrame): Unit = {
-    val cur = read(name)
-    rewrite(name, cur.unionByName(aligned(cur, rows)))
-  }
+  def insert(name: String, rows: DataFrame): Unit = transact(_.insert(name, rows))
 
   /** `update.py`: SET col := expr for rows matching `condition`; every
     * other row and column passes through unchanged.
     */
-  def update(name: String, condition: Column, assignments: Map[String, Column]): Unit = {
-    val cur = read(name)
-    val unknown = assignments.keySet -- cur.columns.toSet
-    require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
-    rewrite(name, cur.select(cur.columns.map { c =>
-      assignments.get(c)
-        .map(v => when(condition, v.cast(cur.schema(c).dataType)).otherwise(col(c)).as(c))
-        .getOrElse(col(c))
-    }: _*))
-  }
+  def update(name: String, condition: Column, assignments: Map[String, Column]): Unit =
+    transact(_.update(name, condition, assignments))
 
   /** `delete.py`: drop rows matching `condition`. */
-  def delete(name: String, condition: Column): Unit = {
-    val cur = read(name)
-    rewrite(name, cur.filter(!coalesce(condition, lit(false))))
-  }
+  def delete(name: String, condition: Column): Unit = transact(_.delete(name, condition))
 
   /** `merge.py`: key-based upsert — matched rows are REPLACED by the
     * source row, unmatched source rows append (delete-matching + union:
     * one anti join, broadcast-able when the change set is small — the
     * common case — so the table shuffles zero rows).
     */
+  def merge(name: String, source: DataFrame, keys: Seq[String]): Unit =
+    transact(_.merge(name, source, keys))
+
+  /** The reference's `do()` command: run several write commands as ONE
+    * transaction. Commands inside `f` see each other's effects (reads go
+    * through the overlay) but stage NO bytes until `f` returns; then all
+    * post-states write to one shadow generation and commit at a single
+    * marker. An exception anywhere inside `f` — validation, a failed
+    * shadow write, a crash — leaves every live table in its pre-`f` state.
+    */
+  def transact(f: EtlTx => Unit): Unit = {
+    val tx = new EtlTx(this)
+    f(tx)
+    val staged = tx.staged
+    if (staged.nonEmpty) commit(staged)
+  }
+
+  // ---- commit protocol --------------------------------------------------
+
+  private def commit(staged: Seq[(String, DataFrame)]): Unit = {
+    val f = fs
+    recover(f)
+    // 1. STAGE: distributed writes to the shadow dirs; live dirs untouched.
+    //    A failure here leaves only debris that recover() deletes.
+    staged.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(swapPath(n).toString)
+    }
+    // 2. COMMIT POINT: publish the marker (create tmp + atomic rename)
+    val out = f.create(markerTmpPath, true)
+    try out.write(staged.map(_._1).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(markerTmpPath, markerPath))
+      throw new IllegalStateException(s"commit-marker publish failed in $workDir")
+    // 3. SWAP each table; every step is idempotently re-runnable
+    staged.foreach { case (n, _) => rollForward(f, n) }
+    f.delete(markerPath, false)
+  }
+
+  /** Complete one table's swap; callable any number of times from any
+    * intermediate state (commit path and recovery share it).
+    */
+  private def rollForward(f: FileSystem, name: String): Unit = {
+    val live = livePath(name); val swap = swapPath(name); val bak = bakPath(name)
+    if (f.exists(swap)) {
+      if (f.exists(live)) {
+        if (f.exists(bak)) f.delete(live, true) // bak already holds the pre-state
+        else if (!f.rename(live, bak))
+          throw new IllegalStateException(s"backup rename failed for $name")
+      }
+      if (!f.rename(swap, live))
+        throw new IllegalStateException(s"swap rename failed for $name")
+    } else if (!f.exists(live) && f.exists(bak)) {
+      // defensive: cannot arise from this protocol, but never strand data
+      f.rename(bak, live)
+    }
+    if (f.exists(live) && f.exists(bak)) f.delete(bak, true)
+  }
+
+  /** Heal the directory after any interruption (see class doc). */
+  private def recover(f: FileSystem): Unit = {
+    val base = new Path(workDir)
+    if (!f.exists(base)) return
+    if (f.exists(markerPath)) {
+      // commit point was reached → every named shadow is complete: roll FORWARD
+      val in = f.open(markerPath)
+      val names =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      names.split("\n").iterator.filter(_.nonEmpty).foreach(rollForward(f, _))
+      f.delete(markerPath, false)
+    }
+    // no marker → commit point never reached: live dirs are pristine,
+    // leftover shadows are uncommitted debris, a live-less .bak restores
+    f.listStatus(base).foreach { st =>
+      val p = st.getPath
+      if (p.getName == markerTmpPath.getName) f.delete(p, false)
+      else if (p.getName.endsWith(".parquet.swap")) f.delete(p, true)
+      else if (p.getName.endsWith(".parquet.bak")) {
+        val live = new Path(base, p.getName.stripSuffix(".bak"))
+        if (f.exists(live)) f.delete(p, true)
+        else f.rename(p, live)
+      }
+    }
+  }
+}
+
+/** The overlay a `transact` block mutates: reads see staged post-states,
+  * writes replace them — nothing touches disk until the block completes.
+  */
+final class EtlTx private[sources] (etl: Etl) {
+  private val dirty = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
+  private[sources] def staged: Seq[(String, DataFrame)] = dirty.toSeq
+
+  /** Current state of `name` as this transaction sees it. */
+  def read(name: String): DataFrame = dirty.getOrElse(name, etl.read(name))
+
+  def copy(name: String, df: DataFrame): Unit = dirty(name) = df
+
+  def insert(name: String, rows: DataFrame): Unit = {
+    val cur = read(name)
+    dirty(name) = cur.unionByName(Etl.aligned(cur, rows))
+  }
+
+  def update(name: String, condition: Column, assignments: Map[String, Column]): Unit = {
+    val cur = read(name)
+    val unknown = assignments.keySet -- cur.columns.toSet
+    require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
+    dirty(name) = cur.select(cur.columns.map { c =>
+      assignments.get(c)
+        .map(v => when(condition, v.cast(cur.schema(c).dataType)).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+  }
+
+  def delete(name: String, condition: Column): Unit = {
+    val cur = read(name)
+    dirty(name) = cur.filter(!coalesce(condition, lit(false)))
+  }
+
   def merge(name: String, source: DataFrame, keys: Seq[String]): Unit = {
     val cur = read(name)
-    rewrite(name, Etl.mergedState(cur, aligned(cur, source), keys))
+    dirty(name) = Etl.mergedState(cur, Etl.aligned(cur, source), keys)
   }
 }
 
@@ -106,4 +222,16 @@ object Etl {
       keys: Seq[String]): DataFrame =
     cur.join(broadcast(src.select(keys.map(col): _*)), keys, "left_anti")
       .unionByName(src)
+
+  /** Align `rows` to the table's column set by NAME (the reference's
+    * insert validates fields against the catalog and rejects unknowns —
+    * `src/htsql/tweak/etl/cmd/insert.py`, BuildExtractNode).
+    */
+  private[sources] def aligned(cur: DataFrame, rows: DataFrame): DataFrame = {
+    val unknown = rows.columns.toSet -- cur.columns.toSet
+    require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
+    val missing = cur.columns.toSet -- rows.columns.toSet
+    require(missing.isEmpty, s"missing columns: ${missing.mkString(", ")}")
+    rows.select(cur.columns.map(c => col(c).cast(cur.schema(c).dataType)): _*)
+  }
 }

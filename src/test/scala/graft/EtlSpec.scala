@@ -88,4 +88,135 @@ class EtlSpec extends AnyFunSuite {
     }
     assert(etl.read("region").count() == n)
   }
+
+  // ---- crash recovery: construct every intermediate commit state by hand
+  // and prove read() heals it to exactly the old or the new generation.
+
+  import java.nio.file.{Files, Paths, Path => JPath}
+
+  private def names(etl: Etl) =
+    etl.read("region").collect().map(_.getString(1)).toSet
+  private def oldNames(etl: Etl) = names(etl)
+
+  /** Write a complete, valid NEW generation into region.parquet.swap. */
+  private def stageShadow(etl: Etl): Unit =
+    etl.read("region").withColumn("r_name", concat(lit("NEW_"), col("r_name")))
+      .write.mode("overwrite").parquet(s"${etl.workDir}/region.parquet.swap")
+
+  private def marker(etl: Etl): JPath = Paths.get(etl.workDir, "_txn_commit")
+  private def publishMarker(etl: Etl): Unit =
+    Files.write(marker(etl), "region".getBytes("UTF-8"))
+  private def move(etl: Etl, from: String, to: String): Unit =
+    Files.move(Paths.get(etl.workDir, from), Paths.get(etl.workDir, to))
+
+  test("crash before commit point (stray .swap, no marker) rolls BACK") {
+    val etl = freshEtl()
+    val old = oldNames(etl)
+    stageShadow(etl)
+    assert(names(etl) == old) // reads ignore the uncommitted shadow
+    etl.insert("region", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(99, "X", "c"))),
+      etl.read("region").schema))
+    // the next commit's recover() must have deleted the stale shadow
+    assert(!Files.exists(Paths.get(etl.workDir, "region.parquet.swap")))
+    assert(names(etl) == old + "X")
+  }
+
+  test("crash after commit point, before any rename, rolls FORWARD") {
+    val etl = freshEtl()
+    val old = oldNames(etl)
+    stageShadow(etl)
+    publishMarker(etl)
+    assert(names(etl) == old.map("NEW_" + _))
+    assert(!Files.exists(marker(etl)))
+    assert(!Files.exists(Paths.get(etl.workDir, "region.parquet.bak")))
+  }
+
+  test("crash between the two renames (live gone, .swap + .bak) rolls FORWARD") {
+    val etl = freshEtl()
+    val old = oldNames(etl)
+    stageShadow(etl)
+    publishMarker(etl)
+    move(etl, "region.parquet", "region.parquet.bak")
+    assert(names(etl) == old.map("NEW_" + _))
+    assert(!Files.exists(marker(etl)))
+  }
+
+  test("crash after the swap, before .bak cleanup, completes FORWARD") {
+    val etl = freshEtl()
+    val old = oldNames(etl)
+    stageShadow(etl)
+    publishMarker(etl)
+    move(etl, "region.parquet", "region.parquet.bak")
+    move(etl, "region.parquet.swap", "region.parquet")
+    assert(names(etl) == old.map("NEW_" + _))
+    assert(!Files.exists(marker(etl)))
+    assert(!Files.exists(Paths.get(etl.workDir, "region.parquet.bak")))
+  }
+
+  test("orphaned .bak with no live dir and no marker restores the table") {
+    val etl = freshEtl()
+    val old = oldNames(etl)
+    move(etl, "region.parquet", "region.parquet.bak")
+    assert(names(etl) == old)
+  }
+
+  // ---- transact(): the reference's multi-command do() -------------------
+
+  test("transact runs a 5-command script as one generation") {
+    import spark.implicits._
+    val etl = freshEtl()
+    etl.transact { tx =>
+      tx.copy("aux", Seq((1, "a")).toDF("k", "v"))
+      tx.insert("region", Seq((99, "NEW", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+      tx.update("region", col("r_regionkey") === 99, Map("r_comment" -> lit("updated")))
+      tx.delete("region", col("r_regionkey") === 3)
+      tx.merge("region", Seq((0, "MERGED", "m")).toDF("r_regionkey", "r_name", "r_comment"),
+        Seq("r_regionkey"))
+    }
+    val rows = etl.read("region").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(99) == ("NEW", "updated")) // later command saw the insert
+    assert(!rows.contains(3))
+    assert(rows(0) == ("MERGED", "m"))
+    assert(etl.read("aux").count() == 1)
+  }
+
+  test("q_etl_pipeline returns 8 rows and leaves no temp working dir behind") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def residue() = tmp.listFiles().count(_.getName.startsWith("graft_etl_"))
+    val r0 = residue()
+    val df = SparkEntry.queries("q_etl_pipeline")(spark, dir)
+    assert(df.count() == 8)
+    assert(residue() == r0, "q_etl_pipeline must delete its temp working dir")
+  }
+
+  test("a mid-script abort leaves every table in its pre-transaction state") {
+    import spark.implicits._
+    val etl = freshEtl()
+    val old = oldNames(etl)
+    intercept[RuntimeException] {
+      etl.transact { tx =>
+        tx.insert("region", Seq((99, "NEW", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+        tx.delete("region", col("r_regionkey") === 0)
+        sys.error("script dies on command 3 of 5")
+      }
+    }
+    assert(names(etl) == old)
+    assert(!Files.exists(Paths.get(etl.workDir, "region.parquet.swap")))
+  }
+
+  test("a failed shadow write inside transact leaves live tables untouched") {
+    import spark.implicits._
+    val etl = freshEtl()
+    val old = oldNames(etl)
+    intercept[Exception] {
+      etl.transact { tx =>
+        tx.insert("region", Seq((99, "NEW", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+        tx.update("region", col("r_regionkey") === 0,
+          Map("r_comment" -> expr("raise_error('boom')")))
+      }
+    }
+    assert(names(etl) == old)
+  }
 }
