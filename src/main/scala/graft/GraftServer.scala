@@ -28,7 +28,11 @@ import org.apache.spark.sql.SparkSession
   * The handler runs on a small thread pool — Spark job scheduling inside
   * one session is already concurrent-safe.
   */
-final class GraftServer(engine: Graft, port: Int = 0) {
+/** @param host bind address — LOOPBACK by default: the server has no
+  *   authentication, so network exposure must be an explicit opt-in
+  *   (pass "0.0.0.0" to serve beyond the local machine).
+  */
+final class GraftServer(engine: Graft, port: Int = 0, host: String = "127.0.0.1") {
 
   private val contentTypes = Map(
     "json" -> "application/json; charset=utf-8",
@@ -64,7 +68,7 @@ final class GraftServer(engine: Graft, port: Int = 0) {
     new String(out.toByteArray, UTF_8)
   }
 
-  private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
@@ -98,8 +102,10 @@ final class GraftServer(engine: Graft, port: Int = 0) {
   private def respond(ex: HttpExchange, status: Int, fmt: String, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", contentTypes(fmt))
-    ex.sendResponseHeaders(status, bytes.length)
-    ex.getResponseBody.write(bytes)
+    // the httpserver contract: 0 means "unknown length, chunked";
+    // an empty body must be declared with -1 to get Content-Length: 0
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
   }
 
   def start(): GraftServer = { server.start(); this }
@@ -107,14 +113,20 @@ final class GraftServer(engine: Graft, port: Int = 0) {
 
   /** The actually-bound port (useful when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
+
+  /** The full bound socket address (for bind-policy assertions). */
+  def boundAddress: InetSocketAddress = server.getAddress
 }
 
-/** `runMain graft.GraftHttp <dataDir> [port]` — serve a data directory. */
+/** `runMain graft.GraftHttp <dataDir> [port] [host]` — serve a data
+  * directory (loopback unless a bind host is given explicitly).
+  */
 object GraftHttp {
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: graft.GraftHttp <dataDir> [port]"); sys.exit(2) }
+    if (args.isEmpty) { System.err.println("usage: graft.GraftHttp <dataDir> [port] [host]"); sys.exit(2) }
     val dir = args(0)
     val port = args.lift(1).flatMap(_.toIntOption).getOrElse(8080)
+    val host = args.lift(2).getOrElse("127.0.0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-http")
@@ -125,8 +137,8 @@ object GraftHttp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val srv = new GraftServer(Graft(spark, dir), port).start()
-    println(s"graft http server on port ${srv.boundPort} over $dir")
+    val srv = new GraftServer(Graft(spark, dir), port, host).start()
+    println(s"graft http server on $host:${srv.boundPort} over $dir")
     Thread.currentThread.join()
   }
 }

@@ -28,9 +28,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Packing {
 
+  /** The global bin id: the in-shard bin index INTERLEAVED by shard.
+    * `binIdx * shards + shard` is injective for ANY bin count — shard
+    * occupies the residue class mod `shards`, so two shards can never
+    * produce the same id no matter how many bins either holds (a
+    * fixed-width split like `shard * 1e6 + binIdx` aliases once a shard
+    * exceeds its width — guaranteed at 100 TB). Overflow would need a
+    * shard's running token sum to reach Long.MaxValue/shards, at which
+    * point the cumsum itself has already overflowed — no reachable corpus.
+    */
+  private[graft] def binId(shard: Long, binIdx: Long, shards: Int): Long =
+    binIdx * shards + shard
+
   /** Assign every document to (shard, bin, pos): `bin` is globally unique
-    * (shard ⊗ in-shard bin), `pos` is the document's token offset inside
-    * its shard's running stream.
+    * (see [[binId]] — the plan inlines the same arithmetic), `pos` is the
+    * document's token offset inside its shard's running stream.
     */
   def packByBudget(docs: DataFrame, idCol: String, textCol: String,
       budget: Int = 2048, shards: Int = 32): DataFrame = {
@@ -49,7 +61,8 @@ object Packing {
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("id").as(idCol), col("shard"), col("n_tokens"),
         (col("cum") - col("n_tokens")).as("pos"),
-        (col("shard") * lit(1000000L) +
-          expr(s"(cum - n_tokens) div ${budget}L")).as("bin"))
+        // binId(shard, (cum - n_tokens) div budget, shards), inlined
+        (expr(s"((cum - n_tokens) div ${budget}L) * ${shards}L") +
+          col("shard")).as("bin"))
   }
 }

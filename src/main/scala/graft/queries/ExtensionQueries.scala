@@ -860,7 +860,7 @@ object ExtensionQueries extends QueryModule {
            FROM f)
          SELECT doc_id, shard, n_tokens,
            CAST(cum - n_tokens AS BIGINT) AS pos,
-           CAST(shard * 1000000 + (cum - n_tokens) // 512 AS BIGINT) AS bin
+           CAST(((cum - n_tokens) // 512) * 8 + shard AS BIGINT) AS bin
          FROM s ORDER BY doc_id""",
     "q_split" ->
       """WITH f AS (

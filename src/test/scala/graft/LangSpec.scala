@@ -974,6 +974,9 @@ object SparkTestSession {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // native functions registered at build time so no suite depends on
+      // another suite having constructed a Graft first (order-independence)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

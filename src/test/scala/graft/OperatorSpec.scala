@@ -192,14 +192,14 @@ class OperatorSpec extends AnyFunSuite {
       .packByBudget(docs, "doc_id", "text", budget = 256, shards = 4)
       .collect()
     assert(packed.length == docs.count())
-    // a bin never crosses shards (bin encodes its shard)
+    // a bin never crosses shards (bin ≡ shard mod shards)
     packed.foreach(r =>
-      assert(r.getAs[Long]("bin") / 1000000L == r.getAs[Long]("shard")))
+      assert(r.getAs[Long]("bin") % 4L == r.getAs[Long]("shard")))
     // within a bin, the FIRST doc starts below the budget boundary (a doc
     // may overflow past it, but a bin is never opened past the boundary)
     packed.groupBy(_.getAs[Long]("bin")).foreach { case (bin, rows) =>
       val localStart = rows.map(_.getAs[Long]("pos")).min
-      assert(localStart / 256 == bin % 1000000L,
+      assert(localStart / 256 == bin / 4L,
         s"bin $bin opened at pos $localStart")
     }
     // deterministic
@@ -207,6 +207,26 @@ class OperatorSpec extends AnyFunSuite {
       .packByBudget(docs, "doc_id", "text", budget = 256, shards = 4)
       .collect().map(_.toSeq).toSet
     assert(again == packed.map(_.toSeq).toSet)
+  }
+
+  test("packing bin ids never alias across shards, past any bin count") {
+    import graft.operators.Packing.binId
+    // the exact case a fixed-width encoding (shard*1e6+idx) got wrong:
+    // shard 0 at index 1_000_001 collided with shard 1 at index 1
+    assert(binId(0L, 1000001L, 32) != binId(1L, 1L, 32))
+    // injectivity across a grid spanning the 1e6-bins-per-shard boundary
+    val shards = 32
+    val grid = for {
+      s <- 0L until shards.toLong
+      i <- Seq(0L, 1L, 999999L, 1000000L, 1000001L, 1L << 40, (1L << 40) + 7)
+    } yield (s, i)
+    val ids = grid.map { case (s, i) => binId(s, i, shards) }
+    assert(ids.distinct.length == grid.length, "bin id aliasing detected")
+    // id recovers both coordinates
+    grid.foreach { case (s, i) =>
+      val id = binId(s, i, shards)
+      assert(id % shards == s && id / shards == i)
+    }
   }
 
   test("split assignment is a pure function of content (copies co-travel)") {

@@ -22,6 +22,10 @@ class ServerSpec extends AnyFunSuite {
     client.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
+  test("the server binds loopback by default — network exposure is opt-in") {
+    assert(server.boundAddress.getAddress.isLoopbackAddress)
+  }
+
   test("GET /region/:json returns the rendered records") {
     val r = get("/region/:json")
     assert(r.statusCode() == 200)
