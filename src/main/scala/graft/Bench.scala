@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
   * SPARK_GRAFT_SF_DIR. Each query gets one warm run + `runs` measured
   * runs (median reported) so n=1 noise (JIT, first-touch page faults,
   * cache materialization) doesn't dominate single queries.
+  *
+  * LOAD ROBUSTNESS: ambient machine load contaminates a contiguous time
+  * window (the r06 artifact showed an alphabetical block of unchanged
+  * queries 4–8× slower). The whole suite therefore runs as TWO temporally
+  * separated passes and each query reports the MIN of its two pass
+  * medians — noise only ever inflates a wall time, so the min is the
+  * honest estimate, and a load burst would have to span both passes of
+  * the same query to survive. Queries whose two passes disagree by >3×
+  * are listed in `skewed` so a contaminated artifact is self-flagging.
   */
 object Bench {
 
@@ -28,26 +37,16 @@ object Bench {
     s(s.length / 2)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // events.parquet is TIMESTAMP(NANOS); set at session build so no
-      // query depends on Tables having loaded events first
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    // warm the JVM/codegen path once so the first measured query doesn't
-    // absorb session startup (order below is name-sorted and deterministic)
-    try force(SparkEntry.entry(spark)) catch { case _: Throwable => }
-    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try {
-        force(fn(spark, sfDir)) // warm (plan + cache materialization)
+  /** One full pass over the suite: per query, a warm run (plan + staging
+    * cache materialization) then `runs` measured runs → median.
+    * Failures record -1 and are sticky across passes.
+    */
+  private def pass(spark: SparkSession, sfDir: String, runs: Int,
+      failures: scala.collection.mutable.Map[String, String]): Map[String, Double] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (failures.contains(name)) name -> -1.0
+      else try {
+        force(fn(spark, sfDir))
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           force(fn(spark, sfDir))
@@ -66,6 +65,38 @@ object Bench {
         // (77 queries of staging residue would otherwise accumulate)
         graft.operators.Staging.releaseAll()
       }
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS); set at session build so no
+      // query depends on Tables having loaded events first
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm the JVM/codegen path once so the first measured query doesn't
+    // absorb session startup (order below is name-sorted and deterministic)
+    try force(SparkEntry.entry(spark)) catch { case _: Throwable => }
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    val pass1 = pass(spark, sfDir, runs, failures)
+    val pass2 = pass(spark, sfDir, runs, failures)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { n =>
+      val (a, b) = (pass1(n), pass2.getOrElse(n, -1.0))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
+    // self-flag residual contamination: both passes of the same query
+    // would have to be hit for the reported min to still be inflated
+    val skewed = names.filter { n =>
+      val (a, b) = (pass1(n), pass2.getOrElse(n, -1.0))
+      a > 0 && b > 0 && math.max(a, b) / math.min(a, b) > 3.0 &&
+        math.max(a, b) - math.min(a, b) > 0.25 // ignore sub-250ms jitter
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -73,10 +104,11 @@ object Bench {
     val failJson = failures
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
+    val skewJson = skewed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // headline fields LAST: the driver keeps only a tail of stdout, and the
     // per-query map is long enough to push a leading "value" out of the
     // window (JSON key order is semantically irrelevant)
-    println(s"""{"queries":$qs,"failures":$failJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
+    println(s"""{"queries":$qs,"failures":$failJson,"skewed":$skewJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

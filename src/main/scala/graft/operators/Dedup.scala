@@ -489,9 +489,16 @@ object Dedup {
     * dominates — the 100 TB regime, not the benchmark's uniform corpus.
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2): DataFrame = {
+      n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2): DataFrame =
+    ngramJaccardPairsPrefixFrom(shingleFrame(docs, idCol, textCol, n),
+      threshold, minCommon)
+
+  /** [[ngramJaccardPairsPrefix]] over a prebuilt [[shingleFrame]] (shared
+    * with the df probe in [[ngramJaccardPairsAutoChosen]]).
+    */
+  def ngramJaccardPairsPrefixFrom(sh: DataFrame,
+      threshold: Double = 0.2, minCommon: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleFrame(docs, idCol, textCol, n)
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
     val dfs = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
@@ -515,4 +522,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** The chosen pair path plus why — `avgPartners` is Σdf²/Σdf over the
+    * shingle document-frequency histogram: the expected number of join
+    * partners each inverted-index posting meets, i.e. the pair-generation
+    * blowup of the plain path.
+    */
+  final case class NgramPath(pairs: DataFrame, path: String, avgPartners: Double)
+
+  /** Exact n-gram Jaccard pairs with AUTOMATIC path selection: probe the
+    * shingle df histogram (one digest-keyed partial-aggregating pass over
+    * the postings — the same pass the plain path's dup-count shape costs)
+    * and pick the plain inverted index when frequencies are benign, or the
+    * lossless SSJoin prefix filter when stop-shingles make Σ df² dominate.
+    * Both paths produce the identical pair set (OperatorSpec pins the
+    * equality), so the switch changes cost, never output. The SCALE.md
+    * Σdf² analysis previously required the CALLER to know their corpus was
+    * boilerplate-heavy; this folds that judgment into the operator.
+    *
+    * `hotFactor` is the avg-partners-per-posting threshold: above it the
+    * plain path's join output exceeds `hotFactor × postings` rows and pair
+    * work dominates everything else (default 32, calibrated so the
+    * benchmark's benign corpora stay on the cheaper plain path — prefix
+    * costs ~5× more there — while a hot corpus's quadratic slice flips).
+    */
+  def ngramJaccardPairsAutoChosen(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2,
+      hotFactor: Double = 32.0): NgramPath = {
+    val sh = shingleFrame(docs, idCol, textCol, n)
+    val stats = sh.select(explode(col("sh")).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df").cast("double") * col("df")).as("df2"),
+        sum(col("df")).as("p"))
+      .collect()(0)
+    val df2 = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+    val postings = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val avgPartners = if (postings == 0L) 0.0 else df2 / postings
+    if (avgPartners > hotFactor)
+      NgramPath(ngramJaccardPairsPrefixFrom(sh, threshold, minCommon),
+        "prefix", avgPartners)
+    else
+      NgramPath(ngramJaccardPairsFrom(sh, threshold, minCommon, None)
+        .select("id_a", "id_b", "jaccard"), "inverted", avgPartners)
+  }
+
+  /** [[ngramJaccardPairsAutoChosen]] for callers that only want the pairs. */
+  def ngramJaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2,
+      hotFactor: Double = 32.0): DataFrame =
+    ngramJaccardPairsAutoChosen(docs, idCol, textCol, n, threshold,
+      minCommon, hotFactor).pairs
 }

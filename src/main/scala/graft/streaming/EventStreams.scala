@@ -39,12 +39,21 @@ object EventStreams {
       "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
         "builder before streaming events (TIMESTAMP(NANOS) parquet)")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the driver fixture ships events.parquet as a single FILE (stream the
+    // parent dir filtered to that name); the production layout is a
+    // DIRECTORY of arriving part files (stream the directory itself —
+    // with maxFilesPerTrigger=1 each arrival is its own micro-batch, which
+    // is what advances the watermark between files)
+    val evPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = evPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (streamDir, glob) =
+      if (fs.getFileStatus(evPath).isDirectory) (evPath.toString, "*.parquet")
+      else (dir, "events.parquet") // FileStreamSource requires a directory
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      // FileStreamSource requires a directory; filter to the events table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .option("pathGlobFilter", glob)
+      .parquet(streamDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
   }
@@ -75,6 +84,29 @@ object EventStreams {
     val q = tumblingAgg(readEventStream(spark, dir))
       .writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** The PRODUCTION output shape: append mode + watermark through
+    * `Trigger.AvailableNow` — a window emits exactly once, when the
+    * watermark passes its end; late rows inside the allowance still
+    * count, late rows beyond it drop deterministically; windows the
+    * final watermark never closed stay in state and do NOT emit. The
+    * complete-mode drain above stays the bounded oracle twin for the
+    * driver gate (StreamingSpec pins this path against a late-data
+    * fixture instead).
+    */
+  def runTumblingAppendAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_append"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val q = tumblingAgg(readEventStream(spark, dir))
+      .writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(queryName)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -148,7 +180,11 @@ object EventStreams {
     */
   def rangeJoinStream(spark: SparkSession, dir: String): DataFrame = {
     def side(tpe: String, p: String): DataFrame = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same fail-loudly rule as readEventStream: the nanos conf belongs
+      // in the session BUILDER, never in a load-time side effect
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
+          "builder before streaming events (TIMESTAMP(NANOS) parquet)")
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet").parquet(dir)

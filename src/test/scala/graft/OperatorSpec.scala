@@ -209,6 +209,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(again == packed.map(_.toSeq).toSet)
   }
 
+  test("ngram auto path stays on the inverted index for a benign corpus") {
+    val chosen = Dedup.ngramJaccardPairsAutoChosen(t("documents"), "doc_id", "text")
+    assert(chosen.path == "inverted", s"avgPartners=${chosen.avgPartners}")
+    assert(chosen.avgPartners > 0.0)
+  }
+
+  test("ngram auto path flips to prefix on a hot-shingle corpus, same output") {
+    import spark.implicits._
+    // 60 docs sharing a 44-token boilerplate + 3 unique tokens each:
+    // every boilerplate shingle has df=60, so Σdf²/Σdf ≈ 55 ≫ 32
+    val boiler = (1 to 44).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 60L).map(i => (i, s"$boiler u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val chosen = Dedup.ngramJaccardPairsAutoChosen(docs, "doc_id", "text",
+      n = 3, threshold = 0.2)
+    assert(chosen.path == "prefix", s"avgPartners=${chosen.avgPartners}")
+    val auto = chosen.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == plain, "prefix and inverted paths must agree exactly")
+    assert(auto.nonEmpty)
+  }
+
   test("packing bin ids never alias across shards, past any bin count") {
     import graft.operators.Packing.binId
     // the exact case a fixed-width encoding (shard*1e6+idx) got wrong:

@@ -96,6 +96,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode AvailableNow drain equals the batch oracle on a late-data fixture") {
+    import spark.implicits._
+    // fixture: three parquet files arriving in mtime order so the
+    // watermark advances between micro-batches (readEventStream sets
+    // maxFilesPerTrigger=1). Hours are epoch-relative; watermark delay 1h.
+    // NOTE the engine's actual late-drop guarantee (measured on 4.1.2):
+    // batch N filters late rows with the watermark COMMITTED at batch N-1
+    // (`watermarkForLateEvents` lags `watermarkForEviction` by one batch),
+    // so a guaranteed-drop fixture must deliver the late row two batches
+    // after the data that raised the watermark.
+    //   file1: 01:10 / 01:20 (click), 03:30 (view) → commits watermark
+    //          02:30 at the end of batch 0
+    //   file2: 02:40 view (late but inside the allowance → counted),
+    //          05:10 click (raises the watermark to 04:10; its own 05:00
+    //          window never closes and must NOT emit). Eviction watermark
+    //          02:30 closes the 01:00 window WITHOUT file3's late row.
+    //   file3: 01:40 click — LATE beyond the batch-1-committed watermark
+    //          (window end 02:00 < 02:30) → guaranteed dropped, and the
+    //          closed 01:00 window must NOT re-emit; 06:30 view is the
+    //          on-time row that makes batch 2 a DATA batch (eviction
+    //          04:10 closes 02:00/03:00 — emission must not depend on the
+    //          engine scheduling a trailing no-data flush batch)
+    def ns(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000000L
+    val fixture = java.nio.file.Files.createTempDirectory("graft_stream_fix_").toString
+    val evDir = new java.io.File(s"$fixture/events.parquet")
+    def writeFile(rows: Seq[(Long, String, Double)], name: String, mtime: Long): Unit = {
+      val tmp = s"$fixture/tmp_$name"
+      rows.toDF("ts", "event_type", "value").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      evDir.mkdirs()
+      val dest = new java.io.File(evDir, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeFile(Seq((ns(1, 10), "click", 1.0), (ns(1, 20), "click", 2.0),
+      (ns(3, 30), "view", 3.0)), "f1.parquet", now - 120000)
+    writeFile(Seq((ns(2, 40), "view", 4.0),
+      (ns(5, 10), "click", 5.0)), "f2.parquet", now - 60000)
+    writeFile(Seq((ns(1, 40), "click", 10.0), (ns(6, 30), "view", 6.0)),
+      "f3.parquet", now)
+
+    val emitted = EventStreams
+      .runTumblingAppendAvailableNow(spark, fixture, "stream_append_test")
+      .collect().map(_.toSeq).toSet
+
+    // the batch oracle under watermark semantics: every event except the
+    // beyond-watermark one, restricted to windows the final watermark
+    // (05:10 - 1h = 04:10) closed
+    val batch = EventStreams.tumblingAgg(
+      spark.read.parquet(evDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("value") =!= 10.0))
+      .filter(col("bucket_start") < expr("timestamp_micros(14400000000)")) // < 04:00
+      .collect().map(_.toSeq).toSet
+    assert(batch.size == 3, s"fixture self-check: $batch")
+    assert(emitted == batch,
+      s"append drain != batch oracle\n  emitted=$emitted\n  batch=$batch")
+  }
+
   test("watermark drops late data; on-time windows finalize exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
