@@ -524,53 +524,80 @@ object Dedup {
   }
 
   /** The chosen pair path plus why — `avgPartners` is Σdf²/Σdf over the
-    * shingle document-frequency histogram: the expected number of join
-    * partners each inverted-index posting meets, i.e. the pair-generation
-    * blowup of the plain path.
+    * shingle document-frequency histogram (the expected join partners per
+    * posting, i.e. the plain path's pair-generation blowup); `skew` is
+    * Σdf²·D/P² — the ratio of actual pair work to the pair work a UNIFORM
+    * df distribution with the same postings P and distinct-shingle count D
+    * would cost (≈1 when every shingle is equally common, ≫1 when a hot
+    * minority dominates).
     */
-  final case class NgramPath(pairs: DataFrame, path: String, avgPartners: Double)
+  final case class NgramPath(pairs: DataFrame, path: String,
+      avgPartners: Double, skew: Double)
 
   /** Exact n-gram Jaccard pairs with AUTOMATIC path selection: probe the
     * shingle df histogram (one digest-keyed partial-aggregating pass over
     * the postings — the same pass the plain path's dup-count shape costs)
     * and pick the plain inverted index when frequencies are benign, or the
-    * lossless SSJoin prefix filter when stop-shingles make Σ df² dominate.
-    * Both paths produce the identical pair set (OperatorSpec pins the
-    * equality), so the switch changes cost, never output. The SCALE.md
-    * Σdf² analysis previously required the CALLER to know their corpus was
-    * boilerplate-heavy; this folds that judgment into the operator.
+    * lossless SSJoin prefix filter when a HOT MINORITY of stop-shingles
+    * makes Σ df² dominate. Both paths produce the identical pair set
+    * (OperatorSpec pins the equality), so the switch changes cost, never
+    * output. The SCALE.md Σdf² analysis previously required the CALLER to
+    * know their corpus was boilerplate-heavy; this folds that judgment
+    * into the operator.
     *
-    * `hotFactor` is the avg-partners-per-posting threshold: above it the
-    * plain path's join output exceeds `hotFactor × postings` rows and pair
-    * work dominates everything else (default 32, calibrated so the
-    * benchmark's benign corpora stay on the cheaper plain path — prefix
-    * costs ~5× more there — while a hot corpus's quadratic slice flips).
+    * Two conditions must BOTH hold to flip (measured on the scale
+    * fixtures — an avg-partners trigger alone chose prefix on a corpus
+    * that killed it):
+    *  - `avgPartners > hotFactor`: the plain join would emit more than
+    *    hotFactor rows per posting, so pair work dominates everything
+    *    else (default 32; benign corpora stay on the plain path, where
+    *    prefix's extra df-join + per-doc window cost ~5× more).
+    *  - `skew > skewFactor`: the blowup is driven by a df-skewed MINORITY
+    *    that per-doc prefixes can actually exclude. A SATURATED shingle
+    *    space (tiny vocabulary, df uniformly high → skew ≈ 1) defeats
+    *    prefix selection — every prefix is as hot as the corpus — and the
+    *    prefix path's array verify join then materializes shingle arrays
+    *    for ~Σdf_prefix² candidate pairs (measured: spilled a 79 GB disk
+    *    at 50k docs), while the plain path's digest groupBy degrades
+    *    gracefully. Uniform saturation stays on the plain path; truly
+    *    intractable corpora need the lossy `maxDf` cap or MinHash.
+    *
+    * Prefix pruning is threshold-sensitive: the prefix keeps the
+    * ⌈(1−t)·n⌉+1 RAREST shingles per doc, so hot shingles only fall out
+    * of the index when the boilerplate block is shorter than t·n of the
+    * document — at very low thresholds even a flipped corpus keeps some
+    * hot shingles in-prefix. The probe can't see document composition;
+    * callers pairing at t ≤ 0.3 on extreme corpora should prefer `maxDf`.
     */
   def ngramJaccardPairsAutoChosen(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2,
-      hotFactor: Double = 32.0): NgramPath = {
+      hotFactor: Double = 32.0, skewFactor: Double = 4.0): NgramPath = {
     val sh = shingleFrame(docs, idCol, textCol, n)
     val stats = sh.select(explode(col("sh")).as("s"))
       .select(xxhash64(col("s")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
       .agg(sum(col("df").cast("double") * col("df")).as("df2"),
-        sum(col("df")).as("p"))
+        sum(col("df")).as("p"), count(lit(1)).as("d"))
       .collect()(0)
     val df2 = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
     val postings = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val distinct = if (stats.isNullAt(2)) 0L else stats.getLong(2)
     val avgPartners = if (postings == 0L) 0.0 else df2 / postings
-    if (avgPartners > hotFactor)
+    val skew =
+      if (postings == 0L) 0.0
+      else df2 * distinct / (postings.toDouble * postings.toDouble)
+    if (avgPartners > hotFactor && skew > skewFactor)
       NgramPath(ngramJaccardPairsPrefixFrom(sh, threshold, minCommon),
-        "prefix", avgPartners)
+        "prefix", avgPartners, skew)
     else
       NgramPath(ngramJaccardPairsFrom(sh, threshold, minCommon, None)
-        .select("id_a", "id_b", "jaccard"), "inverted", avgPartners)
+        .select("id_a", "id_b", "jaccard"), "inverted", avgPartners, skew)
   }
 
   /** [[ngramJaccardPairsAutoChosen]] for callers that only want the pairs. */
   def ngramJaccardPairsAuto(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2,
-      hotFactor: Double = 32.0): DataFrame =
+      hotFactor: Double = 32.0, skewFactor: Double = 4.0): DataFrame =
     ngramJaccardPairsAutoChosen(docs, idCol, textCol, n, threshold,
-      minCommon, hotFactor).pairs
+      minCommon, hotFactor, skewFactor).pairs
 }

@@ -40,6 +40,45 @@ object ScaleBench {
     "q_decontaminate", "q_quality_rep", "q_text_stats",
     "q_stream_tumble", "q_stream_session", "q_redact")
 
+  /** Temp working dirs created by scale-only keys; deleted before exit. */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Scale-only keys with no driver-contract analogue (the contract keys
+    * run bounded fixtures; these exercise the write path / path switch on
+    * the big generated corpora).
+    */
+  private def extraKeys: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // physical ETL merge over the documents table: copy into a working
+    // dir, then upsert a 1% change set (replacements + appends). Timed
+    // work = post-state plan (broadcast anti-join; the table itself never
+    // shuffles) + two distributed parquet writes + atomic commit.
+    "x_etl_merge" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val t = new graft.model.Tables(s, dir)
+      val work = java.nio.file.Files.createTempDirectory("graft_scale_etl_").toString
+      scratchDirs.add(work)
+      val etl = new graft.sources.Etl(s, work)
+      etl.copy("documents", t.documents)
+      val src = t.documents.filter(col("doc_id") % 200 === 0)
+        .withColumn("text", concat(col("text"), lit(" merged")))
+        .unionByName(t.documents.filter(col("doc_id") % 200 === 1)
+          .withColumn("doc_id", col("doc_id") + lit(100000000L)))
+      etl.merge("documents", src, Seq("doc_id"))
+      etl.read("documents")
+    },
+    // auto-switching exact ngram pairs: logs the chosen path so the
+    // SCALE.md hot-corpus run shows the flip with no caller change.
+    // τ=0.6 is a near-dup threshold where per-doc prefixes are short
+    // enough to exclude a 60-token boilerplate block entirely.
+    "x_ngram_auto" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val chosen = graft.operators.Dedup.ngramJaccardPairsAutoChosen(
+        t.documents, "doc_id", "text", threshold = 0.6)
+      System.err.println(f"[scale] ngram auto chose path=${chosen.path} " +
+        f"avgPartners=${chosen.avgPartners}%.1f skew=${chosen.skew}%.1f on $dir")
+      chosen.pairs
+    })
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale/sf0.1")
     val keys = if (args.length > 1) args.drop(1).toSeq else defaultKeys
@@ -55,7 +94,7 @@ object ScaleBench {
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
     val out = keys.map { name =>
-      val fn = graft.SparkEntry.queries(name)
+      val fn = extraKeys.getOrElse(name, graft.SparkEntry.queries(name))
       System.err.println(s"[scale] running $name")
       try {
         force(fn(spark, dir)) // warm: plan + staging caches
@@ -79,5 +118,11 @@ object ScaleBench {
     }
     println(out.mkString("[", ",\n", "]"))
     spark.stop()
+    scratchDirs.forEach { d =>
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
   }
 }

@@ -224,7 +224,9 @@ class OperatorSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val chosen = Dedup.ngramJaccardPairsAutoChosen(docs, "doc_id", "text",
       n = 3, threshold = 0.2)
-    assert(chosen.path == "prefix", s"avgPartners=${chosen.avgPartners}")
+    assert(chosen.path == "prefix",
+      s"avgPartners=${chosen.avgPartners} skew=${chosen.skew}")
+    assert(chosen.skew > 4.0, "hot minority must register as df skew")
     val auto = chosen.pairs.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val plain = Dedup.ngramJaccardPairs(docs, "doc_id", "text",

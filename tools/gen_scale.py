@@ -2,7 +2,11 @@
 """Generate scale-study fixtures (documents/embeddings/events) at an
 arbitrary row multiple of the driver's sf0.1 distributions.
 
-Usage: python3 tools/gen_scale.py <outdir> <docs> <vecs> <events>
+Usage: python3 tools/gen_scale.py <outdir> <docs> <vecs> <events> [files] [--hot]
+
+--hot plants a 60-token boilerplate block in 30% of documents (the
+hot-shingle regime that should flip ngramJaccardPairsAuto to the
+prefix-filtered path).
 
 Mirrors the observed sf0.1 shapes (vocab-limited token text with exact +
 near-duplicate structure, 64-d clustered float32 embeddings, 30-day
@@ -25,14 +29,22 @@ VOCAB = ("batch part spark line column order small sort fast value scan hash "
          "slow group agg filter query big key window row table stream merge "
          "data join shuffle plan stage task").split()
 
-def gen_documents(n, rng):
+def gen_documents(n, rng, hot=False):
     langs = rng.choice(["en", "zh", "es", "de", "fr"], size=n, p=[0.7, 0.1, 0.08, 0.07, 0.05])
     sources = [f"src{i}" for i in rng.integers(0, 20, size=n)]
     texts = []
     base = []
     for i in range(n):
         ln = int(rng.integers(8, 100))
-        toks = list(rng.choice(VOCAB, size=ln))
+        if hot:
+            # hot mode models a REAL web corpus: rare long-tail body
+            # (so body shingles have df≈1) + the boilerplate minority
+            # below. The tiny shared VOCAB would instead saturate the
+            # whole shingle space (df uniformly high), which is a
+            # different regime (see Dedup.ngramJaccardPairsAutoChosen).
+            toks = [f"t{k}" for k in rng.integers(0, 200000, size=ln)]
+        else:
+            toks = list(rng.choice(VOCAB, size=ln))
         texts.append(" ".join(toks))
         base.append(toks)
     # near-dup structure ~ sf0.1 (256 pairs / 5000 docs): mutate ~5% of docs
@@ -53,6 +65,15 @@ def gen_documents(n, rng):
     boiler = " ".join(VOCAB[:10])
     for v in rng.choice(n, size=n // 100, replace=False):
         texts[v] = texts[v] + " " + boiler
+    if hot:
+        # HOT-SHINGLE variant: a 60-token boilerplate block (license
+        # header / site template archetype) in 30% of docs, so its
+        # shingles' df ~ 0.3n and the plain inverted index's pair work
+        # is quadratic in n — the regime the SSJoin prefix filter exists
+        # for (Dedup.ngramJaccardPairsAutoChosen must flip paths here)
+        hot_boiler = " ".join(str(rng.choice(VOCAB)) for _ in range(60))
+        for v in rng.choice(n, size=(3 * n) // 10, replace=False):
+            texts[v] = hot_boiler + " " + texts[v]
     return pa.table({
         "doc_id": pa.array(np.arange(n), pa.int64()),
         "text": pa.array(texts),
@@ -105,11 +126,13 @@ def write_split(table, path, files, **kw):
             pq.write_table(part, f"{path}/part-{i:04d}.parquet", **kw)
 
 def main():
-    outdir, n_docs, n_vecs, n_events = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
-    files = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+    hot = "--hot" in sys.argv
+    argv = [a for a in sys.argv if a != "--hot"]
+    outdir, n_docs, n_vecs, n_events = argv[1], int(argv[2]), int(argv[3]), int(argv[4])
+    files = int(argv[5]) if len(argv) > 5 else 16
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(42)
-    write_split(gen_documents(n_docs, rng), f"{outdir}/documents.parquet", files)
+    write_split(gen_documents(n_docs, rng, hot), f"{outdir}/documents.parquet", files)
     write_split(gen_embeddings(n_vecs, rng), f"{outdir}/embeddings.parquet", files)
     write_split(gen_events(n_events, rng), f"{outdir}/events.parquet", files,
                 coerce_timestamps=None, version="2.6")
