@@ -65,6 +65,20 @@ object StreamQueries extends QueryModule {
         .orderBy("bucket_start", "event_type")
     },
 
+    // The PRODUCTION streaming output shape (round 7): append mode +
+    // watermark through the same AvailableNow drain — a window emits
+    // exactly once, when the watermark passes its end. The emitted set is
+    // a deterministic function of the fixture (every window whose end ≤
+    // final watermark = max ts − 1h), so the DuckDB oracle reproduces it
+    // relationally. Late-data drop semantics are pinned separately in
+    // StreamingSpec (they need multi-batch arrival order).
+    "q_stream_append" -> { (s, dir) =>
+      graft.streaming.EventStreams.runTumblingAppendAvailableNow(s, dir)
+        .select(unix_timestamp(col("bucket_start")).as("bucket_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    },
+
     // Approximate distinct users per event type (HLL++). The sketch value
     // is engine-specific, so the driver-gated contract is a BOUND CHECK:
     // the estimate must land within ±15% (3σ at the default 5% rsd) of
@@ -156,6 +170,16 @@ object StreamQueries extends QueryModule {
            event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // append mode emits exactly the windows the final watermark closed:
+    // window end (bucket_start + 1h) ≤ max event time − 1h delay
+    "q_stream_append" ->
+      """WITH wm AS (SELECT epoch(max(ts)) - 3600 AS w FROM events)
+         SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events, wm
+         WHERE floor(epoch(date_trunc('hour', ts))) + 3600 <= wm.w
+         GROUP BY bucket_start, event_type ORDER BY 1, 2""",
     "q_stream_slide" ->
       """WITH buckets AS (
            SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS half_slot,
