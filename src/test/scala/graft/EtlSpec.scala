@@ -8,17 +8,27 @@ import graft.sources.Etl
   * `tweak.etl`): every command is a distributed rewrite + atomic
   * directory swap, and the post-state must read back exactly.
   */
-class EtlSpec extends AnyFunSuite {
+class EtlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   lazy val spark = SparkTestSession.get
   val dir = "/root/testdata/sf0.001"
 
+  private val scratch = scala.collection.mutable.ListBuffer[String]()
+
   private def freshEtl(): Etl = {
     val work = java.nio.file.Files.createTempDirectory("graft_etl_spec_").toString
+    scratch += work
     val etl = new Etl(spark, work)
     etl.copy("region", spark.read.parquet(s"$dir/region.parquet")
       .select(col("r_regionkey"), col("r_name"), lit("orig").as("r_comment")))
     etl
+  }
+
+  override def afterAll(): Unit = scratch.foreach { d =>
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally walk.close()
   }
 
   test("copy + read round-trips exactly") {

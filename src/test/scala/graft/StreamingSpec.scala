@@ -139,22 +139,29 @@ class StreamingSpec extends AnyFunSuite {
     writeFile(Seq((ns(1, 40), "click", 10.0), (ns(6, 30), "view", 6.0)),
       "f3.parquet", now)
 
-    val emitted = EventStreams
-      .runTumblingAppendAvailableNow(spark, fixture, "stream_append_test")
-      .collect().map(_.toSeq).toSet
+    try {
+      val emitted = EventStreams
+        .runTumblingAppendAvailableNow(spark, fixture, "stream_append_test")
+        .collect().map(_.toSeq).toSet
 
-    // the batch oracle under watermark semantics: every event except the
-    // beyond-watermark one, restricted to windows the final watermark
-    // (05:10 - 1h = 04:10) closed
-    val batch = EventStreams.tumblingAgg(
-      spark.read.parquet(evDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .filter(col("value") =!= 10.0))
-      .filter(col("bucket_start") < expr("timestamp_micros(14400000000)")) // < 04:00
-      .collect().map(_.toSeq).toSet
-    assert(batch.size == 3, s"fixture self-check: $batch")
-    assert(emitted == batch,
-      s"append drain != batch oracle\n  emitted=$emitted\n  batch=$batch")
+      // the batch oracle under watermark semantics: every event except the
+      // beyond-watermark one, restricted to windows the final watermark
+      // (05:10 - 1h = 04:10) closed
+      val batch = EventStreams.tumblingAgg(
+        spark.read.parquet(evDir.toString)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .filter(col("value") =!= 10.0))
+        .filter(col("bucket_start") < expr("timestamp_micros(14400000000)")) // < 04:00
+        .collect().map(_.toSeq).toSet
+      assert(batch.size == 3, s"fixture self-check: $batch")
+      assert(emitted == batch,
+        s"append drain != batch oracle\n  emitted=$emitted\n  batch=$batch")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(fixture))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
   }
 
   test("watermark drops late data; on-time windows finalize exactly once") {
