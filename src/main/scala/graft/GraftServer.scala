@@ -68,6 +68,20 @@ final class GraftServer(engine: Graft, port: Int = 0, host: String = "127.0.0.1"
     new String(out.toByteArray, UTF_8)
   }
 
+  /** Spark raises execution-time errors as SparkThrowable anywhere in the
+    * cause chain (the collect wraps them in job-failure exceptions).
+    */
+  private def isEngineError(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 16) {
+      if (cur.isInstanceOf[org.apache.spark.SparkThrowable]) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
@@ -90,6 +104,13 @@ final class GraftServer(engine: Graft, port: Int = 0, host: String = "127.0.0.1"
             case e: graft.lang.PlanError =>
               // compile() already attached the caret excerpt to the message
               respond(ex, 400, "txt", e.getMessage)
+            case e: Throwable if isEngineError(e) =>
+              // a well-formed query whose EXECUTION failed on the data
+              // (division by zero, cast overflow, …) — the reference maps
+              // engine errors to 409 Conflict (src/htsql/core/error.py,
+              // EngineError), keeping 500 for genuine server bugs
+              respond(ex, 409, "txt",
+                Option(e.getMessage).getOrElse(e.getClass.getName))
           }
         }
       } catch {

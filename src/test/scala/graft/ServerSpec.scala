@@ -82,6 +82,44 @@ class ServerSpec extends AnyFunSuite {
     assert(r.body().contains("in query:") && r.body().contains("^"))
   }
 
+  test("execution-time data errors return 409 Conflict, not 500") {
+    // well-formed query, fails at collect (ANSI division by zero) — the
+    // reference's EngineError → 409 mapping (src/htsql/core/error.py)
+    val r = get("/region%7Br_regionkey/0%7D/:json")
+    assert(r.statusCode() == 409, s"got ${r.statusCode()}: ${r.body().take(120)}")
+  }
+
+  test("seeded URL fuzz: the server never 500s and stays alive") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefgr{}()?/:=.,'+-*<>&|!$%^@#\" 0123456789_~"
+    val seen = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    for (_ <- 1 to 120) {
+      val raw = "/" + Array.fill(rnd.nextInt(24) + 1)(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      // URI.create rejects some raw strings client-side; percent-escape
+      // the bytes the JDK client refuses to send, keep the rest raw
+      val path = raw.flatMap {
+        case c if c == ' ' => "%20"
+        case c if c == '"' => "%22"
+        case c if c == '#' => "%23"
+        case c if c == '%' => "%25"
+        case c if c == '<' => "%3C"
+        case c if c == '>' => "%3E"
+        case c if c == '|' => "%7C"
+        case c if c == '^' => "%5E"
+        case c => c.toString
+      }
+      val status =
+        try get(path).statusCode()
+        catch { case _: IllegalArgumentException => 0 /* client-side reject */ }
+      seen(status) += 1
+      assert(status != 500, s"500 on fuzz input: $raw")
+    }
+    // the server must still answer a normal query afterwards
+    assert(get("/region/:json").statusCode() == 200)
+    assert(seen(400) > 0, s"fuzz never reached the parser: $seen")
+  }
+
   test("non-GET methods are rejected") {
     val r = client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}/region"))
