@@ -355,17 +355,52 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int = 0, numTables: Int = 16,
-      seed: Long = 42L, targetBucket: Int = 128, corpusSize: Long = -1L): DataFrame = {
+      seed: Long = 42L, targetBucket: Int = 128, corpusSize: Long = -1L,
+      maxEscalations: Int = 3): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .stagePersist()
-    // same corpusSize contract as lshTopK: known size skips the count() scan
-    val planes =
-      if (numPlanes > 0) numPlanes
-      else adaptivePlanes(if (corpusSize > 0) corpusSize else c.count(), targetBucket)
-    val banded = c.select(col("id"),
-      posexplode(bucketTables(col("vec"), dim, planes, numTables, seed))
+    def bandedAt(p: Int) = c.select(col("id"),
+      posexplode(bucketTables(col("vec"), dim, p, numTables, seed))
         .as(Seq("tbl", "bucket")))
+    // same corpusSize contract as lshTopK: known size skips the count() scan
+    val n = if (corpusSize > 0) corpusSize else c.count()
+    var planes = if (numPlanes > 0) numPlanes else adaptivePlanes(n, targetBucket)
+    // Candidate-count governor. Two ways the default sizing explodes at
+    // scale, both measured on the 200k-vector ladder tier:
+    //  - expected-UNIFORM sizing keeps bucket population ~targetBucket,
+    //    so candidates grow ~n·targetBucket·tables/2 — ALREADY ~5×10⁸
+    //    pairs at 500k vectors with the 128×16 defaults (the verify-join
+    //    sort spilled a 44 GB disk);
+    //  - CLUSTERED corpora concentrate each cluster into a few buckets
+    //    per table (members agree with their centroid's sign on most
+    //    planes), multiplying Σ n_b² several-fold beyond uniform.
+    // The candidate count is EXACTLY Σ n_b·(n_b−1)/2 over buckets, so
+    // probe it directly (one partial-aggregating count over 12-byte
+    // (tbl, bucket) keys — linear and cheap vs quadratic pair work) and
+    // escalate planes while it exceeds an ABSOLUTE budget: max(4×10⁷,
+    // 64·n) — 64 candidates/vector is plenty above any real near-dup
+    // density, and the floor leaves small/gate-scale corpora (where
+    // short signatures are what recall needs) entirely untouched. Each
+    // +4 planes cuts co-bucketing ~s⁴ (s = per-plane sign agreement);
+    // GENUINE near-dups (cos near 1, s ≈ 1) keep colliding across the
+    // 16-table OR-construction while weak low-cos pairs are shed — the
+    // right production trade, and the knob callers tune by passing
+    // numPlanes explicitly (which skips all probing).
+    if (numPlanes <= 0) {
+      val budget = math.max(4.0e7, 64.0 * n.toDouble)
+      var tries = 0
+      while (tries < maxEscalations && planes < 24 && {
+        val row = bandedAt(planes).groupBy("tbl", "bucket").count()
+          .agg(sum(col("count").cast("double") * (col("count") - 1) / 2).as("c"))
+          .first()
+        !row.isNullAt(0) && row.getDouble(0) > budget
+      }) {
+        planes = math.min(24, planes + 4)
+        tries += 1
+      }
+    }
+    val banded = bandedAt(planes)
     val a = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("tbl").as("tbl_r"), col("bucket").as("bucket_r"),
       col("id").as("id_b"))

@@ -2,11 +2,16 @@
 """Generate scale-study fixtures (documents/embeddings/events) at an
 arbitrary row multiple of the driver's sf0.1 distributions.
 
-Usage: python3 tools/gen_scale.py <outdir> <docs> <vecs> <events> [files] [--hot]
+Usage: python3 tools/gen_scale.py <outdir> <docs> <vecs> <events> [files] [--hot|--rare]
 
 --hot plants a 60-token boilerplate block in 30% of documents (the
 hot-shingle regime that should flip ngramJaccardPairsAuto to the
 prefix-filtered path).
+--rare uses the long-tail body vocabulary WITHOUT the hot boilerplate:
+shingle df stays O(1) as the corpus grows (Heaps-law-like web corpus),
+so pair work is honestly linear — the distribution for the 100x ladder
+(the 30-word VOCAB saturates its 27k-shingle space past ~50k docs,
+which measures the generator, not the engine).
 
 Mirrors the observed sf0.1 shapes (vocab-limited token text with exact +
 near-duplicate structure, 64-d clustered float32 embeddings, 30-day
@@ -29,19 +34,18 @@ VOCAB = ("batch part spark line column order small sort fast value scan hash "
          "slow group agg filter query big key window row table stream merge "
          "data join shuffle plan stage task").split()
 
-def gen_documents(n, rng, hot=False):
+def gen_documents(n, rng, hot=False, rare=False):
     langs = rng.choice(["en", "zh", "es", "de", "fr"], size=n, p=[0.7, 0.1, 0.08, 0.07, 0.05])
     sources = [f"src{i}" for i in rng.integers(0, 20, size=n)]
     texts = []
     base = []
     for i in range(n):
         ln = int(rng.integers(8, 100))
-        if hot:
-            # hot mode models a REAL web corpus: rare long-tail body
-            # (so body shingles have df≈1) + the boilerplate minority
-            # below. The tiny shared VOCAB would instead saturate the
-            # whole shingle space (df uniformly high), which is a
-            # different regime (see Dedup.ngramJaccardPairsAutoChosen).
+        if hot or rare:
+            # rare long-tail body (body shingles have df≈1) — models a
+            # REAL web corpus. The tiny shared VOCAB would instead
+            # saturate the whole shingle space (df uniformly high), which
+            # is a different regime (see Dedup.ngramJaccardPairsAutoChosen).
             toks = [f"t{k}" for k in rng.integers(0, 200000, size=ln)]
         else:
             toks = list(rng.choice(VOCAB, size=ln))
@@ -82,8 +86,14 @@ def gen_documents(n, rng, hot=False):
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
 
-def gen_embeddings(n, rng):
-    k, dim = 32, 64
+def gen_embeddings(n, rng, rare=False):
+    # --rare holds cluster SIZE ~200 constant (cluster COUNT grows with the
+    # corpus): real 100x corpora add more near-dup groups, they don't grow
+    # each group 100x. A fixed k=32 makes the TRUE cos-threshold pair set
+    # quadratic in n (in-cluster pairs ~ n^2/k) — at 500k vectors that is
+    # ~625M genuine pairs, a fixture artifact no pair operator can emit
+    # linearly.
+    k, dim = (max(8, n // 200) if rare else 32), 64
     centers = rng.normal(size=(k, dim)).astype(np.float32)
     labels = rng.integers(0, k, size=n)
     vecs = centers[labels] + 0.6 * rng.normal(size=(n, dim)).astype(np.float32)
@@ -127,14 +137,18 @@ def write_split(table, path, files, **kw):
 
 def main():
     hot = "--hot" in sys.argv
-    argv = [a for a in sys.argv if a != "--hot"]
+    rare = "--rare" in sys.argv
+    argv = [a for a in sys.argv if a not in ("--hot", "--rare")]
     outdir, n_docs, n_vecs, n_events = argv[1], int(argv[2]), int(argv[3]), int(argv[4])
     files = int(argv[5]) if len(argv) > 5 else 16
     os.makedirs(outdir, exist_ok=True)
-    rng = np.random.default_rng(42)
-    write_split(gen_documents(n_docs, rng, hot), f"{outdir}/documents.parquet", files)
-    write_split(gen_embeddings(n_vecs, rng), f"{outdir}/embeddings.parquet", files)
-    write_split(gen_events(n_events, rng), f"{outdir}/events.parquet", files,
+    # per-table rngs: regenerating with different table sizes (or changed
+    # generation logic for one table) leaves the other tables bit-identical
+    write_split(gen_documents(n_docs, np.random.default_rng(42), hot, rare),
+                f"{outdir}/documents.parquet", files)
+    write_split(gen_embeddings(n_vecs, np.random.default_rng(43), rare),
+                f"{outdir}/embeddings.parquet", files)
+    write_split(gen_events(n_events, np.random.default_rng(44)), f"{outdir}/events.parquet", files,
                 coerce_timestamps=None, version="2.6")
     print(f"wrote {outdir}: docs={n_docs} vecs={n_vecs} events={n_events} files={files}")
 
