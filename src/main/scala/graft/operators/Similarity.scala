@@ -360,9 +360,20 @@ object Similarity {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .stagePersist()
-    def bandedAt(p: Int) = c.select(col("id"),
-      posexplode(bucketTables(col("vec"), dim, p, numTables, seed))
-        .as(Seq("tbl", "bucket")))
+    // Compute the FULL 24-bit signature per (vector, table) ONCE: plane p
+    // draws the same gaussians regardless of how many planes follow it
+    // (row-major fill from the same seed), so the bucket at p planes is
+    // just the low p bits — escalation probes and the final banding all
+    // reuse one persisted frame instead of re-projecting the corpus
+    // against every candidate plane count (at the 500k ladder tier the
+    // re-bandings were ~⅓ of the wall).
+    val fullPlanes = 24
+    val sigs = c.select(col("id"),
+      posexplode(bucketTables(col("vec"), dim, fullPlanes, numTables, seed))
+        .as(Seq("tbl", "sig")))
+      .stagePersist()
+    def bandedAt(p: Int) = sigs.select(col("id"), col("tbl"),
+      col("sig").bitwiseAND(lit((1L << p) - 1)).as("bucket"))
     // same corpusSize contract as lshTopK: known size skips the count() scan
     val n = if (corpusSize > 0) corpusSize else c.count()
     var planes = if (numPlanes > 0) numPlanes else adaptivePlanes(n, targetBucket)
