@@ -154,9 +154,14 @@ object Similarity {
       else adaptivePlanes(if (corpusSize > 0) corpusSize else c.count(), targetBucket)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
       .stagePersist()
+    // persisted: the corpus-side banding is numPlanes×numTables hyperplane
+    // dots per vector — the dominant cost at corpus scale (measured: ~all
+    // of the 500k-tier wall) — and both nothing about it depends on the
+    // query set, so repeated top-k calls over one corpus reuse the frame
     val cBand = c.select(col("n_id"),
       posexplode(bucketTables(col("n_vec"), dim, planes, numTables, seed))
         .as(Seq("tbl", "bucket")))
+      .stagePersist()
     val qBand0 = q.select(col("q_id"),
       posexplode(bucketTables(col("q_vec"), dim, planes, numTables, seed))
         .as(Seq("tbl", "bucket")))
