@@ -372,7 +372,8 @@ object Similarity {
     // reuse one persisted frame instead of re-projecting the corpus
     // against every candidate plane count (at the 500k ladder tier the
     // re-bandings were ~⅓ of the wall).
-    val fullPlanes = 24
+    val fullPlanes = math.max(24, numPlanes) // an explicit caller count must not truncate
+    require(fullPlanes <= 62, s"numPlanes must fit a long signature, got $numPlanes")
     val sigs = c.select(col("id"),
       posexplode(bucketTables(col("vec"), dim, fullPlanes, numTables, seed))
         .as(Seq("tbl", "sig")))
