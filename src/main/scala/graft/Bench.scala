@@ -37,13 +37,17 @@ object Bench {
     s(s.length / 2)
   }
 
-  /** One full pass over the suite: per query, a warm run (plan + staging
-    * cache materialization) then `runs` measured runs → median.
-    * Failures record -1 and are sticky across passes.
+  /** One pass over `subset` of the suite (all queries by default): per
+    * query, a warm run (plan + staging cache materialization) then `runs`
+    * measured runs → median. Failures record -1 and are sticky across
+    * passes.
     */
   private def pass(spark: SparkSession, sfDir: String, runs: Int,
-      failures: scala.collection.mutable.Map[String, String]): Map[String, Double] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      failures: scala.collection.mutable.Map[String, String],
+      subset: Set[String] = Set.empty): Map[String, Double] =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.isEmpty || subset(n) }
+      .map { case (name, fn) =>
       if (failures.contains(name)) name -> -1.0
       else try {
         force(fn(spark, sfDir))
@@ -87,16 +91,30 @@ object Bench {
     val pass1 = pass(spark, sfDir, runs, failures)
     val pass2 = pass(spark, sfDir, runs, failures)
     val names = SparkEntry.queries.keys.toSeq.sorted
+    def disagree(xs: Seq[Double]): Boolean =
+      xs.forall(_ > 0) && xs.max / xs.min > 3.0 &&
+        xs.max - xs.min > 0.25 // ignore sub-250ms jitter
+    // TIE-BREAK: queries whose two passes disagree >3× get a THIRD
+    // measurement — a load burst now has to span three temporally
+    // separated windows of the same query for the reported min to stay
+    // inflated (the artifact self-heals instead of merely self-flagging)
+    val flagged = names.filter(n => disagree(Seq(pass1(n), pass2.getOrElse(n, -1.0))))
+    val pass3 =
+      if (flagged.isEmpty) Map.empty[String, Double]
+      else pass(spark, sfDir, runs, failures, flagged.toSet)
+    def samples(n: String): Seq[Double] =
+      Seq(pass1.get(n), pass2.get(n), pass3.get(n)).flatten
     val results = names.map { n =>
-      val (a, b) = (pass1(n), pass2.getOrElse(n, -1.0))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val xs = samples(n)
+      n -> (if (xs.exists(_ < 0)) -1.0 else xs.min)
     }
-    // self-flag residual contamination: both passes of the same query
-    // would have to be hit for the reported min to still be inflated
+    // still-skewed = the reported min has NO corroborating second sample
+    // (within 3× or 250 ms of it) even after the tie-break — a genuine
+    // bimodal query or three-window load, either way worth a human look
     val skewed = names.filter { n =>
-      val (a, b) = (pass1(n), pass2.getOrElse(n, -1.0))
-      a > 0 && b > 0 && math.max(a, b) / math.min(a, b) > 3.0 &&
-        math.max(a, b) - math.min(a, b) > 0.25 // ignore sub-250ms jitter
+      val xs = samples(n)
+      xs.forall(_ > 0) && disagree(xs) &&
+        xs.count(x => x / xs.min <= 3.0 || x - xs.min <= 0.25) < 2
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -70,12 +70,22 @@ final class GraftServer(engine: Graft, port: Int = 0, host: String = "127.0.0.1"
 
   /** Spark raises execution-time errors as SparkThrowable anywhere in the
     * cause chain (the collect wraps them in job-failure exceptions).
+    * Compile/analysis-time SparkThrowables (AnalysisException,
+    * ParseException) are NOT data errors here: user mistakes surface as
+    * PlanError before Spark ever sees the plan, so an analysis failure
+    * means the planner generated a bad plan — a genuine server bug that
+    * must stay a 500, not masquerade as a 409.
     */
   private def isEngineError(e: Throwable): Boolean = {
     var cur = e
     var depth = 0
     while (cur != null && depth < 16) {
-      if (cur.isInstanceOf[org.apache.spark.SparkThrowable]) return true
+      cur match {
+        case _: org.apache.spark.sql.AnalysisException => return false
+        case _: org.apache.spark.sql.catalyst.parser.ParseException => return false
+        case _: org.apache.spark.SparkThrowable => return true
+        case _ =>
+      }
       cur = cur.getCause
       depth += 1
     }

@@ -365,14 +365,18 @@ object Similarity {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .stagePersist()
-    // Compute the FULL 24-bit signature per (vector, table) ONCE: plane p
+    // Compute the FULL 40-bit signature per (vector, table) ONCE: plane p
     // draws the same gaussians regardless of how many planes follow it
     // (row-major fill from the same seed), so the bucket at p planes is
     // just the low p bits — escalation probes and the final banding all
     // reuse one persisted frame instead of re-projecting the corpus
     // against every candidate plane count (at the 500k ladder tier the
-    // re-bandings were ~⅓ of the wall).
-    val fullPlanes = math.max(24, numPlanes) // an explicit caller count must not truncate
+    // re-bandings were ~⅓ of the wall). Width 40 (not 24) keeps governor
+    // headroom at ~10¹⁰ vectors, where 2²⁴ buckets × 16 tables would
+    // leave ~600 vectors/bucket with nowhere left to escalate; an
+    // EXPLICIT caller count skips escalation entirely, so the frame is
+    // exactly as wide as requested — no masked-off projection work.
+    val fullPlanes = if (numPlanes > 0) numPlanes else 40
     require(fullPlanes <= 62, s"numPlanes must fit a long signature, got $numPlanes")
     val sigs = c.select(col("id"),
       posexplode(bucketTables(col("vec"), dim, fullPlanes, numTables, seed))
@@ -407,13 +411,13 @@ object Similarity {
     if (numPlanes <= 0) {
       val budget = math.max(4.0e7, 64.0 * n.toDouble)
       var tries = 0
-      while (tries < maxEscalations && planes < 24 && {
+      while (tries < maxEscalations && planes < fullPlanes && {
         val row = bandedAt(planes).groupBy("tbl", "bucket").count()
           .agg(sum(col("count").cast("double") * (col("count") - 1) / 2).as("c"))
           .first()
         !row.isNullAt(0) && row.getDouble(0) > budget
       }) {
-        planes = math.min(24, planes + 4)
+        planes = math.min(fullPlanes, planes + 4)
         tries += 1
       }
     }

@@ -46,15 +46,23 @@ object EtlQueries extends QueryModule {
       }
       // materialize the read-back (the driver's hash still verifies the
       // whole write → swap → read-back loop), then remove the working dir
-      // so repeated runs leave no /tmp residue
-      val result = etl.read("region").orderBy("r_regionkey")
-      val rows = result.collect()
-      val schema = result.schema
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-      finally walk.close()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      // so repeated runs leave no /tmp residue — in a finally, and
+      // best-effort: a failed collect must not leak the dir, and a
+      // cleanup hiccup must not fail an already-correct result
+      try {
+        val result = etl.read("region").orderBy("r_regionkey")
+        val rows = result.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      } finally
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+          finally walk.close()
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[etl] temp-dir cleanup failed for $work: ${e.getMessage}")
+        }
     }
   )
 

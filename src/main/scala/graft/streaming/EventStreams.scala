@@ -32,7 +32,14 @@ object EventStreams {
     * conf) and truncate to microsecond timestamps, same as the batch
     * loader in `graft.model.Tables`.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    rawEventStream(spark, dir).withWatermark("ts", "1 hour")
+
+  /** The shared reader WITHOUT a watermark — for consumers that project /
+    * rename before placing their own watermark (a stream may only define
+    * one).
+    */
+  private def rawEventStream(spark: SparkSession, dir: String): DataFrame = {
     // same fail-loudly rule as graft.model.Tables: the nanos conf belongs
     // in the session BUILDER, not in a load-time side effect
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
@@ -55,7 +62,6 @@ object EventStreams {
       .option("pathGlobFilter", glob)
       .parquet(streamDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "1 hour")
   }
 
   /** Launch the tumbling aggregation as an incremental streaming query
@@ -113,6 +119,31 @@ object EventStreams {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** The DURABLE production sink: the same append+watermark drain as
+    * `runTumblingAppendAvailableNow`, but writing finalized windows to a
+    * parquet directory with a CHECKPOINT — no driver-side funnel (the
+    * memory sink collects every emitted row onto the driver; this path
+    * keeps the write distributed), and exactly-once across restarts: the
+    * checkpoint records which source files each committed batch consumed
+    * and the sink's file manifest, so re-running after new files arrive
+    * drains ONLY the new data and appends ONLY newly closed windows.
+    * Returns the sink contents read back (the manifest-aware read — stray
+    * uncommitted files from a crashed batch are invisible to it).
+    */
+  def runTumblingAppendDurable(spark: SparkSession, dir: String,
+      outPath: String, checkpointPath: String): DataFrame = {
+    val q = tumblingAgg(readEventStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
   }
 
   /** Streaming exact dedup — the training-data-pipeline shape: keep the
@@ -179,21 +210,15 @@ object EventStreams {
     * (an unbounded-condition stream-stream join would buffer forever).
     */
   def rangeJoinStream(spark: SparkSession, dir: String): DataFrame = {
-    def side(tpe: String, p: String): DataFrame = {
-      // same fail-loudly rule as readEventStream: the nanos conf belongs
-      // in the session BUILDER, never in a load-time side effect
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
-          "builder before streaming events (TIMESTAMP(NANOS) parquet)")
-      val schema = spark.read.parquet(s"$dir/events.parquet").schema
-      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // both sides go through the shared reader so the file-vs-directory
+    // fixture detection (and the nanos-conf guard) lives in ONE place;
+    // each side defines its OWN watermark on its renamed event-time column
+    def side(tpe: String, p: String): DataFrame =
+      rawEventStream(spark, dir)
         .filter(col("event_type") === tpe)
-        .select(col("user_id").as(s"${p}_user"),
-          expr("timestamp_micros(ts div 1000)").as(s"${p}_ts"),
+        .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
           col("event_id").as(s"${p}_id"))
         .withWatermark(s"${p}_ts", "1 hour")
-    }
     side("error", "l").join(side("click", "r"), expr(
       "l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL 5 MINUTES AND l_ts + INTERVAL 5 MINUTES"))
   }

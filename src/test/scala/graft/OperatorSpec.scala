@@ -314,6 +314,37 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH signature frame: any plane count is the low bits of the wide frame") {
+    // the escalation governor relies on this: widening the persisted
+    // frame (24 → 40 for headroom) must NOT change the bucket at any
+    // smaller plane count — plane p draws the same gaussians regardless
+    // of how many planes follow it (row-major fill from one seed), so
+    // the p-plane bucket is exactly the low p bits. Pin the boundary
+    // (24), the old default's interior, and a past-the-old-ceiling width.
+    val emb = t("embeddings").limit(50)
+    val frame = Similarity.hyperplaneBucket(col("embedding").cast("array<double>"),
+      dim = 64, numPlanes = 40, seed = 42L)
+    Seq(4, 17, 24, 31).foreach { p =>
+      val direct = Similarity.hyperplaneBucket(col("embedding").cast("array<double>"),
+        dim = 64, numPlanes = p, seed = 42L)
+      val mismatches = emb.select(
+        (frame.bitwiseAND(lit((1L << p) - 1)) =!= direct).as("bad"))
+        .filter(col("bad")).count()
+      assert(mismatches == 0, s"low-$p bits of the 40-plane frame diverge")
+    }
+  }
+
+  test("explicit numPlanes above the old 24-plane ceiling works end-to-end") {
+    // governor headroom: callers (and escalation) may now band past 24
+    // planes; the signature stays a single long up to 62
+    val pairs = Similarity.cosineNearDupPairs(t("embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.9, numPlanes = 30).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cos") >= 0.9)
+    }
+  }
+
   test("connected components: chains collapse, islands stay separate") {
     import spark.implicits._
     // path 1-2-3-4 (one component, min label 1), island pair 10-11,

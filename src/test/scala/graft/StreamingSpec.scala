@@ -96,49 +96,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("append-mode AvailableNow drain equals the batch oracle on a late-data fixture") {
-    import spark.implicits._
-    // fixture: three parquet files arriving in mtime order so the
-    // watermark advances between micro-batches (readEventStream sets
-    // maxFilesPerTrigger=1). Hours are epoch-relative; watermark delay 1h.
-    // NOTE the engine's actual late-drop guarantee (measured on 4.1.2):
-    // batch N filters late rows with the watermark COMMITTED at batch N-1
-    // (`watermarkForLateEvents` lags `watermarkForEviction` by one batch),
-    // so a guaranteed-drop fixture must deliver the late row two batches
-    // after the data that raised the watermark.
-    //   file1: 01:10 / 01:20 (click), 03:30 (view) → commits watermark
-    //          02:30 at the end of batch 0
-    //   file2: 02:40 view (late but inside the allowance → counted),
-    //          05:10 click (raises the watermark to 04:10; its own 05:00
-    //          window never closes and must NOT emit). Eviction watermark
-    //          02:30 closes the 01:00 window WITHOUT file3's late row.
-    //   file3: 01:40 click — LATE beyond the batch-1-committed watermark
-    //          (window end 02:00 < 02:30) → guaranteed dropped, and the
-    //          closed 01:00 window must NOT re-emit; 06:30 view is the
-    //          on-time row that makes batch 2 a DATA batch (eviction
-    //          04:10 closes 02:00/03:00 — emission must not depend on the
-    //          engine scheduling a trailing no-data flush batch)
-    def ns(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000000L
-    val fixture = java.nio.file.Files.createTempDirectory("graft_stream_fix_").toString
-    val evDir = new java.io.File(s"$fixture/events.parquet")
-    def writeFile(rows: Seq[(Long, String, Double)], name: String, mtime: Long): Unit = {
-      val tmp = s"$fixture/tmp_$name"
-      rows.toDF("ts", "event_type", "value").coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      evDir.mkdirs()
-      val dest = new java.io.File(evDir, name)
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      assert(dest.setLastModified(mtime))
-    }
-    val now = System.currentTimeMillis()
-    writeFile(Seq((ns(1, 10), "click", 1.0), (ns(1, 20), "click", 2.0),
-      (ns(3, 30), "view", 3.0)), "f1.parquet", now - 120000)
-    writeFile(Seq((ns(2, 40), "view", 4.0),
-      (ns(5, 10), "click", 5.0)), "f2.parquet", now - 60000)
-    writeFile(Seq((ns(1, 40), "click", 10.0), (ns(6, 30), "view", 6.0)),
-      "f3.parquet", now)
+  private def ns(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000000L
 
+  /** Write one single-file micro-batch into the fixture's events dir with
+    * a controlled mtime (readEventStream sets maxFilesPerTrigger=1, so
+    * each file is its own micro-batch in mtime order).
+    */
+  private def writeFixtureFile(fixture: String, rows: Seq[(Long, String, Double)],
+      name: String, mtime: Long): Unit = {
+    import spark.implicits._
+    val evDir = new java.io.File(s"$fixture/events.parquet")
+    val tmp = s"$fixture/tmp_$name"
+    rows.toDF("ts", "event_type", "value").coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    evDir.mkdirs()
+    val dest = new java.io.File(evDir, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    assert(dest.setLastModified(mtime))
+  }
+
+  /** The three-file late-data fixture. Hours are epoch-relative;
+    * watermark delay 1h.
+    * NOTE the engine's actual late-drop guarantee (measured on 4.1.2):
+    * batch N filters late rows with the watermark COMMITTED at batch N-1
+    * (`watermarkForLateEvents` lags `watermarkForEviction` by one batch),
+    * so a guaranteed-drop fixture must deliver the late row two batches
+    * after the data that raised the watermark.
+    *   file1: 01:10 / 01:20 (click), 03:30 (view) → commits watermark
+    *          02:30 at the end of batch 0
+    *   file2: 02:40 view (late but inside the allowance → counted),
+    *          05:10 click (raises the watermark to 04:10; its own 05:00
+    *          window never closes and must NOT emit). Eviction watermark
+    *          02:30 closes the 01:00 window WITHOUT file3's late row.
+    *   file3: 01:40 click — LATE beyond the batch-1-committed watermark
+    *          (window end 02:00 < 02:30) → guaranteed dropped, and the
+    *          closed 01:00 window must NOT re-emit; 06:30 view is the
+    *          on-time row that makes batch 2 a DATA batch (eviction
+    *          04:10 closes 02:00/03:00 — emission must not depend on the
+    *          engine scheduling a trailing no-data flush batch)
+    */
+  private def writeLateFixture(): String = {
+    val fixture = java.nio.file.Files.createTempDirectory("graft_stream_fix_").toString
+    val now = System.currentTimeMillis()
+    writeFixtureFile(fixture, Seq((ns(1, 10), "click", 1.0), (ns(1, 20), "click", 2.0),
+      (ns(3, 30), "view", 3.0)), "f1.parquet", now - 120000)
+    writeFixtureFile(fixture, Seq((ns(2, 40), "view", 4.0),
+      (ns(5, 10), "click", 5.0)), "f2.parquet", now - 60000)
+    writeFixtureFile(fixture, Seq((ns(1, 40), "click", 10.0), (ns(6, 30), "view", 6.0)),
+      "f3.parquet", now)
+    fixture
+  }
+
+  private def rmTree(dir: String): Unit = {
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally walk.close()
+  }
+
+  test("append-mode AvailableNow drain equals the batch oracle on a late-data fixture") {
+    val fixture = writeLateFixture()
+    val evDir = new java.io.File(s"$fixture/events.parquet")
     try {
       val emitted = EventStreams
         .runTumblingAppendAvailableNow(spark, fixture, "stream_append_test")
@@ -156,12 +175,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.size == 3, s"fixture self-check: $batch")
       assert(emitted == batch,
         s"append drain != batch oracle\n  emitted=$emitted\n  batch=$batch")
-    } finally {
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(fixture))
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-      finally walk.close()
-    }
+    } finally rmTree(fixture)
+  }
+
+  test("durable parquet sink matches the memory-sink gate and resumes from its checkpoint") {
+    val fixture = writeLateFixture()
+    try {
+      // sink-equivalence on the late-data fixture: the distributed
+      // parquet sink must emit exactly the finalized windows the
+      // memory-sink gate (q_stream_append's shape) emits
+      val mem = EventStreams
+        .runTumblingAppendAvailableNow(spark, fixture, "stream_durable_mem")
+        .collect().map(_.toSeq).toSet
+      val out = s"$fixture/sink"; val ckpt = s"$fixture/ckpt"
+      val durable = EventStreams.runTumblingAppendDurable(spark, fixture, out, ckpt)
+        .collect().map(_.toSeq).toSet
+      assert(durable == mem,
+        s"durable sink != memory gate\n  durable=$durable\n  memory=$mem")
+
+      // RESTART: a fourth file arrives; the checkpoint resumes the drain —
+      // it must process ONLY the new file and append ONLY the windows the
+      // advanced watermark (09:00 − 1h = 08:00) newly closed (05:00 and
+      // 06:00), never re-emitting the three already-finalized ones
+      writeFixtureFile(fixture, Seq((ns(9, 0), "view", 7.0)), "f4.parquet",
+        System.currentTimeMillis())
+      val resumed = EventStreams.runTumblingAppendDurable(spark, fixture, out, ckpt)
+      val resumedSet = resumed.collect().map(_.toSeq).toSet
+      assert(resumedSet.size == 5, s"expected 3 + 2 newly closed windows: $resumedSet")
+      assert(mem.subsetOf(resumedSet))
+      val starts = resumed.select(hour(col("bucket_start")))
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(starts == Seq(1, 2, 3, 5, 6), s"window hours: $starts")
+      // exactly-once across the restart: no window emitted twice
+      val dups = resumed.groupBy("bucket_start", "event_type").count()
+        .filter(col("count") > 1).count()
+      assert(dups == 0)
+    } finally rmTree(fixture)
   }
 
   test("watermark drops late data; on-time windows finalize exactly once") {
