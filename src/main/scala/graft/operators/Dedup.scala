@@ -458,9 +458,13 @@ object Dedup {
       .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh_h"))
     val inv = maxDf match {
       case Some(cap) =>
-        val rare = invAll.groupBy("sh_h").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("sh_h")
-        invAll.join(broadcast(rare), "sh_h")
+        // broadcast the HOT side: over-cap shingles are few by
+        // construction (they're the stop-shingle minority being excluded),
+        // while the under-cap side IS the vocabulary — broadcasting that
+        // would ship the whole token space to every executor
+        val hot = invAll.groupBy("sh_h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh_h")
+        invAll.join(broadcast(hot), Seq("sh_h"), "left_anti")
       case None => invAll
     }
     val a = inv.select(col("sh_h"), col("id").as("id_a"), col("n_sh").as("na"))
@@ -529,10 +533,14 @@ object Dedup {
     * Σdf²·D/P² — the ratio of actual pair work to the pair work a UNIFORM
     * df distribution with the same postings P and distinct-shingle count D
     * would cost (≈1 when every shingle is equally common, ≫1 when a hot
-    * minority dominates).
+    * minority dominates). When `path == "capped"` the result is LOSSY:
+    * `cappedDf` is the df ceiling applied and `droppedShingles` /
+    * `droppedPostings` say exactly how many distinct shingles / index
+    * postings were excluded — the loud audit trail a silent cap would owe.
     */
   final case class NgramPath(pairs: DataFrame, path: String,
-      avgPartners: Double, skew: Double)
+      avgPartners: Double, skew: Double, cappedDf: Option[Int] = None,
+      droppedShingles: Long = 0L, droppedPostings: Long = 0L)
 
   /** Exact n-gram Jaccard pairs with AUTOMATIC path selection: probe the
     * shingle df histogram (one digest-keyed partial-aggregating pass over
@@ -566,16 +574,30 @@ object Dedup {
     * ⌈(1−t)·n⌉+1 RAREST shingles per doc, so hot shingles only fall out
     * of the index when the boilerplate block is shorter than t·n of the
     * document — at very low thresholds even a flipped corpus keeps some
-    * hot shingles in-prefix. The probe can't see document composition;
-    * callers pairing at t ≤ 0.3 on extreme corpora should prefer `maxDf`.
+    * hot shingles in-prefix. The probe can't see document composition, so
+    * a THIRD tier backstops both exact paths: when the measured pair work
+    * Σdf² exceeds `capFactor` partners per posting — a regime where the
+    * inverted join emits > capFactor rows per index entry and the prefix
+    * verify materializes shingle arrays for a same-order candidate set —
+    * NO exact path is tractable and the operator degrades EXPLICITLY to
+    * the lossy df cap (`maxDf`): the df HISTOGRAM (one more aggregate over
+    * the probe's own groupBy, collected at ≤ max-df rows) picks the
+    * largest cap whose residual Σdf² fits capFactor·P, and the result
+    * reports the cap and the exact dropped-shingle/posting counts.
+    * Capped semantics: pairs whose overlap lives in dropped stop-shingles
+    * can be missed (Jaccard is computed against FULL set sizes, so
+    * reported values are never inflated) — the same trade `maxDf` callers
+    * opt into by hand, now chosen by measurement and reported loudly.
     */
   def ngramJaccardPairsAutoChosen(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2,
-      hotFactor: Double = 32.0, skewFactor: Double = 4.0): NgramPath = {
+      hotFactor: Double = 32.0, skewFactor: Double = 4.0,
+      capFactor: Double = 256.0): NgramPath = {
     val sh = shingleFrame(docs, idCol, textCol, n)
-    val stats = sh.select(explode(col("sh")).as("s"))
+    val dfs = sh.select(explode(col("sh")).as("s"))
       .select(xxhash64(col("s")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
+    val stats = dfs
       .agg(sum(col("df").cast("double") * col("df")).as("df2"),
         sum(col("df")).as("p"), count(lit(1)).as("d"))
       .collect()(0)
@@ -586,7 +608,25 @@ object Dedup {
     val skew =
       if (postings == 0L) 0.0
       else df2 * distinct / (postings.toDouble * postings.toDouble)
-    if (avgPartners > hotFactor && skew > skewFactor)
+    if (avgPartners > capFactor) {
+      // intractable for BOTH exact paths: pick the largest df cap whose
+      // residual pair work fits the budget. The histogram is tiny (one
+      // row per distinct df value ≤ max df) — driver-side scan is exact.
+      val budget = capFactor * postings
+      val hist = dfs.groupBy("df").agg(count(lit(1)).as("nsh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0.0
+      var cap = 2L // df=1 shingles generate no pairs; 2 is the lossless floor
+      hist.foreach { case (d, nsh) =>
+        acc += d.toDouble * d * nsh
+        if (acc <= budget && d > cap) cap = d
+      }
+      val (droppedSh, droppedPost) = hist.filter(_._1 > cap)
+        .foldLeft((0L, 0L)) { case ((s, p), (d, nsh)) => (s + nsh, p + d * nsh) }
+      NgramPath(ngramJaccardPairsFrom(sh, threshold, minCommon, Some(cap.toInt))
+        .select("id_a", "id_b", "jaccard"), "capped", avgPartners, skew,
+        Some(cap.toInt), droppedSh, droppedPost)
+    } else if (avgPartners > hotFactor && skew > skewFactor)
       NgramPath(ngramJaccardPairsPrefixFrom(sh, threshold, minCommon),
         "prefix", avgPartners, skew)
     else

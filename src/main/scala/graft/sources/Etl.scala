@@ -36,15 +36,29 @@ import org.apache.spark.sql.functions._
   *
   * A production deployment would layer a transactional table format's
   * commit log over the same shape; the sandbox has no such dependency, so
-  * this is the minimal honest equivalent — SINGLE-WRITER, last-commit-wins,
-  * no isolation between concurrent writers (documented, like the
-  * reference's autocommit ETL).
+  * this is the minimal honest equivalent. CONCURRENT WRITERS are DETECTED,
+  * not isolated: a commit (a) takes a fail-loud lease (`_txn_lock`,
+  * atomic create — a second writer inside the lease window aborts loudly
+  * instead of silently interleaving swaps), and (b) verifies the
+  * directory GENERATION (`_txn_gen`, bumped by every commit and stamped
+  * with the committing writer's id in the `_txn_commit` header) still
+  * matches the snapshot its transaction read — a writer that committed in
+  * between fails the other transaction loudly (lost-update detection)
+  * rather than letting it overwrite state it never saw. A lease older
+  * than `leaseMs` is a crashed writer: recovery heals the directory and
+  * the lease is reclaimed.
   *
   * Tables live at `<workDir>/<name>.parquet` — the same layout
   * `graft.model.Tables` reads, so an Etl working directory IS a queryable
   * data directory.
   */
-final class Etl(val spark: SparkSession, val workDir: String) {
+final class Etl(val spark: SparkSession, val workDir: String,
+    val leaseMs: Long = 10 * 60 * 1000L) {
+
+  /** This writer's identity — stamped into the lease and the commit
+    * marker so interleaved writers are attributable in the failure.
+    */
+  val writerId: String = java.util.UUID.randomUUID().toString.take(8)
 
   private def tablePath(name: String): String = s"$workDir/$name.parquet"
   private def livePath(name: String) = new Path(tablePath(name))
@@ -52,6 +66,9 @@ final class Etl(val spark: SparkSession, val workDir: String) {
   private def bakPath(name: String) = new Path(tablePath(name) + ".bak")
   private val markerPath = new Path(s"$workDir/_txn_commit")
   private val markerTmpPath = new Path(s"$workDir/_txn_commit.tmp")
+  private val lockPath = new Path(s"$workDir/_txn_lock")
+  private val genPath = new Path(s"$workDir/_txn_gen")
+  private val genTmpPath = new Path(s"$workDir/_txn_gen.tmp")
 
   private def fs: FileSystem =
     new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -98,31 +115,105 @@ final class Etl(val spark: SparkSession, val workDir: String) {
     * shadow write, a crash — leaves every live table in its pre-`f` state.
     */
   def transact(f: EtlTx => Unit): Unit = {
+    val fsys = fs
+    recover(fsys)
+    // snapshot the generation BEFORE the transaction reads anything: the
+    // commit verifies it under the lease, so a writer that commits while
+    // this transaction is running fails THIS commit loudly (lost update)
+    // instead of letting it clobber state it never observed
+    val genAtStart = readGen(fsys)
     val tx = new EtlTx(this)
     f(tx)
     val staged = tx.staged
-    if (staged.nonEmpty) commit(staged)
+    if (staged.nonEmpty) commit(staged, genAtStart)
   }
 
   // ---- commit protocol --------------------------------------------------
 
-  private def commit(staged: Seq[(String, DataFrame)]): Unit = {
-    val f = fs
-    recover(f)
-    // 1. STAGE: distributed writes to the shadow dirs; live dirs untouched.
-    //    A failure here leaves only debris that recover() deletes.
-    staged.foreach { case (n, df) =>
-      df.write.mode("overwrite").parquet(swapPath(n).toString)
+  private def readGen(f: FileSystem): Long =
+    if (!f.exists(genPath)) 0L
+    else {
+      val in = f.open(genPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.trim.split("\\s+").head.toLong
     }
-    // 2. COMMIT POINT: publish the marker (create tmp + atomic rename)
-    val out = f.create(markerTmpPath, true)
-    try out.write(staged.map(_._1).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!f.rename(markerTmpPath, markerPath))
-      throw new IllegalStateException(s"commit-marker publish failed in $workDir")
-    // 3. SWAP each table; every step is idempotently re-runnable
-    staged.foreach { case (n, _) => rollForward(f, n) }
-    f.delete(markerPath, false)
+
+  private def writeGen(f: FileSystem, gen: Long): Unit = {
+    val out = f.create(genTmpPath, true)
+    try out.write(s"$gen $writerId".getBytes("UTF-8")) finally out.close()
+    f.delete(genPath, false)
+    if (!f.rename(genTmpPath, genPath))
+      throw new IllegalStateException(s"generation publish failed in $workDir")
+  }
+
+  /** Fail-loud lease: atomic create wins or throws. A lease older than
+    * `leaseMs` belongs to a crashed writer — heal the directory and
+    * reclaim it; a FRESH foreign lease means a live concurrent writer,
+    * which this protocol rejects by design (single-writer, detected).
+    */
+  private def acquireLock(f: FileSystem): Unit = {
+    def tryCreate(): Boolean =
+      try {
+        val out = f.create(lockPath, false)
+        try out.write(writerId.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age = try System.currentTimeMillis() - f.getFileStatus(lockPath).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age < leaseMs)
+        throw new IllegalStateException(
+          s"concurrent ETL writer holds the lease on $workDir " +
+            s"(lock age ${age}ms < lease ${leaseMs}ms) — refusing to interleave commits")
+      // stale lease: the holder crashed; heal whatever it left behind,
+      // reclaim, and retry the atomic create once
+      recover(f)
+      f.delete(lockPath, false)
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"concurrent ETL writer raced the stale-lease takeover on $workDir")
+    }
+  }
+
+  private def commit(staged: Seq[(String, DataFrame)], expectedGen: Long): Unit = {
+    val f = fs
+    acquireLock(f)
+    var committed = false
+    try {
+      recover(f)
+      val gen = readGen(f)
+      if (gen != expectedGen)
+        throw new IllegalStateException(
+          s"concurrent ETL writer committed generation $gen under this " +
+            s"transaction (writer $writerId read generation $expectedGen) — " +
+            "aborting instead of overwriting state this transaction never saw")
+      // 1. STAGE: distributed writes to the shadow dirs; live dirs
+      //    untouched. A failure here leaves only debris recover() deletes.
+      staged.foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(swapPath(n).toString)
+      }
+      // 2. COMMIT POINT: publish the marker (create tmp + atomic rename);
+      //    header = "<writerId> <generation>", then one staged name per line
+      val out = f.create(markerTmpPath, true)
+      try out.write((s"$writerId ${gen + 1}" +: staged.map(_._1)).mkString("\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      if (!f.rename(markerTmpPath, markerPath))
+        throw new IllegalStateException(s"commit-marker publish failed in $workDir")
+      committed = true
+      // 3. SWAP each table; every step is idempotently re-runnable
+      staged.foreach { case (n, _) => rollForward(f, n) }
+      writeGen(f, gen + 1)
+      f.delete(markerPath, false)
+    } finally {
+      // pre-commit-point failures leave only debris; the marker (if
+      // published) survives the lock release so recovery rolls forward
+      if (!committed) staged.foreach { case (n, _) =>
+        if (!f.exists(markerPath)) f.delete(swapPath(n), true)
+      }
+      f.delete(lockPath, false)
+    }
   }
 
   /** Complete one table's swap; callable any number of times from any
@@ -150,12 +241,19 @@ final class Etl(val spark: SparkSession, val workDir: String) {
     val base = new Path(workDir)
     if (!f.exists(base)) return
     if (f.exists(markerPath)) {
-      // commit point was reached → every named shadow is complete: roll FORWARD
+      // commit point was reached → every named shadow is complete: roll
+      // FORWARD. Line 1 is the "<writerId> <generation>" header — finish
+      // the generation bump too, so a crash between swap and gen-publish
+      // still advances the generation other writers validate against.
       val in = f.open(markerPath)
-      val names =
+      val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      names.split("\n").iterator.filter(_.nonEmpty).foreach(rollForward(f, _))
+      val lines = text.split("\n").iterator.filter(_.nonEmpty).toSeq
+      val header = lines.head.split("\\s+")
+      lines.tail.foreach(rollForward(f, _))
+      if (header.length >= 2 && readGen(f) < header(1).toLong)
+        writeGen(f, header(1).toLong)
       f.delete(markerPath, false)
     }
     // no marker → commit point never reached: live dirs are pristine,

@@ -75,7 +75,9 @@ object ScaleBench {
       val chosen = graft.operators.Dedup.ngramJaccardPairsAutoChosen(
         t.documents, "doc_id", "text", threshold = 0.6)
       System.err.println(f"[scale] ngram auto chose path=${chosen.path} " +
-        f"avgPartners=${chosen.avgPartners}%.1f skew=${chosen.skew}%.1f on $dir")
+        f"avgPartners=${chosen.avgPartners}%.1f skew=${chosen.skew}%.1f " +
+        f"cap=${chosen.cappedDf} droppedShingles=${chosen.droppedShingles} " +
+        f"droppedPostings=${chosen.droppedPostings} on $dir")
       chosen.pairs
     })
 

@@ -115,7 +115,8 @@ class EtlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   private def marker(etl: Etl): JPath = Paths.get(etl.workDir, "_txn_commit")
   private def publishMarker(etl: Etl): Unit =
-    Files.write(marker(etl), "region".getBytes("UTF-8"))
+    // protocol format: "<writerId> <generation>" header, then staged names
+    Files.write(marker(etl), "deadcafe 2\nregion".getBytes("UTF-8"))
   private def move(etl: Etl, from: String, to: String): Unit =
     Files.move(Paths.get(etl.workDir, from), Paths.get(etl.workDir, to))
 
@@ -214,6 +215,71 @@ class EtlSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
     assert(names(etl) == old)
     assert(!Files.exists(Paths.get(etl.workDir, "region.parquet.swap")))
+  }
+
+  // ---- concurrent-writer detection ---------------------------------------
+
+  test("a fresh foreign lease makes a second writer abort before staging") {
+    import spark.implicits._
+    val etl = freshEtl()
+    val old = oldNames(etl)
+    // a live concurrent writer holds the lease
+    Files.write(Paths.get(etl.workDir, "_txn_lock"), "feedf00d".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      etl.insert("region", Seq((99, "NEW", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    }
+    assert(e.getMessage.contains("concurrent ETL writer holds the lease"))
+    // the abort happened before staging: no debris, state untouched,
+    // and the foreign lease was NOT stolen
+    assert(names(etl) == old)
+    assert(!Files.exists(Paths.get(etl.workDir, "region.parquet.swap")))
+    assert(Files.exists(Paths.get(etl.workDir, "_txn_lock")))
+    Files.delete(Paths.get(etl.workDir, "_txn_lock"))
+  }
+
+  test("a stale lease from a crashed writer is reclaimed and released") {
+    import spark.implicits._
+    val etl = freshEtl()
+    val lock = Paths.get(etl.workDir, "_txn_lock").toFile
+    Files.write(lock.toPath, "deadbeef".getBytes("UTF-8"))
+    assert(lock.setLastModified(System.currentTimeMillis() - etl.leaseMs - 1000))
+    etl.insert("region", Seq((99, "NEW", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+    assert(etl.read("region").count() == 6)
+    assert(!lock.exists(), "the lease must be released after the commit")
+  }
+
+  test("two interleaved writers: the one with the stale snapshot aborts loudly") {
+    import spark.implicits._
+    val a = freshEtl()
+    val b = new Etl(spark, a.workDir)
+    val e = intercept[IllegalStateException] {
+      a.transact { tx =>
+        tx.insert("region", Seq((99, "FROM_A", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+        // writer B commits INSIDE A's transaction window — A's snapshot
+        // (generation 1, from freshEtl's copy) is now stale
+        b.insert("region", Seq((88, "FROM_B", "c")).toDF("r_regionkey", "r_name", "r_comment"))
+      }
+    }
+    assert(e.getMessage.contains("concurrent ETL writer committed generation"))
+    // the directory holds exactly B's commit: A's write never landed,
+    // nothing interleaved, and no debris or lease remains
+    val keys = a.read("region").collect().map(_.getInt(0)).toSet
+    assert(keys.contains(88) && !keys.contains(99))
+    assert(!Files.exists(Paths.get(a.workDir, "region.parquet.swap")))
+    assert(!Files.exists(Paths.get(a.workDir, "_txn_lock")))
+    assert(!Files.exists(marker(a)))
+  }
+
+  test("generation survives a crash between swap and gen publish") {
+    import spark.implicits._
+    val etl = freshEtl() // commit #1 → generation 1
+    stageShadow(etl)
+    publishMarker(etl) // hand-built commit #2: marker carries generation 2
+    // read() heals: rolls forward AND finishes the generation bump, so a
+    // writer whose snapshot predates the crashed commit still aborts
+    assert(names(etl).forall(_.startsWith("NEW_")))
+    assert(new String(Files.readAllBytes(Paths.get(etl.workDir, "_txn_gen")), "UTF-8")
+      .trim.startsWith("2"))
   }
 
   test("a failed shadow write inside transact leaves live tables untouched") {

@@ -236,6 +236,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(auto.nonEmpty)
   }
 
+  test("ngram auto path degrades to the df cap on an intractable corpus, loudly") {
+    import spark.implicits._
+    // 300 docs share a 44-token boilerplate (42 pure-boiler shingles at
+    // df=300 → avgPartners ≈ 270 > capFactor=256: BOTH exact paths are
+    // intractable by measurement), plus 10 twin pairs whose bodies are
+    // unique (df=2 shingles — under any cap). The capped tier must (a)
+    // report the cap and the exact dropped counts, (b) still find the
+    // pairs whose overlap survives the cap, (c) never inflate a Jaccard.
+    val boiler = (1 to 44).map(i => s"w$i").mkString(" ")
+    val hot = (1L to 300L).map(i => (i, s"$boiler u${i}a u${i}b u${i}c u${i}d"))
+    val twins = (1L to 10L).flatMap(j => Seq(
+      (1000L + 2 * j, s"t${j}a t${j}b t${j}c t${j}d t${j}e t${j}f"),
+      (1001L + 2 * j, s"t${j}a t${j}b t${j}c t${j}d t${j}e t${j}f")))
+    val docs = (hot ++ twins).toDF("doc_id", "text")
+    val chosen = Dedup.ngramJaccardPairsAutoChosen(docs, "doc_id", "text",
+      n = 3, threshold = 0.2)
+    assert(chosen.path == "capped", s"avgPartners=${chosen.avgPartners}")
+    assert(chosen.cappedDf.exists(_ >= 2))
+    assert(chosen.droppedShingles == 42L, s"dropped=${chosen.droppedShingles}")
+    assert(chosen.droppedPostings == 42L * 300, s"dropped=${chosen.droppedPostings}")
+    val pairs = chosen.pairs.collect()
+    val twinPairs = (1L to 10L).map(j => (1000L + 2 * j, 1001L + 2 * j)).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == twinPairs,
+      "the cap must keep exactly the pairs whose overlap is under-cap")
+    // full set sizes in the denominator: identical twins score exactly 1.0
+    assert(pairs.forall(_.getDouble(2) == 1.0))
+  }
+
   test("packing bin ids never alias across shards, past any bin count") {
     import graft.operators.Packing.binId
     // the exact case a fixed-width encoding (shard*1e6+idx) got wrong:
