@@ -166,7 +166,29 @@ final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Cata
       val d = compile(text, ast)
       autoLimit.fold(d)(d.limit)
     }
-    fmt.getOrElse(defaultFmt) match {
+    renderDf(df, fmt.getOrElse(defaultFmt))
+  }
+
+  /** Execute an ETL command program (the POST surface — upstream routes
+    * `tweak.etl` writes through the same produce() path as reads) and
+    * render the per-command summary. One program = ONE transaction
+    * against this engine's own data directory.
+    */
+  def renderEtl(text: String, defaultFmt: String = "txt"): (String, String) = {
+    val (ast, fmt) = Parser.parseEtl(text)
+    val df =
+      try graft.sources.EtlCommands.execute(spark, dir, catalog, ast)
+      catch {
+        case e: graft.lang.PlanError =>
+          // same caret-marked excerpt the read path attaches in compile()
+          throw new graft.lang.PlanError(
+            graft.lang.ErrorMark(e.getMessage, text, e.pos), e.pos)
+      }
+    renderDf(df, fmt.getOrElse(defaultFmt))
+  }
+
+  private def renderDf(df: DataFrame, fmt: String): (String, String) =
+    fmt match {
       case "json" => (toJson(df), "json")
       case "csv" => (toCsv(df), "csv")
       case "html" => (toHtml(df), "html")
@@ -174,7 +196,6 @@ final case class Graft(spark: SparkSession, dir: String, catalog: Catalog = Cata
       case "txt" | "text" => (toText(df), "txt")
       case other => throw new graft.lang.ParseError(s"unknown format ':$other'", 0)
     }
-  }
 
   /** Plain-text table (`src/htsql/core/fmt/text.py`). */
   def toText(df: DataFrame, maxRows: Int = 100): String = {

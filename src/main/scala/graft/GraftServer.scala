@@ -96,15 +96,26 @@ final class GraftServer(engine: Graft, port: Int = 0, host: String = "127.0.0.1"
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
-        if (ex.getRequestMethod != "GET") respond(ex, 405, "txt", "method not allowed")
+        val method = ex.getRequestMethod
+        if (method != "GET" && method != "POST")
+          respond(ex, 405, "txt", "method not allowed")
         else {
           val uri = ex.getRequestURI
           val raw = uri.getRawPath +
             Option(uri.getRawQuery).map("?" + _).getOrElse("")
-          val text = percentDecode(raw)
+          // POST carries the command program in the body when present
+          // (upstream POSTs the query text either way); an empty body
+          // falls back to the URL, same decoding as GET
+          val bodyText =
+            if (method == "POST")
+              new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+            else ""
+          val text = if (bodyText.nonEmpty) bodyText else percentDecode(raw)
           val fmt = fmtFromAccept(ex.getRequestHeaders.getFirst("Accept"))
           try {
-            val (body, usedFmt) = engine.renderWithFormat(text, fmt)
+            val (body, usedFmt) =
+              if (method == "POST") engine.renderEtl(text, fmt)
+              else engine.renderWithFormat(text, fmt)
             respond(ex, 200, usedFmt, body)
           } catch {
             case e: graft.lang.ParseError =>
@@ -112,8 +123,17 @@ final class GraftServer(engine: Graft, port: Int = 0, host: String = "127.0.0.1"
             case e: graft.lang.LexError =>
               respond(ex, 400, "txt", graft.lang.ErrorMark(e.getMessage, text, e.pos))
             case e: graft.lang.PlanError =>
-              // compile() already attached the caret excerpt to the message
+              // compile()/renderEtl already attached the caret excerpt
               respond(ex, 400, "txt", e.getMessage)
+            case e: IllegalArgumentException =>
+              // ETL validation (unknown/missing columns) — a client error
+              respond(ex, 400, "txt",
+                Option(e.getMessage).getOrElse(e.getClass.getName))
+            case e: IllegalStateException =>
+              // commit conflicts (concurrent writer lease/generation) —
+              // the literal 409 Conflict case
+              respond(ex, 409, "txt",
+                Option(e.getMessage).getOrElse(e.getClass.getName))
             case e: Throwable if isEngineError(e) =>
               // a well-formed query whose EXECUTION failed on the data
               // (division by zero, cast overflow, …) — the reference maps

@@ -29,6 +29,16 @@ object Parser {
     val p = new Parser(Lexer.tokenize(input), input)
     p.parseCommandQuery()
   }
+
+  /** Parse an ETL command program (the POST surface — upstream invokes
+    * `tweak.etl`'s insert/update/delete/merge/do through the same
+    * produce() path as reads): `/do(insert(t := {c := v}), delete(t[id]))`
+    * plus an optional trailing `/:fmt` decorator, same as queries.
+    */
+  def parseEtl(input: String): (Ast, Option[String]) = {
+    val p = new Parser(Lexer.tokenize(input), input)
+    p.parseEtlProgram()
+  }
 }
 
 private final class Parser(tokens: Vector[Token], input: String) {
@@ -74,6 +84,75 @@ private final class Parser(tokens: Vector[Token], input: String) {
   }
 
   // ---- flow pipeline ----------------------------------------------------
+
+  /** ETL command program: one write command (or a `do(...)` of several),
+    * then an optional `/:fmt`. Commands are a separate top-level grammar —
+    * `:=` in command position assigns a RECORD to a flow target, which the
+    * query grammar has no scalar position for.
+    *
+    *   command := do '(' command (',' command)* ')'
+    *            | (insert|merge) '(' table ':=' record ')'
+    *            | update '(' target ':=' record ')'
+    *            | delete '(' target ')'
+    *   target  := table | table '[' ids ']' | table '?' predicate
+    *   record  := '{' name ':=' scalar (',' name ':=' scalar)* '}'
+    */
+  def parseEtlProgram(): (Ast, Option[String]) = {
+    eatOp("/")
+    val cmd = parseEtlCmd()
+    val fmt = cur match {
+      case Token.Op("/:", _) => advance(); Some(parseIdent())
+      case _ => None
+    }
+    cur match {
+      case Token.End(_) => (cmd, fmt)
+      case t => throw new ParseError(s"unexpected ${describe(t)} after command", t.pos)
+    }
+  }
+
+  private def parseEtlCmd(): Ast = cur match {
+    case Token.Ident("do", p) =>
+      advance(); eatOp("(")
+      val cmds = Seq.newBuilder[Ast]
+      var more = true
+      while (more) {
+        cmds += parseEtlCmd()
+        if (isOp(",")) advance() else more = false
+      }
+      eatOp(")")
+      Apply("__etl_do", cmds.result()).at(p)
+    case Token.Ident(op, p) if op == "insert" || op == "merge" || op == "update" =>
+      advance(); eatOp("(")
+      val target = parsePipeline()
+      eatOp(":=")
+      val rec = parseEtlRecord()
+      eatOp(")")
+      Apply(s"__etl_$op", Seq(target, rec)).at(p)
+    case Token.Ident("delete", p) =>
+      advance(); eatOp("(")
+      val target = parsePipeline()
+      eatOp(")")
+      Apply("__etl_delete", Seq(target)).at(p)
+    case t =>
+      throw new ParseError(
+        s"expected an ETL command (insert/update/delete/merge/do) but found ${describe(t)}", t.pos)
+  }
+
+  private def parseEtlRecord(): Ast = {
+    val p = cur.pos
+    eatOp("{")
+    val defs = Seq.newBuilder[Ast]
+    var more = true
+    while (more) {
+      val np = cur.pos
+      val name = parseIdent()
+      eatOp(":=")
+      defs += Apply("__def", Seq(StringLit(name).at(np), parseScalar())).at(np)
+      if (isOp(",")) advance() else more = false
+    }
+    eatOp("}")
+    Apply("__record", defs.result()).at(p)
+  }
 
   def parsePipeline(): Ast = {
     var flow = parsePrimaryFlow()

@@ -120,12 +120,93 @@ class ServerSpec extends AnyFunSuite {
     assert(seen(400) > 0, s"fuzz never reached the parser: $seen")
   }
 
-  test("non-GET methods are rejected") {
+  test("non-GET/POST methods are rejected") {
     val r = client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}/region"))
-        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        .method("PUT", HttpRequest.BodyPublishers.noBody()).build(),
       HttpResponse.BodyHandlers.ofString())
     assert(r.statusCode() == 405)
+  }
+
+  // ---- the POST ETL surface (upstream invokes tweak.etl through the same
+  // produce() path; writes go against the engine's own data directory) ----
+
+  private def post(srv: GraftServer, body: String,
+      accept: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.boundPort}/"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    accept.foreach(b.header("Accept", _))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def getOn(srv: GraftServer, path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.boundPort}$path")).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST runs a do() transaction against a working dir and reads back") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_server_etl_").toString
+    spark.read.parquet(s"$dir/region.parquet")
+      .select(col("r_regionkey"), col("r_name"), lit("orig").as("r_comment"))
+      .write.parquet(s"$work/region.parquet")
+    val srv = new GraftServer(Graft(spark, work)).start()
+    try {
+      val cmd = "/do(" +
+        "insert(region := {r_regionkey := 100, r_name := 'POSTED', r_comment := 'new'})," +
+        "update(region?r_regionkey=0 := {r_comment := 'patched'})," +
+        "delete(region[3]))"
+      val r = post(srv, cmd, accept = Some("application/json"))
+      assert(r.statusCode() == 200, s"got ${r.statusCode()}: ${r.body()}")
+      assert(r.body().contains("\"command\":\"insert\"") &&
+        r.body().contains("\"command\":\"update\"") &&
+        r.body().contains("\"command\":\"delete\""), r.body())
+      // the same server serves the post-state through GET
+      val after = getOn(srv, "/region%7Br_regionkey,r_comment%7D/:csv")
+      assert(after.statusCode() == 200)
+      val lines = after.body().linesIterator.toSeq
+      assert(lines.contains("100,new"), s"inserted row missing:\n${after.body()}")
+      assert(lines.contains("0,patched"), s"update missing:\n${after.body()}")
+      assert(!lines.exists(_.startsWith("3,")), s"deleted row still present:\n${after.body()}")
+      assert(lines.length == 6) // header + 5 regions - deleted + inserted
+    } finally {
+      srv.stop()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+  }
+
+  test("POST command errors return caret-marked 400s; writes are all-or-nothing") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_server_etl_").toString
+    spark.read.parquet(s"$dir/region.parquet")
+      .select(col("r_regionkey"), col("r_name"), lit("orig").as("r_comment"))
+      .write.parquet(s"$work/region.parquet")
+    val srv = new GraftServer(Graft(spark, work)).start()
+    try {
+      // parse error: not a command
+      assert(post(srv, "/region").statusCode() == 400)
+      // bind error: unknown table, caret-marked
+      val bad = post(srv, "/insert(bogus := {x := 1})")
+      assert(bad.statusCode() == 400 && bad.body().contains("^"), bad.body())
+      // validation error: missing columns → 400, and the earlier insert in
+      // the same do() must NOT have landed (one transaction)
+      val partial = post(srv,
+        "/do(insert(region := {r_regionkey := 200, r_name := 'X', r_comment := 'y'})," +
+          "insert(region := {r_regionkey := 201}))")
+      assert(partial.statusCode() == 400, s"${partial.statusCode()}: ${partial.body()}")
+      val after = getOn(srv, "/region%7Br_regionkey%7D/:csv")
+      assert(!after.body().linesIterator.contains("200"),
+        "aborted do() must stage nothing")
+    } finally {
+      srv.stop()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
   }
 
   test("concurrent requests all succeed (Spark job scheduling is shared)") {
