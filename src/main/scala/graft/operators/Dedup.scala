@@ -497,19 +497,31 @@ object Dedup {
     ngramJaccardPairsPrefixFrom(shingleFrame(docs, idCol, textCol, n),
       threshold, minCommon)
 
+  /** The SSJoin prefix index — the `n − ⌊t·n⌋ + 1` globally-rarest
+    * shingles per document, as (shingle, id) postings. PERSISTED in the
+    * staging cache: [[ngramJaccardPairsAutoChosen]] probes this exact
+    * frame's pair work before choosing the prefix path, and the chosen
+    * path's candidate join then reuses the same blocks instead of
+    * re-running the df join + per-doc window.
+    */
+  private def prefixIndexFrom(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val dfs = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
+    inv.join(dfs, "shingle")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("n_sh") - floor(col("n_sh") * lit(threshold)) + 1)
+      .select("shingle", "id")
+      .stagePersist()
+  }
+
   /** [[ngramJaccardPairsPrefix]] over a prebuilt [[shingleFrame]] (shared
     * with the df probe in [[ngramJaccardPairsAutoChosen]]).
     */
   def ngramJaccardPairsPrefixFrom(sh: DataFrame,
       threshold: Double = 0.2, minCommon: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val dfs = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("shingle").asc)
-    val prefix = inv.join(dfs, "shingle")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= col("n_sh") - floor(col("n_sh") * lit(threshold)) + 1)
-      .select("shingle", "id")
+    val prefix = prefixIndexFrom(sh, threshold)
     val a = prefix.select(col("shingle"), col("id").as("id_a"))
     val b = prefix.select(col("shingle").as("shingle_r"), col("id").as("id_b"))
     val cand = a
@@ -574,13 +586,16 @@ object Dedup {
     * ⌈(1−t)·n⌉+1 RAREST shingles per doc, so hot shingles only fall out
     * of the index when the boilerplate block is shorter than t·n of the
     * document — at very low thresholds even a flipped corpus keeps some
-    * hot shingles in-prefix. The probe can't see document composition, so
-    * a THIRD tier backstops both exact paths: when the measured pair work
-    * Σdf² exceeds `capFactor` partners per posting — a regime where the
-    * inverted join emits > capFactor rows per index entry and the prefix
-    * verify materializes shingle arrays for a same-order candidate set —
-    * NO exact path is tractable and the operator degrades EXPLICITLY to
-    * the lossy df cap (`maxDf`): the df HISTOGRAM (one more aggregate over
+    * hot shingles in-prefix, and the prefix verify join (which
+    * materializes shingle ARRAYS per candidate) explodes exactly where
+    * it was chosen to help. The selector therefore MEASURES instead of
+    * guessing: when the df stats nominate prefix, it builds the actual
+    * prefix index (staged — the chosen path reuses the blocks) and
+    * probes THAT frame's Σdf². A THIRD tier backstops the cases where no
+    * exact path is tractable — prefix's own pair work over budget, or a
+    * non-skewed corpus whose plain-path pair work exceeds `capFactor`
+    * partners per posting: the operator degrades EXPLICITLY to the lossy
+    * df cap (`maxDf`), where the df HISTOGRAM (one more aggregate over
     * the probe's own groupBy, collected at ≤ max-df rows) picks the
     * largest cap whose residual Σdf² fits capFactor·P, and the result
     * reports the cap and the exact dropped-shingle/posting counts.
@@ -588,6 +603,10 @@ object Dedup {
     * can be missed (Jaccard is computed against FULL set sizes, so
     * reported values are never inflated) — the same trade `maxDf` callers
     * opt into by hand, now chosen by measurement and reported loudly.
+    * Uniform-SATURATED corpora past capFactor have no useful exact or
+    * capped tier (every shingle is equally hot, so the cap drops them
+    * all); the report's dropped counts say so, and MinHash remains the
+    * designed alternative.
     */
   def ngramJaccardPairsAutoChosen(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2, minCommon: Int = 2,
@@ -608,11 +627,12 @@ object Dedup {
     val skew =
       if (postings == 0L) 0.0
       else df2 * distinct / (postings.toDouble * postings.toDouble)
-    if (avgPartners > capFactor) {
-      // intractable for BOTH exact paths: pick the largest df cap whose
-      // residual pair work fits the budget. The histogram is tiny (one
-      // row per distinct df value ≤ max df) — driver-side scan is exact.
-      val budget = capFactor * postings
+    val budget = capFactor * postings
+
+    def capped(): NgramPath = {
+      // pick the largest df cap whose residual pair work fits the budget.
+      // The histogram is tiny (one row per distinct df value ≤ max df) —
+      // the driver-side scan is exact.
       val hist = dfs.groupBy("df").agg(count(lit(1)).as("nsh"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       var acc = 0.0
@@ -626,10 +646,28 @@ object Dedup {
       NgramPath(ngramJaccardPairsFrom(sh, threshold, minCommon, Some(cap.toInt))
         .select("id_a", "id_b", "jaccard"), "capped", avgPartners, skew,
         Some(cap.toInt), droppedSh, droppedPost)
-    } else if (avgPartners > hotFactor && skew > skewFactor)
-      NgramPath(ngramJaccardPairsPrefixFrom(sh, threshold, minCommon),
-        "prefix", avgPartners, skew)
+    }
+
+    if (avgPartners <= hotFactor)
+      NgramPath(ngramJaccardPairsFrom(sh, threshold, minCommon, None)
+        .select("id_a", "id_b", "jaccard"), "inverted", avgPartners, skew)
+    else if (skew > skewFactor) {
+      // prefix nominated — probe the REAL prefix index's pair work (the
+      // staged frame is reused by the chosen path, so the probe's heavy
+      // lifting is not thrown away)
+      val pref = prefixIndexFrom(sh, threshold)
+      val prow = pref.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .agg(sum(col("df").cast("double") * col("df")).as("df2p"))
+        .collect()(0)
+      val df2p = if (prow.isNullAt(0)) 0.0 else prow.getDouble(0)
+      if (df2p <= budget)
+        NgramPath(ngramJaccardPairsPrefixFrom(sh, threshold, minCommon),
+          "prefix", avgPartners, skew)
+      else capped()
+    } else if (avgPartners > capFactor) capped()
     else
+      // hot but uniform (saturated shingle space): prefix can't exclude
+      // anything and the plain digest groupBy degrades gracefully
       NgramPath(ngramJaccardPairsFrom(sh, threshold, minCommon, None)
         .select("id_a", "id_b", "jaccard"), "inverted", avgPartners, skew)
   }

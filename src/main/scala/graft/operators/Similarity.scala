@@ -361,7 +361,18 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int = 0, numTables: Int = 16,
       seed: Long = 42L, targetBucket: Int = 128, corpusSize: Long = -1L,
-      maxEscalations: Int = 3): DataFrame = {
+      maxEscalations: Int = 3): DataFrame =
+    cosineNearDupPairsChosen(corpus, idCol, vecCol, dim, threshold, numPlanes,
+      numTables, seed, targetBucket, corpusSize, maxEscalations)._1
+
+  /** [[cosineNearDupPairs]] plus the banding width the governor settled
+    * on — the scale harness logs it to prove escalation headroom (the
+    * old 24-plane frame clamped exactly where dense corpora need more).
+    */
+  def cosineNearDupPairsChosen(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, numPlanes: Int = 0, numTables: Int = 16,
+      seed: Long = 42L, targetBucket: Int = 128, corpusSize: Long = -1L,
+      maxEscalations: Int = 3): (DataFrame, Int) = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .stagePersist()
@@ -430,11 +441,12 @@ object Similarity {
         col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    pairIds
+    val pairs = pairIds
       .join(c.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(c.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cos", VectorFunctions.cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    (pairs, planes)
   }
 }

@@ -79,6 +79,54 @@ object ScaleBench {
         f"cap=${chosen.cappedDf} droppedShingles=${chosen.droppedShingles} " +
         f"droppedPostings=${chosen.droppedPostings} on $dir")
       chosen.pairs
+    },
+    // the same auto path at a LOW threshold (τ=0.4): per-doc prefixes are
+    // too long to exclude boilerplate, so on a hot corpus the probe must
+    // land in the third (capped) tier — completing with a loud dropped
+    // count instead of dying in either exact path
+    "x_ngram_auto_lowt" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val chosen = graft.operators.Dedup.ngramJaccardPairsAutoChosen(
+        t.documents, "doc_id", "text", threshold = 0.4)
+      System.err.println(f"[scale] ngram auto(lowt) chose path=${chosen.path} " +
+        f"avgPartners=${chosen.avgPartners}%.1f skew=${chosen.skew}%.1f " +
+        f"cap=${chosen.cappedDf} droppedShingles=${chosen.droppedShingles} " +
+        f"droppedPostings=${chosen.droppedPostings} on $dir")
+      chosen.pairs
+    },
+    // tier-C preview of the B→C warning regime: the full cluster build
+    // (pairs → connected components → per-doc assignment) with the df cap
+    // engaged, the designed escape for the hot-minority Σdf² slice
+    "x_clusters_capped" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Dedup.nearDupClusters(t.documents, "doc_id", "text",
+        maxDf = Some(64))
+    },
+    "x_ngram_capped" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Dedup.ngramJaccardPairs(t.documents, "doc_id", "text",
+        maxDf = Some(64))
+    },
+    // DURABLE streaming drain: the same append+watermark incremental run
+    // as q_stream_append but into a parquet sink with a checkpoint — the
+    // production output shape, no driver-side funnel. Fresh sink+ckpt per
+    // run so every invocation drains the full fixture.
+    "x_stream_durable" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_scale_stream_").toString
+      scratchDirs.add(work)
+      graft.streaming.EventStreams.runTumblingAppendDurable(
+        s, dir, s"$work/sink", s"$work/ckpt")
+    },
+    // dense-corpus escalation: 500k vectors in 32 tight clusters keep
+    // colliding at ANY plane count the old 24-bit frame allowed — the
+    // governor must be able to keep escalating PAST 24 (the r7 ceiling)
+    "x_embed_dense" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val (pairs, planes) = graft.operators.Similarity.cosineNearDupPairsChosen(
+        t.embeddings, "vec_id", "embedding", dim = 64, threshold = 0.92,
+        maxEscalations = 6)
+      System.err.println(s"[scale] embed dense governor settled at planes=$planes on $dir")
+      pairs
     })
 
   def main(args: Array[String]): Unit = {

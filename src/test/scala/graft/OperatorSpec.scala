@@ -239,11 +239,14 @@ class OperatorSpec extends AnyFunSuite {
   test("ngram auto path degrades to the df cap on an intractable corpus, loudly") {
     import spark.implicits._
     // 300 docs share a 44-token boilerplate (42 pure-boiler shingles at
-    // df=300 → avgPartners ≈ 270 > capFactor=256: BOTH exact paths are
-    // intractable by measurement), plus 10 twin pairs whose bodies are
-    // unique (df=2 shingles — under any cap). The capped tier must (a)
-    // report the cap and the exact dropped counts, (b) still find the
-    // pairs whose overlap survives the cap, (c) never inflate a Jaccard.
+    // df=300 — hot AND df-skewed, so prefix gets nominated; at τ=0.2 the
+    // per-doc prefix keeps ~38 of 46 shingles, so the PROBED prefix
+    // index still carries the boilerplate and its Σdf² blows the
+    // capFactor=64 budget: both exact paths are intractable BY
+    // MEASUREMENT), plus 10 twin pairs whose bodies are unique (df=2
+    // shingles — under any cap). The capped tier must (a) report the cap
+    // and the exact dropped counts, (b) still find the pairs whose
+    // overlap survives the cap, (c) never inflate a Jaccard.
     val boiler = (1 to 44).map(i => s"w$i").mkString(" ")
     val hot = (1L to 300L).map(i => (i, s"$boiler u${i}a u${i}b u${i}c u${i}d"))
     val twins = (1L to 10L).flatMap(j => Seq(
@@ -251,7 +254,7 @@ class OperatorSpec extends AnyFunSuite {
       (1001L + 2 * j, s"t${j}a t${j}b t${j}c t${j}d t${j}e t${j}f")))
     val docs = (hot ++ twins).toDF("doc_id", "text")
     val chosen = Dedup.ngramJaccardPairsAutoChosen(docs, "doc_id", "text",
-      n = 3, threshold = 0.2)
+      n = 3, threshold = 0.2, capFactor = 64.0)
     assert(chosen.path == "capped", s"avgPartners=${chosen.avgPartners}")
     assert(chosen.cappedDf.exists(_ >= 2))
     assert(chosen.droppedShingles == 42L, s"dropped=${chosen.droppedShingles}")
