@@ -134,6 +134,13 @@ object VectorFunctions {
       exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("fingerprint64",
       exprs => Fingerprint64(exprs.head), "scala_udf")
+    // shape args arrive as foldable literals; evaluated once at bind time
+    reg.createOrReplaceTempFunction("hyperplane_sigs",
+      exprs => HyperplaneSigs(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int],
+        exprs(4).eval().asInstanceOf[Long]), "scala_udf")
   }
 
   /** Requires `ensureRegistered` (or GraftExtensions) on the session. */
@@ -141,4 +148,11 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def simhash64(hashes: Column): Column = call_function("simhash64", hashes)
   def fingerprint64(text: Column): Column = call_function("fingerprint64", text)
+  def hyperplane_sigs(vec: Column, dim: Int, numPlanes: Int, numTables: Int,
+      seed: Long): Column =
+    call_function("hyperplane_sigs", vec,
+      org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(numPlanes),
+      org.apache.spark.sql.functions.lit(numTables),
+      org.apache.spark.sql.functions.lit(seed))
 }

@@ -88,9 +88,25 @@ object Similarity {
 
   /** Per-table bucket ids as one array column (posexplode → (tbl, bucket)
     * keys). Each table re-derives its planes from `seed + t·1000003`.
+    * Implemented by the native [[graft.functions.HyperplaneSigs]] kernel:
+    * the composed form below inlines every plane as literal source text,
+    * which at 40 planes × 16 tables × dim 64 blows janino's limits and
+    * drops the whole stage to interpreted execution (found at the sf1
+    * bench); the kernel ships the plane matrix as a codegen reference
+    * object instead, so the generated code is three small loops at any
+    * width. Callers must have run `VectorFunctions.ensureRegistered`
+    * (every public entry point here does).
     */
   def bucketTables(vec: Column, dim: Int, numPlanes: Int, numTables: Int,
       seed: Long): Column =
+    VectorFunctions.hyperplane_sigs(vec, dim, numPlanes, numTables, seed)
+
+  /** The literal-composed construction `bucketTables` replaced — kept as
+    * the independent reference the bit-identity spec checks the native
+    * kernel against (never used in a query plan).
+    */
+  private[graft] def bucketTablesComposed(vec: Column, dim: Int, numPlanes: Int,
+      numTables: Int, seed: Long): Column =
     array((0 until numTables).map(t =>
       hyperplaneBucket(vec, dim, numPlanes, seed + 1000003L * t)): _*)
 

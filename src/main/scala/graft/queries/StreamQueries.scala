@@ -79,6 +79,35 @@ object StreamQueries extends QueryModule {
         .orderBy("bucket_start", "event_type")
     },
 
+    // The DURABLE production sink (round 8): the same append+watermark
+    // drain, but writing finalized windows to a parquet directory with a
+    // checkpoint — no driver-side funnel, exactly-once across restarts
+    // (StreamingSpec pins resume semantics). Same emitted set as
+    // q_stream_append, so the same relational oracle gates the whole
+    // write→read-back loop. The sink/checkpoint live in a temp dir; the
+    // result is materialized before cleanup, like q_etl_pipeline.
+    "q_stream_durable" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_stream_durable_").toString
+      try {
+        val out = graft.streaming.EventStreams
+          .runTumblingAppendDurable(s, dir, s"$work/sink", s"$work/ckpt")
+          .select(unix_timestamp(col("bucket_start")).as("bucket_start"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy("bucket_start", "event_type")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+          finally walk.close()
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[stream] temp cleanup failed for $work: ${e.getMessage}")
+        }
+    },
+
     // Approximate distinct users per event type (HLL++). The sketch value
     // is engine-specific, so the driver-gated contract is a BOUND CHECK:
     // the estimate must land within ±15% (3σ at the default 5% rsd) of
@@ -173,6 +202,16 @@ object StreamQueries extends QueryModule {
     // append mode emits exactly the windows the final watermark closed:
     // window end (bucket_start + 1h) ≤ max event time − 1h delay
     "q_stream_append" ->
+      """WITH wm AS (SELECT epoch(max(ts)) - 3600 AS w FROM events)
+         SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events, wm
+         WHERE floor(epoch(date_trunc('hour', ts))) + 3600 <= wm.w
+         GROUP BY bucket_start, event_type ORDER BY 1, 2""",
+    // the durable parquet sink must emit exactly the same finalized
+    // windows as the memory-sink drain — one oracle gates both shapes
+    "q_stream_durable" ->
       """WITH wm AS (SELECT epoch(max(ts)) - 3600 AS w FROM events)
          SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
            event_type, count(*) AS n_events,

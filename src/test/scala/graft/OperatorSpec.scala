@@ -365,6 +365,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("native hyperplane kernel is bit-identical to the composed construction") {
+    // the codegen'd HyperplaneSigs kernel (plane matrix as a reference
+    // object) must reproduce the literal-composed column exactly — same
+    // per-table RNG stream, same row-major fill, same sequential dot fold
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val emb = t("embeddings").limit(100)
+    Seq((40, 16), (4, 2), (31, 3)).foreach { case (p, tbl) =>
+      val mismatches = emb.select(
+        (Similarity.bucketTables(col("embedding").cast("array<double>"), 64, p, tbl, 42L)
+          =!= Similarity.bucketTablesComposed(
+            col("embedding").cast("array<double>"), 64, p, tbl, 42L)).as("bad"))
+        .filter(col("bad")).count()
+      assert(mismatches == 0, s"native != composed at planes=$p tables=$tbl")
+    }
+  }
+
   test("explicit numPlanes above the old 24-plane ceiling works end-to-end") {
     // governor headroom: callers (and escalation) may now band past 24
     // planes; the signature stays a single long up to 62
