@@ -1318,24 +1318,29 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
   private def pluralChainOf(ctx: Ctx, ast: Ast): Seq[String] = {
     def heads(a: Ast): Seq[Seq[String]] = a match {
       case Ident(n) if catalog.reverseLink(ctx.table, n).isDefined => Seq(Seq(n))
-      case Compose(_, _) =>
-        try {
-          val ls = chainLabels(a)
-          if (catalog.reverseLink(ctx.table, ls.head).isDefined) {
-            // extend with consecutive reverse links
-            var cur = catalog.reverseLink(ctx.table, ls.head).get.childTable
-            var chain = Seq(ls.head)
-            var i = 1
-            var continue = true
-            while (continue && i < ls.length) {
-              catalog.reverseLink(cur, ls(i)) match {
-                case Some(l) => chain :+= ls(i); cur = l.childTable; i += 1
-                case None => continue = false
+      case Compose(b, _) =>
+        val direct =
+          try {
+            val ls = chainLabels(a)
+            if (catalog.reverseLink(ctx.table, ls.head).isDefined) {
+              // extend with consecutive reverse links
+              var cur = catalog.reverseLink(ctx.table, ls.head).get.childTable
+              var chain = Seq(ls.head)
+              var i = 1
+              var continue = true
+              while (continue && i < ls.length) {
+                catalog.reverseLink(cur, ls(i)) match {
+                  case Some(l) => chain :+= ls(i); cur = l.childTable; i += 1
+                  case None => continue = false
+                }
               }
-            }
-            Seq(chain)
-          } else Seq.empty
-        } catch { case _: PlanError => Seq.empty }
+              Seq(chain)
+            } else Seq.empty
+          } catch { case _: PlanError => Seq.empty }
+        // not a pure label chain (e.g. `(orders?pred).o_totalprice` — a
+        // parenthesized sieve in the spine): the plural head is inside the
+        // compose base
+        if (direct.nonEmpty) direct else heads(b)
       case Apply(_, args) => args.flatMap(heads)
       case Sieve(b, _) => heads(b)
       case SortOp(b, _) => heads(b)
@@ -1384,6 +1389,9 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
         case None => a match {
           case Apply(f, args) => Apply(f, args.map(rewriteForChild(_, chain)))
           case Sieve(b, p) => Sieve(rewriteForChild(b, chain), p)
+          // compose whose base is not a pure chain (sieved flow in the
+          // spine): rewrite the base, keep the member
+          case Compose(b, m) => Compose(rewriteForChild(b, chain), m)
           case other => other
         }
       }
@@ -1559,13 +1567,34 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       case "exists" | "any" | "every" => lit(true)
       case _ => lit(1L)
     }
-    // apply any sieve embedded in the rewritten argument's flow part
-    val (valueCol, valueType) = rewritten match {
-      case Ident("__row__") => (bare, None)
-      case Sieve(Ident("__row__"), pred) =>
-        val cond = bindScalar(childCtx, pred) // bind first: may join onto childCtx.df
-        childCtx.df = childCtx.df.filter(cond); (bare, None)
-      case other =>
+    // Split the rewritten argument's compose spine into (flow sieves,
+    // scalar remainder): `__row__` → bare count, `__row__?p` → filtered
+    // bare count, `(__row__?p).x.y` → filter then bind `x.y` in the child
+    // scope. Sieves in the spine filter the CHILD FLOW (the reference's
+    // sieved-aggregate idiom `max((orders?pred).o_totalprice)`); anything
+    // after them binds as a scalar over the filtered flow.
+    def split(a: Ast): (Seq[Ast], Option[Ast]) = a match {
+      case Ident("__row__") => (Nil, None)
+      case Sieve(b, p) =>
+        val (ps, rest) = split(b)
+        rest match {
+          case None => (ps :+ p, None)
+          // sieve of a scalar isn't a flow op — leave it to bindScalar
+          case Some(r) => (ps, Some(Sieve(r, p)))
+        }
+      case Compose(b, m) =>
+        val (ps, rest) = split(b)
+        (ps, rest match { case None => Some(m); case Some(r) => Some(Compose(r, m)) })
+      case other => (Nil, Some(other))
+    }
+    val (flowSieves, scalarPart) = split(rewritten)
+    flowSieves.foreach { p =>
+      val cond = bindScalar(childCtx, p) // bind first: may join onto childCtx.df
+      childCtx.df = childCtx.df.filter(cond)
+    }
+    val (valueCol, valueType) = scalarPart match {
+      case None => (bare, None)
+      case Some(other) =>
         val c = bindScalar(childCtx, other)
         (c, Some(dataTypeOf(childCtx, c)))
     }
