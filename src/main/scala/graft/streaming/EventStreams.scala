@@ -76,6 +76,27 @@ object EventStreams {
       .queryName(queryName)
       .start()
 
+  /** Session clone for a bounded drain: same SparkContext, own SQLConf,
+    * with shuffle parallelism sized to the drain's STATE cardinality
+    * instead of the cluster default. A stateful streaming stage allocates
+    * one state-store instance per shuffle partition, and every instance
+    * costs a task plus per-micro-batch checkpoint files — for a window
+    * aggregation whose state is (windows × groups) rows, a cluster-wide
+    * default (32 here, 200+ on a real cluster) is pure fixed overhead per
+    * batch. The clone leaves the caller's session untouched (state
+    * partition count is frozen into a checkpoint at first run, so it must
+    * be chosen per-drain, not mutated globally). A continuous production
+    * job keys millions of users, not dozens of windows — pass a width
+    * sized to that key space instead of the default.
+    */
+  private def drainSession(spark: SparkSession, statePartitions: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"))
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s
+  }
+
   /** One-shot genuinely-streaming run of the tumbling aggregation: the
     * events fixture flows through the INCREMENTAL engine (FileStreamSource
     * → stateful window aggregation → memory sink) under
@@ -84,8 +105,10 @@ object EventStreams {
     * the result is then byte-comparable to the batch tumbling oracle.
     * Returns the sink table (re-runnable: the sink view is dropped first).
     */
-  def runTumblingAvailableNow(spark: SparkSession, dir: String,
-      queryName: String = "graft_stream_live"): DataFrame = {
+  def runTumblingAvailableNow(spark0: SparkSession, dir: String,
+      queryName: String = "graft_stream_live",
+      statePartitions: Int = 4): DataFrame = {
+    val spark = drainSession(spark0, statePartitions)
     spark.catalog.dropTempView(queryName)
     val q = tumblingAgg(readEventStream(spark, dir))
       .writeStream
@@ -107,8 +130,10 @@ object EventStreams {
     * driver gate (StreamingSpec pins this path against a late-data
     * fixture instead).
     */
-  def runTumblingAppendAvailableNow(spark: SparkSession, dir: String,
-      queryName: String = "graft_stream_append"): DataFrame = {
+  def runTumblingAppendAvailableNow(spark0: SparkSession, dir: String,
+      queryName: String = "graft_stream_append",
+      statePartitions: Int = 4): DataFrame = {
+    val spark = drainSession(spark0, statePartitions)
     spark.catalog.dropTempView(queryName)
     val q = tumblingAgg(readEventStream(spark, dir))
       .writeStream
@@ -132,8 +157,10 @@ object EventStreams {
     * Returns the sink contents read back (the manifest-aware read — stray
     * uncommitted files from a crashed batch are invisible to it).
     */
-  def runTumblingAppendDurable(spark: SparkSession, dir: String,
-      outPath: String, checkpointPath: String): DataFrame = {
+  def runTumblingAppendDurable(spark0: SparkSession, dir: String,
+      outPath: String, checkpointPath: String,
+      statePartitions: Int = 4): DataFrame = {
+    val spark = drainSession(spark0, statePartitions)
     val q = tumblingAgg(readEventStream(spark, dir))
       .writeStream
       .outputMode("append")
