@@ -51,7 +51,7 @@ object Dedup {
     * frames are row-count-linear; persist spills to disk at scale.
     */
   def shingleFrame(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toksDf = docs
+    val toksDf = Staging.widen(docs)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .stagePersist()
     toksDf
@@ -181,7 +181,7 @@ object Dedup {
     // bit-identical to simhashFoldSql but one tight pass instead of 64
     // interpreted lambda iterations per token
     graft.functions.VectorFunctions.ensureRegistered(docs.sparkSession)
-    docs
+    Staging.widen(docs)
       .select(col(idCol).as("id"),
         graft.functions.VectorFunctions.simhash64(
           transform(tokens(col(textCol)), t => xxhash64(t))).as("sig"))
@@ -349,7 +349,7 @@ object Dedup {
     */
   def removeRepeatedWindows(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10): DataFrame = {
-    val toksDf = docs
+    val toksDf = Staging.widen(docs)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .stagePersist()
     val wins = toksDf

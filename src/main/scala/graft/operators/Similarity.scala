@@ -119,7 +119,8 @@ object Similarity {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     // persist the cast frames and precompute norms once per vector —
     // otherwise the float→double cast and the norm fold re-run per PAIR
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
+    val c = Staging.widen(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
       .stagePersist()
       .withColumn("n_norm", norm(col("n_vec")))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
@@ -160,7 +161,8 @@ object Similarity {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     // persist the cast frame first: the bucket bits run numPlanes dot
     // products over the vector, which must be an attribute, not a re-cast
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
+    val c = Staging.widen(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
       .stagePersist()
     // plane count from corpus size: pass `corpusSize` when known (a 100 TB
     // caller knows its table's row count — the count() fallback is a full
@@ -301,7 +303,8 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 2, assignReplicas: Int = 3): DataFrame = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
+    val c = Staging.widen(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
       .stagePersist()
 
     var centroids: Array[Array[Double]] = farthestPointSeeds(c, nlist)
@@ -390,7 +393,8 @@ object Similarity {
       seed: Long = 42L, targetBucket: Int = 128, corpusSize: Long = -1L,
       maxEscalations: Int = 3): (DataFrame, Int) = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val c = Staging.widen(corpus)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .stagePersist()
     // Compute the FULL 40-bit signature per (vector, table) ONCE: plane p
     // draws the same gaussians regardless of how many planes follow it

@@ -45,6 +45,24 @@ object Staging {
   /** Number of currently-registered staging frames (for tests). */
   def liveCount: Int = synchronized(live.size)
 
+  /** Parallelism floor for NARROW scans feeding per-row heavy compute.
+    *
+    * Spark plans narrow (no-shuffle) stages into as many tasks as the
+    * SOURCE has splits — for a single-file / single-row-group input that
+    * is ONE task, so an entire tokenize/shingle/hash pipeline serializes
+    * on one core until its first exchange, no matter how wide the
+    * cluster. Fires only when the scan is narrower than half the
+    * available cores: at cluster scale inputs arrive in many splits and
+    * this is the identity, while the narrow case by construction has few
+    * raw bytes to shuffle. Must wrap the INPUT of the heavy projection
+    * (repartitioning afterwards would shuffle results the slow way).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts * 2 < cores) df.repartition(cores) else df
+  }
+
   /** Postfix form: `df.stagePersist()` reads like the `.persist(...)` it
     * replaces at the ~20 staging sites.
     */

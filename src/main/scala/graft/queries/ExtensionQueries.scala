@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.operators.Staging
 import graft.operators.Staging.Stageable
 import graft.model.Tables
 import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, RangeJoin, Redact, Sampling, Similarity, TextAnalysis}
@@ -200,7 +201,7 @@ object ExtensionQueries extends QueryModule {
       val docs = t.documents
       val keep = Dedup.nearDupClusters(docs, "doc_id", "text")
         .filter(col("keep")).select(col("doc_id").as("k_id"))
-      docs.select(
+      Staging.widen(docs).select(
           col("doc_id"),
           TextAnalysis.langId(col("text")).as("lang_pred"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -224,7 +225,7 @@ object ExtensionQueries extends QueryModule {
       val docs = t.documents
       // text is cached ONCE (in toks); the gram stage persists only what
       // its lambdas read, and survivors join the text back from the cache
-      val toks = docs
+      val toks = Staging.widen(docs)
         .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("toks"))
         .stagePersist()
       val grams = toks
@@ -328,7 +329,7 @@ object ExtensionQueries extends QueryModule {
     // metrics read the attribute instead of re-splitting per metric.
     "q_text_stats" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      val staged = t.documents
+      val staged = Staging.widen(t.documents)
         .select(col("doc_id"), col("text"),
           TextAnalysis.tokens(col("text")).as("toks"))
         .stagePersist()
@@ -380,7 +381,7 @@ object ExtensionQueries extends QueryModule {
     // never re-running the tokenizer.
     "q_quality_rep" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      val toks = t.documents
+      val toks = Staging.widen(t.documents)
         .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
         .stagePersist()
       val grams = toks

@@ -34,6 +34,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(graft.operators.Staging.liveCount == 0)
   }
 
+  test("widen raises narrow scans to the core count and leaves wide frames alone") {
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    // a coalesce(1) frame models the single-file / single-row-group scan:
+    // every narrow stage downstream would run as ONE task without the floor
+    val narrow = spark.range(1000).toDF("id").coalesce(1)
+    assert(narrow.rdd.getNumPartitions == 1)
+    val widened = graft.operators.Staging.widen(narrow)
+    assert(widened.rdd.getNumPartitions == cores)
+    // rows survive the round-robin exchange untouched
+    assert(widened.agg(sum("id")).as[Long].head() == 999L * 1000 / 2)
+    // an already-wide frame is returned as-is (identity at cluster scale)
+    val wide = spark.range(1000).toDF("id").repartition(cores)
+    assert(graft.operators.Staging.widen(wide).rdd.getNumPartitions == cores)
+  }
+
   test("minhash candidates ⊇ high-jaccard exact pairs (recall on strong dups)") {
     val docs = t("documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
