@@ -218,6 +218,10 @@ private final class Parser(tokens: Vector[Token], input: String) {
       advance()
       if (isOp("(")) { advance(); val args = parseArgs(); Compose(base, Apply(name, args).at(p)).at(p) }
       else Compose(base, Ident(name).at(p)).at(p)
+    // parenthesized group after `.` at flow level: `/nation.(customer?pred)`
+    case Token.Op("(", p) =>
+      advance(); val inner = parsePipeline(); eatOp(")")
+      Compose(base, inner).at(p)
     case t => throw new ParseError(s"expected member name after '.' but found ${describe(t)}", t.pos)
   }
 
@@ -424,6 +428,13 @@ private final class Parser(tokens: Vector[Token], input: String) {
         case Token.Op(".", _) =>
           advance()
           val p = cur.pos
+          // parenthesized group after `.`: `customer.(orders?pred)` binds
+          // the sieve to the RIGHT-hand hop before composing (a sieve
+          // after the spine would filter the composed flow instead)
+          if (isOp("(")) {
+            advance(); val inner = parseScalar(); eatOp(")")
+            e = Compose(e, inner).at(p)
+          } else {
           val name = parseIdent()
           // flow methods are recognized here too so `top(orders.sort(x-), 2)`
           // keeps direction decorators and produces proper SortOp nodes
@@ -437,6 +448,7 @@ private final class Parser(tokens: Vector[Token], input: String) {
             e = LimitOp(e, n, skip).at(p)
           } else if (isOp("(")) { advance(); e = Compose(e, Apply(name, parseArgs()).at(p)).at(p) }
           else e = Compose(e, Ident(name).at(p)).at(p)
+          }
         case Token.Op("?", p) =>
           // sieve on a plural flow inside an aggregate: count(orders?p)
           advance(); e = Sieve(e, parseScalar()).at(p)

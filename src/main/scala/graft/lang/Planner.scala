@@ -1353,13 +1353,29 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
     * (child DataFrame carrying the root FK columns, those FK column names,
     * child Ctx for binding the aggregated value).
     */
-  private def pluralFlow(ctx: Ctx, chain: Seq[String]): (DataFrame, Seq[String], Ctx) = {
-    val first = catalog.reverseLink(ctx.table, chain.head).getOrElse(
-      throw new PlanError(s"'${ctx.table}.${chain.head}' is not a plural link"))
+  private def pluralFlow(ctx: Ctx, chain: Seq[String]): (DataFrame, Seq[String], Ctx) =
+    pluralFlowSieved(ctx, chain.map((_, Seq.empty[Ast])))
+
+  /** [[pluralFlow]] with per-hop sieves: each hop's predicates bind in
+    * THAT hop's scope and filter its flow before the next hop composes —
+    * `(nation?p).customer` keeps exactly the customers of p-nations
+    * (filtering before or after the inner join is equivalent; binding
+    * before the hop's carry-projection is what lets `p` see the hop
+    * table's own columns, which the carry drops).
+    */
+  private def pluralFlowSieved(ctx: Ctx,
+      steps: Seq[(String, Seq[Ast])]): (DataFrame, Seq[String], Ctx) = {
+    val (head, headSieves) = steps.head
+    val first = catalog.reverseLink(ctx.table, head).getOrElse(
+      throw new PlanError(s"'${ctx.table}.$head' is not a plural link"))
     var childCtx = new Ctx(first.childTable, tables(first.childTable), ctx.defines, Set.empty)
     childCtx.inherited = ctx.defines.keySet
-    var rootKeys = first.childCols
-    chain.tail.foreach { label =>
+    headSieves.foreach { p =>
+      val cond = bindScalar(childCtx, p) // may join onto childCtx.df
+      childCtx.df = childCtx.df.filter(cond)
+    }
+    val rootKeys = first.childCols
+    steps.tail.foreach { case (label, sieves) =>
       val link = catalog.reverseLink(childCtx.table, label).getOrElse(
         throw new PlanError(s"unknown plural link '${childCtx.table}.$label'"))
       // carry the root FK columns through each hop so the final child frame
@@ -1370,9 +1386,33 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       val cond = link.childCols.zip(link.parentCols)
         .map { case (c, p) => next.df(c) === prev(p) }.reduce(_ && _)
       next.df = next.df.join(prev, cond, "inner")
+      sieves.foreach { p =>
+        val c = bindScalar(next, p)
+        next.df = next.df.filter(c)
+      }
       childCtx = next
     }
     (childCtx.df, rootKeys, childCtx)
+  }
+
+  /** Parse a compose/sieve spine into its label sequence plus the sieve
+    * predicates keyed by the label depth they apply AFTER:
+    * `(nation?p).customer.c_x` → ([nation, customer, c_x], {1 → [p]}).
+    * None when the tree is not a pure spine (nav nested inside a function
+    * application, fork, sort, …) — those take the rewrite fallback.
+    */
+  private def sievedSpine(ast: Ast): Option[(Seq[String], Map[Int, Seq[Ast]])] = ast match {
+    case Ident(n) => Some((Seq(n), Map.empty))
+    case Compose(b, m) =>
+      for {
+        (lb, sb) <- sievedSpine(b)
+        (lm, sm) <- sievedSpine(m)
+      } yield (lb ++ lm, sb ++ sm.map { case (d, ps) => (d + lb.size) -> ps })
+    case Sieve(b, p) =>
+      sievedSpine(b).map { case (ls, ss) =>
+        (ls, ss.updated(ls.size, ss.getOrElse(ls.size, Seq.empty) :+ p))
+      }
+    case _ => None
   }
 
   /** Rewrite the aggregate argument so references through the plural chain
@@ -1553,50 +1593,93 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       case _ =>
     }
 
-    val chain = pluralChainOf(ctx, arg)
-    if (chain.isEmpty)
-      throw new PlanError(s"$fn() requires a plural flow argument")
-
-    val (childDfRaw, rootKeys, childCtx0) = pluralFlow(ctx, chain)
-    val childCtx = childCtx0
-    childCtx.df = childDfRaw
-
-    val rewritten = rewriteForChild(arg, chain)
     // bare-flow default value: rows count as 1 (count) or true (quantifiers)
     val bare: Column = fn match {
       case "exists" | "any" | "every" => lit(true)
       case _ => lit(1L)
     }
-    // Split the rewritten argument's compose spine into (flow sieves,
-    // scalar remainder): `__row__` → bare count, `__row__?p` → filtered
-    // bare count, `(__row__?p).x.y` → filter then bind `x.y` in the child
-    // scope. Sieves in the spine filter the CHILD FLOW (the reference's
-    // sieved-aggregate idiom `max((orders?pred).o_totalprice)`); anything
-    // after them binds as a scalar over the filtered flow.
-    def split(a: Ast): (Seq[Ast], Option[Ast]) = a match {
-      case Ident("__row__") => (Nil, None)
-      case Sieve(b, p) =>
-        val (ps, rest) = split(b)
-        rest match {
-          case None => (ps :+ p, None)
-          // sieve of a scalar isn't a flow op — leave it to bindScalar
-          case Some(r) => (ps, Some(Sieve(r, p)))
+
+    // TOP-LEVEL spine path: the argument is a pure compose/sieve spine —
+    // take the longest consecutive reverse-link run as the plural chain
+    // and apply each sieve at the hop it wraps (the reference allows a
+    // sieve at ANY depth: `max((nation?p).customer.c_x)` filters nations
+    // before composing their customers). Args whose nav is buried inside
+    // a function application fall through to the rewrite machinery below.
+    val spinePath: Option[(Seq[(String, Seq[Ast])], Option[Ast])] =
+      sievedSpine(arg).flatMap { case (labels, sieves) =>
+        var cur = ctx.table
+        var n = 0
+        while (n < labels.length && catalog.reverseLink(cur, labels(n)).isDefined) {
+          cur = catalog.reverseLink(cur, labels(n)).get.childTable
+          n += 1
         }
-      case Compose(b, m) =>
-        val (ps, rest) = split(b)
-        (ps, rest match { case None => Some(m); case Some(r) => Some(Compose(r, m)) })
-      case other => (Nil, Some(other))
-    }
-    val (flowSieves, scalarPart) = split(rewritten)
-    flowSieves.foreach { p =>
-      val cond = bindScalar(childCtx, p) // bind first: may join onto childCtx.df
-      childCtx.df = childCtx.df.filter(cond)
-    }
-    val (valueCol, valueType) = scalarPart match {
-      case None => (bare, None)
-      case Some(other) =>
-        val c = bindScalar(childCtx, other)
-        (c, Some(dataTypeOf(childCtx, c)))
+        if (n == 0) None
+        else {
+          val steps = (0 until n).map(i => (labels(i), sieves.getOrElse(i + 1, Seq.empty)))
+          // remainder: labels past the chain, their sieves re-attached at
+          // the same relative position (scalar sieves bind in child scope)
+          val remainder = labels.drop(n).zipWithIndex.foldLeft(Option.empty[Ast]) {
+            case (acc, (l, j)) =>
+              val base: Ast = acc match {
+                case None => Ident(l)
+                case Some(b) => Compose(b, Ident(l))
+              }
+              Some(sieves.getOrElse(n + j + 1, Seq.empty).foldLeft(base)(Sieve(_, _)))
+          }
+          Some((steps, remainder))
+        }
+      }
+
+    val (headLabel, rootKeys, childCtx, valueCol, valueType) = spinePath match {
+      case Some((steps, remainder)) =>
+        val (childDfRaw, rks, cctx) = pluralFlowSieved(ctx, steps)
+        cctx.df = childDfRaw
+        val (v, vt) = remainder match {
+          case None => (bare, None)
+          case Some(r) =>
+            val c = bindScalar(cctx, r)
+            (c, Some(dataTypeOf(cctx, c)))
+        }
+        (steps.head._1, rks, cctx, v, vt)
+
+      case None =>
+        val chain = pluralChainOf(ctx, arg)
+        if (chain.isEmpty)
+          throw new PlanError(s"$fn() requires a plural flow argument")
+        val (childDfRaw, rks, cctx) = pluralFlow(ctx, chain)
+        cctx.df = childDfRaw
+        val rewritten = rewriteForChild(arg, chain)
+        // Split the rewritten argument's compose spine into (flow sieves,
+        // scalar remainder): `__row__` → bare count, `__row__?p` → filtered
+        // bare count, `(__row__?p).x.y` → filter then bind `x.y` in the
+        // child scope. Sieves in the spine filter the CHILD FLOW; anything
+        // after them binds as a scalar over the filtered flow.
+        def split(a: Ast): (Seq[Ast], Option[Ast]) = a match {
+          case Ident("__row__") => (Nil, None)
+          case Sieve(b, p) =>
+            val (ps, rest) = split(b)
+            rest match {
+              case None => (ps :+ p, None)
+              // sieve of a scalar isn't a flow op — leave it to bindScalar
+              case Some(r) => (ps, Some(Sieve(r, p)))
+            }
+          case Compose(b, m) =>
+            val (ps, rest) = split(b)
+            (ps, rest match { case None => Some(m); case Some(r) => Some(Compose(r, m)) })
+          case other => (Nil, Some(other))
+        }
+        val (flowSieves, scalarPart) = split(rewritten)
+        flowSieves.foreach { p =>
+          val cond = bindScalar(cctx, p) // bind first: may join onto cctx.df
+          cctx.df = cctx.df.filter(cond)
+        }
+        val (v, vt) = scalarPart match {
+          case None => (bare, None)
+          case Some(other) =>
+            val c = bindScalar(cctx, other)
+            (c, Some(dataTypeOf(cctx, c)))
+        }
+        (chain.head, rks, cctx, v, vt)
     }
 
     val aggName = s"__agg_${aggCounter}"; aggCounter += 1
@@ -1604,7 +1687,7 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       .groupBy(rootKeys.map(col): _*)
       .agg(aggregateFn(fn, valueCol, valueType).as(aggName))
 
-    val link = catalog.reverseLink(ctx.table, chain.head).get
+    val link = catalog.reverseLink(ctx.table, headLabel).get
     val cond = link.parentCols.zip(rootKeys)
       .map { case (p, k) => ctx.df(p) === aggDf(k) }.reduce(_ && _)
     // child FK names never collide with the parent's own columns in this

@@ -229,6 +229,89 @@ object QueryGen {
     Case(ht.toString, sql.toString, s"select:${t.name}")
   }
 
+  /** Two-hop plural aggregate case over region→nation→customer or
+    * nation→customer→orders: `count(mid.leaf)` aggregates the COMPOSED
+    * plural flow (all leaf rows of all mid rows), optionally sieving
+    * either hop — the planner must thread the correlation through both
+    * links and apply the sieve at the right depth.
+    */
+  def genTwoHopAggCase(rnd: scala.util.Random): Case = {
+    var n = 0
+    val fresh = () => { n += 1; n }
+    val t = if (rnd.nextBoolean()) byName("region") else byName("nation")
+    val l1 = t.child.get
+    val mid = byName(l1.table)
+    val l2 = mid.child.get
+    val leaf = byName(l2.table)
+    val (aMid, aLeaf) = (s"m${fresh()}", s"l${fresh()}")
+    // sieve neither hop, the mid hop, or the leaf hop
+    val hop = rnd.nextInt(3)
+    val (midHt, midCorrExtra) =
+      if (hop == 1) {
+        val (hp, sp) = genPred(rnd, mid, aMid, rnd.nextInt(2))
+        (s"(${l1.label}?$hp)", s" AND ($sp)")
+      } else (l1.label, "")
+    val (leafHt, leafCorrExtra) =
+      if (hop == 2) {
+        val (hp, sp) = genPred(rnd, leaf, aLeaf, rnd.nextInt(2))
+        (s"(${l2.label}?$hp)", s" AND ($sp)")
+      } else (l2.label, "")
+    val corr = s"$aMid.${l1.childFk} = t0.${l1.parentPk}$midCorrExtra" +
+      s" AND $aLeaf.${l2.childFk} = $aMid.${l2.parentPk}$leafCorrExtra"
+    val (aggHt, aggSql) = rnd.nextInt(5) match {
+      case 0 =>
+        (s"count($midHt.$leafHt)",
+          s"(SELECT count(*) FROM ${mid.name} $aMid, ${leaf.name} $aLeaf WHERE $corr)")
+      case k =>
+        val c = numCols(leaf)(rnd.nextInt(numCols(leaf).size))
+        val fn = Seq("sum", "avg", "min", "max")(k - 1)
+        (s"$fn($midHt.$leafHt.${c.name})",
+          s"(SELECT $fn($aLeaf.${c.name}) FROM ${mid.name} $aMid, ${leaf.name} $aLeaf WHERE $corr)")
+    }
+    val ht = s"/${t.name}{x0 := ${t.key.name}, x1 := $aggHt}.sort(x0)"
+    val sql = s"SELECT t0.${t.key.name} AS x0, $aggSql AS x1 FROM ${t.name} t0 ORDER BY x0"
+    Case(ht, sql, s"twohop:${t.name}.${l1.label}.${l2.label}:h$hop")
+  }
+
+  /** Parent-navigation sieve case: the base flow is filtered on an
+    * attribute reached through 1–2 SINGULAR hops
+    * (`customer?nation.region.r_name='ASIA'`) — the planner must plan the
+    * lookup join before the filter while keeping base cardinality.
+    */
+  def genNavSieveCase(rnd: scala.util.Random): Case = {
+    val t = Seq(byName("customer"), byName("orders"), byName("nation"))(rnd.nextInt(3))
+    val l1 = t.parent.get
+    val p1 = byName(l1.table)
+    val twoHop = p1.parent.isDefined && rnd.nextBoolean()
+    val (navHt, navSqlOf) =
+      if (twoHop) {
+        val l2 = p1.parent.get
+        val p2 = byName(l2.table)
+        val c = (numCols(p2) ++ litStrCols(p2)) (rnd.nextInt(numCols(p2).size + litStrCols(p2).size))
+        (s"${l1.label}.${l2.label}.${c.name}",
+          (c, s"(SELECT a2.${c.name} FROM ${p1.name} a1, ${p2.name} a2 " +
+            s"WHERE a1.${l1.parentPk} = t0.${l1.childFk} AND a2.${l2.parentPk} = a1.${l2.childFk})"))
+      } else {
+        val c = (numCols(p1) ++ litStrCols(p1)) (rnd.nextInt(numCols(p1).size + litStrCols(p1).size))
+        (s"${l1.label}.${c.name}",
+          (c, s"(SELECT a1.${c.name} FROM ${p1.name} a1 WHERE a1.${l1.parentPk} = t0.${l1.childFk})"))
+      }
+    val (c, navSql) = navSqlOf
+    val (predHt, predSql) =
+      if (c.kind == 's') {
+        val v = c.lits(rnd.nextInt(c.lits.size))
+        val eq = rnd.nextBoolean()
+        (s"$navHt${if (eq) "=" else "!="}${q(v)}", s"$navSql ${if (eq) "=" else "<>"} ${q(v)}")
+      } else {
+        val op = Seq("<", "<=", ">", ">=", "=")(rnd.nextInt(5))
+        val lit = numLit(rnd, c)
+        (s"$navHt$op$lit", s"$navSql $op $lit")
+      }
+    val ht = s"/${t.name}?$predHt{x0 := ${t.key.name}}.sort(x0)"
+    val sql = s"SELECT t0.${t.key.name} AS x0 FROM ${t.name} t0 WHERE $predSql ORDER BY x0"
+    Case(ht, sql, s"navsieve:${t.name}${if (twoHop) ":2hop" else ""}")
+  }
+
   /** Quotient case: `/(T^kernel){kernel, aggs over ^}` against a plain
     * GROUP BY — the kernel is a low-cardinality column so groups are
     * non-trivial at sf0.001.
@@ -240,22 +323,35 @@ object QueryGen {
       ("nation", "n_regionkey"))
     val (tn, k) = pool(rnd.nextInt(pool.size))
     val t = byName(tn)
+    // optionally sieve the quotient BASE: groups form over the filtered flow
+    val baseSieve: Option[(String, String)] =
+      if (rnd.nextInt(3) == 0) Some(genPred(rnd, t, "t0", rnd.nextInt(2))) else None
     val nAggs = 1 + rnd.nextInt(3)
     val aggs = (1 to nAggs).map { i =>
+      // optionally sieve the COMPLEMENT flow inside the aggregate:
+      // count(^?p) / sum((^?p).c) ≡ SQL FILTER (WHERE p)
+      val compSieve: Option[(String, String)] =
+        if (rnd.nextInt(3) == 0) Some(genPred(rnd, t, "t0", rnd.nextInt(2))) else None
+      val filt = compSieve.map { case (_, sp) => s" FILTER (WHERE $sp)" }.getOrElse("")
       rnd.nextInt(5) match {
-        case 0 => (s"x$i := count(^)", s"count(*) AS x$i")
+        case 0 =>
+          val flow = compSieve.map { case (hp, _) => s"^?$hp" }.getOrElse("^")
+          (s"x$i := count($flow)", s"count(*)$filt AS x$i")
         case j =>
           val c = numCols(t)(rnd.nextInt(numCols(t).size))
           val fn = Seq("sum", "avg", "min", "max")(j - 1)
-          (s"x$i := $fn(^.${c.name})", s"$fn(${c.name}) AS x$i")
+          val flow = compSieve.map { case (hp, _) => s"(^?$hp).${c.name}" }.getOrElse(s"^.${c.name}")
+          (s"x$i := $fn($flow)", s"$fn(${c.name})$filt AS x$i")
       }
     }
     val desc = rnd.nextBoolean()
-    val ht = s"/($tn^$k){x0 := $k, ${aggs.map(_._1).mkString(", ")}}" +
+    val baseHt = baseSieve.map { case (hp, _) => s"($tn?$hp)" }.getOrElse(tn)
+    val ht = s"/($baseHt^$k){x0 := $k, ${aggs.map(_._1).mkString(", ")}}" +
       s".sort(x0${if (desc) "-" else ""})"
-    val sql = s"SELECT $k AS x0, ${aggs.map(_._2).mkString(", ")} FROM $tn " +
+    val where = baseSieve.map { case (_, sp) => s" WHERE $sp" }.getOrElse("")
+    val sql = s"SELECT $k AS x0, ${aggs.map(_._2).mkString(", ")} FROM $tn t0$where " +
       s"GROUP BY $k ORDER BY x0${if (desc) " DESC" else ""}"
-    Case(ht, sql, s"quotient:$tn^$k")
+    Case(ht, sql, s"quotient:$tn^$k${if (baseSieve.isDefined) ":sieved" else ""}")
   }
 }
 
@@ -327,5 +423,17 @@ class FuzzDiffSpec extends AnyFunSuite {
     registerViews()
     val rnd = new scala.util.Random(814)
     (1 to quotientN).foreach(i => check(QueryGen.genQuotientCase(rnd), i))
+  }
+
+  test("60 random two-hop plural aggregates match double-correlated SQL") {
+    registerViews()
+    val rnd = new scala.util.Random(2813)
+    (1 to 60).foreach(i => check(QueryGen.genTwoHopAggCase(rnd), i))
+  }
+
+  test("60 random parent-navigation sieves match scalar-subquery SQL") {
+    registerViews()
+    val rnd = new scala.util.Random(5309)
+    (1 to 60).foreach(i => check(QueryGen.genNavSieveCase(rnd), i))
   }
 }
