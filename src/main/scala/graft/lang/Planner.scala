@@ -1583,11 +1583,19 @@ final class Planner(spark: SparkSession, dir: String, catalog: Catalog = Catalog
       case Compose(Apply("fork", kernels), rest) =>
         val w = Window.partitionBy(kernels.map(bindScalar(ctx, _)): _*)
         val value = bindScalar(ctx, rest)
+        val floaty = {
+          val t = dataTypeOf(ctx, value); t == DoubleType || t == FloatType
+        }
+        // the decimal-exact float shapes window the SUM itself and cast
+        // OUTSIDE: `sum(cast).cast(double).over(w)` attaches the window to
+        // the cast and leaves the sum as a plain (group-less) aggregate
         return (fn match {
-          case "avg" =>
+          case "avg" if floaty =>
             sum(value.cast(DecimalType(30, 6))).over(w).cast(DoubleType) /
               count(value).over(w)
-          case "sum" => aggregateFn(fn, value, Some(dataTypeOf(ctx, value))).over(w)
+          case "avg" => avg(value).over(w)
+          case "sum" if floaty =>
+            sum(value.cast(DecimalType(30, 6))).over(w).cast(DoubleType)
           case _ => aggregateFn(fn, value, None).over(w)
         })
       case _ =>

@@ -312,6 +312,79 @@ object QueryGen {
     Case(ht, sql, s"navsieve:${t.name}${if (twoHop) ":2hop" else ""}")
   }
 
+  private val forkPool = Seq(
+    ("customer", "c_nationkey"), ("customer", "c_mktsegment"),
+    ("orders", "o_orderstatus"), ("orders", "o_orderpriority"))
+
+  /** fork() window case: a per-kernel aggregate correlating a flow with a
+    * copy of itself — in a selection item and, half the time, driving the
+    * base sieve (`?v > avg(fork(k).v)`), against SQL window functions.
+    */
+  def genForkCase(rnd: scala.util.Random): Case = {
+    val (tn, k) = forkPool(rnd.nextInt(forkPool.size))
+    val t = byName(tn)
+    val v = numCols(t)(rnd.nextInt(numCols(t).size))
+    val fn = Seq("sum", "avg", "min", "max")(rnd.nextInt(4))
+    val asSieve = rnd.nextBoolean()
+    if (asSieve) {
+      val ht = s"/$tn?${v.name} > $fn(fork($k).${v.name})" +
+        s"{x0 := ${t.key.name}}.sort(x0)"
+      val sql = s"SELECT x0 FROM (SELECT ${t.key.name} AS x0, ${v.name} AS v, " +
+        s"$fn(${v.name}) OVER (PARTITION BY $k) AS w FROM $tn) WHERE v > w ORDER BY x0"
+      Case(ht, sql, s"fork-sieve:$tn^$k")
+    } else {
+      val ht = s"/$tn{x0 := ${t.key.name}, x1 := $fn(fork($k).${v.name})}.sort(x0)"
+      val sql = s"SELECT ${t.key.name} AS x0, $fn(${v.name}) OVER (PARTITION BY $k) AS x1 " +
+        s"FROM $tn ORDER BY x0"
+      Case(ht, sql, s"fork:$tn^$k")
+    }
+  }
+
+  /** Detached `@table` aggregate case: an uncorrelated whole-table
+    * aggregate (optionally sieved) referenced from another table's scope,
+    * against an uncorrelated scalar subquery.
+    */
+  def genDetachCase(rnd: scala.util.Random): Case = {
+    val t = tables(rnd.nextInt(tables.size))
+    val o = tables(rnd.nextInt(tables.size)) // detached target, any table
+    val sieve: Option[(String, String)] =
+      if (rnd.nextBoolean()) Some(genPred(rnd, o, "d0", rnd.nextInt(2))) else None
+    val where = sieve.map { case (_, sp) => s" WHERE $sp" }.getOrElse("")
+    val (aggHt, aggSql) = rnd.nextInt(5) match {
+      case 0 =>
+        val flow = sieve.map { case (hp, _) => s"@${o.name}?$hp" }.getOrElse(s"@${o.name}")
+        (s"count($flow)", s"(SELECT count(*) FROM ${o.name} d0$where)")
+      case j =>
+        val c = numCols(o)(rnd.nextInt(numCols(o).size))
+        val fn = Seq("sum", "avg", "min", "max")(j - 1)
+        val flow = sieve.map { case (hp, _) => s"(@${o.name}?$hp).${c.name}" }
+          .getOrElse(s"@${o.name}.${c.name}")
+        (s"$fn($flow)", s"(SELECT $fn(${c.name}) FROM ${o.name} d0$where)")
+    }
+    val ht = s"/${t.name}{x0 := ${t.key.name}, x1 := $aggHt}.sort(x0)"
+    val sql = s"SELECT ${t.key.name} AS x0, $aggSql AS x1 FROM ${t.name} ORDER BY x0"
+    Case(ht, sql, s"detach:${t.name}@${o.name}")
+  }
+
+  /** define() chain case: chained calculated columns (later defines read
+    * earlier ones) used by the sieve and the selection, against inline SQL
+    * expressions.
+    */
+  def genDefineCase(rnd: scala.util.Random): Case = {
+    val t = tables(rnd.nextInt(tables.size))
+    val c = numCols(t)(rnd.nextInt(numCols(t).size))
+    val (m1, a1, m2) = (1 + rnd.nextInt(5), rnd.nextInt(100), 1 + rnd.nextInt(3))
+    val d1Sql = s"(${c.name} * $m1 + $a1)"
+    val d2Sql = s"($d1Sql * $m2)"
+    val op = Seq("<", "<=", ">", ">=")(rnd.nextInt(4))
+    val lit = numLit(rnd, c).toInt * m1 * m2
+    val ht = s"/${t.name}.define(d1 := ${c.name}*$m1+$a1, d2 := d1*$m2)?d2$op$lit" +
+      s"{x0 := ${t.key.name}, x1 := d1, x2 := d2}.sort(x0)"
+    val sql = s"SELECT ${t.key.name} AS x0, $d1Sql AS x1, $d2Sql AS x2 " +
+      s"FROM ${t.name} WHERE $d2Sql $op $lit ORDER BY x0"
+    Case(ht, sql, s"define:${t.name}")
+  }
+
   /** Quotient case: `/(T^kernel){kernel, aggs over ^}` against a plain
     * GROUP BY — the kernel is a low-cardinality column so groups are
     * non-trivial at sf0.001.
@@ -435,5 +508,23 @@ class FuzzDiffSpec extends AnyFunSuite {
     registerViews()
     val rnd = new scala.util.Random(5309)
     (1 to 60).foreach(i => check(QueryGen.genNavSieveCase(rnd), i))
+  }
+
+  test("40 random fork() window aggregates match SQL window functions") {
+    registerViews()
+    val rnd = new scala.util.Random(4242)
+    (1 to 40).foreach(i => check(QueryGen.genForkCase(rnd), i))
+  }
+
+  test("40 random detached @table aggregates match uncorrelated subquery SQL") {
+    registerViews()
+    val rnd = new scala.util.Random(777)
+    (1 to 40).foreach(i => check(QueryGen.genDetachCase(rnd), i))
+  }
+
+  test("40 random define() chains match inline-expression SQL") {
+    registerViews()
+    val rnd = new scala.util.Random(1618)
+    (1 to 40).foreach(i => check(QueryGen.genDefineCase(rnd), i))
   }
 }
