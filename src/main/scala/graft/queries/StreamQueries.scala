@@ -108,6 +108,24 @@ object StreamQueries extends QueryModule {
         }
     },
 
+    // Session windows through the ACTUAL incremental engine in append mode
+    // (round 8): the state store merges events into open (user, session)
+    // windows across micro-batches and a session emits exactly once, when
+    // the watermark passes its end (last event + 30-minute gap). The
+    // emitted set on the bounded replay is a deterministic function of the
+    // fixture — every session whose end ≤ final watermark (max ts − 1h) —
+    // so the DuckDB oracle reproduces it relationally: sessionize with a
+    // lag/cumsum window, then apply the same watermark cut at microsecond
+    // precision (Spark truncates nanos parquet to micros; epoch_ns // 1000
+    // mirrors that exactly). Cross-batch merge + late-drop semantics are
+    // pinned in StreamingSpec (they need multi-batch arrival order).
+    "q_stream_session_append" -> { (s, dir) =>
+      graft.streaming.EventStreams.runSessionAppendAvailableNow(s, dir)
+        .select(col("user_id"), unix_timestamp(col("sess_start")).as("sess_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "sess_start")
+    },
+
     // Approximate distinct users per event type (HLL++). The sketch value
     // is engine-specific, so the driver-gated contract is a BOUND CHECK:
     // the estimate must land within ±15% (3σ at the default 5% rsd) of
@@ -248,6 +266,41 @@ object StreamQueries extends QueryModule {
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""",
+    // append-mode sessionization: sessionize relationally (same lag/cumsum
+    // shape as q_stream_session), then keep only sessions the final
+    // watermark closed — session end (last event + 30 min) ≤ max ts − 1h,
+    // compared in MICROSECONDS (epoch_ns // 1000) because Spark truncates
+    // the nanos parquet to microsecond timestamps before windowing
+    "q_stream_session_append" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+         numbered AS (
+           SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged),
+         wm AS (
+           -- Spark tracks the event-time watermark in MILLISECONDS
+           -- (EventTimeStats floors max event time to ms before the
+           -- delay is subtracted); mirror that floor, then compare in µs
+           SELECT (epoch_ns(max(ts)) // 1000000) * 1000 - 3600000000 AS w_us
+           FROM events),
+         sess AS (
+           SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+             epoch_ns(max(ts)) // 1000 AS last_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+           FROM numbered GROUP BY user_id, sid)
+         SELECT user_id, sess_start, n_events, sum_value
+         FROM sess, wm
+         WHERE last_us + 1800000000 <= wm.w_us
+         ORDER BY user_id, sess_start""",
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -268,4 +268,34 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), Ht.dsum(col("value")).as("sum_value"))
       .select(col("user_id"), col("w.start").as("sess_start"),
         col("n_events"), col("sum_value"))
+
+  /** The PRODUCTION sessionization shape: session windows through the
+    * incremental engine in APPEND mode — a (user, session) emits exactly
+    * once, when the watermark passes the session's end (last event + gap).
+    * Unlike tumbling windows the window boundaries themselves are
+    * data-dependent: an event arriving in a later micro-batch MERGES with
+    * the open session in the state store (possibly fusing two sessions
+    * into one) before the watermark finalizes it — the part of
+    * sessionization no batch rewrite reproduces incrementally, and the
+    * reason session state is the canonical stateful-streaming workload.
+    * Late rows beyond the watermark drop deterministically and can never
+    * reopen an emitted session (StreamingSpec pins merge + late-drop on a
+    * multi-batch fixture; the driver gate replays the single-file fixture
+    * where the relational oracle reproduces the emitted set exactly).
+    */
+  def runSessionAppendAvailableNow(spark0: SparkSession, dir: String,
+      queryName: String = "graft_stream_session_append",
+      statePartitions: Int = 4): DataFrame = {
+    val spark = drainSession(spark0, statePartitions)
+    spark.catalog.dropTempView(queryName)
+    val q = sessionAgg(readEventStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

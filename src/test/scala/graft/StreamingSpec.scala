@@ -245,6 +245,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Session fixture writer: rows are (ts_nanos, user_id, value). */
+  private def writeSessionFile(fixture: String, rows: Seq[(Long, Long, Double)],
+      name: String, mtime: Long): Unit = {
+    import spark.implicits._
+    val evDir = new java.io.File(s"$fixture/events.parquet")
+    val tmp = s"$fixture/tmp_$name"
+    rows.toDF("ts", "user_id", "value").coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    evDir.mkdirs()
+    val dest = new java.io.File(evDir, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    assert(dest.setLastModified(mtime))
+  }
+
+  /** Append-mode sessionization across micro-batches: the part of
+    * sessionization only STATE can do — an event arriving in a later
+    * batch must MERGE into the open session before the watermark
+    * finalizes it, a finalized session must never re-emit, and a
+    * beyond-watermark row must not reopen anything. Watermark delay 1h,
+    * gap 30m; same batch-lag convention as the tumbling fixture (the
+    * late-row guarantee needs delivery two batches after the row that
+    * raised the watermark).
+    *   f1 (batch 0): user1 01:00 v1, 01:10 v2 (open session);
+    *                 user9 03:30 v3 → commits watermark 02:30
+    *   f2 (batch 1): user1 01:25 v4 — arrives a batch later but within
+    *                 the gap: MERGES into the open [01:00..01:10] session;
+    *                 user9 06:00 v5 → commits watermark 05:00. Eviction
+    *                 (02:30) closes user1's merged session
+    *                 (end 01:25+30m = 01:55 ≤ 02:30) → emits
+    *                 (user1, 01:00, 3 events, 7.0) EXACTLY ONCE
+    *   f3 (batch 2): user1 01:30 v100 — LATE beyond the batch-guaranteed
+    *                 watermark (02:30): dropped; must NOT reopen or
+    *                 re-emit user1's session. user9 08:00 v6 keeps batch 2
+    *                 a data batch; eviction (05:00) closes user9's 03:30
+    *                 session (end 04:00) → (user9, 03:30, 1, 3.0)
+    */
+  test("append-mode session drain merges across batches, emits once, drops late rows") {
+    val fixture = java.nio.file.Files.createTempDirectory("graft_sess_fix_").toString
+    try {
+      val now = System.currentTimeMillis()
+      writeSessionFile(fixture, Seq((ns(1, 0), 1L, 1.0), (ns(1, 10), 1L, 2.0),
+        (ns(3, 30), 9L, 3.0)), "f1.parquet", now - 120000)
+      writeSessionFile(fixture, Seq((ns(1, 25), 1L, 4.0),
+        (ns(6, 0), 9L, 5.0)), "f2.parquet", now - 60000)
+      writeSessionFile(fixture, Seq((ns(1, 30), 1L, 100.0),
+        (ns(8, 0), 9L, 6.0)), "f3.parquet", now)
+
+      val emitted = EventStreams
+        .runSessionAppendAvailableNow(spark, fixture, "stream_session_append_test")
+        .select(col("user_id"), hour(col("sess_start")).as("h"),
+          minute(col("sess_start")).as("m"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getLong(3), r.getDouble(4))).toSet
+
+      // user1: ONE session, starting 01:00, holding all three on-time
+      // events (the batch-1 arrival merged before finalization); the late
+      // v=100 row neither re-emits nor extends it
+      val u1 = emitted.filter(_._1 == 1L)
+      assert(u1 == Set((1L, 1, 0, 3L, 7.0)), s"user1 sessions: $u1")
+      // user9: the 03:30 singleton finalized (end 04:00 ≤ eviction 05:00)
+      assert(emitted.contains((9L, 3, 30, 1L, 3.0)), s"emitted: $emitted")
+      // the 08:00 session's end (08:30) is past the final watermark
+      // (07:00) — still open, must NOT emit on the bounded drain
+      assert(!emitted.exists(e => e._1 == 9L && e._2 == 8), s"emitted: $emitted")
+    } finally rmTree(fixture)
+  }
+
   test("session aggregation plan works on batch input") {
     val out = EventStreams.sessionAgg(new Tables(spark, dir).events)
     assert(out.count() > 0)
