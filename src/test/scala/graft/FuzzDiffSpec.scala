@@ -60,7 +60,8 @@ object QueryGen {
       FCol("o_orderstatus", 's', Seq("F", "O", "P")),
       FCol("o_totalprice", 'd', lo = 1000, hi = 450000),
       FCol("o_orderpriority", 's',
-        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))),
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      FCol("o_orderdate", 't')),
     Some(FLink("customer", "customer", "o_custkey", "c_custkey")),
     None)
 
@@ -426,6 +427,170 @@ object QueryGen {
       s"GROUP BY $k ORDER BY x0${if (desc) " DESC" else ""}"
     Case(ht, sql, s"quotient:$tn^$k${if (baseSieve.isDefined) ":sieved" else ""}")
   }
+  /** Scalar-function kit case: selection items drawn from the function
+    * library — string slicing with python-style negative indices,
+    * conditionals, null functions, `~` containment, IN-lists, rounding,
+    * casts, and date arithmetic — each with an independently rendered SQL
+    * twin reproducing the documented HTSQL semantics (SURVEY §2.8 traps)
+    * rather than re-using the engine's own combinators. This is the
+    * differential net for the part of the language only golden tests
+    * pinned before.
+    */
+  def genScalarFnCase(rnd: scala.util.Random): Case = {
+    val t = tables(rnd.nextInt(tables.size))
+    val strCols = t.cols.filter(_.kind == 's')
+    val tsCols = t.cols.filter(_.kind == 't')
+
+    def sCol() = strCols(rnd.nextInt(strCols.size))
+    def nCol() = numCols(t)(rnd.nextInt(numCols(t).size))
+
+    // a needle guaranteed to sometimes hit: a random slice of a lit value
+    def needle(): String = {
+      val pool = litStrCols(t)
+      if (pool.isEmpty) "x"
+      else {
+        val v = { val c = pool(rnd.nextInt(pool.size)); c.lits(rnd.nextInt(c.lits.size)) }
+        val from = rnd.nextInt(math.max(1, v.length - 2))
+        v.substring(from, math.min(v.length, from + 2 + rnd.nextInt(2)))
+      }
+    }
+
+    // python-index helpers rendered as explicit SQL (the twin must NOT
+    // reuse Ht's combinators — independence is the point)
+    def sqlLen(s: String) = s"length($s)"
+    def sqlClamp(n: Int, s: String): String =
+      if (n >= 0) s"least($n, ${sqlLen(s)})" else s"greatest(${sqlLen(s)} + $n, 0)"
+
+    def shape(): (String, String) = rnd.nextInt(12) match {
+      case 0 => // concat with separators — HTSQL `+` (NULL-as-'' is moot on
+        // non-null fixture cols; the trap case is pinned in LangSpec)
+        val (a, b) = (sCol(), sCol())
+        (s"upper(${a.name})+'-'+lower(${b.name})",
+          s"concat(upper(t0.${a.name}), '-', lower(t0.${b.name}))")
+      case 1 => // head/tail with a possibly-negative count
+        val c = sCol(); val n = rnd.nextInt(9) - 4
+        if (rnd.nextBoolean())
+          (s"head(${c.name},$n)", s"substr(t0.${c.name}, 1, ${sqlClamp(n, s"t0.${c.name}")})")
+        else {
+          val k = sqlClamp(n, s"t0.${c.name}")
+          (s"tail(${c.name},$n)",
+            s"substr(t0.${c.name}, ${sqlLen(s"t0.${c.name}")} - $k + 1, $k)")
+        }
+      case 2 => // python slice, closed or open ends
+        val c = sCol(); val s = s"t0.${c.name}"
+        val i = rnd.nextInt(7) - 3; val j = rnd.nextInt(7) - 3
+        val openLo = rnd.nextInt(4) == 0; val openHi = rnd.nextInt(4) == 0
+        val lo = if (openLo) "0" else sqlClamp(i, s)
+        val hi = if (openHi) sqlLen(s) else sqlClamp(j, s)
+        (s"slice(${c.name},${if (openLo) "null()" else i.toString},${if (openHi) "null()" else j.toString})",
+          s"substr($s, $lo + 1, greatest($hi - $lo, 0))")
+      case 3 => // case-insensitive containment as a boolean item
+        val c = sCol(); val nd = needle()
+        val neg = rnd.nextBoolean()
+        (s"${if (neg) "!" else ""}(${c.name}~${q(nd)})",
+          s"${if (neg) "NOT " else ""}contains(lower(t0.${c.name}), lower(${q(nd)}))")
+      case 4 => // IN-list (HTSQL `= (…)` idiom) with 2-3 members
+        val pool = litStrCols(t)
+        if (pool.isEmpty) shape()
+        else {
+          val c = pool(rnd.nextInt(pool.size))
+          val vals = rnd.shuffle(c.lits).take(2 + rnd.nextInt(2))
+          val neg = rnd.nextBoolean()
+          (s"${c.name}${if (neg) "!=" else "="}(${vals.map(q).mkString(",")})",
+            s"t0.${c.name} ${if (neg) "NOT IN" else "IN"} (${vals.map(q).mkString(", ")})")
+        }
+      case 5 => // if(): 2 or 3 branches, with and without else
+        val c = nCol(); val lit = numLit(rnd, c)
+        val withElse = rnd.nextBoolean()
+        if (withElse)
+          (s"if(${c.name}>$lit,'hi',${c.name}=$lit,'eq','lo')",
+            s"CASE WHEN t0.${c.name} > $lit THEN 'hi' WHEN t0.${c.name} = $lit THEN 'eq' ELSE 'lo' END")
+        else
+          (s"if(${c.name}>$lit,'hi')",
+            s"CASE WHEN t0.${c.name} > $lit THEN 'hi' END")
+      case 6 => // switch() on an enum column
+        val pool = litStrCols(t)
+        if (pool.isEmpty) shape()
+        else {
+          val c = pool(rnd.nextInt(pool.size))
+          val vs = rnd.shuffle(c.lits).take(2)
+          val withElse = rnd.nextBoolean()
+          (s"switch(${c.name},${q(vs(0))},1,${q(vs(1))},2${if (withElse) ",0" else ""})",
+            s"CASE t0.${c.name} WHEN ${q(vs(0))} THEN 1 WHEN ${q(vs(1))} THEN 2" +
+              s"${if (withElse) " ELSE 0" else ""} END")
+        }
+      case 7 => // null chain: if_null(null_if(c, v), w)
+        val pool = litStrCols(t)
+        if (pool.isEmpty) shape()
+        else {
+          val c = pool(rnd.nextInt(pool.size))
+          val v = c.lits(rnd.nextInt(c.lits.size))
+          (s"if_null(null_if(${c.name},${q(v)}),'zz')",
+            s"coalesce(nullif(t0.${c.name}, ${q(v)}), 'zz')")
+        }
+      case 8 => // rounding family over an exact-division result
+        val c = nCol(); val d = 3 + rnd.nextInt(7)
+        val dv =
+          if (c.kind == 'i') s"CAST(t0.${c.name} AS DOUBLE) / CAST($d AS DOUBLE)"
+          else s"t0.${c.name} / $d"
+        rnd.nextInt(3) match {
+          case 0 => (s"round(${c.name}/$d,2)", s"round($dv, 2)")
+          case 1 => (s"trunc(${c.name}/$d,2)",
+            s"CAST(($dv) * 100.0D AS BIGINT) / 100.0D")
+          case _ => (s"abs(0-${c.name})", s"abs(0 - t0.${c.name})")
+        }
+      case 9 => // casts
+        val c = nCol()
+        rnd.nextInt(3) match {
+          case 0 => (s"text(${c.name})", s"CAST(t0.${c.name} AS STRING)")
+          case 1 => (s"integer(${c.name})", s"CAST(t0.${c.name} AS BIGINT)")
+          case _ => (s"decimal(${c.name})", s"CAST(t0.${c.name} AS DECIMAL(38,18))")
+        }
+      case 10 if tsCols.nonEmpty => // date extraction + arithmetic
+        val c = tsCols(rnd.nextInt(tsCols.size))
+        rnd.nextInt(4) match {
+          case 0 => (s"year(${c.name})", s"year(t0.${c.name})")
+          case 1 => (s"month(${c.name})*100+day(${c.name})",
+            s"month(t0.${c.name}) * 100 + day(t0.${c.name})")
+          case 2 =>
+            val k = 1 + rnd.nextInt(60)
+            (s"date(${c.name})+$k", s"date_add(CAST(t0.${c.name} AS DATE), $k)")
+          case _ =>
+            (s"date(${c.name})-date('1995-06-15')",
+              s"datediff(CAST(t0.${c.name} AS DATE), DATE '1995-06-15')")
+        }
+      case _ => // replace / trim round-trip
+        val c = sCol(); val nd = needle()
+        if (rnd.nextBoolean())
+          (s"replace(${c.name},${q(nd)},'#')", s"replace(t0.${c.name}, ${q(nd)}, '#')")
+        else
+          (s"length(trim(${c.name}))", s"length(trim(t0.${c.name}))")
+    }
+
+    val nItems = 3 + rnd.nextInt(2)
+    val items = (s"x0 := ${t.key.name}", s"t0.${t.key.name} AS x0") +: (1 to nItems).map { i =>
+      val (h, s) = shape()
+      (s"x$i := $h", s"$s AS x$i")
+    }
+    // function-driven sieve half the time: containment or length guard
+    val sieve: Option[(String, String)] =
+      if (rnd.nextBoolean()) None
+      else if (litStrCols(t).nonEmpty && rnd.nextBoolean()) {
+        val nd = needle(); val c = litStrCols(t)(rnd.nextInt(litStrCols(t).size))
+        Some((s"${c.name}~${q(nd)}", s"contains(lower(t0.${c.name}), lower(${q(nd)}))"))
+      } else {
+        val c = sCol(); val k = 5 + rnd.nextInt(15)
+        Some((s"length(${c.name})>$k", s"length(t0.${c.name}) > $k"))
+      }
+    val ht = new StringBuilder("/").append(t.name)
+    sieve.foreach { case (h, _) => ht.append("?").append(h) }
+    ht.append(items.map(_._1).mkString("{", ", ", "}")).append(".sort(x0)")
+    val sql = new StringBuilder("SELECT ").append(items.map(_._2).mkString(", "))
+    sql.append(s" FROM ${t.name} t0")
+    sieve.foreach { case (_, s) => sql.append(" WHERE ").append(s) }
+    sql.append(" ORDER BY x0")
+    Case(ht.toString, sql.toString, s"scalarfn:${t.name}")
+  }
 }
 
 class FuzzDiffSpec extends AnyFunSuite {
@@ -520,6 +685,12 @@ class FuzzDiffSpec extends AnyFunSuite {
     registerViews()
     val rnd = new scala.util.Random(777)
     (1 to 40).foreach(i => check(QueryGen.genDetachCase(rnd), i))
+  }
+
+  test("80 random scalar-function-kit queries match independent SQL renderings") {
+    registerViews()
+    val rnd = new scala.util.Random(90210)
+    (1 to 80).foreach(i => check(QueryGen.genScalarFnCase(rnd), i))
   }
 
   test("40 random define() chains match inline-expression SQL") {
