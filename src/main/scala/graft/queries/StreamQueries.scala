@@ -126,6 +126,33 @@ object StreamQueries extends QueryModule {
         .orderBy("user_id", "sess_start")
     },
 
+    // The durable session sink (round 8): same emitted set as
+    // q_stream_session_append but through a parquet sink + checkpoint —
+    // the checkpoint persists OPEN sessions across restarts (StreamingSpec
+    // pins the post-restart merge). One relational oracle gates the whole
+    // sessionize→finalize→write→read-back loop.
+    "q_stream_session_durable" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_stream_sessdur_").toString
+      try {
+        val out = graft.streaming.EventStreams
+          .runSessionAppendDurable(s, dir, s"$work/sink", s"$work/ckpt")
+          .select(col("user_id"), unix_timestamp(col("sess_start")).as("sess_start"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "sess_start")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+          finally walk.close()
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[stream] temp cleanup failed for $work: ${e.getMessage}")
+        }
+    },
+
     // Approximate distinct users per event type (HLL++). The sketch value
     // is engine-specific, so the driver-gated contract is a BOUND CHECK:
     // the estimate must land within ±15% (3σ at the default 5% rsd) of
@@ -288,6 +315,34 @@ object StreamQueries extends QueryModule {
            -- Spark tracks the event-time watermark in MILLISECONDS
            -- (EventTimeStats floors max event time to ms before the
            -- delay is subtracted); mirror that floor, then compare in µs
+           SELECT (epoch_ns(max(ts)) // 1000000) * 1000 - 3600000000 AS w_us
+           FROM events),
+         sess AS (
+           SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+             epoch_ns(max(ts)) // 1000 AS last_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+           FROM numbered GROUP BY user_id, sid)
+         SELECT user_id, sess_start, n_events, sum_value
+         FROM sess, wm
+         WHERE last_us + 1800000000 <= wm.w_us
+         ORDER BY user_id, sess_start""",
+    // durable twin: identical emitted set through the parquet sink
+    "q_stream_session_durable" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+         numbered AS (
+           SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged),
+         wm AS (
            SELECT (epoch_ns(max(ts)) // 1000000) * 1000 - 3600000000 AS w_us
            FROM events),
          sess AS (

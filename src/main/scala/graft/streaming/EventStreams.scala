@@ -298,4 +298,30 @@ object EventStreams {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Durable sessionization: the append-mode session drain writing to a
+    * parquet sink with a checkpoint. On top of the tumbling durable sink's
+    * guarantees (distributed write, exactly-once across restarts), the
+    * checkpoint here persists OPEN sessions: an event arriving after a
+    * restart must merge into the restored open session — the state-store
+    * round-trip of the session-window format, which a tumbling window
+    * never exercises (its boundaries don't depend on state). StreamingSpec
+    * pins exactly that: a post-restart event extends a checkpointed open
+    * session and the merged session emits once, with both halves.
+    */
+  def runSessionAppendDurable(spark0: SparkSession, dir: String,
+      outPath: String, checkpointPath: String,
+      statePartitions: Int = 4): DataFrame = {
+    val spark = drainSession(spark0, statePartitions)
+    val q = sessionAgg(readEventStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
+  }
 }

@@ -313,6 +313,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally rmTree(fixture)
   }
 
+  /** The durable session sink's restart path: the checkpoint persists OPEN
+    * sessions, and an event arriving after the restart must MERGE into the
+    * restored session — the state round-trip a tumbling window never
+    * exercises. Timeline (gap 30m, delay 1h):
+    *   drain 1 = the merge fixture above but with user9's second event at
+    *   06:45 (commit after f3 = 07:00, so the [06:45..07:15) session is
+    *   GUARANTEED still open at shutdown, along with 08:00);
+    *   drain 2 = f4: user9 07:10 (≥ restored watermark 07:00, within the
+    *   gap of the restored session → merges to [06:45..07:40)); f5: user1
+    *   10:00 raises the watermark to 09:00 → the merged session AND the
+    *   08:00 singleton finalize. Exactly two new rows, no re-emits.
+    */
+  test("durable session sink merges a post-restart event into the checkpointed open session") {
+    val fixture = java.nio.file.Files.createTempDirectory("graft_sessdur_fix_").toString
+    try {
+      val now = System.currentTimeMillis()
+      writeSessionFile(fixture, Seq((ns(1, 0), 1L, 1.0), (ns(1, 10), 1L, 2.0),
+        (ns(3, 30), 9L, 3.0)), "f1.parquet", now - 240000)
+      writeSessionFile(fixture, Seq((ns(1, 25), 1L, 4.0),
+        (ns(6, 45), 9L, 5.0)), "f2.parquet", now - 180000)
+      writeSessionFile(fixture, Seq((ns(1, 30), 1L, 100.0),
+        (ns(8, 0), 9L, 6.0)), "f3.parquet", now - 120000)
+      val out = s"$fixture/sink"; val ckpt = s"$fixture/ckpt"
+
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("user_id"), hour(col("sess_start")).as("h"),
+          minute(col("sess_start")).as("m"), col("n_events"), col("sum_value"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            r.getLong(3), r.getDouble(4))).toSet
+
+      val first = rows(EventStreams.runSessionAppendDurable(spark, fixture, out, ckpt))
+      assert(first == Set((1L, 1, 0, 3L, 7.0), (9L, 3, 30, 1L, 3.0)),
+        s"first drain: $first")
+
+      writeSessionFile(fixture, Seq((ns(7, 10), 9L, 9.0)), "f4.parquet", now - 60000)
+      writeSessionFile(fixture, Seq((ns(10, 0), 1L, 8.0)), "f5.parquet", now)
+      val resumed = EventStreams.runSessionAppendDurable(spark, fixture, out, ckpt)
+      val second = rows(resumed)
+      // the restored [06:45] session absorbed the post-restart 07:10 event:
+      // ONE merged row with both halves (2 events, 5.0 + 9.0)
+      assert(second == first + ((9L, 6, 45, 2L, 14.0)) + ((9L, 8, 0, 1L, 6.0)),
+        s"resumed sink: $second")
+      // exactly-once across the restart: no session emitted twice
+      val dups = resumed.groupBy("user_id", "sess_start").count()
+        .filter(col("count") > 1).count()
+      assert(dups == 0)
+    } finally rmTree(fixture)
+  }
+
   test("session aggregation plan works on batch input") {
     val out = EventStreams.sessionAgg(new Tables(spark, dir).events)
     assert(out.count() > 0)
