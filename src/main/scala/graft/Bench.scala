@@ -79,8 +79,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // events.parquet is TIMESTAMP(NANOS); set at session build so no
-      // query depends on Tables having loaded events first
+      // fixture vintages that ship events.ts as TIMESTAMP(NANOS) read as
+      // raw longs under this conf (Tables.normalizeEventTs converts); the
+      // current micros fixtures ignore it
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -134,19 +134,9 @@ final class Tables(val spark: SparkSession, val dir: String,
       case "json" => // JSON-lines mounts (tweak.filedb analogue, like csv)
         spark.read.json(s"$dir/$name.jsonl")
       case _ =>
-        if (name == "events") {
-          // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-          // rejects; read it as raw nanos and truncate to microseconds.
-          // Integral `div` — an epoch-nanos value exceeds double precision.
-          // The legacy conf must come from the SESSION BUILDER: setting it
-          // here as a load side effect made every direct events read
-          // order-dependent on a prior Tables load. Fail loudly instead.
-          require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-            "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
-              "builder before reading events (TIMESTAMP(NANOS) parquet)")
-          val raw = spark.read.parquet(s"$dir/$name.parquet")
-          raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        } else spark.read.parquet(s"$dir/$name.parquet")
+        if (name == "events")
+          Tables.normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+        else spark.read.parquet(s"$dir/$name.parquet")
     })
 
   def region: DataFrame = apply("region")
@@ -159,4 +149,26 @@ final class Tables(val spark: SparkSession, val dir: String,
   def events: DataFrame = apply("events")
   def documents: DataFrame = apply("documents")
   def embeddings: DataFrame = apply("embeddings")
+}
+
+object Tables {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize `events.ts` to session-zoned TimestampType whatever the
+    * parquet encoding was. Fixture generators have shipped this column
+    * three ways: plain INT64 epoch-nanos (and TIMESTAMP(NANOS) read under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which also surfaces as
+    * LongType) → truncate to micros with integral `div` (an epoch-nanos
+    * value exceeds double precision); TIMESTAMP(MICROS, isAdjustedToUTC
+    * =false) → TIMESTAMP_NTZ under Spark's NTZ inference, cast to
+    * TimestampType (sessions run UTC, so wall-clock == instant and the
+    * DuckDB oracle's `epoch(ts)` agrees); already-zoned timestamps pass
+    * through. Downstream code sees one type regardless of fixture vintage.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
 }

@@ -28,9 +28,9 @@ object EventStreams {
         col("n_events"), col("sum_value"))
 
   /** Streaming read of an events directory with a 1-hour watermark.
-    * events.ts is parquet TIMESTAMP(NANOS): read as raw nanos (legacy
-    * conf) and truncate to microsecond timestamps, same as the batch
-    * loader in `graft.model.Tables`.
+    * `ts` is normalized to TimestampType the same way as the batch loader
+    * (`graft.model.Tables.normalizeEventTs` — fixtures have shipped it as
+    * epoch-nanos INT64 and as TIMESTAMP(MICROS)).
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     rawEventStream(spark, dir).withWatermark("ts", "1 hour")
@@ -40,11 +40,6 @@ object EventStreams {
     * one).
     */
   private def rawEventStream(spark: SparkSession, dir: String): DataFrame = {
-    // same fail-loudly rule as graft.model.Tables: the nanos conf belongs
-    // in the session BUILDER, not in a load-time side effect
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
-        "builder before streaming events (TIMESTAMP(NANOS) parquet)")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the driver fixture ships events.parquet as a single FILE (stream the
     // parent dir filtered to that name); the production layout is a
@@ -56,12 +51,12 @@ object EventStreams {
     val (streamDir, glob) =
       if (fs.getFileStatus(evPath).isDirectory) (evPath.toString, "*.parquet")
       else (dir, "events.parquet") // FileStreamSource requires a directory
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", glob)
-      .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.model.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", glob)
+        .parquet(streamDir))
   }
 
   /** Launch the tumbling aggregation as an incremental streaming query

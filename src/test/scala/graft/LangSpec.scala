@@ -980,8 +980,10 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet is TIMESTAMP(NANOS); the conf lives in the session
-      // builder (not Tables) so suite order can never matter
+      // fixture vintages that ship events.ts as TIMESTAMP(NANOS) read as
+      // raw longs under this conf (Tables.normalizeEventTs converts); the
+      // conf lives in the session builder (not Tables) so suite order can
+      // never matter
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

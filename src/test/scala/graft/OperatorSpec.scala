@@ -25,6 +25,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(ev.schema("ts").dataType.typeName == "timestamp")
   }
 
+  test("event ts normalizes identically across fixture vintages") {
+    // the driver has shipped events.ts as epoch-nanos INT64 (and as
+    // TIMESTAMP(NANOS), which the nanosAsLong conf surfaces as the same
+    // LongType) and as TIMESTAMP(MICROS) — Tables.normalizeEventTs must
+    // land every vintage on the same session-zoned timestamps
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_tsvintage_").toString
+    try {
+      val micros = Seq(1706659032194062L, 0L, 1700000000123456L)
+      micros.map(u => Tuple1(u * 1000L)).toDF("ts")
+        .write.parquet(s"$work/longs/events.parquet")
+      micros.map(u => Tuple1(new java.sql.Timestamp(u / 1000)))
+        .toDF("ts").withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .write.parquet(s"$work/ntz/events.parquet")
+      def readBack(sub: String): Seq[Long] = {
+        val df = new graft.model.Tables(spark, s"$work/$sub").events
+        assert(df.schema("ts").dataType.typeName == "timestamp", sub)
+        df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted.toSeq
+      }
+      // the NTZ fixture only carries millis through java.sql.Timestamp here,
+      // so compare at milli precision (the long fixture keeps full micros)
+      assert(readBack("longs") == micros.sorted)
+      assert(readBack("ntz") == micros.map(u => u / 1000 * 1000).sorted)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+  }
+
   test("staging persists register and release through Staging") {
     graft.operators.Staging.releaseAll()
     val docs = t("documents")
