@@ -144,10 +144,7 @@ object Dedup {
     * for the exact-Jaccard verify.
     */
   def minhashCandidates(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val rows = numHashes / bands
-    val banded = base.filter(col("n_sh") > 0).select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_sig")))
+    val banded = bandedKeys(base, numHashes, bands)
     val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))
     val b = banded.select(col("band").as("band_r"), col("band_sig").as("band_sig_r"),
       col("id").as("id_b"))
@@ -155,6 +152,20 @@ object Dedup {
         col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The LSH band keys of a staged (id, sh, n_sh, sig) frame: one
+    * (id, band, band_sig) row per band, empty shingle sets excluded (their
+    * sentinel signature is a corpus-wide constant — one quadratic hot
+    * bucket; they can't be Jaccard near-dups anyway). Shared by the
+    * in-memory pair search and the persisted incremental index so both
+    * produce bit-identical bucket keys.
+    */
+  def bandedKeys(base: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    base.filter(col("n_sh") > 0).select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "band_sig")))
   }
 
   /** 64-bit SimHash (Charikar): bit i is the sign of the summed ±1 votes

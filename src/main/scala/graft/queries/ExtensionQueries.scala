@@ -61,6 +61,58 @@ object ExtensionQueries extends QueryModule {
       minhashGate(t.documents, jaccardThreshold = 0.2)
     },
 
+    // INCREMENTAL dedup against a persisted fingerprint index — the
+    // 100 TB production shape (a daily increment dedups against the
+    // historical corpus without re-shingling it). A deterministic 25%
+    // slice (doc_id % 4 = 0) plays the new batch; the other 75% is
+    // indexed to a temp dir; the batch's verified pairs are gated the
+    // same way as q_dedup_minhash but against the exact pair set
+    // RESTRICTED to pairs touching the batch. Band keys are
+    // bit-identical to the in-memory path (shared bandedKeys), so this
+    // also pins index round-trip fidelity.
+    "q_dedup_incremental" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val work = java.nio.file.Files.createTempDirectory("graft_incidx_").toString
+      try {
+        graft.operators.IncrementalDedup.buildIndex(
+          docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", work)
+        val inc = graft.operators.IncrementalDedup.newBatchPairs(
+            docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", work,
+            jaccardThreshold = 0.2)
+          .select("id_a", "id_b")
+          .stagePersist()
+        val sh = Dedup.shingleFrame(docs, "doc_id", "text", 3)
+        val pairsAll = Dedup.ngramJaccardPairsFrom(sh, 0.2, minCommon = 1)
+          .filter(col("id_a") % 4 === 0 || col("id_b") % 4 === 0)
+          .stagePersist()
+        val exact2 = pairsAll.filter(col("common") >= 2).select("id_a", "id_b")
+        val nExact = exact2.agg(count(lit(1)).as("n_exact"))
+        val nHit = inc.join(exact2, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        val nPrecMiss = inc.join(pairsAll.select("id_a", "id_b"),
+            Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("n_miss"))
+        val out = broadcast(nExact).crossJoin(broadcast(nHit))
+          .crossJoin(broadcast(nPrecMiss))
+          .select(col("n_exact"),
+            (col("n_miss") === 0).as("precision_ok"),
+            (col("n_exact") === 0 ||
+              col("n_hit") >= col("n_exact") * lit(0.75)).as("recall_ok"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+          finally walk.close()
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[incdedup] temp cleanup failed for $work: ${e.getMessage}")
+        }
+    },
+
     // Near-dup pairs → connected components → per-doc cluster + keep-list
     // (the step that actually dedups a corpus; min-id representative).
     "q_dedup_clusters" -> { (s, dir) =>
@@ -522,7 +574,7 @@ object ExtensionQueries extends QueryModule {
     * gate's threshold (same CTE pipeline as the q_dedup_ngram oracle) plus
     * the literal-TRUE booleans.
     */
-  private def minhashGateOracle(threshold: Double): String =
+  private def minhashGateOracle(threshold: Double, extraWhere: String = ""): String =
     s"""WITH toks AS (
          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
          FROM documents),
@@ -541,7 +593,8 @@ object ExtensionQueries extends QueryModule {
        SELECT count(*) AS n_exact, TRUE AS precision_ok, TRUE AS recall_ok
        FROM pairs
        WHERE common >= 2
-         AND CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= $threshold"""
+         AND CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= $threshold
+         $extraWhere"""
 
   def oracleSql: Map[String, String] = Map(
     "q_sim_knn" ->
@@ -575,6 +628,10 @@ object ExtensionQueries extends QueryModule {
     // count; the booleans are literal TRUE — a precision/recall violation
     // on the Spark side flips a value and breaks the driver's hash
     "q_dedup_minhash" -> minhashGateOracle(0.2),
+    // the incremental gate counts the same exact pairs RESTRICTED to
+    // pairs touching the 25% delta slice (doc_id % 4 = 0)
+    "q_dedup_incremental" ->
+      minhashGateOracle(0.2, "AND (id_a % 4 = 0 OR id_b % 4 = 0)"),
     "q_dedup_text" -> minhashGateOracle(0.5),
     "q_dedup_simhash" ->
       """SELECT TRUE AS subset_complete, TRUE AS subset_exact,

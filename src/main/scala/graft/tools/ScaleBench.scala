@@ -117,6 +117,42 @@ object ScaleBench {
       graft.streaming.EventStreams.runTumblingAppendDurable(
         s, dir, s"$work/sink", s"$work/ckpt")
     },
+    // incremental-dedup index build over the 90% historical slice: two
+    // distributed writes (band keys + hashed shingles) — the one-time
+    // cost an increment pipeline amortizes across every later batch
+    "x_inc_build" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val work = java.nio.file.Files.createTempDirectory("graft_scale_incb_").toString
+      scratchDirs.add(work)
+      graft.operators.IncrementalDedup.buildIndex(
+        t.documents.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", work)
+      s.read.parquet(s"$work/bands")
+    },
+    // the per-increment cost: a 10% delta dedups against the persisted
+    // index (sign the delta, join band keys against the 24 B/row index
+    // scan, verify collided ids only) — vs x_inc_rebuild, the monolithic
+    // rerun an index-less pipeline pays for the same answer. The index is
+    // built once per data dir on the warm run and reused by the timed
+    // runs, exactly like a standing production index.
+    "x_inc_delta" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val idx = s"/tmp/graft_inc_idx_${Integer.toHexString(dir.hashCode)}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "params"))) {
+        scratchDirs.add(idx)
+        graft.operators.IncrementalDedup.buildIndex(
+          t.documents.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", idx)
+      }
+      graft.operators.IncrementalDedup.newBatchPairs(
+        t.documents.filter(col("doc_id") % 10 === 0), "doc_id", "text", idx,
+        jaccardThreshold = 0.2)
+    },
+    "x_inc_rebuild" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Dedup.minhashPairs(t.documents, "doc_id", "text",
+        jaccardThreshold = 0.2)
+    },
     // dense-corpus escalation: 500k vectors in 32 tight clusters keep
     // colliding at ANY plane count the old 24-bit frame allowed — the
     // governor must be able to keep escalating PAST 24 (the r7 ceiling)

@@ -56,6 +56,65 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental index equals the monolithic minhash run on the delta slice") {
+    import graft.operators.IncrementalDedup
+    val docs = t("documents")
+    val work = java.nio.file.Files.createTempDirectory("graft_incidx_spec_").toString
+    try {
+      val corpus0 = docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 3)
+      val delta1 = docs.filter(col("doc_id") % 4 === 2)
+      val delta2 = docs.filter(col("doc_id") % 4 === 0)
+
+      def monolithicTouching(batchMod: Int): Set[(Long, Long, Double)] =
+        Dedup.minhashPairs(docs, "doc_id", "text", jaccardThreshold = 0.2)
+          .filter(col("id_a") % 4 === batchMod || col("id_b") % 4 === batchMod)
+          // restrict the OTHER side to ids already ingested at that point:
+          // delta1 queries corpus0+delta1 (mod 0 not yet ingested)
+          .filter(if (batchMod == 2)
+            col("id_a") % 4 =!= 0 && col("id_b") % 4 =!= 0 else lit(true))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      IncrementalDedup.buildIndex(corpus0, "doc_id", "text", work)
+      val inc1 = IncrementalDedup
+        .newBatchPairs(delta1, "doc_id", "text", work, jaccardThreshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(inc1 == monolithicTouching(2),
+        s"delta1 pairs diverge: inc=${inc1.size} mono=${monolithicTouching(2).size}")
+      assert(inc1.nonEmpty, "fixture self-check: the delta slice has near-dups")
+
+      // appending delta1 must make it visible to delta2's query — the
+      // composed result again equals the monolithic run's restriction
+      IncrementalDedup.appendBatch(delta1, "doc_id", "text", work)
+      val inc2 = IncrementalDedup
+        .newBatchPairs(delta2, "doc_id", "text", work, jaccardThreshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(inc2 == monolithicTouching(0),
+        s"delta2 pairs diverge: inc=${inc2.size} mono=${monolithicTouching(0).size}")
+
+      // keep-list: a kept doc has no pair at all; a dropped doc pairs with
+      // an indexed id or a lower batch id
+      val kept = IncrementalDedup
+        .newKeepList(delta2, "doc_id", "text", work, jaccardThreshold = 0.2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val deltaIds = delta2.select("doc_id").collect().map(_.getLong(0)).toSet
+      val dropped = deltaIds -- kept
+      dropped.foreach { id =>
+        assert(inc2.exists(p =>
+          (p._2 == id && (p._1 % 4 != 0 || deltaIds.contains(p._1))) ||
+            (p._1 == id && p._2 % 4 != 0)), s"doc $id dropped without cause")
+      }
+      kept.foreach { id =>
+        assert(!inc2.exists(p => p._2 == id || (p._1 == id && p._2 % 4 != 0)),
+          s"doc $id kept despite a dup pair")
+      }
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+  }
+
   test("staging persists register and release through Staging") {
     graft.operators.Staging.releaseAll()
     val docs = t("documents")
