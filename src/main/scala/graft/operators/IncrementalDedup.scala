@@ -103,26 +103,42 @@ object IncrementalDedup {
       transform(col("sh"), s => xxhash64(s)).as("shash"), col("n_sh"))
       .stagePersist()
 
-    // candidate ids: batch × (index ∪ batch) sharing a band key. The index
-    // side scans (band, band_sig, id) only — column pruning keeps the read
-    // at 24 B/row no matter how wide the shingle store is.
+    // The whole query side is the DELTA — small by the operator's premise
+    // (a daily increment against a standing corpus) — so every corpus-side
+    // frame is consumed by ONE broadcast hash join against it: the index
+    // is scanned (column-pruned, 24 B/row for bands) but never SHUFFLED.
+    // The first cut here unioned delta into the corpus side and
+    // shuffle-joined the result; at the 500k-doc ladder tier that
+    // exchanged the full band + shingle stores per increment and ran
+    // SLOWER than the monolithic rebuild it exists to avoid.
     val indexBanded = spark.read.parquet(s"$path/bands")
-    val allBanded = indexBanded.unionByName(deltaBanded)
-    val cands = deltaBanded.alias("d")
-      .join(allBanded.alias("c"),
+    val candsCross = indexBanded.alias("c")
+      .join(broadcast(deltaBanded.alias("d")),
         col("d.band") === col("c.band") && col("d.band_sig") === col("c.band_sig") &&
           col("d.id") =!= col("c.id"))
       .select(least(col("d.id"), col("c.id")).as("id_a"),
         greatest(col("d.id"), col("c.id")).as("id_b"))
+    val candsInner = deltaBanded.alias("a")
+      .join(deltaBanded.alias("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cands = candsCross.unionByName(candsInner)
       .dropDuplicates("id_a", "id_b")
+      .stagePersist()
 
-    // exact verify over hashed shingles; corpus shingle rows are fetched
-    // by id join — only colliding ids' rows leave the scan
-    val allSh = spark.read.parquet(s"$path/shingles").unionByName(deltaSh)
+    // fetch shingle rows for the candidate ids only: one map-side
+    // broadcast semi-join pass over the store — the store itself never
+    // shuffles; the verify then joins two candidate-sized frames
+    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val needed = spark.read.parquet(s"$path/shingles").unionByName(deltaSh)
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .stagePersist()
     cands
-      .join(allSh.select(col("id").as("id_a"), col("shash").as("sh_a"),
+      .join(needed.select(col("id").as("id_a"), col("shash").as("sh_a"),
         col("n_sh").as("na")), "id_a")
-      .join(allSh.select(col("id").as("id_b"), col("shash").as("sh_b"),
+      .join(needed.select(col("id").as("id_b"), col("shash").as("sh_b"),
         col("n_sh").as("nb")), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
