@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Staging.Stageable
+import graft.functions.VectorFunctions
+
+/** Incremental embedding near-duplicate detection against a PERSISTED
+  * signature index — the vector sibling of [[IncrementalDedup]]: a new
+  * batch of embeddings dedups against the already-ingested corpus
+  * without re-projecting it against the hyperplanes (or re-reading its
+  * raw vectors, except the candidate rows the verify actually needs).
+  *
+  * Index layout (parquet):
+  *   - `sigs/`   (id, tbl, sig) — the FULL-width random-hyperplane
+  *     signature per (vector, table), computed once by the native
+  *     [[graft.functions.HyperplaneSigs]] kernel. Banding at any plane
+  *     count p ≤ full width is the low-p bits (the same shared-frame
+  *     construction [[Similarity.cosineNearDupPairsChosen]] uses), so a
+  *     later rebuild-free escalation only re-masks METADATA.
+  *   - `vecs/`   (id, vec double array) — joined back candidate-wise for
+  *     the exact-cosine verify (`cosine_sim`, bit-identical to the
+  *     monolithic operator).
+  *   - `params/` one row (dim, num_tables, seed, full_planes, planes) —
+  *     `planes` is the banding width chosen at build time
+  *     ([[Similarity.adaptivePlanes]] of the corpus size unless the
+  *     caller pins one). A small increment does not materially shift
+  *     bucket population, so the per-increment query reuses it; corpus
+  *     growth big enough to need a wider banding is a `buildIndex` (or a
+  *     params-row edit — the signatures themselves never change).
+  *
+  * Scale shape: identical premise to [[IncrementalDedup]] — the delta is
+  * small, so every corpus-side frame is consumed by one broadcast hash
+  * join against it; the signature store scans (20 B/row, column-pruned)
+  * but never shuffles, and raw corpus vectors are touched only for
+  * candidate ids (one broadcast semi-join pass).
+  */
+object IncrementalAnn {
+
+  final case class VecParams(dim: Int, numTables: Int, seed: Long,
+      fullPlanes: Int, planes: Int)
+
+  def buildIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      path: String, numPlanes: Int = 0, numTables: Int = 16,
+      seed: Long = 42L, targetBucket: Int = 128,
+      maxEscalations: Int = 6): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    VectorFunctions.ensureRegistered(spark)
+    val c = staged(emb, idCol, vecCol)
+    val n = c.count()
+    var planes =
+      if (numPlanes > 0) numPlanes
+      else Similarity.adaptivePlanes(n, targetBucket)
+    val fullPlanes = math.max(40, planes)
+    require(fullPlanes <= 62, s"numPlanes must fit a long signature, got $numPlanes")
+    val p0 = VecParams(dim, numTables, seed, fullPlanes, planes)
+    val sigs = sigsOf(c, p0).stagePersist()
+    // Same candidate-count governor as the monolithic operator, run at
+    // BUILD time: expected-uniform sizing explodes on clustered corpora
+    // (members agree with their centroid's sign on most planes, so
+    // Σ n_b² runs several-fold past uniform) — without this the first
+    // ladder run banded 180k clustered vectors at 11 planes and the
+    // increment query drowned in candidates (18.7 s vs the rebuild's
+    // 9.6 s). Probing the exact Σ n_b(n_b−1)/2 per width is a cheap
+    // partial-agg pass over the staged frame; escalation is metadata
+    // (low-bits masking), so only `planes` in the params row changes.
+    if (numPlanes <= 0) {
+      val budget = math.max(4.0e7, 64.0 * n.toDouble)
+      var tries = 0
+      while (tries < maxEscalations && planes < fullPlanes && {
+        val row = sigs
+          .select(col("tbl"), col("sig").bitwiseAND(lit((1L << planes) - 1)).as("bucket"))
+          .groupBy("tbl", "bucket").count()
+          .agg(sum(col("count").cast("double") * (col("count") - 1) / 2).as("c"))
+          .first()
+        !row.isNullAt(0) && row.getDouble(0) > budget
+      }) {
+        planes = math.min(fullPlanes, planes + 4)
+        tries += 1
+      }
+    }
+    Seq((dim, numTables, seed, fullPlanes, planes))
+      .toDF("dim", "num_tables", "seed", "full_planes", "planes")
+      .write.mode("overwrite").parquet(s"$path/params")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    c.write.mode("overwrite").parquet(s"$path/vecs")
+  }
+
+  /** Append a new batch (typically the survivors of [[newBatchPairs]]). */
+  def appendBatch(emb: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val p = readParams(emb.sparkSession, path)
+    writeBatch(staged(emb, idCol, vecCol), path, p, "append")
+  }
+
+  def readParams(spark: SparkSession, path: String): VecParams = {
+    val r = spark.read.parquet(s"$path/params").head()
+    VecParams(r.getAs[Int]("dim"), r.getAs[Int]("num_tables"),
+      r.getAs[Long]("seed"), r.getAs[Int]("full_planes"), r.getAs[Int]("planes"))
+  }
+
+  private def staged(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Staging.widen(emb)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .stagePersist()
+
+  private def sigsOf(c: DataFrame, p: VecParams): DataFrame =
+    c.select(col("id"),
+      posexplode(Similarity.bucketTables(col("vec"), p.dim, p.fullPlanes,
+        p.numTables, p.seed)).as(Seq("tbl", "sig")))
+
+  private def writeBatch(c: DataFrame, path: String, p: VecParams,
+      mode: String): Unit = {
+    sigsOf(c, p).write.mode(mode).parquet(s"$path/sigs")
+    c.write.mode(mode).parquet(s"$path/vecs")
+  }
+
+  /** Near-duplicate pairs of a NEW embedding batch against the indexed
+    * corpus and within the batch: (id_a, id_b, cos) with id_a < id_b,
+    * exact-cosine-verified at `threshold` — the pairs the monolithic
+    * [[Similarity.cosineNearDupPairs]] over (corpus ∪ batch) at the
+    * index's banding width would emit, restricted to pairs touching the
+    * batch. Ids share one space; the batch must not reuse indexed ids.
+    */
+  def newBatchPairs(newEmb: DataFrame, idCol: String, vecCol: String,
+      path: String, threshold: Double): DataFrame = {
+    val spark = newEmb.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    val p = readParams(spark, path)
+    val d = staged(newEmb, idCol, vecCol)
+    val mask = lit((1L << p.planes) - 1)
+    val deltaBand = sigsOf(d, p)
+      .select(col("id"), col("tbl"), col("sig").bitwiseAND(mask).as("bucket"))
+      .stagePersist()
+    val indexBand = spark.read.parquet(s"$path/sigs")
+      .select(col("id"), col("tbl"), col("sig").bitwiseAND(mask).as("bucket"))
+
+    val candsCross = indexBand.alias("c")
+      .join(broadcast(deltaBand.alias("d")),
+        col("d.tbl") === col("c.tbl") && col("d.bucket") === col("c.bucket") &&
+          col("d.id") =!= col("c.id"))
+      .select(least(col("d.id"), col("c.id")).as("id_a"),
+        greatest(col("d.id"), col("c.id")).as("id_b"))
+    val candsInner = deltaBand.alias("a")
+      .join(deltaBand.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cands = candsCross.unionByName(candsInner)
+      .dropDuplicates("id_a", "id_b")
+      .stagePersist()
+
+    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val needed = spark.read.parquet(s"$path/vecs").unionByName(d)
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .stagePersist()
+    cands
+      .join(needed.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(needed.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cos", VectorFunctions.cosine_sim(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -153,6 +153,37 @@ object ScaleBench {
       graft.operators.Dedup.minhashPairs(t.documents, "doc_id", "text",
         jaccardThreshold = 0.2)
     },
+    // the vector increment: same build/delta/rebuild triplet as the text
+    // index, over the embeddings table (90% indexed, 10% delta)
+    "x_ann_build" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val work = java.nio.file.Files.createTempDirectory("graft_scale_annb_").toString
+      scratchDirs.add(work)
+      graft.operators.IncrementalAnn.buildIndex(
+        t.embeddings.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        dim = 64, path = work)
+      s.read.parquet(s"$work/sigs")
+    },
+    "x_ann_delta" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val idx = s"/tmp/graft_ann_idx_${Integer.toHexString(dir.hashCode)}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "params"))) {
+        scratchDirs.add(idx)
+        graft.operators.IncrementalAnn.buildIndex(
+          t.embeddings.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          dim = 64, path = idx)
+      }
+      graft.operators.IncrementalAnn.newBatchPairs(
+        t.embeddings.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        idx, threshold = 0.9)
+    },
+    "x_ann_rebuild" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Similarity.cosineNearDupPairs(
+        t.embeddings, "vec_id", "embedding", dim = 64, threshold = 0.9)
+    },
     // dense-corpus escalation: 500k vectors in 32 tight clusters keep
     // colliding at ANY plane count the old 24-bit frame allowed — the
     // governor must be able to keep escalating PAST 24 (the r7 ceiling)

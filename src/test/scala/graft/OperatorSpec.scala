@@ -115,6 +115,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental ANN index equals the monolithic cosine run on the delta slice") {
+    import graft.operators.{IncrementalAnn, Similarity}
+    val emb = t("embeddings")
+    val work = java.nio.file.Files.createTempDirectory("graft_incann_spec_").toString
+    try {
+      val corpus0 = emb.filter(col("vec_id") % 4 === 1 || col("vec_id") % 4 === 3)
+      val delta1 = emb.filter(col("vec_id") % 4 === 2)
+      val delta2 = emb.filter(col("vec_id") % 4 === 0)
+
+      // explicit numPlanes on both sides: the monolithic run then skips
+      // its governor and bands at the same width as the index, so the
+      // candidate sets (and the exact-cosine verify) must agree exactly
+      def monolithicTouching(batchMod: Int): Set[(Long, Long, Double)] =
+        Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", dim = 64,
+            threshold = 0.2, numPlanes = 8)
+          .filter(col("id_a") % 4 === batchMod || col("id_b") % 4 === batchMod)
+          .filter(if (batchMod == 2)
+            col("id_a") % 4 =!= 0 && col("id_b") % 4 =!= 0 else lit(true))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      IncrementalAnn.buildIndex(corpus0, "vec_id", "embedding", dim = 64,
+        path = work, numPlanes = 8)
+      val inc1 = IncrementalAnn
+        .newBatchPairs(delta1, "vec_id", "embedding", work, threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(inc1 == monolithicTouching(2),
+        s"ann delta1 diverges: inc=${inc1.size} mono=${monolithicTouching(2).size}")
+      assert(inc1.nonEmpty, "fixture self-check: the delta slice has near-dups")
+
+      IncrementalAnn.appendBatch(delta1, "vec_id", "embedding", work)
+      val inc2 = IncrementalAnn
+        .newBatchPairs(delta2, "vec_id", "embedding", work, threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(inc2 == monolithicTouching(0),
+        s"ann delta2 diverges: inc=${inc2.size} mono=${monolithicTouching(0).size}")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+  }
+
   test("staging persists register and release through Staging") {
     graft.operators.Staging.releaseAll()
     val docs = t("documents")
