@@ -87,7 +87,11 @@ object IncrementalAnn {
     c.write.mode("overwrite").parquet(s"$path/vecs")
   }
 
-  /** Append a new batch (typically the survivors of [[newBatchPairs]]). */
+  /** Append a new batch (typically the survivors of [[newBatchPairs]]).
+    * Same durability contract as [[IncrementalDedup.appendBatch]]:
+    * single-writer plain parquet; a crashed append recovers by re-running
+    * it (duplicates are deduped on read).
+    */
   def appendBatch(emb: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val p = readParams(emb.sparkSession, path)
@@ -153,8 +157,11 @@ object IncrementalAnn {
 
     val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
+    // dropDuplicates(id): keeps a re-run (crash-recovered) append from
+    // duplicating verified pairs — same rationale as IncrementalDedup
     val needed = spark.read.parquet(s"$path/vecs").unionByName(d)
       .join(broadcast(candIds), Seq("id"), "left_semi")
+      .dropDuplicates("id")
       .stagePersist()
     cands
       .join(needed.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")

@@ -55,6 +55,14 @@ object IncrementalDedup {
 
   /** Append a new batch (typically the survivors of [[newBatchPairs]]) to
     * an existing index. Signing parameters come from the index itself.
+    *
+    * Durability contract: the index is plain parquet (single writer, like
+    * the ETL working dirs) — a crash between the two store writes leaves
+    * the batch partially ingested; recovery is re-running the SAME append,
+    * which is safe: duplicate band rows dedup in candidate generation and
+    * duplicate shingle rows dedup before the verify. A pipeline needing
+    * multi-writer atomicity should route the writes through
+    * [[graft.sources.Etl]]'s commit-marker protocol instead.
     */
   def appendBatch(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit =
@@ -132,8 +140,14 @@ object IncrementalDedup {
     // shuffles; the verify then joins two candidate-sized frames
     val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
+    // dropDuplicates(id): a re-run append (the recovery story for a
+    // crashed append — the index is plain parquet, not a transaction log)
+    // duplicates store rows; duplicate BAND rows are already harmless
+    // (candidates dedup), and this keeps duplicate shingle rows from
+    // duplicating verified pairs
     val needed = spark.read.parquet(s"$path/shingles").unionByName(deltaSh)
       .join(broadcast(candIds), Seq("id"), "left_semi")
+      .dropDuplicates("id")
       .stagePersist()
     cands
       .join(needed.select(col("id").as("id_a"), col("shash").as("sh_a"),

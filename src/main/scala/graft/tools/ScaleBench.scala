@@ -153,6 +153,36 @@ object ScaleBench {
       graft.operators.Dedup.minhashPairs(t.documents, "doc_id", "text",
         jaccardThreshold = 0.2)
     },
+    // the realistic ratio: a 1% increment against a 99% corpus — the
+    // regime a daily batch actually runs in (the 10% variant above keeps
+    // the comparison fixture-compatible with the r7 ladder rows)
+    "x_inc_delta1" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val idx = s"/tmp/graft_inc1_idx_${Integer.toHexString(dir.hashCode)}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "params"))) {
+        scratchDirs.add(idx)
+        graft.operators.IncrementalDedup.buildIndex(
+          t.documents.filter(col("doc_id") % 100 =!= 0), "doc_id", "text", idx)
+      }
+      graft.operators.IncrementalDedup.newBatchPairs(
+        t.documents.filter(col("doc_id") % 100 === 0), "doc_id", "text", idx,
+        jaccardThreshold = 0.2)
+    },
+    "x_ann_delta1" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val idx = s"/tmp/graft_ann1_idx_${Integer.toHexString(dir.hashCode)}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "params"))) {
+        scratchDirs.add(idx)
+        graft.operators.IncrementalAnn.buildIndex(
+          t.embeddings.filter(col("vec_id") % 100 =!= 0), "vec_id", "embedding",
+          dim = 64, path = idx)
+      }
+      graft.operators.IncrementalAnn.newBatchPairs(
+        t.embeddings.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        idx, threshold = 0.9)
+    },
     // the vector increment: same build/delta/rebuild triplet as the text
     // index, over the embeddings table (90% indexed, 10% delta)
     "x_ann_build" -> { (s, dir) =>
