@@ -147,7 +147,7 @@ object IncrementalAnn {
       .select(least(col("d.id"), col("c.id")).as("id_a"),
         greatest(col("d.id"), col("c.id")).as("id_b"))
     val candsInner = deltaBand.alias("a")
-      .join(deltaBand.alias("b"),
+      .join(broadcast(deltaBand.alias("b")),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

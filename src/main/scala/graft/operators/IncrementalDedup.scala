@@ -127,7 +127,7 @@ object IncrementalDedup {
       .select(least(col("d.id"), col("c.id")).as("id_a"),
         greatest(col("d.id"), col("c.id")).as("id_b"))
     val candsInner = deltaBanded.alias("a")
-      .join(deltaBanded.alias("b"),
+      .join(broadcast(deltaBanded.alias("b")),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

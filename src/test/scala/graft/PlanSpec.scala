@@ -217,6 +217,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"table side shuffled:\n$p")
   }
 
+  test("incremental dedup queries broadcast the delta; index stores never shuffle") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val work = java.nio.file.Files.createTempDirectory("graft_incplan_").toString
+    try {
+      graft.operators.IncrementalDedup.buildIndex(
+        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", work)
+      val df = graft.operators.IncrementalDedup.newBatchPairs(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", work,
+        jaccardThreshold = 0.2)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // every corpus-store consumer is a broadcast hash join against the
+      // delta: candidate cross + inner joins, and the LeftSemi store prune
+      assert(p.contains("BroadcastHashJoin"), s"no broadcast joins:\n$p")
+      assert(p.contains("LeftSemi"), s"store prune not a semi join:\n$p")
+      // the defect this pins out: the v1 plan shuffle-joined the band
+      // store — band_sig rode an Exchange. Candidate/verify frames may
+      // shuffle (they are delta/candidate-sized); the index scans may not.
+      val shuffles = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(shuffles.forall(l => !l.contains("band_sig")),
+        s"band store rides a shuffle:\n${shuffles.mkString("\n")}")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => java.nio.file.Files.delete(x))
+      finally walk.close()
+    }
+  }
+
   test("plan lint: no query plans a raw cartesian product") {
     // Broadcast-nested-loop over a 1-row/broadcast side is fine (detached
     // aggregates, kNN query broadcast); an unbroadcast CartesianProduct is
