@@ -219,6 +219,59 @@ object ExtensionQueries extends QueryModule {
             col("n_hit") >= col("n_strong") * lit(0.9)).as("recall_ok"))
     },
 
+    // INCREMENTAL embedding dedup: same construction as q_dedup_embed's
+    // gate, but the pairs come from IncrementalAnn — a 25% delta slice
+    // (vec_id % 4 = 0) queried against a persisted index of the other
+    // 75%; the exact-twin comparison restricts to delta-touching pairs.
+    "q_dedup_embed_incremental" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val emb = t.embeddings
+      val work = java.nio.file.Files.createTempDirectory("graft_incann_").toString
+      try {
+        graft.operators.IncrementalAnn.buildIndex(
+          emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+          dim = 64, path = work)
+        val pairs = graft.operators.IncrementalAnn.newBatchPairs(
+            emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", work,
+            threshold = 0.2)
+          .stagePersist()
+        val sub = emb.filter(col("vec_id") < 256)
+          .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+          .stagePersist()
+        val withNorm = sub.withColumn("nrm", Similarity.norm(col("vec")))
+        val strong = withNorm.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+          .join(broadcast(withNorm.select(col("id").as("id_b"), col("vec").as("vb"),
+            col("nrm").as("nb"))), col("id_a") < col("id_b"))
+          .filter(col("id_a") % 4 === 0 || col("id_b") % 4 === 0)
+          .withColumn("cos", graft.functions.VectorFunctions.vector_dot(col("va"), col("vb"))
+            / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.3)
+          .select("id_a", "id_b")
+          .stagePersist()
+        val nStrong = strong.agg(count(lit(1)).as("n_strong"))
+        val nHit = pairs.filter(col("id_a") < 256 && col("id_b") < 256)
+          .join(strong, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        val prec = pairs.agg(
+          coalesce(min(col("cos")) >= 0.2, lit(true)).as("precision_ok"))
+        val out = broadcast(nStrong).crossJoin(broadcast(nHit)).crossJoin(broadcast(prec))
+          .select(col("n_strong"), col("precision_ok"),
+            (col("n_strong") === 0 ||
+              col("n_hit") >= col("n_strong") * lit(0.9)).as("recall_ok"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+          finally walk.close()
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[incann] temp cleanup failed for $work: ${e.getMessage}")
+        }
+    },
+
     // Brute-force cosine top-k (exact ANN baseline) — ranks are
     // oracle-comparable because all arithmetic is sequential double folds
     // (native VectorDot loop == DuckDB list_reduce left fold, bit-exact).
@@ -651,6 +704,24 @@ object ExtensionQueries extends QueryModule {
          SELECT count(*) AS n_strong, TRUE AS precision_ok, TRUE AS recall_ok
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2])),
+             (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3""",
+    // same exact twin RESTRICTED to pairs touching the 25% delta slice
+    "q_dedup_embed_incremental" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings WHERE vec_id < 256),
+         n AS (
+           SELECT vec_id, vec,
+             sqrt(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list_transform(vec, x -> x * x)),
+               (acc, x) -> acc + x)) AS nrm
+           FROM v)
+         SELECT count(*) AS n_strong, TRUE AS precision_ok, TRUE AS recall_ok
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE (a.vec_id % 4 = 0 OR b.vec_id % 4 = 0)
+           AND list_reduce(
              list_prepend(CAST(0 AS DOUBLE),
                list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2])),
              (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3""",
