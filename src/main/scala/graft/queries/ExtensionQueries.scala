@@ -113,6 +113,56 @@ object ExtensionQueries extends QueryModule {
         }
     },
 
+    // CONTINUOUS-ingest hygiene, hash-verified END-TO-END: the corpus
+    // arrives as two id-ordered files; CorpusIngest drains them through
+    // the incremental engine (foreachBatch dedup against the persisted
+    // IncrementalDedup index → idempotent batch=<id> sink partitions →
+    // checkpoint) at τ=1.0 — where exact-Jaccard "near-dup" is EQUALITY
+    // of shingle sets, so greedy first-fit is transitive and the
+    // surviving set is exactly "min doc_id per distinct 3-shingle set,
+    // plus every short (<3-token) doc", which the DuckDB oracle
+    // reproduces relationally. Unlike the bound-check gates this hashes
+    // the whole stream→index→durable-sink loop row-for-row. (Lower
+    // thresholds — where greedy first-fit is NOT transitive and no
+    // relational oracle exists — are pinned by IngestSpec instead.)
+    "q_dedup_stream_ingest" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents.select("doc_id", "text")
+      val work = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+      try {
+        val src = s"$work/src"; new java.io.File(src).mkdirs()
+        val b = docs.agg(min("doc_id"), max("doc_id")).head()
+        val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+        def arrive(part: DataFrame, name: String, mtime: Long): Unit = {
+          val tmp = s"$work/tmp_$name"
+          part.coalesce(1).write.parquet(tmp)
+          val pf = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dest = new java.io.File(src, name)
+          java.nio.file.Files.move(pf.toPath, dest.toPath)
+          dest.setLastModified(mtime)
+          ()
+        }
+        val now = System.currentTimeMillis()
+        arrive(docs.filter(col("doc_id") <= cut), "b0.parquet", now - 60000)
+        arrive(docs.filter(col("doc_id") > cut), "b1.parquet", now)
+        val kept = graft.streaming.CorpusIngest.runIngestAvailableNow(s, src,
+          s"$work/idx", s"$work/sink", s"$work/ckpt", jaccardThreshold = 1.0)
+        val rows = kept.select("doc_id").orderBy("doc_id").collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          kept.select("doc_id").schema)
+      } finally
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+          finally walk.close()
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[ingest] temp cleanup failed for $work: ${e.getMessage}")
+        }
+    },
+
     // Near-dup pairs → connected components → per-doc cluster + keep-list
     // (the step that actually dedups a corpus; min-id representative).
     "q_dedup_clusters" -> { (s, dir) =>
@@ -686,6 +736,22 @@ object ExtensionQueries extends QueryModule {
     "q_dedup_incremental" ->
       minhashGateOracle(0.2, "AND (id_a % 4 = 0 OR id_b % 4 = 0)"),
     "q_dedup_text" -> minhashGateOracle(0.5),
+    // τ=1.0 greedy first-fit dedup IS relational: the survivor set is
+    // min doc_id per distinct 3-shingle set, plus every short doc
+    "q_dedup_stream_ingest" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_sort(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' ')))) AS s
+           FROM toks)
+         SELECT doc_id FROM (
+           SELECT min(doc_id) AS doc_id FROM sh WHERE len(s) > 0 GROUP BY s
+           UNION ALL
+           SELECT doc_id FROM sh WHERE len(s) = 0)
+         ORDER BY doc_id""",
     "q_dedup_simhash" ->
       """SELECT TRUE AS subset_complete, TRUE AS subset_exact,
                 TRUE AS hamming_ok, TRUE AS nonempty""",

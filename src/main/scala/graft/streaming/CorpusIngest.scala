@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{IncrementalDedup, Staging}
+
+/** CONTINUOUS corpus hygiene — the streaming composition of the two
+  * round-8 production pieces: arriving document files flow through the
+  * incremental engine, each micro-batch is near-dup-deduplicated against
+  * the PERSISTED MinHash index ([[IncrementalDedup]] — history is never
+  * re-read, let alone re-shingled), and the batch's survivors are
+  * appended to BOTH the index and a durable parquet sink. This is the
+  * 100 TB ingest shape: a corpus that grows by daily/hourly drops pays
+  * per-arrival cost proportional to the ARRIVAL (plus one column-pruned
+  * 24 B/row index scan), not to the standing corpus.
+  *
+  * No reference analogue (the reference has no streaming and no dedup);
+  * the construction is Structured Streaming's `foreachBatch` pattern for
+  * sinks with custom logic, with exactly-once output by the standard
+  * batch-id idempotence argument:
+  *
+  *   - the CHECKPOINT records which source files each committed batch
+  *     consumed — a restart never re-reads acknowledged input, and new
+  *     arrivals drain as fresh batches;
+  *   - the sink write is `overwrite` into a `batch=<id>` partition
+  *     directory, so a replayed batch (crash after the sink write but
+  *     before the checkpoint commit — foreachBatch is at-least-once)
+  *     overwrites its own output instead of duplicating it;
+  *   - the index append is replay-SAFE rather than idempotent: a replayed
+  *     append duplicates band/shingle rows, which candidate generation
+  *     and the verify path already dedup (IncrementalDedup's documented
+  *     recovery contract), and the keep-list recomputed against the
+  *     post-append index is IDENTICAL — a batch doc never pairs with its
+  *     own indexed copy (id equality is excluded) and batch-internal
+  *     pairs are resolved by the same min-id rule whether or not the
+  *     partner's rows are already indexed. IngestSpec pins this replay.
+  *
+  * Dedup semantics are GREEDY FIRST-FIT (the standard online form): a new
+  * doc drops iff it near-dups a previously KEPT doc (or a lower-id doc in
+  * its own batch). Unlike the monolithic [[graft.operators.Dedup
+  * .nearDupClusters]] min-id rule this does not merge clusters through
+  * chains — A~B, B~C, A≁C keeps {A, C} here (B dropped against A; C only
+  * ever compared to the kept set). That is a property of online dedup
+  * itself, not of this implementation: history is immutable, so a kept
+  * doc can never retroactively drop.
+  */
+object CorpusIngest {
+
+  /** Drain every available document file under `srcDir` (one file per
+    * micro-batch, arrival order) through the incremental dedup, then
+    * return the accumulated sink contents (all survivors so far, with
+    * their `batch` id). Re-running with the same checkpoint after new
+    * files arrive processes ONLY the new files and appends ONLY their
+    * survivors.
+    *
+    * First run bootstraps the index at `indexPath` (params + empty
+    * stores) unless one already exists — seeding with a pre-built index
+    * dedups the stream against a standing corpus from the first batch.
+    */
+  def runIngestAvailableNow(spark: SparkSession, srcDir: String,
+      indexPath: String, sinkPath: String, checkpointPath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      jaccardThreshold: Double = 0.5,
+      params: IncrementalDedup.Params = IncrementalDedup.Params(3, 16, 4)): DataFrame = {
+    val schema = spark.read.parquet(srcDir).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, indexPath, sinkPath, idCol, textCol,
+          jaccardThreshold, params)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    survivors(spark, sinkPath, schema)
+  }
+
+  /** One micro-batch: dedup against the index, publish survivors
+    * idempotently, append them to the index. Package-visible so the spec
+    * can replay a committed batch and pin the at-least-once story.
+    */
+  private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, sinkPath: String, idCol: String, textCol: String,
+      jaccardThreshold: Double, params: IncrementalDedup.Params): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(indexPath, "params")))
+      IncrementalDedup.buildIndex(batch.limit(0), idCol, textCol, indexPath, params)
+    try {
+      IncrementalDedup
+        .newKeepList(batch, idCol, textCol, indexPath, jaccardThreshold)
+        .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+      // append from the sink read-back: survivors materialize once (the
+      // write above), not once per consumer
+      val kept = spark.read.parquet(s"$sinkPath/batch=$batchId")
+        .select(batch.columns.map(col).toIndexedSeq: _*)
+      IncrementalDedup.appendBatch(kept, idCol, textCol, indexPath)
+    } finally
+      // staging frames (shingles, signatures, candidates) die with the
+      // batch — a 10k-batch ingest must not accumulate 10k persists
+      Staging.releaseAll()
+  }
+
+  /** The accumulated survivor set at `sinkPath` (empty-sink safe). The
+    * `batch` partition column records which micro-batch kept each doc.
+    */
+  def survivors(spark: SparkSession, sinkPath: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new Path(sinkPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
+      spark.read.parquet(sinkPath)
+    else
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        schema.add("batch", org.apache.spark.sql.types.IntegerType))
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.IncrementalDedup
+import graft.streaming.CorpusIngest
+
+/** Continuous-ingest corpus hygiene (streaming/CorpusIngest.scala):
+  * arriving doc files → per-micro-batch incremental dedup against the
+  * persisted index → survivors appended to index + durable sink.
+  *
+  * Pins: (1) the streamed drain equals the sequential IncrementalDedup
+  * fold it orchestrates, with greedy first-fit semantics (A~B, B~C, A≁C
+  * keeps {A, C}); (2) checkpoint resume processes ONLY new files and
+  * never rewrites published batches; (3) a replayed batch (foreachBatch's
+  * at-least-once window) is harmless: same sink bytes, and the duplicated
+  * index rows change no later decision.
+  */
+class IngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  // 20-token texts; one substituted token flips 3 of the 18 3-shingles,
+  // so one edit → J = 15/21 ≈ 0.714 ≥ τ=0.6, two edits → J = 12/24 = 0.5 < τ.
+  private def toks(i: Int): IndexedSeq[String] = (0 until 20).map(j => s"w${j}")
+  private val textA = toks(0).mkString(" ")
+  private val textB = toks(0).updated(3, "bx").mkString(" ")
+  private val textC = toks(0).updated(3, "bx").updated(16, "cx").mkString(" ")
+  private def fresh(i: Int): String = (0 until 20).map(j => s"t${i}_$j").mkString(" ")
+
+  private val params = IncrementalDedup.Params(3, 16, 8)
+  private val tau = 0.6
+
+  private def writeDocFile(dir: String, rows: Seq[(Long, String)],
+      name: String, mtime: Long): Unit = {
+    import spark.implicits._
+    val tmp = s"$dir/tmp_$name"
+    rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = new java.io.File(dir, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    assert(dest.setLastModified(mtime))
+  }
+
+  private val f1 = Seq(1L -> textA, 2L -> fresh(2), 3L -> textA, 4L -> "one two")
+  private val f2 = Seq(11L -> textB, 12L -> fresh(12))
+  private val f3 = Seq(21L -> textC, 22L -> fresh(22), 23L -> textA)
+  // 3 drops within its batch (exact copy of 1); 11 drops against kept 1;
+  // 21 is a near-dup of DROPPED 11 but not of anything kept → kept
+  // (greedy first-fit); 23 drops against the indexed 1; 4 is short
+  // (no 3-shingle) and always survives
+  private val expectedKept = Set(1L, 2L, 4L, 12L, 21L, 22L)
+
+  private def scratch(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ingest_$tag").toString
+
+  private def rmTree(dir: String): Unit = {
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally walk.close()
+  }
+
+  private def keptIds(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("streamed ingest equals the sequential incremental fold (greedy first-fit)") {
+    import spark.implicits._
+    val root = scratch("fold")
+    try {
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val now = System.currentTimeMillis()
+      writeDocFile(src, f1, "f1.parquet", now - 120000)
+      writeDocFile(src, f2, "f2.parquet", now - 60000)
+      writeDocFile(src, f3, "f3.parquet", now)
+
+      val streamed = CorpusIngest.runIngestAvailableNow(spark, src,
+        s"$root/idx", s"$root/sink", s"$root/ckpt",
+        jaccardThreshold = tau, params = params)
+      assert(keptIds(streamed) == expectedKept,
+        s"streamed=${keptIds(streamed).toSeq.sorted}")
+
+      // the same three batches folded by hand through IncrementalDedup
+      val idx2 = s"$root/idx2"
+      IncrementalDedup.buildIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text", idx2, params)
+      val fold = Seq(f1, f2, f3).flatMap { rows =>
+        val keep = IncrementalDedup.newKeepList(rows.toDF("doc_id", "text"),
+          "doc_id", "text", idx2, tau)
+        val ids = keptIds(keep)
+        IncrementalDedup.appendBatch(keep, "doc_id", "text", idx2)
+        ids
+      }.toSet
+      assert(fold == expectedKept, s"fold=${fold.toSeq.sorted}")
+    } finally rmTree(root)
+  }
+
+  test("checkpoint resume drains only new files and keeps published batches intact") {
+    val root = scratch("resume")
+    try {
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val now = System.currentTimeMillis()
+      writeDocFile(src, f1, "f1.parquet", now - 120000)
+      writeDocFile(src, f2, "f2.parquet", now - 60000)
+
+      val first = CorpusIngest.runIngestAvailableNow(spark, src,
+        s"$root/idx", s"$root/sink", s"$root/ckpt",
+        jaccardThreshold = tau, params = params)
+      assert(keptIds(first) == Set(1L, 2L, 4L, 12L))
+      val publishedMtimes = new java.io.File(s"$root/sink").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(d => d.getName -> d.lastModified).toMap
+
+      writeDocFile(src, f3, "f3.parquet", now + 60000)
+      val second = CorpusIngest.runIngestAvailableNow(spark, src,
+        s"$root/idx", s"$root/sink", s"$root/ckpt",
+        jaccardThreshold = tau, params = params)
+      assert(keptIds(second) == expectedKept,
+        s"resumed=${keptIds(second).toSeq.sorted}")
+      // exactly one new batch directory; the old ones were not rewritten
+      val dirsAfter = new java.io.File(s"$root/sink").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(d => d.getName -> d.lastModified).toMap
+      assert(dirsAfter.size == publishedMtimes.size + 1)
+      publishedMtimes.foreach { case (name, m) =>
+        assert(dirsAfter(name) == m, s"$name was rewritten on resume")
+      }
+      // the batch partition column tracks arrival order
+      assert(second.filter(col("doc_id") === 21L).select("batch")
+        .collect().head.getAs[Number](0).longValue == 2L)
+    } finally rmTree(root)
+  }
+
+  test("replaying a committed batch changes neither the sink nor later decisions") {
+    import spark.implicits._
+    val root = scratch("replay")
+    try {
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val now = System.currentTimeMillis()
+      writeDocFile(src, f1, "f1.parquet", now - 120000)
+      writeDocFile(src, f2, "f2.parquet", now - 60000)
+      val drained = CorpusIngest.runIngestAvailableNow(spark, src,
+        s"$root/idx", s"$root/sink", s"$root/ckpt",
+        jaccardThreshold = tau, params = params)
+      assert(keptIds(drained) == Set(1L, 2L, 4L, 12L))
+
+      // foreachBatch is at-least-once: simulate the crash-replay of batch 1
+      CorpusIngest.ingestBatch(f2.toDF("doc_id", "text"), 1L,
+        s"$root/idx", s"$root/sink", "doc_id", "text", tau, params)
+      val after = CorpusIngest.survivors(spark, s"$root/sink",
+        Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+      assert(keptIds(after) == Set(1L, 2L, 4L, 12L), "replay changed the sink")
+
+      // the duplicated index rows change no later decision: an A-copy
+      // still drops, a fresh doc still survives
+      val probe = IncrementalDedup.newKeepList(
+        Seq(31L -> textA, 32L -> fresh(32)).toDF("doc_id", "text"),
+        "doc_id", "text", s"$root/idx", tau)
+      assert(keptIds(probe) == Set(32L))
+    } finally rmTree(root)
+  }
+}
