@@ -89,9 +89,15 @@ object Bench {
     // absorb session startup (order below is name-sorted and deterministic)
     try force(SparkEntry.entry(spark)) catch { case _: Throwable => }
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    val pass1 = pass(spark, sfDir, runs, failures)
-    val pass2 = pass(spark, sfDir, runs, failures)
+    // optional comma-separated key filter for focused local iteration
+    // (the driver runs unfiltered — same convention as GRAFT_VERIFY_ONLY)
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val pass1 = pass(spark, sfDir, runs, failures, only)
+    val pass2 = pass(spark, sfDir, runs, failures, only)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     def disagree(xs: Seq[Double]): Boolean =
       xs.forall(_ > 0) && xs.max / xs.min > 3.0 &&
         xs.max - xs.min > 0.25 // ignore sub-250ms jitter

@@ -76,8 +76,15 @@ object IncrementalDedup {
   }
 
   private def writeBatch(docs: DataFrame, idCol: String, textCol: String,
-      path: String, p: Params, mode: String): Unit = {
-    val base = signed(docs, idCol, textCol, p)
+      path: String, p: Params, mode: String): Unit =
+    writeSigned(signed(docs, idCol, textCol, p), path, p, mode)
+
+  /** Write an already-signed frame's band keys + hashed shingles — lets
+    * the streaming ingest append a batch's SURVIVORS from the staged
+    * frame its dedup already built instead of re-shingling them.
+    */
+  private[graft] def writeSigned(base: DataFrame, path: String, p: Params,
+      mode: String): Unit = {
     Dedup.bandedKeys(base, p.numHashes, p.bands)
       .write.mode(mode).parquet(s"$path/bands")
     base.select(col("id"),
@@ -88,7 +95,7 @@ object IncrementalDedup {
   /** The staged (id, sh, n_sh, sig) frame of a batch under the index's
     * parameters — the same construction [[Dedup.minhashPairsFrom]] stages.
     */
-  private def signed(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def signed(docs: DataFrame, idCol: String, textCol: String,
       p: Params): DataFrame =
     Dedup.shingleFrame(docs, idCol, textCol, p.shingleSize)
       .withColumn("sig", Dedup.minhashSignature(col("sh"), p.numHashes))
@@ -103,9 +110,18 @@ object IncrementalDedup {
     */
   def newBatchPairs(newDocs: DataFrame, idCol: String, textCol: String,
       path: String, jaccardThreshold: Double = 0.5): DataFrame = {
-    val spark = newDocs.sparkSession
-    val p = readParams(spark, path)
-    val base = signed(newDocs, idCol, textCol, p)
+    val p = readParams(newDocs.sparkSession, path)
+    newBatchPairsFrom(signed(newDocs, idCol, textCol, p), path, p,
+      jaccardThreshold)
+  }
+
+  /** [[newBatchPairs]] over a prebuilt [[signed]] frame — the streaming
+    * ingest signs a batch once and reuses the staged frame for both the
+    * pair search and the survivor append.
+    */
+  private[graft] def newBatchPairsFrom(base: DataFrame, path: String,
+      p: Params, jaccardThreshold: Double): DataFrame = {
+    val spark = base.sparkSession
     val deltaBanded = Dedup.bandedKeys(base, p.numHashes, p.bands).stagePersist()
     val deltaSh = base.select(col("id"),
       transform(col("sh"), s => xxhash64(s)).as("shash"), col("n_sh"))
@@ -167,8 +183,13 @@ object IncrementalDedup {
     * batch — the rows [[appendBatch]] should ingest.
     */
   def newKeepList(newDocs: DataFrame, idCol: String, textCol: String,
-      path: String, jaccardThreshold: Double = 0.5): DataFrame = {
-    val pairs = newBatchPairs(newDocs, idCol, textCol, path, jaccardThreshold)
+      path: String, jaccardThreshold: Double = 0.5): DataFrame =
+    keepListFromPairs(newDocs, idCol,
+      newBatchPairs(newDocs, idCol, textCol, path, jaccardThreshold))
+
+  /** The keep-list derivation over an already-computed pair set. */
+  private[graft] def keepListFromPairs(newDocs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val newIds = newDocs.select(col(idCol).as("nid"))
     // a new doc drops when it pairs with ANY indexed doc (either side) or
     // with a lower-id batch doc; batch-internal clusters keep their min id

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.operators.{IncrementalDedup, Staging}
+import graft.operators.Staging.Stageable
 
 /** CONTINUOUS corpus hygiene — the streaming composition of the two
   * round-8 production pieces: arriving document files flow through the
@@ -48,6 +49,9 @@ import graft.operators.{IncrementalDedup, Staging}
   */
 object CorpusIngest {
 
+  private val paramsCache =
+    scala.collection.concurrent.TrieMap.empty[String, IncrementalDedup.Params]
+
   /** Drain every available document file under `srcDir` (one file per
     * micro-batch, arrival order) through the incremental dedup, then
     * return the accumulated sink contents (all survivors so far, with
@@ -59,11 +63,22 @@ object CorpusIngest {
     * stores) unless one already exists — seeding with a pre-built index
     * dedups the stream against a standing corpus from the first batch.
     */
-  def runIngestAvailableNow(spark: SparkSession, srcDir: String,
+  def runIngestAvailableNow(spark0: SparkSession, srcDir: String,
       indexPath: String, sinkPath: String, checkpointPath: String,
       idCol: String = "doc_id", textCol: String = "text",
       jaccardThreshold: Double = 0.5,
-      params: IncrementalDedup.Params = IncrementalDedup.Params(3, 16, 4)): DataFrame = {
+      params: IncrementalDedup.Params = IncrementalDedup.Params(3, 16, 4),
+      shufflePartitions: Option[Int] = None): DataFrame = {
+    // like EventStreams.drainSession: a bounded drain's exchanges should
+    // be sized to ITS data, not the cluster default — a gate-scale batch
+    // pays ~10 shuffles whose per-task overhead dwarfs the rows. A
+    // production ingest sizes this to the arrival volume (or leaves the
+    // session untouched).
+    val spark = shufflePartitions.fold(spark0) { n =>
+      val s = spark0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      s
+    }
     val schema = spark.read.parquet(srcDir).schema
     val src = spark.readStream
       .schema(schema)
@@ -89,20 +104,53 @@ object CorpusIngest {
   private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
       indexPath: String, sinkPath: String, idCol: String, textCol: String,
       jaccardThreshold: Double, params: IncrementalDedup.Params): Unit = {
+    val t00 = System.nanoTime()
     if (batch.isEmpty) return
+    if (sys.env.contains("GRAFT_INGEST_PROFILE"))
+      System.err.println(
+        f"[ingest] batch=$batchId isEmpty      ${(System.nanoTime() - t00) / 1e9}%6.2f s")
     val spark = batch.sparkSession
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(indexPath, "params")))
       IncrementalDedup.buildIndex(batch.limit(0), idCol, textCol, indexPath, params)
+    def timed[A](label: String)(f: => A): A =
+      if (!sys.env.contains("GRAFT_INGEST_PROFILE")) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[ingest] batch=$batchId $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
     try {
-      IncrementalDedup
-        .newKeepList(batch, idCol, textCol, indexPath, jaccardThreshold)
-        .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
-      // append from the sink read-back: survivors materialize once (the
-      // write above), not once per consumer
-      val kept = spark.read.parquet(s"$sinkPath/batch=$batchId")
-        .select(batch.columns.map(col).toIndexedSeq: _*)
-      IncrementalDedup.appendBatch(kept, idCol, textCol, indexPath)
+      // the batch signs ONCE: the staged (id, sh, sig) frame feeds the
+      // pair search, and the survivor append reuses it — a standalone
+      // newKeepList + appendBatch sequence would re-shingle and re-sign
+      // the survivors
+      // params are pinned at build time — one read per index per JVM
+      val p = paramsCache.getOrElseUpdate(indexPath,
+        IncrementalDedup.readParams(spark, indexPath))
+      val base = IncrementalDedup.signed(batch, idCol, textCol, p)
+      timed("sign")(if (sys.env.contains("GRAFT_INGEST_PROFILE")) base.count())
+      // staged: the keep-list derivation consumes the pair set three
+      // times (both drop directions + the batch-internal exemption) —
+      // unpersisted, the exact-Jaccard verify join would re-run for each
+      val pairs = IncrementalDedup.newBatchPairsFrom(base, indexPath, p,
+        jaccardThreshold).stagePersist()
+      timed("pairs")(if (sys.env.contains("GRAFT_INGEST_PROFILE")) pairs.count())
+      timed("keep+sink") {
+        IncrementalDedup.keepListFromPairs(batch, idCol, pairs)
+          .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+      }
+      // append the survivors' already-staged rows, identified from the
+      // sink read-back (the write above is the materialization point)
+      val keptIds = spark.read.parquet(s"$sinkPath/batch=$batchId")
+        .select(col(idCol).as("id"))
+      timed("append") {
+        IncrementalDedup.writeSigned(
+          base.join(broadcast(keptIds), Seq("id"), "left_semi"),
+          indexPath, p, "append")
+      }
     } finally
       // staging frames (shingles, signatures, candidates) die with the
       // batch — a 10k-batch ingest must not accumulate 10k persists

@@ -117,6 +117,19 @@ object ScaleBench {
       graft.streaming.EventStreams.runTumblingAppendDurable(
         s, dir, s"$work/sink", s"$work/ckpt")
     },
+    // CONTINUOUS ingest at ladder scale: the fixture's 16-part documents
+    // dir drains one file per micro-batch through the incremental dedup
+    // (fresh index/sink/checkpoint per run): 16 arrivals, each deduped
+    // against the survivors of everything before it. Per-arrival cost
+    // must track the ARRIVAL plus the growing index scan — the whole
+    // point of the persisted-index shape.
+    "x_stream_ingest" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_scale_ingest_").toString
+      scratchDirs.add(work)
+      graft.streaming.CorpusIngest.runIngestAvailableNow(
+        s, s"$dir/documents.parquet", s"$work/idx", s"$work/sink", s"$work/ckpt",
+        jaccardThreshold = 0.5)
+    },
     // incremental-dedup index build over the 90% historical slice: two
     // distributed writes (band keys + hashed shingles) — the one-time
     // cost an increment pipeline amortizes across every later batch
