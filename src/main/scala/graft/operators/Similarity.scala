@@ -469,4 +469,86 @@ object Similarity {
       .select("id_a", "id_b", "cos")
     (pairs, planes)
   }
+
+  /** SemDeDup-style SEMANTIC near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): train the IVF coarse quantizer
+    * (same deterministic seeding + decimal-exact Lloyd as [[ivfTopK]]),
+    * assign each vector to its `assignReplicas` nearest cells, and verify
+    * exact cosine ≥ threshold only WITHIN cells.
+    *
+    * Versus [[cosineNearDupPairs]] (hyperplane LSH): cells adapt to the
+    * data's density, so a corpus organized around semantic clusters — the
+    * case SemDeDup targets — concentrates comparison work exactly where
+    * the near-dups are, and the cell partition doubles as the semantic
+    * grouping downstream keep-policies want ("keep one per ε-ball per
+    * cluster"). Replica assignment (each vector enters its top-R cells)
+    * is the boundary-robustness knob: a pair split by a cell boundary
+    * still meets in a shared second-choice cell.
+    *
+    * Scale shape: in-cell pair work is Σ cell² — callers scale `nlist`
+    * with corpus size (cells ≈ n / targetCell) to keep it linear, the
+    * same contract as the paper's k-means sharding; the trainer's driver
+    * traffic stays ≤ nlist rows per Lloyd iteration. Output matches
+    * [[cosineNearDupPairs]]: (id_a, id_b, cos), id_a < id_b, exact-cosine
+    * verified, deterministic end to end. Collapse to clusters with
+    * [[Dedup.connectedComponents]] like any other pair operator.
+    */
+  def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, iters: Int = 2,
+      assignReplicas: Int = 2): DataFrame = {
+    VectorFunctions.ensureRegistered(corpus.sparkSession)
+    val c = Staging.widen(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
+      .stagePersist()
+
+    var centroids: Array[Array[Double]] = farthestPointSeeds(c, nlist)
+    def scoresCol(vec: Column): Column =
+      array(centroids.toIndexedSeq.map(ct => VectorFunctions.vector_dot(vec, lit(ct))): _*)
+    def assigned(df: DataFrame): DataFrame =
+      df.withColumn("__scores", scoresCol(col("n_vec")))
+        .withColumn("cluster",
+          expr("array_position(__scores, array_max(__scores))").cast("int"))
+        .drop("__scores")
+    for (_ <- 1 to iters) {
+      val means = lloydMeans(assigned(c)).collect() // ≤ nlist rows
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        val mean = r.getSeq[Double](1).toArray
+        if (mean.exists(_ != 0d)) next(r.getAs[Int]("cluster") - 1) = normalizeVec(mean)
+      }
+      centroids = next
+    }
+
+    // top-R cells map-side (sorted (score, cell) pairs, sliced) — the
+    // same shape as ivfTopK's topCells; ties break on cell index
+    def topCells(vec: Column, r: Int): Column = {
+      val paired = zip_with(scoresCol(vec),
+        sequence(lit(1), lit(centroids.length)),
+        (s, cc) => struct(s.as("s"), cc.as("c")))
+      val sorted = array_sort(paired, (a, b) =>
+        when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1)
+          .when(a.getField("c") < b.getField("c"), -1).otherwise(1))
+      slice(sorted, 1, r)
+    }
+    val cells = c.select(col("n_id"),
+        explode(topCells(col("n_vec"), math.max(1, assignReplicas))).as("t"))
+      .select(col("n_id"), col("t.c").as("cluster"))
+      .stagePersist()
+
+    // within-cell candidate pairs — ids only; vectors join back for the
+    // exact-cosine verify, so the cell shuffle never carries embeddings
+    val pairIds = cells.select(col("cluster"), col("n_id").as("id_a"))
+      .join(cells.select(col("cluster").as("cl_r"), col("n_id").as("id_b")),
+        col("cluster") === col("cl_r") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b") // replica cells meet a pair twice
+    pairIds
+      .join(c.select(col("n_id").as("id_a"), col("n_vec").as("vec_a")), "id_a")
+      .join(c.select(col("n_id").as("id_b"), col("n_vec").as("vec_b")), "id_b")
+      .withColumn("cos", VectorFunctions.cosine_sim(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

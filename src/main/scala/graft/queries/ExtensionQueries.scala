@@ -267,6 +267,45 @@ object ExtensionQueries extends QueryModule {
             col("n_hit") >= col("n_strong") * lit(0.9)).as("recall_ok"))
     },
 
+    // SEMANTIC dedup (SemDeDup): k-means cells + within-cell exact cosine
+    // — same gate construction as q_dedup_embed (bounded id<256 exact
+    // twin at the STRONG threshold 0.3; the operator runs at 0.2).
+    // Fixture note: these embeddings are ISOTROPIC (max pair cos ≈ 0.45),
+    // the hardest case for cell-local dedup — the paper's actual regime
+    // (tight semantic clusters, dup cos ≥ 0.9) co-cells near-trivially.
+    // replicas=3 at the gate's nlist=8 holds recall at a measured 0.95 on
+    // both the sf0.01 and sf0.1 fixtures (deterministic — the trainer and
+    // assignment are seed-fixed); production runs scale nlist ≈ n/cell
+    // with replicas constant, keeping in-cell pair work linear.
+    "q_dedup_semantic" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val emb = t.embeddings
+      val pairs = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.2, nlist = 8, assignReplicas = 3).stagePersist()
+      val sub = emb.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+        .stagePersist()
+      val withNorm = sub.withColumn("nrm", Similarity.norm(col("vec")))
+      val a = withNorm.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+      val b = withNorm.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
+      val strong = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cos", graft.functions.VectorFunctions.vector_dot(col("va"), col("vb"))
+          / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.3)
+        .select("id_a", "id_b")
+        .stagePersist()
+      val nStrong = strong.agg(count(lit(1)).as("n_strong"))
+      val nHit = pairs.filter(col("id_a") < 256 && col("id_b") < 256)
+        .join(strong, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val prec = pairs.agg(
+        coalesce(min(col("cos")) >= 0.2, lit(true)).as("precision_ok"))
+      broadcast(nStrong).crossJoin(broadcast(nHit)).crossJoin(broadcast(prec))
+        .select(col("n_strong"), col("precision_ok"),
+          (col("n_strong") === 0 ||
+            col("n_hit") >= col("n_strong") * lit(0.9)).as("recall_ok"))
+    },
+
     // INCREMENTAL embedding dedup: same construction as q_dedup_embed's
     // gate, but the pairs come from IncrementalAnn — a 25% delta slice
     // (vec_id % 4 = 0) queried against a persisted index of the other
@@ -401,6 +440,16 @@ object ExtensionQueries extends QueryModule {
 
     // Semi-structured extraction: JSON props column → typed value →
     // grouped stats (get_json_object is codegen'd; no UDF).
+    // Data profiling — per-column row/null/distinct/min/max over
+    // `documents` (Profile.profile, the exact surface; profileApprox is
+    // the 100 TB default, spec-pinned). One scan, one aggregate job.
+    "q_profile" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      graft.operators.Profile
+        .profile(t.documents, Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column")
+    },
+
     "q_json_props" -> { (s, dir) =>
       val t = new Tables(s, dir)
       t.events
@@ -829,6 +878,24 @@ object ExtensionQueries extends QueryModule {
              list_prepend(CAST(0 AS DOUBLE),
                list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2])),
              (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3""",
+    // identical exact twin — the semantic path is gated against the same
+    // bounded-subset strong-pair set as the LSH path
+    "q_dedup_semantic" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings WHERE vec_id < 256),
+         n AS (
+           SELECT vec_id, vec,
+             sqrt(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list_transform(vec, x -> x * x)),
+               (acc, x) -> acc + x)) AS nrm
+           FROM v)
+         SELECT count(*) AS n_strong, TRUE AS precision_ok, TRUE AS recall_ok
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2])),
+             (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3""",
     // same exact twin RESTRICTED to pairs touching the 25% delta slice
     "q_dedup_embed_incremental" ->
       """WITH v AS (
@@ -985,6 +1052,19 @@ object ExtensionQueries extends QueryModule {
          ORDER BY s.doc_id"""),
     // sum(BIGINT) is HUGEINT in DuckDB — cast back so the arrow schema
     // matches Spark's int64.
+    // one UNION ALL branch per profiled column; counts cast back to
+    // BIGINT (DuckDB count(*) is BIGINT already, arithmetic stays BIGINT)
+    "q_profile" -> {
+      val branches = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+               count(*) - count($c) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               CAST(min($c) AS VARCHAR) AS min_val,
+               CAST(max($c) AS VARCHAR) AS max_val
+             FROM documents"""
+      }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "q_json_props" ->
       """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
                 min(k) AS min_k, max(k) AS max_k

@@ -77,6 +77,20 @@ object GateProbe {
         s"|lsh∩strong|=${(lshPairs & strongSet).size} " +
         s"recall=${(lshPairs & strongSet).size.toDouble / math.max(strongSet.size, 1)}")
     }
+
+    // semantic (SemDeDup cells): strong-pair recall vs nlist/replicas,
+    // across strong thresholds (the cell split rate falls as cos rises)
+    for (nlist <- Seq(8, 16); reps <- Seq(2, 3)) {
+      val sem = pairSet(Similarity.semanticNearDupPairs(emb, "vec_id",
+          "embedding", threshold = 0.2, nlist = nlist, assignReplicas = reps)
+        .filter(col("id_a") < 256 && col("id_b") < 256))
+      for (strong <- Seq(0.3, 0.35, 0.4, 0.45)) {
+        val strongSet = pairSet(allPairs.filter(col("cos") >= strong))
+        println(s"[gate] semantic nlist=$nlist reps=$reps strong=$strong: " +
+          s"${(sem & strongSet).size}/${strongSet.size} " +
+          s"recall=${(sem & strongSet).size.toDouble / math.max(strongSet.size, 1)}")
+      }
+    }
     spark.stop()
   }
 }

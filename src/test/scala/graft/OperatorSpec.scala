@@ -956,4 +956,68 @@ class OperatorSpec extends AnyFunSuite {
     val again = Multimodal.decodeFeatures(media).orderBy("mediaId").limit(5).collect()
     assert(rows.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
   }
+
+  test("profile: exact counts on a crafted frame; approx agrees on everything but distincts") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")), (Some(2L), None),
+      (None, Some("b")), (None, None)
+    ).toDF("k", "s")
+    val p = Profile.profile(df, Seq("k", "s")).orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(p.toSeq == Seq(
+      ("k", 5L, 2L, 2L, "1", "2"),
+      ("s", 5L, 2L, 2L, "a", "b")))
+    // approx surface: identical rows/nulls/min/max; distincts within HLL
+    // error on a real column (doc_id is unique — the worst case for Σ
+    // distincts, exactly why the approx path exists)
+    val docs = t("documents")
+    val exact = Profile.profile(docs, Seq("doc_id", "lang")).orderBy("column").collect()
+    val approx = Profile.profileApprox(docs, Seq("doc_id", "lang")).orderBy("column").collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) == a.getString(0))
+      assert(e.getLong(1) == a.getLong(1) && e.getLong(2) == a.getLong(2))
+      assert(e.getString(4) == a.getString(4) && e.getString(5) == a.getString(5))
+      val rel = math.abs(a.getLong(3) - e.getLong(3)).toDouble / math.max(e.getLong(3), 1L)
+      assert(rel <= 0.15, s"${e.getString(0)}: approx ${a.getLong(3)} vs exact ${e.getLong(3)}")
+    }
+  }
+
+  test("semantic pairs: exact-cosine precision, brute-force subset, replica monotonicity") {
+    val emb = t("embeddings")
+    val sem = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, nlist = 4, assignReplicas = 2)
+    val rows = sem.collect()
+    assert(rows.nonEmpty)
+    // precision is exact by construction: every emitted cos clears τ and
+    // matches the brute-force cosine for that pair bit-for-bit
+    val v = emb.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val brute = v.select(col("id").as("id_a"), col("vec").as("va"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb")), col("id_a") < col("id_b"))
+      .withColumn("cos", graft.functions.VectorFunctions.vector_dot(col("va"), col("vb"))
+        / (Similarity.norm(col("va")) * Similarity.norm(col("vb"))))
+      .filter(col("cos") >= 0.2)
+      .select("id_a", "id_b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(2) >= 0.2)
+      assert(brute.contains(key), s"pair $key not in brute-force set")
+      assert(brute(key) == r.getDouble(2), s"cos mismatch at $key")
+    }
+    // top-2 cells ⊆ top-3 cells per vector, so the pair set is monotone
+    // in assignReplicas (same trained centroids — seeding is fixed)
+    val sem3 = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, nlist = 4, assignReplicas = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem2 = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem2.subsetOf(sem3))
+    // determinism: a second run returns the identical pair set
+    val again = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, nlist = 4, assignReplicas = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == sem2)
+  }
 }
