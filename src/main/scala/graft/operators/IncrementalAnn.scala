@@ -99,6 +99,9 @@ object IncrementalAnn {
   }
 
   def readParams(spark: SparkSession, path: String): VecParams = {
+    // a crashed compaction swap rolls forward here, so every query/append
+    // entry point (all read params first) sees a consistent store
+    IndexMaintenance.healAll(spark, path, Seq("sigs", "vecs"))
     val r = spark.read.parquet(s"$path/params").head()
     VecParams(r.getAs[Int]("dim"), r.getAs[Int]("num_tables"),
       r.getAs[Long]("seed"), r.getAs[Int]("full_planes"), r.getAs[Int]("planes"))

@@ -70,6 +70,9 @@ object IncrementalDedup {
       "append")
 
   def readParams(spark: SparkSession, path: String): Params = {
+    // a crashed compaction swap rolls forward here, so every query/append
+    // entry point (all read params first) sees a consistent store
+    IndexMaintenance.healAll(spark, path, Seq("bands", "shingles"))
     val r = spark.read.parquet(s"$path/params").head()
     Params(r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
       r.getAs[Int]("bands"))

@@ -985,6 +985,94 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("index compaction: bit-identical queries, bounded files, crash-state heal") {
+    import graft.operators.{IncrementalDedup, IndexMaintenance}
+    val docs = t("documents")
+    val work = java.nio.file.Files.createTempDirectory("graft_compact_spec_").toString
+    def pairsOf(delta: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      IncrementalDedup.newBatchPairs(delta, "doc_id", "text", work,
+        jaccardThreshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def fileCount(store: String): Int = {
+      val d = new java.io.File(s"$work/$store")
+      d.listFiles().count(f => f.getName.endsWith(".parquet"))
+    }
+    try {
+      // build + 3 appends (one REPLAYED — the crash-recovery duplicate
+      // compaction must physically drop) → many small append sets
+      IncrementalDedup.buildIndex(docs.filter(col("doc_id") % 4 === 1), "doc_id", "text", work)
+      IncrementalDedup.appendBatch(docs.filter(col("doc_id") % 4 === 2), "doc_id", "text", work)
+      IncrementalDedup.appendBatch(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text", work)
+      IncrementalDedup.appendBatch(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text", work)
+      val delta = docs.filter(col("doc_id") % 4 === 0)
+      val before = pairsOf(delta)
+      assert(before.nonEmpty, "fixture self-check: the delta slice has near-dups")
+      val filesBefore = fileCount("bands")
+      assert(filesBefore >= 4, s"expected ≥4 band append sets, saw $filesBefore")
+
+      IndexMaintenance.compactDedupIndex(spark, work)
+      assert(fileCount("bands") === 1 && fileCount("shingles") === 1)
+      assert(pairsOf(delta) == before, "compaction changed query results")
+      // replayed append rows are physically gone: ids are unique again
+      val shingleIds = spark.read.parquet(s"$work/shingles").select("id").collect().map(_.getLong(0))
+      assert(shingleIds.length == shingleIds.distinct.length)
+
+      // crash state A: staged store + marker present (commit point passed,
+      // swap lost) — reader heals by rolling FORWARD; results unchanged
+      val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val live = new org.apache.hadoop.fs.Path(s"$work/bands")
+      val staged = new org.apache.hadoop.fs.Path(s"$work/bands.compact")
+      val marker = new org.apache.hadoop.fs.Path(s"$work/_compact_bands")
+      assert(f.rename(live, staged))
+      val out = f.create(marker, true); out.writeBytes("bands"); out.close()
+      assert(pairsOf(delta) == before, "heal after crashed swap changed results")
+      assert(f.exists(live) && !f.exists(staged) && !f.exists(marker))
+
+      // crash state B: staged debris WITHOUT marker (crash before commit
+      // point) — heal deletes it and the live store answers
+      val junk = spark.read.parquet(s"$work/bands").limit(1)
+      junk.write.parquet(staged.toString)
+      assert(pairsOf(delta) == before)
+      assert(!f.exists(staged), "uncommitted staged dir not cleaned")
+
+      // compacting an already-compact index is a no-op for results
+      IndexMaintenance.compactDedupIndex(spark, work)
+      assert(pairsOf(delta) == before)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+  }
+
+  test("ann index compaction preserves incremental embedding pairs bit-for-bit") {
+    import graft.operators.{IncrementalAnn, IndexMaintenance}
+    val emb = t("embeddings")
+    val work = java.nio.file.Files.createTempDirectory("graft_anncompact_spec_").toString
+    def pairsOf(delta: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      IncrementalAnn.newBatchPairs(delta, "vec_id", "embedding", work, threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      IncrementalAnn.buildIndex(emb.filter(col("vec_id") % 4 === 1), "vec_id",
+        "embedding", dim = 64, path = work)
+      IncrementalAnn.appendBatch(emb.filter(col("vec_id") % 4 === 2), "vec_id", "embedding", work)
+      IncrementalAnn.appendBatch(emb.filter(col("vec_id") % 4 === 2), "vec_id", "embedding", work)
+      val delta = emb.filter(col("vec_id") % 4 === 0)
+      val before = pairsOf(delta)
+      assert(before.nonEmpty)
+      IndexMaintenance.compactAnnIndex(spark, work)
+      assert(pairsOf(delta) == before, "ann compaction changed query results")
+      val vecIds = spark.read.parquet(s"$work/vecs").select("id").collect().map(_.getLong(0))
+      assert(vecIds.length == vecIds.distinct.length, "replayed vec rows survived compaction")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+  }
+
   test("semantic pairs: exact-cosine precision, brute-force subset, replica monotonicity") {
     val emb = t("embeddings")
     val sem = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
