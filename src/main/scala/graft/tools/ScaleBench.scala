@@ -227,6 +227,34 @@ object ScaleBench {
       graft.operators.Similarity.cosineNearDupPairs(
         t.embeddings, "vec_id", "embedding", dim = 64, threshold = 0.9)
     },
+    // index fragmentation triplet: 20 appended increments leave ~20
+    // parquet append sets per store — x_frag_query times the delta query
+    // against the fragmented index, x_compact_run the compaction rewrite,
+    // x_compact_query the same delta query after it (same answer, bounded
+    // files). The standing index is built once per data dir, like
+    // x_inc_delta's.
+    "x_frag_query" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val idx = fragIdx(s, dir, t)
+      graft.operators.IncrementalDedup.newBatchPairs(
+        t.documents.filter(col("doc_id") % 21 === 20), "doc_id", "text", idx,
+        jaccardThreshold = 0.2)
+    },
+    "x_compact_run" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val idx = fragIdx(s, dir, t)
+      graft.operators.IndexMaintenance.compactDedupIndex(s, idx)
+      s.read.parquet(s"$idx/bands")
+    },
+    "x_compact_query" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val idx = fragIdx(s, dir, t)
+      graft.operators.IncrementalDedup.newBatchPairs(
+        t.documents.filter(col("doc_id") % 21 === 20), "doc_id", "text", idx,
+        jaccardThreshold = 0.2)
+    },
     // dense-corpus escalation: 500k vectors in 32 tight clusters keep
     // colliding at ANY plane count the old 24-bit frame allowed — the
     // governor must be able to keep escalating PAST 24 (the r7 ceiling)
@@ -238,6 +266,26 @@ object ScaleBench {
       System.err.println(s"[scale] embed dense governor settled at planes=$planes on $dir")
       pairs
     })
+
+  /** Standing 20-increment index for the fragmentation triplet: slice 0
+    * builds, slices 1..19 append — the layout a daily pipeline has after
+    * ~3 weeks without maintenance.
+    */
+  private def fragIdx(s: SparkSession, dir: String,
+      t: graft.model.Tables): String = {
+    import org.apache.spark.sql.functions.col
+    val idx = s"/tmp/graft_frag_idx_${Integer.toHexString(dir.hashCode)}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "params"))) {
+      scratchDirs.add(idx)
+      graft.operators.IncrementalDedup.buildIndex(
+        t.documents.filter(col("doc_id") % 21 === 0), "doc_id", "text", idx)
+      (1 to 19).foreach { i =>
+        graft.operators.IncrementalDedup.appendBatch(
+          t.documents.filter(col("doc_id") % 21 === i), "doc_id", "text", idx)
+      }
+    }
+    idx
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale/sf0.1")
