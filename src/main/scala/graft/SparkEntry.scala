@@ -17,7 +17,8 @@ object SparkEntry {
     ExtensionQueries,
     StreamQueries,
     LangQueries,
-    EtlQueries
+    EtlQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

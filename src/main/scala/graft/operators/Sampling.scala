@@ -72,4 +72,69 @@ object Sampling {
     val vCut = ((trainFrac + valFrac) * Buckets).toLong
     when(b < tCut, "train").when(b < vCut, "val").otherwise("test")
   }
+
+  /** Bucket from an arbitrary long KEY (not a bounded fingerprint): the
+    * key is reduced mod 1e9+7 FIRST so the scramble product stays inside
+    * i64 for any input — `uniformBucket` would overflow past ids of
+    * ~3.4e9, i.e. any real corpus. Same [0, 1e6) range and SQL
+    * replicability as `uniformBucket`.
+    */
+  def uniformBucketKey(key: Column): Column =
+    pmod(pmod(key, lit(1000000007L)) * lit(Scramble), lit(Buckets))
+
+  /** LEAKAGE-SAFE split: assign train/val/test from a GROUP key (near-dup
+    * cluster id, source domain, author …) instead of the row's own
+    * content, so every member of a group lands in the SAME split.
+    * Content-hash splitting (`assignSplit`) already pins exact copies
+    * together (identical bytes ⇒ identical split), but NEAR-duplicates
+    * have different bytes — a paraphrased document in train and its
+    * sibling in test is evaluation leakage. Feed this the cluster column
+    * of `Dedup.nearDupClusters` (or any grouping that encodes "these rows
+    * share information") and the whole cluster moves as one unit.
+    * Per-row codegen'd CASE on the group key — no shuffle beyond whatever
+    * produced the key.
+    */
+  def assignSplitByGroup(groupKey: Column, trainFrac: Double, valFrac: Double): Column = {
+    val b = uniformBucketKey(groupKey)
+    val tCut = (trainFrac * Buckets).toLong
+    val vCut = ((trainFrac + valFrac) * Buckets).toLong
+    when(b < tCut, "train").when(b < vCut, "val").otherwise("test")
+  }
+
+  /** Mixture sampling to TARGET OUTPUT PROPORTIONS — the corpus-weighting
+    * step stated the way a data card states it: "the training mix is 50%
+    * en, 12.5% each of de/es/fr/zh", not as per-stratum keep-rates.
+    * Solves for the largest total T such that every stratum can supply
+    * its share (T = min over strata of count_k / weight_k — the binding
+    * stratum is kept whole, the rest are downsampled to match), then
+    * keeps each stratum at rate_k = weight_k·T / count_k by the same
+    * deterministic content-hash rule as every other sampler here.
+    * Strata absent from `weights` are dropped.
+    *
+    * Fully declarative two-pass plan: pass 1 is a map-side-combined
+    * count per stratum (tiny result), the binding minimum is a one-row
+    * aggregate broadcast back over the rates, and pass 2 re-scans with a
+    * broadcast hash semi-join on the (≤ strata-count row) rate table —
+    * no driver collect, no full shuffle of the corpus.
+    */
+  def mixtureSample(df: DataFrame, fp: Column, strata: Column,
+      weights: Map[String, Double]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val weightCol = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, w)) => when(col("_stratum") === lit(k), lit(w)).otherwise(acc)
+    }
+    val counts = df.select(strata.as("_stratum")).groupBy("_stratum")
+      .agg(count(lit(1)).cast("double").as("_n"))
+      .withColumn("_w", weightCol)
+      .filter(col("_w").isNotNull)
+    // binding total: the stratum that runs out first caps the mixture
+    val tMin = counts.agg(min(col("_n") / col("_w")).as("_t"))
+    val rates = counts.crossJoin(broadcast(tMin))
+      .select(col("_stratum"),
+        ((col("_w") * col("_t") / col("_n")) * lit(Buckets.toDouble))
+          .cast("long").as("_cut"))
+    df.join(broadcast(rates), strata === col("_stratum"), "inner")
+      .filter(uniformBucket(fp) < col("_cut"))
+      .drop("_stratum", "_cut")
+  }
 }

@@ -146,4 +146,27 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     graft.functions.VectorFunctions.fingerprint64(text)
+
+  /** Corpus vocabulary: the top-`k` grams by occurrence count, with
+    * document frequency — the tokenizer-training / stopword-discovery /
+    * df-cap-calibration pass of a corpus build (`Dedup.ngramJaccardPairs`'
+    * `maxDf` escape hatch needs exactly this table to pick its cap).
+    *
+    * `grams` must be an ALREADY-STAGED attribute (the staging rule —
+    * `Dedup.ngramsFromTokens` over staged tokens); `docId` is the
+    * document identity for df. Total order (count desc, gram asc) +
+    * LIMIT keeps the result deterministic and plans as partial-agg →
+    * shuffle on gram → TakeOrdered: the shuffle carries one row per
+    * DISTINCT gram (map-side combined), not per occurrence, and the
+    * top-k merge is per-partition — nothing quadratic, no collect, and
+    * the result is k rows regardless of corpus size.
+    */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, grams: Column,
+      docId: Column, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(docId.as("_doc"), explode(grams).as("gram"))
+      .filter(col("gram") =!= "")
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col("_doc")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(k)
 }

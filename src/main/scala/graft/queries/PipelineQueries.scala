@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.{Dedup, Diff, Sampling, Sharding, Staging, TextAnalysis}
+import graft.operators.Staging.Stageable
+
+/** Corpus-lifecycle operators around the build itself: what to RE-process
+  * (snapshot diff), how to WEIGHT it (mixture-to-target sampling), how to
+  * SPLIT it without leakage (group-keyed split), what its vocabulary is
+  * (top-k gram table), and how to SHIP it (deterministic shards +
+  * verifiable manifest). No reference analogue — upstream stops at
+  * relational navigation; these are the steps a 100 TB training-data
+  * pipeline runs before and after everything in `ExtensionQueries`.
+  *
+  * All five are exactly SQL-expressible, so each gets a full-hash DuckDB
+  * oracle (no gates needed): the samplers reuse the rolling-hash
+  * fingerprint fold the oracle can replay, the diff is a relational full
+  * outer join, and the manifest checksum is an order-independent bit_xor
+  * both engines define identically.
+  */
+object PipelineQueries extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+
+    // Snapshot diff: prev = customer, next = a deterministically drifted
+    // snapshot (updates: +10.00 acctbal on custkey%10=0; deletes:
+    // custkey%17=3; inserts: custkey%50=7 re-keyed +1e6). The operator
+    // reports churn only — added/removed/changed + the changed column set.
+    "q_diff" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val prev = t.customer
+      val next = prev
+        .filter(col("c_custkey") % 17 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(prev.filter(col("c_custkey") % 50 === 7)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      Diff.snapshotDiff(prev, next, Seq("c_custkey")).orderBy("c_custkey")
+    },
+
+    // Mixture sampling to target OUTPUT proportions (50% en, 12.5% each
+    // de/es/fr/zh): the binding stratum is kept whole, the rest
+    // downsample to match, membership by content hash.
+    "q_mixture" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Sampling.mixtureSample(t.documents,
+          TextAnalysis.fingerprint(col("text")), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+            "fr" -> 0.125, "zh" -> 0.125))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Leakage-safe split: near-dup clusters move into train/val/test as
+    // ONE unit (split keyed on the cluster id, not the row's own bytes),
+    // so a paraphrased pair can never straddle the eval boundary.
+    "q_split_leakproof" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Dedup.nearDupClusters(t.documents, "doc_id", "text",
+          n = 3, threshold = 0.2, minCommon = 2)
+        .select(col("doc_id"), col("cluster"),
+          Sampling.assignSplitByGroup(col("cluster"), 0.9, 0.05).as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Top-500 bigram vocabulary with occurrence + document frequency —
+    // the tokenizer-training / df-cap-calibration table.
+    "q_vocab" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val toks = Staging.widen(t.documents)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .stagePersist()
+      TextAnalysis.vocabulary(toks,
+          Dedup.ngramsFromTokens(col("toks"), 2), col("doc_id"), 500)
+        .orderBy(col("n_occ").desc, col("gram"))
+    },
+
+    // Sharded-export manifest: 8 content-addressed shards, each row a
+    // (count, xor-checksum, id-range) a loader can verify.
+    "q_shard" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Sharding.manifest(t.documents,
+          TextAnalysis.fingerprint(col("text")), col("doc_id"), 8)
+        .orderBy("shard")
+    }
+  )
+
+  /** The rolling-hash fingerprint fold, as the oracle replays it. */
+  private val fpSql =
+    """list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+             c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_diff" ->
+      """WITH nxt AS (
+           SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 10.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+           FROM customer WHERE c_custkey % 17 <> 3
+           UNION ALL
+           SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+           FROM customer WHERE c_custkey % 50 = 7),
+         d AS (
+           SELECT coalesce(p.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN p.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change,
+             CASE WHEN p.c_custkey IS NULL OR n.c_custkey IS NULL THEN ''
+                  ELSE coalesce(list_aggregate(list_sort(list_filter(
+                    [CASE WHEN p.c_acctbal    IS DISTINCT FROM n.c_acctbal    THEN 'c_acctbal'    END,
+                     CASE WHEN p.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'c_mktsegment' END,
+                     CASE WHEN p.c_name       IS DISTINCT FROM n.c_name       THEN 'c_name'       END,
+                     CASE WHEN p.c_nationkey  IS DISTINCT FROM n.c_nationkey  THEN 'c_nationkey'  END],
+                    x -> x IS NOT NULL)), 'string_agg', ','), '') END AS changed_cols
+           FROM customer p FULL OUTER JOIN nxt n ON p.c_custkey = n.c_custkey)
+         SELECT c_custkey, change, changed_cols FROM d
+         WHERE change <> 'changed' OR changed_cols <> ''
+         ORDER BY c_custkey""",
+
+    "q_mixture" ->
+      s"""WITH f AS (SELECT doc_id, lang, $fpSql AS fp FROM documents),
+         c AS (
+           SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                       WHEN 'de' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'es' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'fr' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'zh' THEN CAST(0.125 AS DOUBLE) END AS w
+           FROM documents GROUP BY lang),
+         t AS (SELECT min(n / w) AS t FROM c WHERE w IS NOT NULL),
+         r AS (
+           SELECT lang,
+             CAST(trunc(((w * t.t) / n) * 1000000.0) AS BIGINT) AS cut
+           FROM c, t WHERE w IS NOT NULL)
+         SELECT f.doc_id, f.lang FROM f JOIN r ON f.lang = r.lang
+         WHERE (f.fp * 2654435761) % 1000000 < r.cut
+         ORDER BY f.doc_id""",
+
+    // Same shingle/pair/closure pipeline as the q_dedup_clusters oracle,
+    // then the split CASE keyed on the CLUSTER id.
+    "q_split_leakproof" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+           FROM toks),
+         inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM inv a JOIN inv b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+           HAVING count(*) >= 2
+              AND CAST(count(*) AS DOUBLE)
+                  / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE) >= 0.2),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+         cl AS (
+           SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         SELECT doc_id, cluster,
+           CASE WHEN ((cluster % 1000000007) * 2654435761) % 1000000 < 900000
+                  THEN 'train'
+                WHEN ((cluster % 1000000007) * 2654435761) % 1000000 < 950000
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM cl ORDER BY doc_id""",
+
+    "q_vocab" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - 1, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 1), 'string_agg', ' '))) AS gram
+           FROM toks)
+         SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+         FROM g WHERE gram <> ''
+         GROUP BY gram
+         ORDER BY n_occ DESC, gram LIMIT 500""",
+
+    "q_shard" ->
+      s"""WITH f AS (SELECT doc_id, $fpSql AS fp FROM documents),
+         s AS (SELECT doc_id, fp,
+           ((fp % 1000000007) * 40503 + 2654435761) % 8 AS shard FROM f)
+         SELECT shard, count(*) AS n_rows, bit_xor(fp) AS checksum,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM s GROUP BY shard ORDER BY shard"""
+  )
+}
