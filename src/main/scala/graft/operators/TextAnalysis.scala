@@ -169,4 +169,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occ"), count_distinct(col("_doc")).as("n_docs"))
       .orderBy(col("n_occ").desc, col("gram"))
       .limit(k)
+
+  /** 100 TB default for [[vocabulary]]: HLL++ document frequency instead
+    * of exact `count_distinct`. The exact form's distinct rewrite
+    * shuffles one row per DISTINCT (gram, doc) pair — on a hot gram that
+    * is one row per document containing it, i.e. the shuffle scales with
+    * corpus size for exactly the grams a df table exists to find. The
+    * sketch keeps the shuffle at one constant-size buffer per (partition,
+    * gram): corpus-size-independent rows, same top-k surface. `n_occ`
+    * (the ranking key) stays exact either way — only the df column is
+    * approximate (±rsd), which is what calibrating a `maxDf` cap or a
+    * stopword cut actually needs.
+    */
+  def vocabularyApprox(df: org.apache.spark.sql.DataFrame, grams: Column,
+      docId: Column, k: Int, rsd: Double = 0.05): org.apache.spark.sql.DataFrame =
+    df.select(docId.as("_doc"), explode(grams).as("gram"))
+      .filter(col("gram") =!= "")
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"),
+        approx_count_distinct(col("_doc"), rsd).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(k)
 }

@@ -255,6 +255,47 @@ object ScaleBench {
         t.documents.filter(col("doc_id") % 21 === 20), "doc_id", "text", idx,
         jaccardThreshold = 0.2)
     },
+    // snapshot diff at corpus scale: documents vs a deterministically
+    // drifted snapshot (1% text updates, ~6% deletes, 2% re-keyed
+    // inserts) — churn-shaped output, one full-outer key join
+    "x_diff_docs" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val t = new graft.model.Tables(s, dir)
+      val prev = t.documents
+      val next = prev.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 100 === 0, concat(col("text"), lit(" drift")))
+            .otherwise(col("text")))
+        .unionByName(prev.filter(col("doc_id") % 50 === 7)
+          .withColumn("doc_id", col("doc_id") + 100000000L))
+      graft.operators.Diff.snapshotDiff(prev, next, Seq("doc_id"))
+    },
+    // sharded-export WRITE path (the contract key q_shard times only the
+    // manifest aggregate): 16 content-addressed shard dirs + manifest
+    "x_shard_write" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val work = java.nio.file.Files.createTempDirectory("graft_scale_shard_").toString
+      scratchDirs.add(work)
+      graft.operators.Sharding.writeShards(t.documents,
+        graft.operators.TextAnalysis.fingerprint(col("text")), col("doc_id"),
+        16, work)
+    },
+    // HLL++ vocabulary vs the exact q_vocab: at tier C the exact distinct
+    // rewrite's (gram, doc) shuffle is the dominant cost; the sketch
+    // caps the shuffle at one buffer per (partition, gram)
+    "x_vocab_approx" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      import graft.operators.Staging.Stageable
+      val t = new graft.model.Tables(s, dir)
+      val toks = graft.operators.Staging.widen(t.documents)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+        .stagePersist()
+      graft.operators.TextAnalysis.vocabularyApprox(toks,
+        graft.operators.Dedup.ngramsFromTokens(col("toks"), 2),
+        col("doc_id"), 500)
+    },
     // dense-corpus escalation: 500k vectors in 32 tight clusters keep
     // colliding at ANY plane count the old 24-bit frame allowed — the
     // governor must be able to keep escalating PAST 24 (the r7 ceiling)

@@ -146,6 +146,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(v == Set("y x", "y y"))
   }
 
+  test("vocabularyApprox agrees with exact vocabulary within the sketch bound") {
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val grams = Dedup.ngramsFromTokens(col("toks"), 2)
+    val exact = TextAnalysis.vocabulary(toks, grams, col("doc_id"), 200)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val approx = TextAnalysis.vocabularyApprox(toks, grams, col("doc_id"), 200)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // n_occ ranks both, so the gram list and occurrence counts are identical
+    assert(exact.map(t => (t._1, t._2)).toSeq == approx.map(t => (t._1, t._2)).toSeq)
+    // df is sketched: ±15% (looser than rsd to absorb small-range bias)
+    val dfByGram = approx.map(t => t._1 -> t._3).toMap
+    exact.foreach { case (g, _, nd) =>
+      val ad = dfByGram(g)
+      assert(math.abs(ad - nd) <= math.max(2L, (0.15 * nd).toLong),
+        s"$g: approx df $ad vs exact $nd")
+    }
+  }
+
   // ---- sharding ------------------------------------------------------
 
   test("writeShards → verifyShards round-trips; shard dirs are pure") {
