@@ -32,6 +32,12 @@ object Diff {
     * `prev`'s column order.
     */
   def snapshotDiff(prev: DataFrame, next: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(prev.columns.sorted.sameElements(next.columns.sorted),
+      s"snapshot schemas differ: ${prev.columns.mkString(",")} vs " +
+        s"${next.columns.mkString(",")} — align columns before diffing " +
+        "(schema evolution is a separate, intentional step)")
+    keys.foreach(k => require(prev.columns.contains(k), s"missing key column $k"))
     val valueCols = prev.columns.filterNot(keys.contains).toSeq
     // presence markers survive the outer join even when every data column
     // is null-able; key columns coalesce across sides

@@ -119,6 +119,8 @@ object Sampling {
     */
   def mixtureSample(df: DataFrame, fp: Column, strata: Column,
       weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be a non-empty map of positive fractions")
     import org.apache.spark.sql.functions.broadcast
     val weightCol = weights.foldLeft(lit(null).cast("double")) {
       case (acc, (k, w)) => when(col("_stratum") === lit(k), lit(w)).otherwise(acc)

@@ -30,8 +30,10 @@ object Sharding {
     * intermediate inside i64 for ANY long input (modulo first), and is
     * exactly replicable in ANSI SQL for the oracle.
     */
-  def assignShard(fp: Column, n: Int): Column =
+  def assignShard(fp: Column, n: Int): Column = {
+    require(n > 0, s"shard count must be positive, got $n")
     pmod(pmod(fp, lit(1000000007L)) * lit(40503L) + lit(2654435761L), lit(n.toLong))
+  }
 
   /** Per-shard manifest: row count, order-independent fingerprint
     * checksum, and id range. `id` is any total-order column (doc_id).

@@ -190,4 +190,46 @@ object TextAnalysis {
         approx_count_distinct(col("_doc"), rsd).as("n_docs"))
       .orderBy(col("n_occ").desc, col("gram"))
       .limit(k)
+
+  /** Per-document keyword extraction: the top-`k` tokens of each document
+    * by tf·idf — the tagging / topic-indexing / boilerplate-spotting pass
+    * (a token that ranks high in MANY documents is a template phrase).
+    *
+    * The score is the LINEAR idf form `tf · (N+1) / (df+1)`: one integer
+    * product and ONE double division, so it is bit-identical across any
+    * IEEE-754 engine (a log-damped idf would hang cross-engine equality
+    * on libm ulp behavior — same ranking monotonicity per document
+    * either way, since log is increasing). Ties break on the token, so
+    * the cut is total.
+    *
+    * Shape at 100 TB: tf is a partial-agg'd groupBy on (doc, token); df
+    * falls out of tf's rows with a second token-keyed agg (no re-scan);
+    * N re-enters as a broadcast one-row aggregate; the final rank is a
+    * window partitioned BY DOCUMENT — millions of independent partitions,
+    * each a handful of rows, no global sort and no skew (a document's
+    * token list is bounded by the document).
+    */
+  def topKeywords(df: org.apache.spark.sql.DataFrame, toks: Column,
+      docId: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val occ = df.select(docId.as("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+    // tf feeds BOTH the score join and the df aggregate — stage it so the
+    // (doc, token) shuffle runs once (Staging rule; released by the caller
+    // harness after the action)
+    val tf = Staging.stage(
+      occ.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dft, "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (col("n") + 1L)).cast("double") / (col("df") + 1L))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rank")
+  }
 }

@@ -84,6 +84,17 @@ object PipelineQueries extends QueryModule {
       Sharding.manifest(t.documents,
           TextAnalysis.fingerprint(col("text")), col("doc_id"), 8)
         .orderBy("shard")
+    },
+
+    // Per-document top-3 keywords by linear tf·idf (bit-exact cross-
+    // engine: one integer product, one double division).
+    "q_keywords" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val toks = Staging.widen(t.documents)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .stagePersist()
+      TextAnalysis.topKeywords(toks, col("toks"), col("doc_id"), 3)
+        .orderBy("doc_id", "rank")
     }
   )
 
@@ -196,6 +207,27 @@ object PipelineQueries extends QueryModule {
          FROM g WHERE gram <> ''
          GROUP BY gram
          ORDER BY n_occ DESC, gram LIMIT 500""",
+
+    "q_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         occ AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM occ
+           WHERE token <> '' GROUP BY doc_id, token),
+         dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+             CAST(tf.tf * (n.n + 1) AS DOUBLE) / (dft.df + 1) AS score
+           FROM tf JOIN dft USING (token), n),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+           FROM scored)
+         SELECT doc_id, token, tf, df, score, rank FROM ranked
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "q_shard" ->
       s"""WITH f AS (SELECT doc_id, $fpSql AS fp FROM documents),

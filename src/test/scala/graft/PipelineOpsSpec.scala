@@ -57,6 +57,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fwd.filter(col("change") =!= "removed").isEmpty)
   }
 
+  test("snapshotDiff supports composite keys") {
+    import spark.implicits._
+    val prev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c"))
+      .toDF("k1", "k2", "v")
+    val next = Seq((1L, 1L, "a"), (1L, 2L, "B"), (3L, 1L, "d"))
+      .toDF("k1", "k2", "v")
+    val out = Diff.snapshotDiff(prev, next, Seq("k1", "k2"))
+      .orderBy("k1", "k2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, "changed", "v"),
+      (2L, 1L, "removed", ""),
+      (3L, 1L, "added", "")))
+  }
+
   // ---- mixture sampling ----------------------------------------------
 
   test("mixtureSample hits target proportions within hash-sampling noise") {
@@ -162,6 +177,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(math.abs(ad - nd) <= math.max(2L, (0.15 * nd).toLong),
         s"$g: approx df $ad vs exact $nd")
     }
+  }
+
+  test("topKeywords ranks by tf·idf with token tie-break") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c a"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val out = TextAnalysis.topKeywords(df, col("toks"), col("doc_id"), 3)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(5)))
+    // N=3; score = tf·4/(df+1), df: a=2 b=2 c=2 → score = tf·4/3
+    // doc2: b and c tie at 4/3 → token asc breaks it
+    assert(out.toSeq == Seq(
+      (1L, "a", 1L), (1L, "b", 2L),
+      (2L, "b", 1L), (2L, "c", 2L),
+      (3L, "c", 1L), (3L, "a", 2L)))
   }
 
   // ---- sharding ------------------------------------------------------
