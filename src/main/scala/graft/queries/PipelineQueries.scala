@@ -87,12 +87,14 @@ object PipelineQueries extends QueryModule {
     },
 
     // Per-document top-3 keywords by linear tf·idf (bit-exact cross-
-    // engine: one integer product, one double division).
+    // engine: one integer product, one double division). No toks staging:
+    // tokens feed a plain explode (computed once per row, no HOF lambda),
+    // and the operator's N count prunes the projection away entirely —
+    // the operator stages only the (doc, token, tf) frame it reuses.
     "q_keywords" -> { (s, dir) =>
       val t = new Tables(s, dir)
       val toks = Staging.widen(t.documents)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        .stagePersist()
       TextAnalysis.topKeywords(toks, col("toks"), col("doc_id"), 3)
         .orderBy("doc_id", "rank")
     }
