@@ -101,6 +101,29 @@ object Sampling {
     when(b < tCut, "train").when(b < vCut, "val").otherwise("test")
   }
 
+  /** Per-group QUOTA: at most `k` rows per group, chosen by the
+    * deterministic content-hash order — domain capping in a corpus build
+    * ("no more than 10k pages per site", "500 problems per source"), the
+    * long-tail-preserving alternative to rate-sampling a skewed group
+    * column (a rate keeps 0.01% of the small domains too; a quota only
+    * trims the heads). Selection is (scrambled hash, tiebreak) rank
+    * within the group, so the kept subset is stable across reruns and
+    * topology like every sampler here, and independent of the group's
+    * size. Plans as one shuffle on the group key + a per-group
+    * WindowGroupLimit (top-k pushed BEFORE the full sort); groups are
+    * independent partitions — no global sort, skew bounded by the
+    * largest single group's k-selection.
+    */
+  def groupQuota(df: DataFrame, group: Column, fp: Column, tiebreak: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"quota must be positive, got $k")
+    df.withColumn("__rank", row_number().over(
+        Window.partitionBy(group).orderBy(uniformBucket(fp), tiebreak)))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Mixture sampling to TARGET OUTPUT PROPORTIONS — the corpus-weighting
     * step stated the way a data card states it: "the training mix is 50%
     * en, 12.5% each of de/es/fr/zh", not as per-stratum keep-rates.

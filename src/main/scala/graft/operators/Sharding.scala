@@ -54,10 +54,22 @@ object Sharding {
     * recomputing the same aggregate from what it read).
     */
   def writeShards(df: DataFrame, fp: Column, id: Column, n: Int,
-      path: String): DataFrame = {
+      path: String, shuffled: Boolean = false): DataFrame = {
     val sharded = df.withColumn("shard", assignShard(fp, n))
       .withColumn("_fp", fp)
-    sharded.repartition(col("shard"))
+    val arranged = sharded.repartition(col("shard"))
+    // shuffled=true writes each shard in deterministic PSEUDO-RANDOM row
+    // order (scrambled-hash sort within the shard's partition) — the
+    // training-time read order, baked in at export so the loader streams
+    // sequentially instead of random-accessing 10^10 rows. A different
+    // scramble than the shard key, or the order would correlate with it.
+    // shard FIRST in the sort key: the dynamic-partition writer requires
+    // rows sorted by the partition column and would otherwise insert its
+    // own (unstable) sort on top, destroying the shuffle order
+    (if (shuffled)
+      arranged.sortWithinPartitions(col("shard"),
+        pmod(pmod(col("_fp") * lit(48271L), lit(1000000007L)), lit(1000000L)))
+    else arranged)
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(path)
     val m = manifest(df, fp, id, n)

@@ -86,6 +86,16 @@ object PipelineQueries extends QueryModule {
         .orderBy("shard")
     },
 
+    // Domain capping: at most 12 docs per source, hash-ordered — trims
+    // the head of a skewed source distribution, keeps the tail whole.
+    "q_quota" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Sampling.groupQuota(t.documents, col("source"),
+          TextAnalysis.fingerprint(col("text")), col("doc_id"), 12)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // Per-document top-3 keywords by linear tf·idf (bit-exact cross-
     // engine: one integer product, one double division). No toks staging:
     // tokens feed a plain explode (computed once per row, no HOF lambda),
@@ -209,6 +219,15 @@ object PipelineQueries extends QueryModule {
          FROM g WHERE gram <> ''
          GROUP BY gram
          ORDER BY n_occ DESC, gram LIMIT 500""",
+
+    "q_quota" ->
+      s"""WITH f AS (SELECT doc_id, source, $fpSql AS fp FROM documents),
+         r AS (
+           SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source
+             ORDER BY (fp * 2654435761) % 1000000, doc_id) AS rk
+           FROM f)
+         SELECT doc_id, source FROM r WHERE rk <= 12 ORDER BY doc_id""",
 
     "q_keywords" ->
       """WITH toks AS (

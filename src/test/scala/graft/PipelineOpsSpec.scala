@@ -109,6 +109,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byLang("en") <= 8L)               // en downsampled toward 4
   }
 
+  test("groupQuota caps each group at k and keeps small groups whole") {
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val out = Sampling.groupQuota(docs, col("source"), fp, col("doc_id"), 2)
+    val byGroup = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup.values.forall(_ <= 2))
+    // small groups survive intact: every source with ≤2 docs keeps all
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.filter(_._2 <= 2).foreach { case (src, n) =>
+      assert(byGroup.getOrElse(src, 0L) == n, s"small group $src shrank")
+    }
+    // deterministic across evaluations
+    val again = Sampling.groupQuota(docs, col("source"), fp, col("doc_id"), 2)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   // ---- leakage-safe split --------------------------------------------
 
   test("group-keyed split never straddles a near-dup cluster") {
@@ -218,6 +235,34 @@ class PipelineOpsSpec extends AnyFunSuite {
         .findFirst().get()
       java.nio.file.Files.delete(aFile)
       assert(!Sharding.verifyShards(spark, work, col("doc_id")).isEmpty)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+  }
+
+  test("shuffled shard export bakes in the deterministic read order") {
+    val work = java.nio.file.Files.createTempDirectory("graft_shard_shuf_").toString
+    try {
+      val fp = TextAnalysis.fingerprint(col("text"))
+      Sharding.writeShards(docs, fp, col("doc_id"), 4, work, shuffled = true)
+      // the manifest (order-independent) still verifies
+      assert(Sharding.verifyShards(spark, work, col("doc_id")).isEmpty)
+      // each shard file's ROW ORDER is the scrambled-hash order, not id
+      // order — the loader streams sequentially and still trains shuffled
+      val s0 = spark.read.parquet(s"$work/shard=0")
+      val gotKeys = s0.select(
+          pmod(pmod(col("_fp") * lit(48271L), lit(1000000007L)),
+            lit(1000000L)).as("k"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gotKeys.size > 2)
+      // file row order IS the scrambled-key order…
+      assert(gotKeys.map(_._1) == gotKeys.map(_._1).sorted)
+      // …which is actually shuffled, not id order
+      val ids = gotKeys.map(_._2)
+      assert(ids != ids.sorted)
     } finally {
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
