@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.operators.{Dedup, Diff, Sampling, Sharding, Staging, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Diff, Sampling, Sharding, Staging, TextAnalysis}
 import graft.operators.Staging.Stageable
 
 /** Corpus-lifecycle operators around the build itself: what to RE-process
@@ -75,6 +75,47 @@ object PipelineQueries extends QueryModule {
       TextAnalysis.vocabulary(toks,
           Dedup.ngramsFromTokens(col("toks"), 2), col("doc_id"), 500)
         .orderBy(col("n_occ").desc, col("gram"))
+    },
+
+    // RELEASE capstone: the full corpus-release path as ONE declarative
+    // plan — exact dedup → benchmark decontamination → per-source quota →
+    // mixture to target lang proportions → leakage-safe split keyed on
+    // the released set's near-dup clusters → per-(split, shard) release
+    // manifest. Every stage is one of the engine's own oracle-checked
+    // operators; the output is the tiny manifest a release process signs.
+    "q_release" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      def fp = TextAnalysis.fingerprint(col("text"))
+      val deduped = docs.join(
+        Dedup.exact(docs, "doc_id", "text").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val flags = Decontaminate.flagContaminated(deduped, "doc_id", "text",
+        bench, "text", n = 3, minOverlap = 2)
+      val clean = deduped.join(
+        flags.filter(!col("contaminated")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val quotaed = Sampling.groupQuota(clean, col("source"), fp, col("doc_id"), 20)
+      // the released set feeds BOTH the cluster build (itself multi-pass)
+      // and the final manifest — stage it, or the dedup→decontam→quota→
+      // mixture prefix re-executes per consumer
+      val mixed = Staging.stage(
+        Sampling.mixtureSample(quotaed, fp, col("lang"),
+            Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+              "fr" -> 0.125, "zh" -> 0.125))
+          .select("doc_id", "text"))
+      val clusters = Dedup.nearDupClusters(mixed, "doc_id", "text",
+        n = 3, threshold = 0.2, minCommon = 2)
+      mixed.join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"))
+        .select(
+          Sampling.assignSplitByGroup(col("cluster"), 0.9, 0.05).as("split"),
+          Sharding.assignShard(fp, 8).as("shard"),
+          fp.as("_fp"), col("doc_id"))
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_fp)").as("checksum"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split", "shard")
     },
 
     // Sharded-export manifest: 8 content-addressed shards, each row a
@@ -219,6 +260,90 @@ object PipelineQueries extends QueryModule {
          FROM g WHERE gram <> ''
          GROUP BY gram
          ORDER BY n_occ DESC, gram LIMIT 500""",
+
+    // The release capstone composes the already-proven oracle fragments:
+    // exact-dedup keep-list, the decontamination overlap CTE, the quota
+    // row_number, the mixture rate solve, the clusters recursive closure
+    // (restricted to the released set), and the shard/checksum aggregate.
+    "q_release" ->
+      s"""WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+           FROM toks),
+         f AS (SELECT doc_id, $fpSql AS fp FROM documents),
+         keep AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(text)),
+         bench AS (
+           SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
+         inv0 AS (
+           SELECT k.doc_id, unnest(sh.s) AS shingle
+           FROM keep k JOIN sh ON k.doc_id = sh.doc_id),
+         ov AS (
+           SELECT i.doc_id, count(*) AS overlap
+           FROM inv0 i JOIN bench b ON i.shingle = b.shingle
+           GROUP BY i.doc_id),
+         clean AS (
+           SELECT k.doc_id FROM keep k LEFT JOIN ov ON k.doc_id = ov.doc_id
+           WHERE coalesce(ov.overlap, 0) < 2),
+         r AS (
+           SELECT d.doc_id, d.lang, f.fp, row_number() OVER (
+             PARTITION BY d.source
+             ORDER BY (f.fp * 2654435761) % 1000000, d.doc_id) AS rk
+           FROM documents d
+           JOIN clean ON d.doc_id = clean.doc_id
+           JOIN f ON d.doc_id = f.doc_id),
+         quota AS (SELECT doc_id, lang, fp FROM r WHERE rk <= 20),
+         c2 AS (
+           SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                       WHEN 'de' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'es' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'fr' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'zh' THEN CAST(0.125 AS DOUBLE) END AS w
+           FROM quota GROUP BY lang),
+         tm AS (SELECT min(n / w) AS t FROM c2 WHERE w IS NOT NULL),
+         rates AS (
+           SELECT lang,
+             CAST(trunc(((w * tm.t) / n) * 1000000.0) AS BIGINT) AS cut
+           FROM c2, tm WHERE w IS NOT NULL),
+         mixed AS (
+           SELECT q.doc_id, q.fp FROM quota q JOIN rates ON q.lang = rates.lang
+           WHERE (q.fp * 2654435761) % 1000000 < rates.cut),
+         minv AS (
+           SELECT m.doc_id, len(sh.s) AS n_sh, unnest(sh.s) AS shingle
+           FROM mixed m JOIN sh ON m.doc_id = sh.doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM minv a JOIN minv b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+           HAVING count(*) >= 2
+              AND CAST(count(*) AS DOUBLE)
+                  / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE) >= 0.2),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r2.a, e.dst FROM reach r2 JOIN edges e ON r2.b = e.src),
+         comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+         final AS (
+           SELECT m.doc_id, m.fp,
+             CASE WHEN ((coalesce(c.cluster, m.doc_id) % 1000000007)
+                        * 2654435761) % 1000000 < 900000 THEN 'train'
+                  WHEN ((coalesce(c.cluster, m.doc_id) % 1000000007)
+                        * 2654435761) % 1000000 < 950000 THEN 'val'
+                  ELSE 'test' END AS split,
+             ((m.fp % 1000000007) * 40503 + 2654435761) % 8 AS shard
+           FROM mixed m LEFT JOIN comp c ON m.doc_id = c.id)
+         SELECT split, shard, count(*) AS n_rows, bit_xor(fp) AS checksum,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM final GROUP BY split, shard ORDER BY split, shard""",
 
     "q_quota" ->
       s"""WITH f AS (SELECT doc_id, source, $fpSql AS fp FROM documents),
