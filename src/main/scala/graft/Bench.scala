@@ -126,6 +126,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // like-for-like vs the recorded round-1 baseline: the suite has grown
+    // ~2× in keys since BASELINE.md's 32.02 s was recorded over THESE 50,
+    // so the total alone conflates coverage growth with regression — this
+    // subtotal is the apples-to-apples number (BENCH_r01.json key set)
+    val baselineSubtotal = results
+      .filter { case (k, v) => BaselineR01Keys(k) && v >= 0 }
+      .map(_._2).sum
     val failJson = failures
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
@@ -133,8 +140,27 @@ object Bench {
     // headline fields LAST: the driver keeps only a tail of stdout, and the
     // per-query map is long enough to push a leading "value" out of the
     // window (JSON key order is semantically irrelevant)
-    println(s"""{"queries":$qs,"failures":$failJson,"skewed":$skewJson,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}""")
+    println(s"""{"queries":$qs,"failures":$failJson,"skewed":$skewJson,"sf":"$sfDir","baseline_r01_keys_subtotal":$baselineSubtotal,"metric":"total","unit":"sec","value":$total}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
+
+  /** The 50 keys the round-1 baseline (BASELINE.md, 32.02 s) was recorded
+    * over — extracted from BENCH_r01.json and frozen here so the
+    * like-for-like subtotal survives artifact rotation.
+    */
+  private val BaselineR01Keys: Set[String] = Set(
+    "q_agg_count", "q_agg_exists_every_any", "q_agg_sum_avg", "q_antijoin",
+    "q_calc", "q_count_distinct", "q_dedup_embed", "q_dedup_exact",
+    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_dedup_text",
+    "q_dist_approx", "q_distinct", "q_fn_cast", "q_fn_cond", "q_fn_date",
+    "q_fn_math", "q_fn_null", "q_fn_string", "q_fork", "q_htsql_chain",
+    "q_htsql_define", "q_htsql_exists", "q_htsql_filtered_agg",
+    "q_htsql_flagship", "q_htsql_quotient", "q_htsql_sieve",
+    "q_htsql_twohop_agg", "q_join_chain", "q_join_plural_agg",
+    "q_join_singular", "q_limit", "q_locator", "q_locator_composite",
+    "q_multimodal", "q_quotient", "q_scan_table", "q_select", "q_semijoin",
+    "q_sieve", "q_sim_knn", "q_sim_lsh", "q_sort", "q_stream_session",
+    "q_stream_slide", "q_stream_tumble", "q_text_fingerprint",
+    "q_text_stats", "q_topk_group")
 }
