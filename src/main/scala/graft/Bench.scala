@@ -130,9 +130,13 @@ object Bench {
     // ~2× in keys since BASELINE.md's 32.02 s was recorded over THESE 50,
     // so the total alone conflates coverage growth with regression — this
     // subtotal is the apples-to-apples number (BENCH_r01.json key set)
-    val baselineSubtotal = results
+    val baselineMeasured = results
       .filter { case (k, v) => BaselineR01Keys(k) && v >= 0 }
-      .map(_._2).sum
+    // counted alongside: a failed or filtered-out baseline key would
+    // otherwise silently SHRINK the subtotal into a fake speedup — a
+    // subtotal is only like-for-like when all 50 keys are in it
+    val baselineSubtotal = baselineMeasured.map(_._2).sum
+    val baselineCounted = baselineMeasured.size
     val failJson = failures
       .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
@@ -140,7 +144,7 @@ object Bench {
     // headline fields LAST: the driver keeps only a tail of stdout, and the
     // per-query map is long enough to push a leading "value" out of the
     // window (JSON key order is semantically irrelevant)
-    println(s"""{"queries":$qs,"failures":$failJson,"skewed":$skewJson,"sf":"$sfDir","baseline_r01_keys_subtotal":$baselineSubtotal,"metric":"total","unit":"sec","value":$total}""")
+    println(s"""{"queries":$qs,"failures":$failJson,"skewed":$skewJson,"sf":"$sfDir","baseline_r01_keys_subtotal":$baselineSubtotal,"baseline_r01_keys_counted":$baselineCounted,"metric":"total","unit":"sec","value":$total}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -66,8 +66,14 @@ object Sampling {
     * [train, train+val) → "val", rest → "test". No shuffle — a codegen'd
     * CASE that fuses into the scan.
     */
-  def assignSplit(fp: Column, trainFrac: Double, valFrac: Double): Column = {
-    val b = uniformBucket(fp)
+  def assignSplit(fp: Column, trainFrac: Double, valFrac: Double): Column =
+    splitFromBucket(uniformBucket(fp), trainFrac, valFrac)
+
+  /** The shared cutoff CASE: both split forms must agree on the fraction
+    * arithmetic or row-keyed and group-keyed splits of the same fractions
+    * would diverge.
+    */
+  private def splitFromBucket(b: Column, trainFrac: Double, valFrac: Double): Column = {
     val tCut = (trainFrac * Buckets).toLong
     val vCut = ((trainFrac + valFrac) * Buckets).toLong
     when(b < tCut, "train").when(b < vCut, "val").otherwise("test")
@@ -94,12 +100,8 @@ object Sampling {
     * Per-row codegen'd CASE on the group key — no shuffle beyond whatever
     * produced the key.
     */
-  def assignSplitByGroup(groupKey: Column, trainFrac: Double, valFrac: Double): Column = {
-    val b = uniformBucketKey(groupKey)
-    val tCut = (trainFrac * Buckets).toLong
-    val vCut = ((trainFrac + valFrac) * Buckets).toLong
-    when(b < tCut, "train").when(b < vCut, "val").otherwise("test")
-  }
+  def assignSplitByGroup(groupKey: Column, trainFrac: Double, valFrac: Double): Column =
+    splitFromBucket(uniformBucketKey(groupKey), trainFrac, valFrac)
 
   /** Per-group QUOTA: at most `k` rows per group, chosen by the
     * deterministic content-hash order — domain capping in a corpus build
@@ -118,6 +120,8 @@ object Sampling {
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"quota must be positive, got $k")
+    require(!df.columns.contains("__rank"),
+      "input already has a __rank column — rename it before groupQuota")
     df.withColumn("__rank", row_number().over(
         Window.partitionBy(group).orderBy(uniformBucket(fp), tiebreak)))
       .filter(col("__rank") <= k)
@@ -152,12 +156,18 @@ object Sampling {
       .agg(count(lit(1)).cast("double").as("_n"))
       .withColumn("_w", weightCol)
       .filter(col("_w").isNotNull)
-    // binding total: the stratum that runs out first caps the mixture
+    // binding total: the stratum that runs out first caps the mixture.
+    // The binding stratum's rate is mathematically exactly 1, but the
+    // floating solve can land at 1−ulp (non-dyadic weights), and the
+    // truncating cut would then silently drop ~1 per million of the
+    // stratum the contract promises to keep WHOLE — clamp rate ≥ 1 to the
+    // full bucket range (the oracle mirrors the same branch)
     val tMin = counts.agg(min(col("_n") / col("_w")).as("_t"))
+    val rate = col("_w") * col("_t") / col("_n")
     val rates = counts.crossJoin(broadcast(tMin))
       .select(col("_stratum"),
-        ((col("_w") * col("_t") / col("_n")) * lit(Buckets.toDouble))
-          .cast("long").as("_cut"))
+        when(rate >= 1.0, lit(Buckets))
+          .otherwise((rate * lit(Buckets.toDouble)).cast("long")).as("_cut"))
     df.join(broadcast(rates), strata === col("_stratum"), "inner")
       .filter(uniformBucket(fp) < col("_cut"))
       .drop("_stratum", "_cut")

@@ -72,7 +72,16 @@ object Sharding {
     else arranged)
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(path)
-    val m = manifest(df, fp, id, n)
+    // manifest from the WRITTEN files, not the input plan: re-running the
+    // upstream plan would both scan the corpus a second time and — if the
+    // plan is not perfectly stable between the two actions — certify rows
+    // the write never materialized. Reading back shard + _fp + id is a
+    // column-pruned pass over what is actually on disk.
+    val m = df.sparkSession.read.parquet(path)
+      .withColumn("shard", col("shard").cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_fp)").as("checksum"),
+        min(id).as("min_id"), max(id).as("max_id"))
     m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
     m
   }

@@ -163,10 +163,18 @@ object TextAnalysis {
     */
   def vocabulary(df: org.apache.spark.sql.DataFrame, grams: Column,
       docId: Column, k: Int): org.apache.spark.sql.DataFrame =
+    vocabularyWith(df, grams, docId, k, count_distinct(col("_doc")))
+
+  /** Shared vocabulary plan — one copy of the explode/filter/rank so the
+    * exact and approx df paths can never silently diverge; only the df
+    * aggregate differs.
+    */
+  private def vocabularyWith(df: org.apache.spark.sql.DataFrame, grams: Column,
+      docId: Column, k: Int, dfAgg: Column): org.apache.spark.sql.DataFrame =
     df.select(docId.as("_doc"), explode(grams).as("gram"))
       .filter(col("gram") =!= "")
       .groupBy("gram")
-      .agg(count(lit(1)).as("n_occ"), count_distinct(col("_doc")).as("n_docs"))
+      .agg(count(lit(1)).as("n_occ"), dfAgg.as("n_docs"))
       .orderBy(col("n_occ").desc, col("gram"))
       .limit(k)
 
@@ -183,13 +191,7 @@ object TextAnalysis {
     */
   def vocabularyApprox(df: org.apache.spark.sql.DataFrame, grams: Column,
       docId: Column, k: Int, rsd: Double = 0.05): org.apache.spark.sql.DataFrame =
-    df.select(docId.as("_doc"), explode(grams).as("gram"))
-      .filter(col("gram") =!= "")
-      .groupBy("gram")
-      .agg(count(lit(1)).as("n_occ"),
-        approx_count_distinct(col("_doc"), rsd).as("n_docs"))
-      .orderBy(col("n_occ").desc, col("gram"))
-      .limit(k)
+    vocabularyWith(df, grams, docId, k, approx_count_distinct(col("_doc"), rsd))
 
   /** Per-document keyword extraction: the top-`k` tokens of each document
     * by tf·idf — the tagging / topic-indexing / boilerplate-spotting pass

@@ -208,7 +208,9 @@ object PipelineQueries extends QueryModule {
          t AS (SELECT min(n / w) AS t FROM c WHERE w IS NOT NULL),
          r AS (
            SELECT lang,
-             CAST(trunc(((w * t.t) / n) * 1000000.0) AS BIGINT) AS cut
+             CASE WHEN (w * t.t) / n >= 1.0 THEN 1000000
+                  ELSE CAST(trunc(((w * t.t) / n) * 1000000.0) AS BIGINT)
+             END AS cut
            FROM c, t WHERE w IS NOT NULL)
          SELECT f.doc_id, f.lang FROM f JOIN r ON f.lang = r.lang
          WHERE (f.fp * 2654435761) % 1000000 < r.cut
@@ -317,7 +319,9 @@ object PipelineQueries extends QueryModule {
          tm AS (SELECT min(n / w) AS t FROM c2 WHERE w IS NOT NULL),
          rates AS (
            SELECT lang,
-             CAST(trunc(((w * tm.t) / n) * 1000000.0) AS BIGINT) AS cut
+             CASE WHEN (w * tm.t) / n >= 1.0 THEN 1000000
+                  ELSE CAST(trunc(((w * tm.t) / n) * 1000000.0) AS BIGINT)
+             END AS cut
            FROM c2, tm WHERE w IS NOT NULL),
          mixed AS (
            SELECT q.doc_id, q.fp FROM quota q JOIN rates ON q.lang = rates.lang

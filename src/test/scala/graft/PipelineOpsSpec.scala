@@ -126,6 +126,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("mixtureSample keeps the binding stratum whole under NON-dyadic weights") {
+    import spark.implicits._
+    // 0.9/0.1 are not exactly representable: the binding stratum's rate
+    // solves to 1±ulp and an unclamped truncating cut could drop its
+    // bucket-999999 rows — the clamp guarantees the contract regardless
+    val df = ((1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 110).map(i => (i.toLong, "b"))).toDF("id", "lang")
+    val out = Sampling.mixtureSample(df, col("id") * 104729L, col("lang"),
+      Map("a" -> 0.9, "b" -> 0.1))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binding = a (10/0.9 = 11.1 < 100/0.1 = 1000): all 10 kept
+    assert(byLang.getOrElse("a", 0L) == 10L)
+  }
+
   // ---- leakage-safe split --------------------------------------------
 
   test("group-keyed split never straddles a near-dup cluster") {
