@@ -52,4 +52,95 @@ object Decontaminate {
         coalesce(col("overlap"), lit(0L)).as("overlap"),
         (coalesce(col("overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
+
+  /** Overlap-FRACTION decontamination: flag a document when the share of
+    * its own n-gram shingles that appear in the benchmark set reaches
+    * `minFrac` — the thresholded-fraction form published for modern
+    * pretraining corpora (an absolute overlap count over-flags long
+    * documents, which touch many shingles by volume alone; a fraction
+    * normalizes by document size). Output per input document:
+    * (idCol, n_sh = #distinct shingles, overlap = #shared,
+    * frac = overlap/n_sh, contaminated = frac ≥ minFrac).
+    *
+    * Same scale shape as [[flagContaminated]]: the benchmark shingle set
+    * broadcasts, the corpus is scanned once, the only shuffle carries
+    * (8-byte id, count) rows. The fraction is ONE double division per
+    * row, bit-identical across IEEE engines.
+    */
+  def overlapFraction(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3,
+      minFrac: Double = 0.5): DataFrame = {
+    val docSh = Dedup.shingleFrame(docs, idCol, textCol, n)
+    val benchSh = benchmark
+      .select(Dedup.tokens(col(benchTextCol)).as("toks"))
+      .stagePersist()
+      .select(explode(Dedup.shinglesFromTokens(col("toks"), n)).as("shingle"))
+      .distinct()
+    val overlap = docSh
+      .select(col("id").as(idCol), explode(col("sh")).as("shingle"))
+      .join(broadcast(benchSh), "shingle")
+      .groupBy(idCol).agg(count(lit(1)).as("overlap"))
+    val nSh = docSh.select(col("id").as(idCol), col("n_sh").cast("long").as("n_sh"))
+    val frac = when(col("n_sh") === 0, lit(0.0d))
+      .otherwise(coalesce(col("overlap"), lit(0L)) / col("n_sh"))
+    nSh.join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_sh"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        frac.as("frac"),
+        (frac >= minFrac).as("contaminated"))
+  }
+
+  /** Build a Bloom filter over a probe corpus's shingle hashes — the
+    * CROSS-CORPUS decontamination shape, for when the probe side
+    * outgrows an exact broadcast set (screening a training corpus
+    * against another full corpus, or a year of accumulated eval suites):
+    * 10⁹ 64-bit digests are ~8 GB as an exact set but ~1.7 GB as Bloom
+    * bits at fpp 1e-4, and the size is fpp-tunable. One-sided error —
+    * NO false negatives — so a truly-contaminated document can never
+    * slip through; the fpp tax is a few clean docs over-flagged.
+    *
+    * Sizing uses the RAW shingle occurrence count (no distinct shuffle
+    * on the probe side — an overestimate only makes the filter more
+    * conservative). Filters past the session's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` need that conf
+    * raised. Build is one distributed partial-aggregate; only the
+    * filter's bits return to the driver.
+    */
+  def benchmarkShingleBloom(benchmark: DataFrame, benchTextCol: String,
+      n: Int = 3, fpp: Double = 1e-4): Array[Byte] = {
+    graft.functions.BloomFunctions.ensureRegistered(benchmark.sparkSession)
+    val benchSh = benchmark
+      .select(Dedup.tokens(col(benchTextCol)).as("toks"))
+      .stagePersist()
+      .select(explode(Dedup.shinglesFromTokens(col("toks"), n)).as("shingle"))
+      .select(xxhash64(col("shingle")).as("h"))
+      .stagePersist()
+    val nItems = math.max(benchSh.count(), 1L)
+    val bits = graft.functions.BloomFunctions.optimalNumBits(nItems, fpp)
+    benchSh
+      .agg(graft.functions.BloomFunctions.bloom_agg(col("h"), nItems, bits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** [[flagContaminated]] with the probe set as a Bloom filter from
+    * [[benchmarkShingleBloom]]: same single corpus scan, same
+    * (8-byte id, count) shuffle; the membership test is a codegen'd bit
+    * probe against plan-shipped filter bytes instead of a broadcast hash
+    * join. `overlap` counts shingles the filter ACCEPTS, so it is ≥ the
+    * true overlap per document (never below — no false negatives).
+    */
+  def flagContaminatedBloom(docs: DataFrame, idCol: String, textCol: String,
+      bloomBytes: Array[Byte], n: Int = 3, minOverlap: Int = 2): DataFrame = {
+    graft.functions.BloomFunctions.ensureRegistered(docs.sparkSession)
+    val hits = Dedup.shingleFrame(docs, idCol, textCol, n)
+      .select(col("id").as(idCol), explode(col("sh")).as("shingle"))
+      .filter(graft.functions.BloomFunctions.bloom_might_contain(
+        lit(bloomBytes), xxhash64(col("shingle"))))
+      .groupBy(idCol).agg(count(lit(1)).as("overlap"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        (coalesce(col("overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
 }

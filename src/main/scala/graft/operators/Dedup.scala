@@ -431,6 +431,25 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("cluster"))
   }
 
+  /** Representative (keep-best) selection over a cluster assignment:
+    * one row per cluster keeping the member with the HIGHEST quality
+    * (ties → lowest id) — the production dedup policy when members are
+    * not byte-identical ("keep the longest / cleanest copy"), versus
+    * [[nearDupClusters]]'s positional min-id `keep` flag. `clustered`
+    * carries (idCol, cluster, qualityCol); any monotone score works
+    * (n_chars, a quality model output, ...).
+    *
+    * Scale shape: ONE partial-aggregating groupBy on the cluster id —
+    * `max_by` reduces map-side, so the shuffle carries one candidate row
+    * per (partition, cluster), never the membership. No window, no sort.
+    */
+  def clusterRepresentatives(clustered: DataFrame, idCol: String,
+      qualityCol: String): DataFrame =
+    clustered.groupBy("cluster").agg(
+      max_by(col(idCol), struct(col(qualityCol), -col(idCol))).as("keep_id"),
+      max(col(qualityCol)).as("keep_quality"),
+      count(lit(1)).as("n_members"))
+
   /** Exact n-gram Jaccard near-dup pairs (the brute-exact baseline the
     * sketch variants approximate; exact to within a ~2⁻⁶⁴ digest-collision
     * term — see the inline note). Inverted-index join on the shingles'

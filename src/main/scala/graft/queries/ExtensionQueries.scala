@@ -610,6 +610,60 @@ object ExtensionQueries extends QueryModule {
         bench, "text", n = 3, minOverlap = 2).orderBy("doc_id")
     },
 
+    // Overlap-FRACTION decontamination: the size-normalized form (an
+    // absolute count over-flags long documents) — share of each doc's
+    // own shingles found in the benchmark set, thresholded at 30%.
+    "q_decontaminate_frac" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val bench = t.documents.filter(col("doc_id") % 97 === 0)
+      Decontaminate.overlapFraction(t.documents, "doc_id", "text",
+        bench, "text", n = 3, minFrac = 0.3).orderBy("doc_id")
+    },
+
+    // Bloom-filter decontamination GATE (cross-corpus shape: the probe
+    // set as fixed-size bits instead of a broadcast set). Bloom has NO
+    // false negatives, so recall vs the exact operator must be EXACTLY
+    // total; the fpp tax is bounded by max(5, 1% of docs) over-flags.
+    "q_decontaminate_bloom" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val bloom = Decontaminate.benchmarkShingleBloom(bench, "text",
+        n = 3, fpp = 1e-4)
+      val exact = Decontaminate.flagContaminated(docs, "doc_id", "text",
+          bench, "text", n = 3, minOverlap = 2)
+        .filter(col("contaminated")).select("doc_id").stagePersist()
+      val flagged = Decontaminate.flagContaminatedBloom(docs, "doc_id", "text",
+          bloom, n = 3, minOverlap = 2)
+        .filter(col("contaminated")).select("doc_id").stagePersist()
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nFn = exact.join(flagged, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_fn"))
+      val nFlag = flagged.agg(count(lit(1)).as("n_flagged"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      broadcast(nExact).crossJoin(broadcast(nFn))
+        .crossJoin(broadcast(nFlag)).crossJoin(broadcast(nDocs))
+        .select(col("n_exact"),
+          (col("n_fn") === 0).as("recall_total"),
+          (col("n_flagged") <= col("n_exact") +
+            greatest(lit(5L), (col("n_docs") * lit(0.01)).cast("long")))
+            .as("fp_bounded"))
+    },
+
+    // Keep-BEST cluster representatives: near-dup clusters on a 25%
+    // slice (the composition gate — the cluster build's own scale story
+    // lives with q_dedup_clusters), then one partial-aggregating
+    // groupBy keeps the longest member per cluster (ties → min id).
+    "q_dedup_keepbest" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents.filter(col("doc_id") % 4 === 1)
+      val cl = Dedup.nearDupClusters(docs, "doc_id", "text",
+          n = 3, threshold = 0.2, minCommon = 2)
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      Dedup.clusterRepresentatives(cl, "doc_id", "n_chars")
+        .orderBy("cluster")
+    },
+
     // PII redaction: deterministic synthetic PII (the corpus itself is
     // clean) appended per doc, then scrubbed + counted — verifies the
     // regex surface byte-for-byte against the oracle's RE2.
@@ -1357,6 +1411,97 @@ object ExtensionQueries extends QueryModule {
            coalesce(o.overlap, 0) >= 2 AS contaminated
          FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
          ORDER BY d.doc_id""",
+    // same shingle/benchmark construction; frac is ONE double division
+    "q_decontaminate_frac" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+           FROM toks),
+         bench AS (
+           SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
+         inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         ov AS (
+           SELECT i.doc_id, count(*) AS overlap
+           FROM inv i JOIN bench b ON i.shingle = b.shingle
+           GROUP BY i.doc_id),
+         base AS (
+           SELECT s.doc_id, len(s.s) AS n_sh, coalesce(o.overlap, 0) AS overlap
+           FROM sh s LEFT JOIN ov o ON s.doc_id = o.doc_id)
+         SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+           CAST(overlap AS BIGINT) AS overlap,
+           CASE WHEN n_sh = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(overlap AS DOUBLE) / CAST(n_sh AS DOUBLE) END AS frac,
+           CASE WHEN n_sh = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(overlap AS DOUBLE) / CAST(n_sh AS DOUBLE) END
+             >= 0.3 AS contaminated
+         FROM base ORDER BY doc_id""",
+    // exact contaminated count from the same CTE; the booleans are the
+    // Bloom CONTRACT — zero false negatives (recall is total by
+    // construction) and an fpp-bounded over-flag budget
+    "q_decontaminate_bloom" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+           FROM toks),
+         bench AS (
+           SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
+         inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         ov AS (
+           SELECT i.doc_id, count(*) AS overlap
+           FROM inv i JOIN bench b ON i.shingle = b.shingle
+           GROUP BY i.doc_id)
+         SELECT count(*) AS n_exact,
+           TRUE AS recall_total, TRUE AS fp_bounded
+         FROM ov WHERE overlap >= 2""",
+    // the q_dedup_clusters recursive closure restricted to the 25% slice
+    // + argmax by (n_chars DESC, doc_id ASC) per cluster
+    "q_dedup_keepbest" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents WHERE doc_id % 4 = 1),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+           FROM toks),
+         inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM inv a JOIN inv b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+           HAVING count(*) >= 2
+              AND CAST(count(*) AS DOUBLE)
+                  / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE) >= 0.2),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+         cl AS (
+           SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster, d.n_chars
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+           WHERE d.doc_id % 4 = 1),
+         ranked AS (
+           SELECT cluster, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS n_members,
+             max(n_chars) OVER (PARTITION BY cluster) AS keep_quality
+           FROM cl)
+         SELECT cluster, doc_id AS keep_id, keep_quality, n_members
+         FROM ranked WHERE rn = 1 ORDER BY cluster""",
     // identical RE2-safe patterns, identical synthetic PII construction
     "q_redact" ->
       """WITH pii AS (

@@ -837,6 +837,74 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.size == 3) // every doc reported exactly once
   }
 
+  test("overlap-fraction decontamination normalizes by document size") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 3 shingles, all 3 shared
+      (2L, "alpha beta gamma zeta eta one two three four"), // 7 sh, 1 shared
+      (3L, "one two three four five"),        // 3 shingles, 0 shared
+      (4L, "tiny doc")                        // 0 shingles → frac 0
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon theta").toDF("text")
+    val out = graft.operators.Decontaminate
+      .overlapFraction(docs, "doc_id", "text", bench, "text", n = 3, minFrac = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 1.0, true)))
+    assert(out(2L) == ((7L, 1L, 1.0 / 7.0, false)))
+    assert(out(3L) == ((3L, 0L, 0.0, false)))
+    assert(out(4L) == ((0L, 0L, 0.0, false)))
+    assert(out.size == 4)
+  }
+
+  test("bloom decontamination: overlap never undercounts, flags match exact") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma zeta eta"),
+      (3L, "one two three four five"),
+      (4L, "six seven eight nine ten eleven")
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon theta").toDF("text")
+    val bloom = Decontaminate.benchmarkShingleBloom(bench, "text", n = 3, fpp = 1e-4)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val exact = asMap(Decontaminate.flagContaminated(
+      docs, "doc_id", "text", bench, "text", n = 3, minOverlap = 2))
+    val viaBloom = asMap(Decontaminate.flagContaminatedBloom(
+      docs, "doc_id", "text", bloom, n = 3, minOverlap = 2))
+    assert(viaBloom.keySet == exact.keySet)
+    // the Bloom contract is ONE-SIDED: the accepted count can exceed the
+    // true overlap (deterministic on this fixture: doc 3 takes a single
+    // false-positive shingle) but can NEVER undercount — and at the
+    // minOverlap threshold the flag decisions agree with exact
+    exact.foreach { case (id, (ov, flag)) =>
+      assert(viaBloom(id)._1 >= ov, s"doc $id undercounted")
+      assert(viaBloom(id)._2 == flag, s"doc $id flag diverged")
+    }
+  }
+
+  test("cluster representatives keep the best member, ties to min id") {
+    import spark.implicits._
+    // cluster 10: quality tie at 7 between ids 3 and 5 → keep 3;
+    // cluster 20: strict max at id 9; singleton cluster 30
+    val cl = Seq(
+      (3L, 10L, 7L), (5L, 10L, 7L), (8L, 10L, 2L),
+      (9L, 20L, 4L), (11L, 20L, 1L),
+      (12L, 30L, 0L)
+    ).toDF("doc_id", "cluster", "q")
+    val out = Dedup.clusterRepresentatives(cl, "doc_id", "q")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(10L) == ((3L, 7L, 3L)))
+    assert(out(20L) == ((9L, 4L, 2L)))
+    assert(out(30L) == ((12L, 0L, 1L)))
+    assert(out.size == 3)
+  }
+
   test("redaction scrubs emails/phones/ips and leaves clean text alone") {
     import spark.implicits._
     import graft.operators.Redact
