@@ -520,6 +520,18 @@ object ExtensionQueries extends QueryModule {
           k = 3, nlist = 16, nprobe = 4))
     },
 
+    // BPE trainer core surface: the level-0 adjacent-symbol-pair count
+    // table (chars + </w>), weighted by word frequency — exactly the
+    // aggregation every merge iteration argmaxes over. Top-50 under a
+    // TOTAL order (count desc, l, r). The iterative trainer itself is
+    // spec-pinned (Bpe.train on a hand-computed corpus) + laddered.
+    "q_bpe" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      graft.operators.Bpe.pairCounts(Staging.widen(t.documents), col("text"))
+        .orderBy(col("n_occ").desc, col("l"), col("r"))
+        .limit(50)
+    },
+
     // Language ID + quality metrics + token counts per document. Tokens
     // stage ONCE through a persisted projection; the four token-based
     // metrics read the attribute instead of re-splitting per metric.
@@ -1158,6 +1170,25 @@ object ExtensionQueries extends QueryModule {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON p.user_id = v.user_id AND p.ts >= v.ts
          ORDER BY p_event_id""",
+    // same construction: word counts → chars+</w> → adjacent pairs
+    // weighted by word frequency, total-ordered top-50
+    "q_bpe" ->
+      """WITH toks AS (
+           SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         w AS (SELECT unnest(t) AS word FROM toks),
+         wc AS (
+           SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word),
+         syms AS (
+           SELECT n, array_append(string_split(word, ''), '</w>') AS s
+           FROM wc),
+         pr AS (
+           SELECT n, unnest(list_transform(range(1, len(s)),
+             i -> struct_pack(l := s[i], r := s[i + 1]))) AS p
+           FROM syms)
+         SELECT p.l AS l, p.r AS r, CAST(sum(n) AS BIGINT) AS n_occ
+         FROM pr GROUP BY p.l, p.r
+         ORDER BY n_occ DESC, l, r LIMIT 50""",
     "q_text_stats" ->
       TextStatsOracle.sql,
     // Replicates FakeDecoder: Java Arrays.hashCode over the UTF-8 payload

@@ -858,6 +858,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("bpe trainer learns the hand-computed merge sequence") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // low×5, lower×2, newest×6, widest×3 — level-0 top pair count is a
+    // 3-way tie at 9 between (e,s), (s,t), (t,</w>); the deterministic
+    // (count desc, l, r) order resolves e < s < t, and the next two
+    // rounds re-tie at 9 as the merged symbol chains rightward
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest"),
+      (4L, "widest widest widest")
+    ).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, col("text"), numMerges = 3)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.merged, m.nOcc)) == Seq(
+      (0, "e", "s", "es", 9L),
+      (1, "es", "t", "est", 9L),
+      (2, "est", "</w>", "est</w>", 9L)))
+    // application: distinct words segment under the learned merges
+    val seg = Bpe.segmentWords(
+        Seq("newest", "widest", "low", "lowest").toDF("word"), "word", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg("newest") == Seq("n", "e", "w", "est</w>"))
+    assert(seg("widest") == Seq("w", "i", "d", "est</w>"))
+    assert(seg("low") == Seq("l", "o", "w", "</w>"))
+    assert(seg("lowest") == Seq("l", "o", "w", "est</w>")) // unseen word
+    // roundtrip: subword concatenation reconstructs word + </w>
+    seg.foreach { case (wrd, sub) =>
+      assert(sub.mkString == wrd + Bpe.EOW)
+    }
+    // per-doc counts under the learned vocabulary: "newest low" = 4 + 4
+    val counted = Bpe.tokenCount(
+        Seq((7L, "newest low")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counted(7L) == 8L)
+  }
+
+  test("bpe greedy fold is left-to-right; early stop below count 2") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // "aaa aaa": pair (a,a) count 4 → merged left-to-right as [aa, a]
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m1 = Bpe.train(docs, col("text"), numMerges = 1)
+    assert(m1 == Seq(Bpe.Merge(0, "a", "a", "aa", 4L)))
+    val seg = Bpe.segmentWords(Seq("aaa").toDF("word"), "word", m1)
+      .collect().head.getSeq[String](1)
+    assert(seg == Seq("aa", "a", "</w>")) // greedy left-to-right, no overlap
+    // unconstrained, the trainer keeps compressing (the word repeats, so
+    // pair counts hold at 2) until the word is ONE symbol, then stops by
+    // itself with no pairs left: exactly 3 merges, not 10
+    val m = Bpe.train(docs, col("text"), numMerges = 10)
+    assert(m.map(_.merged) == Seq("aa", "a</w>", "aaa</w>"))
+    val segFull = Bpe.segmentWords(Seq("aaa").toDF("word"), "word", m)
+      .collect().head.getSeq[String](1)
+    assert(segFull == Seq("aaa</w>"))
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    assert(Bpe.train(tiny, col("text"), numMerges = 5).isEmpty) // all counts 1
+  }
+
   test("bloom decontamination: overlap never undercounts, flags match exact") {
     import spark.implicits._
     import graft.operators.Decontaminate
