@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Byte-pair-encoding merge training and application at corpus scale
   * (Sennrich, Haddow & Birch 2016, arXiv:1508.07909 — the subword
@@ -79,33 +78,36 @@ object Bpe {
     * The returned table is driver-sized by construction (one row per
     * merge — this IS the tokenizer artifact that ships). */
   def train(docs: DataFrame, textCol: Column, numMerges: Int): Seq[Merge] = {
+    // localCheckpoint, not persist: it CUTS LINEAGE, so every iteration's
+    // plan is one projection over a LogicalRDD. A persist-based loop keeps
+    // the full nested logical plan — by merge 30 the accumulated fold
+    // expressions make plan-string generation (fired per job by the
+    // listener bus) the dominant cost (measured: the 5k-doc ladder tier
+    // sat minutes in generateTreeString before this fix).
     var syms = wordCounts(docs, textCol)
       .select(col("n"), symbolsOf(col("word")).as("syms"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    try {
-      var rank = 0
-      var done = false
-      while (rank < numMerges && !done) {
-        val top = pairCountsFrom(syms)
-          .orderBy(col("n_occ").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.isEmpty || top(0).getLong(2) < 2L) done = true
-        else {
-          val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          val m = l + r
-          out += Merge(rank, l, r, m, n)
-          val next = syms
-            .select(col("n"), applyMerge(col("syms"), l, r, m).as("syms"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize from the still-cached parent
-          syms.unpersist()
-          syms = next
-          rank += 1
-        }
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val top = pairCountsFrom(syms)
+        .orderBy(col("n_occ").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val m = l + r
+        out += Merge(rank, l, r, m, n)
+        // eager: materializes from the parent checkpoint, then the parent
+        // blocks become unreferenced and GC-evictable
+        syms = syms
+          .select(col("n"), applyMerge(col("syms"), l, r, m).as("syms"))
+          .localCheckpoint()
+        rank += 1
       }
-      out.toSeq
-    } finally syms.unpersist()
+    }
+    out.toSeq
   }
 
   /** Segment a word table with a learned merge list: merges fold in rank

@@ -107,6 +107,39 @@ object ScaleBench {
       graft.operators.Dedup.ngramJaccardPairs(t.documents, "doc_id", "text",
         maxDf = Some(64))
     },
+    // BPE merge training at ladder scale: 30 merges against the corpus
+    // word-frequency table — timed work is the one corpus scan plus
+    // 30 × (pair-count agg + 1-row argmax + guarded vocabulary fold)
+    "x_bpe" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val merges = graft.operators.Bpe.train(t.documents, col("text"), numMerges = 30)
+      System.err.println(s"[scale] bpe learned ${merges.size} merges; " +
+        s"first=${merges.take(3).map(m => m.merged + ":" + m.nOcc).mkString(",")}")
+      import s.implicits._
+      merges.toDF()
+    },
+    // applying a learned merge list corpus-wide: the vocabulary segments
+    // once (distinct words), documents JOIN for subword counts — the
+    // corpus is scanned but never folded. Merges come from a 1% training
+    // slice so the key times the apply path, not a second training run.
+    "x_bpe_tokens" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val merges = graft.operators.Bpe.train(
+        t.documents.filter(col("doc_id") % 100 === 0), col("text"), numMerges = 16)
+      graft.operators.Bpe.tokenCount(t.documents, "doc_id", "text", merges)
+    },
+    // Bloom decontamination alone (the contract key times bloom+exact to
+    // gate them against each other): filter build over the benchmark
+    // slice + the corpus-wide membership probe
+    "x_decontam_bloom" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val bench = t.documents.filter(col("doc_id") % 97 === 0)
+      val bloom = graft.operators.Decontaminate.benchmarkShingleBloom(
+        bench, "text", n = 3, fpp = 1e-4)
+      System.err.println(s"[scale] bloom filter bytes=${bloom.length}")
+      graft.operators.Decontaminate.flagContaminatedBloom(
+        t.documents, "doc_id", "text", bloom, n = 3, minOverlap = 2)
+    },
     // DURABLE streaming drain: the same append+watermark incremental run
     // as q_stream_append but into a parquet sink with a checkpoint — the
     // production output shape, no driver-side funnel. Fresh sink+ckpt per
