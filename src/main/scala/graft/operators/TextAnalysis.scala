@@ -211,6 +211,36 @@ object TextAnalysis {
     * each a handful of rows, no global sort and no skew (a document's
     * token list is bounded by the document).
     */
+  /** Corpus-wide n-gram NOVELTY per document: the share of a document's
+    * distinct shingles that occur in NO other document (df = 1) — low
+    * scores mark boilerplate/template-heavy documents, high scores mark
+    * unique content; the corpus-level complement of the within-document
+    * [[topNgramFraction]]. Output: (id, n_sh, n_novel, novelty), the
+    * ratio ONE double division per row.
+    *
+    * Scale shape: shingles stage once, the df aggregate and the
+    * membership join both shuffle 64-bit digests (never shingle text);
+    * per-doc shingles are already distinct, so `count(*)` per digest IS
+    * document frequency. Linear in shingle volume, same as the ngram
+    * inverted index's benign path.
+    */
+  def novelty(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sh = Dedup.shingleFrame(docs, idCol, textCol, n)
+    val inv = sh.select(col("id"), explode(col("sh")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("d"))
+    val dfc = inv.groupBy("d").agg(count(lit(1)).as("df"))
+    val novel = inv.join(dfc, "d")
+      .groupBy("id").agg(count(when(col("df") === 1, 1)).as("n_novel"))
+    val ratio = when(col("n_sh") === 0, lit(0.0d))
+      .otherwise(coalesce(col("n_novel"), lit(0L)) / col("n_sh"))
+    sh.select(col("id"), col("n_sh").cast("long").as("n_sh"))
+      .join(novel, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_sh"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        ratio.as("novelty"))
+  }
+
   def topKeywords(df: org.apache.spark.sql.DataFrame, toks: Column,
       docId: Column, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

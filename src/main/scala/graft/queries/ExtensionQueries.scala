@@ -520,6 +520,14 @@ object ExtensionQueries extends QueryModule {
           k = 3, nlist = 16, nprobe = 4))
     },
 
+    // Corpus-wide n-gram novelty: share of each doc's shingles unique to
+    // it (df = 1) — the boilerplate detector's corpus-level complement.
+    "q_novelty" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      TextAnalysis.novelty(t.documents, "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+
     // BPE trainer core surface: the level-0 adjacent-symbol-pair count
     // table (chars + </w>), weighted by word frequency — exactly the
     // aggregation every merge iteration argmaxes over. Top-50 under a
@@ -1170,6 +1178,30 @@ object ExtensionQueries extends QueryModule {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON p.user_id = v.user_id AND p.ts >= v.ts
          ORDER BY p_event_id""",
+    // df over shingle STRINGS (the engine uses 64-bit digests — identical
+    // modulo a ~2^-64 collision term, same accepted norm as the other
+    // digest-keyed oracles)
+    "q_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+           FROM toks),
+         inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         dfx AS (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle),
+         nv AS (
+           SELECT i.doc_id, count(*) FILTER (WHERE d.df = 1) AS n_novel
+           FROM inv i JOIN dfx d USING (shingle) GROUP BY i.doc_id)
+         SELECT s.doc_id, CAST(len(s.s) AS BIGINT) AS n_sh,
+           CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN len(s.s) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+                     / CAST(len(s.s) AS DOUBLE) END AS novelty
+         FROM sh s LEFT JOIN nv ON s.doc_id = nv.doc_id
+         ORDER BY s.doc_id""",
     // same construction: word counts → chars+</w> → adjacent pairs
     // weighted by word frequency, total-ordered top-50
     "q_bpe" ->

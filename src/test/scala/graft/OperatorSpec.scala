@@ -858,6 +858,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("novelty scores the share of corpus-unique shingles per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // shingles: a-b-g (shared), b-g-d (unique)
+      (2L, "alpha beta gamma epsilon"), // a-b-g (shared), b-g-e (unique)
+      (3L, "one two")                   // no shingles
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.novelty(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+    assert(out.size == 3)
+  }
+
   test("bpe trainer learns the hand-computed merge sequence") {
     import spark.implicits._
     import graft.operators.Bpe
