@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import Staging.Stageable
+
+/** Trainable document-quality classifier — logistic regression over the
+  * engine's own text metrics, trained by distributed batch gradient
+  * descent (the "quality model" step of published pretraining pipelines:
+  * a small linear model scores every document and a threshold or
+  * pareto-sampling rule keeps the high end; GPT-3's corpus used exactly
+  * this shape over reference-vs-web features).
+  *
+  * Built on the engine, not on MLlib: features are the already-verified
+  * `TextAnalysis` column metrics, training is one partial-aggregating
+  * job per iteration (only the d+1 gradient sums reach the driver — at
+  * 100 TB each iteration is a corpus scan of the STAGED feature frame,
+  * whose width is d doubles, not document text), and every gradient
+  * component sums through DECIMAL (`DecimalType(30, 18)`) so training is
+  * bit-deterministic under any partitioning — the same determinism rule
+  * as `Ht.dsum` (an IEEE float sum is partition-order-dependent).
+  */
+object QualityModel {
+
+  /** Fixed feature template over a text column: bias + bounded metrics,
+    * all in [0, 1] so one learning rate fits. The top-unigram fraction
+    * (Gopher's looping-phrase signal, ×4 to spread its useful sub-0.25
+    * range across the unit interval) is the workhorse for
+    * repetition-degradation; the rest give the model vocabulary-shape
+    * signals. */
+  def features(text: Column): Column = array(
+    lit(1.0d),
+    least(TextAnalysis.topNgramFraction(text, 1) * lit(4.0d), lit(1.0d)),
+    TextAnalysis.stopwordRatio(text),
+    TextAnalysis.alphaRatio(text),
+    least(TextAnalysis.meanTokenLength(text) / lit(10.0d), lit(1.0d)),
+    least(TextAnalysis.tokenCount(text).cast(DoubleType) / lit(256.0d), lit(1.0d)))
+
+  /** dot(w, x) for a literal weight vector — a codegen'd fold, no UDF. */
+  def margin(x: Column, w: Array[Double]): Column =
+    aggregate(zip_with(x, array(w.map(lit).toIndexedSeq: _*), (a, b) => a * b),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** P(quality | x) under trained weights. */
+  def score(x: Column, w: Array[Double]): Column =
+    lit(1.0d) / (lit(1.0d) + exp(-margin(x, w)))
+
+  /** Batch-GD training. `df` rows carry (featCol: array<double>,
+    * labelCol ∈ {0,1}). Returns the weight vector. Deterministic:
+    * decimal gradient sums, fixed iteration count, no sampling. */
+  def trainLogistic(df: DataFrame, featCol: Column, labelCol: Column,
+      dim: Int, iters: Int = 30, lr: Double = 2.0): Array[Double] = {
+    // the staged frame is (x, y) only — the text pipeline runs ONCE, every
+    // iteration reads d doubles per row from the cache
+    val staged = df.select(featCol.as("x"), labelCol.cast(DoubleType).as("y"))
+      .stagePersist()
+    val n = staged.count().toDouble
+    require(n > 0, "empty training frame")
+    val w = Array.fill(dim)(0.0)
+    for (_ <- 0 until iters) {
+      val m = margin(col("x"), w)
+      val resid = (lit(1.0d) / (lit(1.0d) + exp(-m))) - col("y")
+      val gradAggs = (0 until dim).map { j =>
+        sum((resid * element_at(col("x"), j + 1)).cast(DecimalType(30, 18)))
+          .cast(DoubleType).as(s"g$j")
+      }
+      val g = staged.agg(gradAggs.head, gradAggs.tail: _*).head()
+      var j = 0
+      while (j < dim) { w(j) -= lr / n * g.getDouble(j); j += 1 }
+    }
+    w
+  }
+}

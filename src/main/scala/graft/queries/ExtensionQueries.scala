@@ -520,6 +520,33 @@ object ExtensionQueries extends QueryModule {
           k = 3, nlist = 16, nprobe = 4))
     },
 
+    // Trainable quality classifier GATE: plant a degradation (a 30×
+    // repeated junk token wrecking the dup-fraction/stopword metrics) on
+    // every doc_id%3==0 document, train logistic regression by
+    // decimal-deterministic batch GD on the %5!=0 split, and require
+    // ≥90% holdout accuracy on the %5==0 split. The oracle pins the
+    // holdout size exactly and the accuracy bar as the contract.
+    "q_quality_model" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      import graft.operators.QualityModel
+      val degraded = concat(col("text"), lit(" "),
+        array_join(array_repeat(lit("zzqj"), 60), " "))
+      val labeled = t.documents.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, degraded).otherwise(col("text")).as("text"),
+        (col("doc_id") % 3 === 0).cast("int").as("y"))
+      val feat = labeled.select(col("doc_id"),
+        QualityModel.features(col("text")).as("x"), col("y"))
+      val w = QualityModel.trainLogistic(
+        feat.filter(col("doc_id") % 5 =!= 0), col("x"), col("y"), dim = 6)
+      val pred = feat.filter(col("doc_id") % 5 === 0)
+        .select(col("y"),
+          (QualityModel.score(col("x"), w) >= 0.5).cast("int").as("p"))
+      pred.agg(count(lit(1)).as("n_test"),
+          sum(when(col("p") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("n_test"),
+          (col("n_correct") >= col("n_test") * lit(0.9)).as("acc_ok"))
+    },
+
     // Corpus-wide n-gram novelty: share of each doc's shingles unique to
     // it (df = 1) — the boilerplate detector's corpus-level complement.
     "q_novelty" -> { (s, dir) =>
@@ -1178,6 +1205,10 @@ object ExtensionQueries extends QueryModule {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON p.user_id = v.user_id AND p.ts >= v.ts
          ORDER BY p_event_id""",
+    // holdout size is exact; the accuracy bar is the gate contract
+    "q_quality_model" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_test, TRUE AS acc_ok
+         FROM documents WHERE doc_id % 5 = 0""",
     // df over shingle STRINGS (the engine uses 64-bit digests — identical
     // modulo a ~2^-64 collision term, same accepted norm as the other
     // digest-keyed oracles)

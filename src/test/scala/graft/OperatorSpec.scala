@@ -858,6 +858,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("quality model: separable toy trains to 100%, bit-deterministic") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    // one feature separates the classes cleanly (plus bias)
+    val rows = (0 until 40).map { i =>
+      val y = i % 2
+      (Array(1.0, if (y == 1) 0.9 else 0.1), y)
+    }
+    val df = rows.toDF("x", "y")
+    val w1 = QualityModel.trainLogistic(df, col("x"), col("y"), dim = 2)
+    graft.operators.Staging.releaseAll()
+    val w2 = QualityModel.trainLogistic(df, col("x"), col("y"), dim = 2)
+    graft.operators.Staging.releaseAll()
+    // decimal gradient sums → bit-identical training runs
+    assert(w1.toSeq == w2.toSeq)
+    assert(w1(1) > 0.0) // the separating feature earns positive weight
+    val acc = df.select(
+        (when(QualityModel.score(col("x"), w1) >= 0.5, 1).otherwise(0) === col("y"))
+          .cast("int").as("ok"))
+      .agg(avg(col("ok"))).head().getDouble(0)
+    assert(acc == 1.0, s"toy accuracy $acc")
+  }
+
   test("novelty scores the share of corpus-unique shingles per doc") {
     import spark.implicits._
     val docs = Seq(
