@@ -29,13 +29,21 @@ object QualityModel {
     * range across the unit interval) is the workhorse for
     * repetition-degradation; the rest give the model vocabulary-shape
     * signals. */
-  def features(text: Column): Column = array(
+  def featuresFromTokens(text: Column, toks: Column): Column = array(
     lit(1.0d),
-    least(TextAnalysis.topNgramFraction(text, 1) * lit(4.0d), lit(1.0d)),
-    TextAnalysis.stopwordRatio(text),
+    // unigram "grams" ARE the tokens — feed the staged attribute straight
+    // into the run-length fold (no re-tokenize per index)
+    least(TextAnalysis.topNgramFractionFromGrams(toks) * lit(4.0d), lit(1.0d)),
+    TextAnalysis.stopwordRatioFromTokens(toks),
     TextAnalysis.alphaRatio(text),
-    least(TextAnalysis.meanTokenLength(text) / lit(10.0d), lit(1.0d)),
-    least(TextAnalysis.tokenCount(text).cast(DoubleType) / lit(256.0d), lit(1.0d)))
+    least(TextAnalysis.meanTokenLengthFromTokens(toks) / lit(10.0d), lit(1.0d)),
+    least(TextAnalysis.tokenCountFromTokens(toks).cast(DoubleType) / lit(256.0d),
+      lit(1.0d)))
+
+  /** One-shot convenience form — tokenizes inline; corpus scans stage
+    * the token array first (the staging rule). */
+  def features(text: Column): Column =
+    featuresFromTokens(text, TextAnalysis.tokens(text))
 
   /** dot(w, x) for a literal weight vector — a codegen'd fold, no UDF. */
   def margin(x: Column, w: Array[Double]): Column =

@@ -534,8 +534,13 @@ object ExtensionQueries extends QueryModule {
       val labeled = t.documents.select(col("doc_id"),
         when(col("doc_id") % 3 === 0, degraded).otherwise(col("text")).as("text"),
         (col("doc_id") % 3 === 0).cast("int").as("y"))
-      val feat = labeled.select(col("doc_id"),
-        QualityModel.features(col("text")).as("x"), col("y"))
+      val feat = labeled
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"), col("y"))
+        .stagePersist() // staging barrier: tokenize once per row
+        .select(col("doc_id"),
+          QualityModel.featuresFromTokens(col("text"), col("toks")).as("x"),
+          col("y"))
       val w = QualityModel.trainLogistic(
         feat.filter(col("doc_id") % 5 =!= 0), col("x"), col("y"), dim = 6)
       val pred = feat.filter(col("doc_id") % 5 === 0)
