@@ -141,7 +141,12 @@ object Bpe {
       .filter(col("word") =!= "")
     val seg = segmentWords(occ.select("word").distinct(), "word", merges)
       .select(col("word"), size(col("subwords")).cast("long").as("n_sub"))
-    occ.join(seg, Seq("word"))
+    val counted = occ.join(seg, Seq("word"))
       .groupBy(idCol).agg(sum(col("n_sub")).as("n_bpe"))
+    // docs whose text tokenizes to zero words have no occ rows — left-join
+    // back so every input doc appears, with n_bpe = 0
+    docs.select(col(idCol))
+      .join(counted, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
   }
 }

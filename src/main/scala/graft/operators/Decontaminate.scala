@@ -107,7 +107,20 @@ object Decontaminate {
     * filter's bits return to the driver.
     */
   def benchmarkShingleBloom(benchmark: DataFrame, benchTextCol: String,
-      n: Int = 3, fpp: Double = 1e-4): Array[Byte] = {
+      n: Int = 3, fpp: Double = 1e-4): Array[Byte] =
+    benchmarkShingleBloomFrame(benchmark, benchTextCol, n, fpp)
+      .head().getAs[Array[Byte]](0)
+
+  /** [[benchmarkShingleBloom]] WITHOUT the driver collect: the filter
+    * stays a one-row (bf: binary) frame — the build plan, not bytes in
+    * the caller's hands. Feed it to [[flagContaminatedBloomFrame]], which
+    * probes it as a scalar subquery; the filter bytes then never appear
+    * in a logical plan tree (the route Catalyst's own `InjectRuntimeFilter`
+    * uses for runtime join filters, which is what lets the cross-corpus
+    * sizing in the KDoc above — ~1.7 GB at 10⁹ digests — actually run).
+    */
+  def benchmarkShingleBloomFrame(benchmark: DataFrame, benchTextCol: String,
+      n: Int = 3, fpp: Double = 1e-4): DataFrame = {
     graft.functions.BloomFunctions.ensureRegistered(benchmark.sparkSession)
     val benchSh = benchmark
       .select(Dedup.tokens(col(benchTextCol)).as("toks"))
@@ -119,7 +132,6 @@ object Decontaminate {
     val bits = graft.functions.BloomFunctions.optimalNumBits(nItems, fpp)
     benchSh
       .agg(graft.functions.BloomFunctions.bloom_agg(col("h"), nItems, bits).as("bf"))
-      .head().getAs[Array[Byte]](0)
   }
 
   /** [[flagContaminated]] with the probe set as a Bloom filter from
@@ -128,14 +140,44 @@ object Decontaminate {
     * probe against plan-shipped filter bytes instead of a broadcast hash
     * join. `overlap` counts shingles the filter ACCEPTS, so it is ≥ the
     * true overlap per document (never below — no false negatives).
+    *
+    * The `lit(bloomBytes)` here embeds the filter in the expression tree,
+    * which is fine up to low-tens-of-MB filters (~10⁸ bits / ~10⁷ digests
+    * at fpp 1e-4) but NOT at the cross-corpus sizes the class KDoc
+    * quotes — a GB-scale literal lands in every plan copy and task
+    * binary. Past that ceiling use [[flagContaminatedBloomFrame]], which
+    * probes the filter as a scalar subquery instead.
     */
   def flagContaminatedBloom(docs: DataFrame, idCol: String, textCol: String,
       bloomBytes: Array[Byte], n: Int = 3, minOverlap: Int = 2): DataFrame = {
     graft.functions.BloomFunctions.ensureRegistered(docs.sparkSession)
+    require(bloomBytes.length <= (64 << 20),
+      s"${bloomBytes.length}-byte Bloom filter is too large for the " +
+        "expression-tree lit() path — use flagContaminatedBloomFrame " +
+        "(scalar-subquery probe) for filters past 64 MB")
+    flagWithProbe(docs, idCol, textCol, n, minOverlap, lit(bloomBytes))
+  }
+
+  /** [[flagContaminatedBloom]] with the filter supplied as a one-row
+    * (bf: binary) frame from [[benchmarkShingleBloomFrame]] and probed as
+    * a SCALAR SUBQUERY (`Dataset.scalar()`): the subquery executes once
+    * and its result feeds `bloom_might_contain` the way Catalyst's own
+    * runtime join filters do, so the filter bytes never sit in a logical
+    * plan tree or the caller's driver code — the route that survives the
+    * ~1.7 GB cross-corpus sizing. Same output contract.
+    */
+  def flagContaminatedBloomFrame(docs: DataFrame, idCol: String, textCol: String,
+      bloomFrame: DataFrame, n: Int = 3, minOverlap: Int = 2): DataFrame = {
+    graft.functions.BloomFunctions.ensureRegistered(docs.sparkSession)
+    flagWithProbe(docs, idCol, textCol, n, minOverlap, bloomFrame.scalar())
+  }
+
+  private def flagWithProbe(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minOverlap: Int, filterCol: org.apache.spark.sql.Column): DataFrame = {
     val hits = Dedup.shingleFrame(docs, idCol, textCol, n)
       .select(col("id").as(idCol), explode(col("sh")).as("shingle"))
       .filter(graft.functions.BloomFunctions.bloom_might_contain(
-        lit(bloomBytes), xxhash64(col("shingle"))))
+        filterCol, xxhash64(col("shingle"))))
       .groupBy(idCol).agg(count(lit(1)).as("overlap"))
     docs.select(col(idCol))
       .join(hits, Seq(idCol), "left")

@@ -63,8 +63,20 @@ object QualityModel {
     // iteration reads d doubles per row from the cache
     val staged = df.select(featCol.as("x"), labelCol.cast(DoubleType).as("y"))
       .stagePersist()
-    val n = staged.count().toDouble
+    // Malformed rows (null x, wrong-length x, null elements, null label)
+    // would make zip_with/margin yield null residuals, silently dropping
+    // them from the gradient — fail loudly instead of training skewed.
+    // One pass over the staged frame: (total, bad) together.
+    val shape = staged.agg(
+      count(lit(1)).as("n"),
+      count(when(col("x").isNull || size(col("x")) =!= dim ||
+        exists(col("x"), _.isNull) || col("y").isNull, 1)).as("bad")).head()
+    val n = shape.getLong(0).toDouble
     require(n > 0, "empty training frame")
+    require(shape.getLong(1) == 0L,
+      s"${shape.getLong(1)} of ${shape.getLong(0)} training rows have a null " +
+        s"label or a feature vector that is null, contains nulls, or has " +
+        s"size != $dim — these would be silently dropped from the gradient")
     val w = Array.fill(dim)(0.0)
     for (_ <- 0 until iters) {
       val m = margin(col("x"), w)

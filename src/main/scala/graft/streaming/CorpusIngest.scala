@@ -49,8 +49,24 @@ import graft.operators.Staging.Stageable
   */
 object CorpusIngest {
 
+  // Keyed by (indexPath, params-file mtime): rebuilding an index at the
+  // same path with different params within one JVM invalidates the entry
+  // naturally (the params write bumps the mtime), so batches can never
+  // sign with STALE params — the silent-wrong-answer class where band
+  // keys disagree with the index and near-dups pass through. The mtime
+  // probe is one filesystem metadata call per batch (vs the parquet head
+  // read it guards).
   private val paramsCache =
-    scala.collection.concurrent.TrieMap.empty[String, IncrementalDedup.Params]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), IncrementalDedup.Params]
+
+  private def cachedParams(spark: SparkSession,
+      indexPath: String): IncrementalDedup.Params = {
+    val p = new Path(indexPath, "params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime = fs.getFileStatus(p).getModificationTime
+    paramsCache.getOrElseUpdate((indexPath, mtime),
+      IncrementalDedup.readParams(spark, indexPath))
+  }
 
   /** Drain every available document file under `srcDir` (one file per
     * micro-batch, arrival order) through the incremental dedup, then
@@ -127,9 +143,9 @@ object CorpusIngest {
       // pair search, and the survivor append reuses it — a standalone
       // newKeepList + appendBatch sequence would re-shingle and re-sign
       // the survivors
-      // params are pinned at build time — one read per index per JVM
-      val p = paramsCache.getOrElseUpdate(indexPath,
-        IncrementalDedup.readParams(spark, indexPath))
+      // params are pinned at build time — one read per index per (path,
+      // params mtime); a same-JVM rebuild is picked up via the mtime key
+      val p = cachedParams(spark, indexPath)
       val base = IncrementalDedup.signed(batch, idCol, textCol, p)
       timed("sign")(if (sys.env.contains("GRAFT_INGEST_PROFILE")) base.count())
       // staged: the keep-list derivation consumes the pair set three

@@ -92,6 +92,22 @@ object EventStreams {
     s
   }
 
+  /** Read a durable sink back with the AGGREGATION's schema pinned, so a
+    * drain that closed ZERO windows (all data still inside the watermark
+    * allowance) reads back as an empty frame instead of throwing "unable
+    * to infer schema" — the same empty-result contract as
+    * `CorpusIngest.survivors`. The explicit schema also skips footer
+    * inference on the happy path.
+    */
+  private def readSinkOrEmpty(spark: SparkSession, outPath: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(outPath)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
   /** One-shot genuinely-streaming run of the tumbling aggregation: the
     * events fixture flows through the INCREMENTAL engine (FileStreamSource
     * → stateful window aggregation → memory sink) under
@@ -156,7 +172,8 @@ object EventStreams {
       outPath: String, checkpointPath: String,
       statePartitions: Int = 4): DataFrame = {
     val spark = drainSession(spark0, statePartitions)
-    val q = tumblingAgg(readEventStream(spark, dir))
+    val agg = tumblingAgg(readEventStream(spark, dir))
+    val q = agg
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -165,7 +182,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    readSinkOrEmpty(spark, outPath, agg.schema)
   }
 
   /** Streaming exact dedup — the training-data-pipeline shape: keep the
@@ -308,7 +325,8 @@ object EventStreams {
       outPath: String, checkpointPath: String,
       statePartitions: Int = 4): DataFrame = {
     val spark = drainSession(spark0, statePartitions)
-    val q = sessionAgg(readEventStream(spark, dir))
+    val agg = sessionAgg(readEventStream(spark, dir))
+    val q = agg
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -317,6 +335,6 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    readSinkOrEmpty(spark, outPath, agg.schema)
   }
 }

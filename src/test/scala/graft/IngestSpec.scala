@@ -159,4 +159,43 @@ class IngestSpec extends AnyFunSuite {
       assert(keptIds(probe) == Set(32L))
     } finally rmTree(root)
   }
+
+  test("same-JVM index rebuild with different params is observed by later batches") {
+    import spark.implicits._
+    val root = scratch("rebuild")
+    try {
+      val idx = s"$root/idx"
+      // run 1: seed the index with shingle n=3 params and warm the
+      // params cache with one drained batch
+      IncrementalDedup.buildIndex(Seq(100L -> textA).toDF("doc_id", "text"),
+        "doc_id", "text", idx, params)
+      val src1 = s"$root/src1"; new java.io.File(src1).mkdirs()
+      writeDocFile(src1, Seq(41L -> fresh(41)), "f1.parquet",
+        System.currentTimeMillis())
+      val first = CorpusIngest.runIngestAvailableNow(spark, src1,
+        idx, s"$root/sink1", s"$root/ckpt1",
+        jaccardThreshold = tau, params = params)
+      assert(keptIds(first) == Set(41L))
+
+      // REBUILD the index at the SAME path with DIFFERENT params
+      // (2-shingles): signatures from the two parameterizations share no
+      // band keys, so a batch signing with the STALE cached n=3 params
+      // would miss every near-dup against the rebuilt index — the silent
+      // class the (path, mtime) cache key exists to kill
+      rmTree(idx)
+      val p2 = IncrementalDedup.Params(2, params.numHashes, params.bands)
+      IncrementalDedup.buildIndex(Seq(100L -> textA).toDF("doc_id", "text"),
+        "doc_id", "text", idx, p2)
+      val src2 = s"$root/src2"; new java.io.File(src2).mkdirs()
+      writeDocFile(src2, Seq(51L -> textA, 52L -> fresh(52)), "f1.parquet",
+        System.currentTimeMillis())
+      val second = CorpusIngest.runIngestAvailableNow(spark, src2,
+        idx, s"$root/sink2", s"$root/ckpt2",
+        jaccardThreshold = tau, params = p2)
+      // 51 is an exact copy of the seeded doc — it must DROP, which only
+      // happens if the batch signed with the rebuilt index's fresh params
+      assert(keptIds(second) == Set(52L),
+        s"stale params cache: kept=${keptIds(second).toSeq.sorted}")
+    } finally rmTree(root)
+  }
 }

@@ -881,6 +881,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(acc == 1.0, s"toy accuracy $acc")
   }
 
+  test("quality model: malformed feature rows fail loudly, not silently") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    // wrong-length vector → would null out of zip_with and silently drop
+    val wrongLen = Seq((Array(1.0, 0.5), 1), (Array(1.0), 0)).toDF("x", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      QualityModel.trainLogistic(wrongLen, col("x"), col("y"), dim = 2, iters = 1)
+    }
+    assert(e1.getMessage.contains("size != 2"))
+    graft.operators.Staging.releaseAll()
+    // null feature element → same guard
+    val nullElem = Seq((Array[java.lang.Double](1.0, null), 1),
+        (Array[java.lang.Double](1.0, 0.2), 0))
+      .toDF("x", "y").select(col("x").cast("array<double>").as("x"), col("y"))
+    intercept[IllegalArgumentException] {
+      QualityModel.trainLogistic(nullElem, col("x"), col("y"), dim = 2, iters = 1)
+    }
+    graft.operators.Staging.releaseAll()
+  }
+
   test("novelty scores the share of corpus-unique shingles per doc") {
     import spark.implicits._
     val docs = Seq(
@@ -928,11 +948,16 @@ class OperatorSpec extends AnyFunSuite {
     seg.foreach { case (wrd, sub) =>
       assert(sub.mkString == wrd + Bpe.EOW)
     }
-    // per-doc counts under the learned vocabulary: "newest low" = 4 + 4
+    // per-doc counts under the learned vocabulary: "newest low" = 4 + 4;
+    // a doc with zero tokenizable words still appears, with n_bpe = 0
     val counted = Bpe.tokenCount(
-        Seq((7L, "newest low")).toDF("doc_id", "text"), "doc_id", "text", merges)
+        Seq((7L, "newest low"), (8L, "   "), (9L, "")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counted(7L) == 8L)
+    assert(counted(8L) == 0L)
+    assert(counted(9L) == 0L)
+    assert(counted.size == 3)
   }
 
   test("bpe greedy fold is left-to-right; early stop below count 2") {
@@ -983,6 +1008,13 @@ class OperatorSpec extends AnyFunSuite {
       assert(viaBloom(id)._1 >= ov, s"doc $id undercounted")
       assert(viaBloom(id)._2 == flag, s"doc $id flag diverged")
     }
+    // the scalar-subquery route (the GB-scale path: filter never enters a
+    // plan tree) produces the identical result row-for-row
+    val bloomFrame = Decontaminate.benchmarkShingleBloomFrame(
+      bench, "text", n = 3, fpp = 1e-4)
+    val viaFrame = asMap(Decontaminate.flagContaminatedBloomFrame(
+      docs, "doc_id", "text", bloomFrame, n = 3, minOverlap = 2))
+    assert(viaFrame == viaBloom)
   }
 
   test("cluster representatives keep the best member, ties to min id") {

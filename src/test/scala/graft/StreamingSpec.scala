@@ -178,6 +178,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally rmTree(fixture)
   }
 
+  test("durable drain with zero closed windows returns an empty frame, not a throw") {
+    // every event sits inside the final watermark allowance (all within
+    // one hour of the max ts), so the append drain closes NOTHING — the
+    // sink has no data files and a naive read-back dies on schema
+    // inference ("unable to infer schema"); the drain must instead hand
+    // back an empty frame with the aggregation's schema
+    val fixture = java.nio.file.Files.createTempDirectory("graft_empty_fix_").toString
+    try {
+      writeFixtureFile(fixture, Seq((ns(1, 10), "click", 1.0),
+        (ns(1, 20), "view", 2.0)), "f1.parquet", System.currentTimeMillis())
+      val durable = EventStreams.runTumblingAppendDurable(
+        spark, fixture, s"$fixture/sink", s"$fixture/ckpt")
+      assert(durable.count() == 0)
+      assert(durable.columns.toSeq ==
+        Seq("bucket_start", "event_type", "n_events", "sum_value"))
+      val sessFixture = java.nio.file.Files
+        .createTempDirectory("graft_empty_sess_fix_").toString
+      try {
+        writeSessionFile(sessFixture, Seq((ns(1, 10), 1L, 1.0),
+          (ns(1, 20), 1L, 2.0)), "f1.parquet", System.currentTimeMillis())
+        val sess = EventStreams.runSessionAppendDurable(
+          spark, sessFixture, s"$sessFixture/sink", s"$sessFixture/ckpt")
+        assert(sess.count() == 0)
+      } finally rmTree(sessFixture)
+    } finally rmTree(fixture)
+  }
+
   test("durable parquet sink matches the memory-sink gate and resumes from its checkpoint") {
     val fixture = writeLateFixture()
     try {
