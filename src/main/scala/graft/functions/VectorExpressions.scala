@@ -141,6 +141,15 @@ object VectorFunctions {
         exprs(2).eval().asInstanceOf[Int],
         exprs(3).eval().asInstanceOf[Int],
         exprs(4).eval().asInstanceOf[Long]), "scala_udf")
+    // the trained centroid matrix arrives as ONE foldable array literal
+    // (nlist×dim flat) and becomes a codegen reference object — the plan
+    // carries it once, never per-centroid
+    reg.createOrReplaceTempFunction("centroid_top_cells",
+      exprs => CentroidTopCells(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int]), "scala_udf")
   }
 
   /** Requires `ensureRegistered` (or GraftExtensions) on the session. */
@@ -155,4 +164,15 @@ object VectorFunctions {
       org.apache.spark.sql.functions.lit(numPlanes),
       org.apache.spark.sql.functions.lit(numTables),
       org.apache.spark.sql.functions.lit(seed))
+
+  /** Top-`r` nearest cells (1-based, score desc, ties → lower cell) of
+    * `vec` against a flat nlist×dim centroid matrix. The matrix ships as
+    * one array literal → codegen reference object (see
+    * [[CentroidTopCells]]). */
+  def centroid_top_cells(vec: Column, flatCentroids: Array[Double], dim: Int,
+      r: Int): Column =
+    call_function("centroid_top_cells", vec,
+      org.apache.spark.sql.functions.lit(flatCentroids),
+      org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(r))
 }

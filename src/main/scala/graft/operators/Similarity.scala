@@ -307,53 +307,28 @@ object Similarity {
       .select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
       .stagePersist()
 
-    var centroids: Array[Array[Double]] = farthestPointSeeds(c, nlist)
-
-    // centroids are unit vectors, so argmax dot == argmax cosine
-    def scoresCol(vec: Column): Column =
-      array(centroids.toIndexedSeq.map(ct => VectorFunctions.vector_dot(vec, lit(ct))): _*)
-    def assigned(df: DataFrame): DataFrame =
-      df.withColumn("__scores", scoresCol(col("n_vec")))
-        .withColumn("cluster",
-          expr("array_position(__scores, array_max(__scores))").cast("int"))
-        .drop("__scores")
-    // top-R cell ids per vector, picked MAP-SIDE with array ops (sort the
-    // (score, cell) pairs, slice R) — exploding all nlist scores through a
-    // per-vector rank window would shuffle corpus×nlist rows at production
-    // cell counts. Ties break on cell index, same as the probe ranking.
-    def topCells(vec: Column, r: Int): Column = {
-      val paired = zip_with(scoresCol(vec),
-        sequence(lit(1), lit(centroids.length)),
-        (s, c) => struct(s.as("s"), c.as("c")))
-      val sorted = array_sort(paired, (a, b) =>
-        when(a.getField("s") > b.getField("s"), -1)
-          .when(a.getField("s") < b.getField("s"), 1)
-          .when(a.getField("c") < b.getField("c"), -1).otherwise(1))
-      slice(sorted, 1, r)
-    }
+    // centroids are unit vectors, so argmax dot == argmax cosine; the
+    // trained matrix enters every plan below through the native
+    // [[graft.functions.CentroidTopCells]] kernel (top-R picked MAP-SIDE —
+    // exploding all nlist scores through a per-vector rank window would
+    // shuffle corpus×nlist rows at production cell counts; ties break on
+    // cell index, same as the probe ranking)
+    val centroids = trainCentroids(c, nlist, iters)
+    def topCells(vec: Column, r: Int): Column =
+      VectorFunctions.centroid_top_cells(vec, flatCentroids(centroids),
+        centroids(0).length, r)
     // index-side redundant assignment: each corpus vector enters its top-R
     // cells (standard IVF recall knob — storage ×R, probe work unchanged;
     // neighbors on a cell boundary stay reachable from adjacent probes)
     def multiAssigned(df: DataFrame, replicas: Int): DataFrame =
       df.select(col("n_id"), col("n_vec"),
-          explode(topCells(col("n_vec"), replicas)).as("t"))
-        .select(col("n_id"), col("n_vec"), col("t.c").as("cluster"))
-
-    for (_ <- 1 to iters) {
-      val means = lloydMeans(assigned(c)).collect() // ≤ nlist rows
-      val next = centroids.map(_.clone())
-      means.foreach { r =>
-        val mean = r.getSeq[Double](1).toArray
-        if (mean.exists(_ != 0d)) next(r.getAs[Int]("cluster") - 1) = normalizeVec(mean)
-      }
-      centroids = next
-    }
+        explode(topCells(col("n_vec"), replicas)).as("cluster"))
 
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
       .stagePersist()
     // nprobe nearest cells per query — same map-side top-R selection
-    val qProbes = q.select(col("q_id"), explode(topCells(col("q_vec"), nprobe)).as("t"))
-      .select(col("q_id"), col("t.c").as("cluster"))
+    val qProbes = q.select(col("q_id"),
+      explode(topCells(col("q_vec"), nprobe)).as("cluster"))
 
     val index = multiAssigned(c, math.max(1, assignReplicas))
     val scored = index.withColumn("n_norm", norm(col("n_vec")))
@@ -470,6 +445,81 @@ object Similarity {
     (pairs, planes)
   }
 
+  /** Flat row-major (cell-major) centroid matrix for the native
+    * [[graft.functions.CentroidTopCells]] kernel. */
+  private[graft] def flatCentroids(cs: Array[Array[Double]]): Array[Double] = {
+    val dim = cs(0).length
+    val out = new Array[Double](cs.length * dim)
+    var c = 0
+    while (c < cs.length) {
+      System.arraycopy(cs(c), 0, out, c * dim, cs(c).length)
+      c += 1
+    }
+    out
+  }
+
+  /** The literal-composed construction the native kernel replaced — kept
+    * as the independent reference the bit-identity spec checks
+    * [[graft.functions.CentroidTopCells]] against (never used in a query
+    * plan; one array literal per centroid, janino-fatal at derived cell
+    * counts).
+    */
+  private[graft] def topCellsComposed(vec: Column,
+      centroids: Array[Array[Double]], r: Int): Column = {
+    val scores =
+      array(centroids.toIndexedSeq.map(ct => VectorFunctions.vector_dot(vec, lit(ct))): _*)
+    val paired = zip_with(scores,
+      sequence(lit(1), lit(centroids.length)),
+      (s, cc) => struct(s.as("s"), cc.as("c")))
+    val sorted = array_sort(paired, (a, b) =>
+      when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1)
+        .when(a.getField("c") < b.getField("c"), -1).otherwise(1))
+    transform(slice(sorted, 1, r), t => t.getField("c"))
+  }
+
+  /** Seeds for LARGE nlist: the first `nlist` corpus vectors by
+    * content-hash order (a deterministic, partition-independent random
+    * sample), normalized — the standard random-init regime. The
+    * distance-weighted roulette in [[farthestPointSeeds]] is
+    * O(pool·nlist·dim) DRIVER scalar work (pool = 32·nlist), which at a
+    * production-derived nlist (thousands of cells) is minutes of
+    * single-threaded time for a recall gain the Lloyd iterations already
+    * deliver at that cell density; sampled seeds keep seeding O(nlist·dim).
+    */
+  private[graft] def sampleSeeds(c: DataFrame, nlist: Int): Array[Array[Double]] =
+    c.orderBy(xxhash64(col("n_id")), col("n_id"))
+      .limit(math.max(nlist, 1))
+      .select("n_vec").collect()
+      .map(r => normalizeVec(r.getSeq[Double](0).toArray))
+
+  /** Shared IVF coarse-quantizer trainer over a staged (n_id, n_vec)
+    * frame: seeded (roulette ≤256 cells, sampled above — see
+    * [[sampleSeeds]]), refined with `iters` decimal-exact Lloyd rounds.
+    * Assignment runs through the native kernel, so training cost is
+    * independent of how the cell count was derived. Driver traffic:
+    * the seed pool once, then ≤ nlist mean rows per iteration.
+    */
+  private[graft] def trainCentroids(c: DataFrame, nlist: Int,
+      iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] =
+      if (nlist <= 256) farthestPointSeeds(c, nlist) else sampleSeeds(c, nlist)
+    if (centroids.isEmpty) return centroids
+    for (_ <- 1 to iters) {
+      val assigned = c.withColumn("cluster",
+        element_at(VectorFunctions.centroid_top_cells(col("n_vec"),
+          flatCentroids(centroids), centroids(0).length, 1), 1))
+      val means = lloydMeans(assigned).collect() // ≤ nlist rows
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        val mean = r.getSeq[Double](1).toArray
+        if (mean.exists(_ != 0d)) next(r.getAs[Int]("cluster") - 1) = normalizeVec(mean)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
   /** SemDeDup-style SEMANTIC near-duplicate pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): train the IVF coarse quantizer
@@ -486,56 +536,91 @@ object Similarity {
     * is the boundary-robustness knob: a pair split by a cell boundary
     * still meets in a shared second-choice cell.
     *
-    * Scale shape: in-cell pair work is Σ cell² — callers scale `nlist`
-    * with corpus size (cells ≈ n / targetCell) to keep it linear, the
-    * same contract as the paper's k-means sharding; the trainer's driver
-    * traffic stays ≤ nlist rows per Lloyd iteration. Output matches
+    * Scale shape: in-cell pair work is Σ cell², so the DEFAULT
+    * (`nlist = 0`) derives the cell count from the corpus —
+    * nlist ≈ n/targetCell — and then PROBES the realized candidate count
+    * (exactly Σ m·(m−1)/2 over cells, one cheap partial-agg count — the
+    * same governor [[cosineNearDupPairsChosen]] runs) against
+    * max(4×10⁷, 64·n): a clustered corpus that concentrates into few
+    * cells escalates nlist ×2 (retrain is linear — sampled seeds + Lloyd
+    * scans) up to `maxEscalations`, then proceeds with a LOUD stderr
+    * report if still over. An explicit `nlist` pins the partition and
+    * skips derivation and probing entirely (the gate keys do this).
+    * Centroids ship to the plan as one flat reference-object matrix
+    * (native kernel), so a derived cell count in the thousands neither
+    * blows janino nor materializes per-row score arrays. Output matches
     * [[cosineNearDupPairs]]: (id_a, id_b, cos), id_a < id_b, exact-cosine
     * verified, deterministic end to end. Collapse to clusters with
     * [[Dedup.connectedComponents]] like any other pair operator.
     */
   def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16, iters: Int = 2,
-      assignReplicas: Int = 2): DataFrame = {
+      threshold: Double, nlist: Int = 0, iters: Int = 2,
+      assignReplicas: Int = 2, targetCell: Int = 256, corpusSize: Long = -1L,
+      maxEscalations: Int = 3, candidateBudget: Double = 0): DataFrame =
+    semanticNearDupPairsChosen(corpus, idCol, vecCol, threshold, nlist, iters,
+      assignReplicas, targetCell, corpusSize, maxEscalations, candidateBudget)._1
+
+  /** [[semanticNearDupPairs]] plus the cell count the governor settled
+    * on — the scale harness logs it to prove derivation + escalation
+    * actually engage. */
+  def semanticNearDupPairsChosen(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 0, iters: Int = 2,
+      assignReplicas: Int = 2, targetCell: Int = 256, corpusSize: Long = -1L,
+      maxEscalations: Int = 3, candidateBudget: Double = 0): (DataFrame, Int) = {
     VectorFunctions.ensureRegistered(corpus.sparkSession)
     val c = Staging.widen(corpus)
       .select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
       .stagePersist()
 
-    var centroids: Array[Array[Double]] = farthestPointSeeds(c, nlist)
-    def scoresCol(vec: Column): Column =
-      array(centroids.toIndexedSeq.map(ct => VectorFunctions.vector_dot(vec, lit(ct))): _*)
-    def assigned(df: DataFrame): DataFrame =
-      df.withColumn("__scores", scoresCol(col("n_vec")))
-        .withColumn("cluster",
-          expr("array_position(__scores, array_max(__scores))").cast("int"))
-        .drop("__scores")
-    for (_ <- 1 to iters) {
-      val means = lloydMeans(assigned(c)).collect() // ≤ nlist rows
-      val next = centroids.map(_.clone())
-      means.foreach { r =>
-        val mean = r.getSeq[Double](1).toArray
-        if (mean.exists(_ != 0d)) next(r.getAs[Int]("cluster") - 1) = normalizeVec(mean)
-      }
-      centroids = next
-    }
+    val auto = nlist <= 0
+    // known size skips the count() scan — same contract as the LSH governor
+    val n = if (!auto) -1L else if (corpusSize > 0) corpusSize else c.count()
+    var k =
+      if (!auto) nlist
+      else math.max(16, math.min(1 << 16,
+        math.ceil(n.toDouble / math.max(targetCell, 1)).toInt))
+    var centroids = trainCentroids(c, k, iters)
+    if (centroids.isEmpty) // empty corpus: empty pair frame, nothing to train
+      return (c.select(col("n_id").as("id_a"), col("n_id").as("id_b"),
+        lit(0d).as("cos")).limit(0), 0)
 
-    // top-R cells map-side (sorted (score, cell) pairs, sliced) — the
-    // same shape as ivfTopK's topCells; ties break on cell index
-    def topCells(vec: Column, r: Int): Column = {
-      val paired = zip_with(scoresCol(vec),
-        sequence(lit(1), lit(centroids.length)),
-        (s, cc) => struct(s.as("s"), cc.as("c")))
-      val sorted = array_sort(paired, (a, b) =>
-        when(a.getField("s") > b.getField("s"), -1)
-          .when(a.getField("s") < b.getField("s"), 1)
-          .when(a.getField("c") < b.getField("c"), -1).otherwise(1))
-      slice(sorted, 1, r)
+    def cellsFor(cents: Array[Array[Double]]): DataFrame =
+      c.select(col("n_id"),
+          explode(VectorFunctions.centroid_top_cells(col("n_vec"),
+            flatCentroids(cents), cents(0).length,
+            math.max(1, assignReplicas))).as("cluster"))
+        .stagePersist()
+    var cells = cellsFor(centroids)
+
+    if (auto) {
+      // realized candidate count: exactly Σ m·(m−1)/2 over (cell) groups,
+      // replicas included — a linear partial-agg probe vs quadratic pair
+      // work, identical in shape to the LSH plane governor
+      def candidates(): Double = {
+        val row = cells.groupBy("cluster").count()
+          .agg(sum(col("count").cast("double") * (col("count") - 1) / 2).as("c"))
+          .first()
+        if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      }
+      val budget =
+        if (candidateBudget > 0) candidateBudget else math.max(4.0e7, 64.0 * n)
+      var cand = candidates()
+      var tries = 0
+      while (tries < maxEscalations && cand > budget && k < (1 << 16)) {
+        k = math.min(k * 2, 1 << 16)
+        centroids = trainCentroids(c, k, iters)
+        cells = cellsFor(centroids)
+        cand = candidates()
+        tries += 1
+      }
+      if (cand > budget)
+        // degrade LOUDLY: the operator still runs, but the caller is told
+        // the in-cell pair work exceeds the linearity contract
+        System.err.println(
+          f"[graft] semanticNearDupPairs: $cand%.3g candidate pairs still " +
+            f"exceed the $budget%.3g budget after $tries escalations " +
+            f"(nlist=$k) — proceeding with super-linear in-cell verify work")
     }
-    val cells = c.select(col("n_id"),
-        explode(topCells(col("n_vec"), math.max(1, assignReplicas))).as("t"))
-      .select(col("n_id"), col("t.c").as("cluster"))
-      .stagePersist()
 
     // within-cell candidate pairs — ids only; vectors join back for the
     // exact-cosine verify, so the cell shuffle never carries embeddings
@@ -544,11 +629,12 @@ object Similarity {
         col("cluster") === col("cl_r") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b") // replica cells meet a pair twice
-    pairIds
+    val pairs = pairIds
       .join(c.select(col("n_id").as("id_a"), col("n_vec").as("vec_a")), "id_a")
       .join(c.select(col("n_id").as("id_b"), col("n_vec").as("vec_b")), "id_b")
       .withColumn("cos", VectorFunctions.cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    (pairs, k)
   }
 }

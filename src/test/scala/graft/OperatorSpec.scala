@@ -1272,6 +1272,69 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("centroid top-cells kernel is bit-identical to the literal-composed form") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val emb = t("embeddings")
+      .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
+    // trained centroids (unit vectors, data-dependent) + a crafted matrix
+    // with EXACT score ties (duplicate centroid rows) to pin the tie rule
+    val trained = Similarity.trainCentroids(
+      graft.operators.Staging.widen(emb), nlist = 8, iters = 2)
+    val dup = trained ++ Array(trained(2).clone(), trained(0).clone())
+    for (cents <- Seq(trained, dup); r <- Seq(1, 3, cents.length)) {
+      val both = emb.limit(200).select(
+          graft.functions.VectorFunctions.centroid_top_cells(
+            col("n_vec"), Similarity.flatCentroids(cents),
+            cents(0).length, r).as("kernel"),
+          Similarity.topCellsComposed(col("n_vec"), cents, r).as("composed"))
+        .collect()
+      both.foreach { row =>
+        assert(row.getSeq[Int](0) == row.getSeq[Int](1),
+          s"kernel/composed diverged at r=$r, cells=${cents.length}")
+      }
+    }
+    graft.operators.Staging.releaseAll()
+  }
+
+  test("semantic auto mode derives nlist from the corpus and escalates under a tight budget") {
+    val emb = t("embeddings")
+    val n = emb.count()
+    // auto derivation: nlist = clamp(ceil(n / targetCell), 16, 2^16)
+    val (pairsAuto, chosen) = Similarity.semanticNearDupPairsChosen(
+      emb, "vec_id", "embedding", threshold = 0.2, targetCell = 32)
+    val expected = math.max(16, math.ceil(n.toDouble / 32).toInt)
+    val autoSet = pairsAuto.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chosen >= expected, s"derived nlist $chosen < expected $expected")
+    // a candidateBudget the realized cell sizes can't meet forces the
+    // governor to escalate past the derived count (×2 per try)
+    val (pairsEsc, escalated) = Similarity.semanticNearDupPairsChosen(
+      emb, "vec_id", "embedding", threshold = 0.2, targetCell = 32,
+      candidateBudget = 1.0, maxEscalations = 2)
+    assert(escalated == expected * 4,
+      s"expected two ×2 escalations from $expected, got $escalated")
+    // precision stays exact on both paths: every emitted pair clears τ
+    // against brute-force cosine
+    val v = emb.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    val brute = v.select(col("id").as("id_a"), col("vec").as("va"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb")), col("id_a") < col("id_b"))
+      .withColumn("cos", graft.functions.VectorFunctions.vector_dot(col("va"), col("vb"))
+        / (Similarity.norm(col("va")) * Similarity.norm(col("vb"))))
+      .filter(col("cos") >= 0.2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoSet.nonEmpty && autoSet.subsetOf(brute))
+    val escSet = pairsEsc.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(escSet.subsetOf(brute))
+    // explicit nlist pins the partition: derivation and probing skipped
+    val (_, pinned) = Similarity.semanticNearDupPairsChosen(
+      emb, "vec_id", "embedding", threshold = 0.2, nlist = 4,
+      candidateBudget = 1.0)
+    assert(pinned == 4)
+    graft.operators.Staging.releaseAll()
+  }
+
   test("semantic pairs: exact-cosine precision, brute-force subset, replica monotonicity") {
     val emb = t("embeddings")
     val sem = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
