@@ -150,6 +150,19 @@ object VectorFunctions {
           .toDoubleArray(),
         exprs(2).eval().asInstanceOf[Int],
         exprs(3).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("centroid_top_cells_nested",
+      exprs => CentroidTopCellsNested(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        exprs(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        exprs(3).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray(),
+        exprs(4).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray(),
+        exprs(5).eval().asInstanceOf[Int],
+        exprs(6).eval().asInstanceOf[Int],
+        exprs(7).eval().asInstanceOf[Int]), "scala_udf")
   }
 
   /** Requires `ensureRegistered` (or GraftExtensions) on the session. */
@@ -174,5 +187,20 @@ object VectorFunctions {
     call_function("centroid_top_cells", vec,
       org.apache.spark.sql.functions.lit(flatCentroids),
       org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(r))
+
+  /** Two-level variant — see [[CentroidTopCellsNested]]. `cells` must be
+    * group-contiguous per `offsets`; `ids` maps positions back to
+    * 1-based original cell ids. */
+  def centroid_top_cells_nested(vec: Column, flatGroups: Array[Double],
+      flatCells: Array[Double], offsets: Array[Int], ids: Array[Int],
+      dim: Int, groupProbes: Int, r: Int): Column =
+    call_function("centroid_top_cells_nested", vec,
+      org.apache.spark.sql.functions.lit(flatGroups),
+      org.apache.spark.sql.functions.lit(flatCells),
+      org.apache.spark.sql.functions.lit(offsets),
+      org.apache.spark.sql.functions.lit(ids),
+      org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(groupProbes),
       org.apache.spark.sql.functions.lit(r))
 }

@@ -110,6 +110,73 @@ object Bpe {
     out.toSeq
   }
 
+  /** Batched trainer — the production-vocabulary path. A 32-50k-merge
+    * vocabulary at [[train]]'s 2 driver-scheduled jobs per merge is ~10⁵
+    * sequential jobs; here each ROUND recounts once, takes the top
+    * `batchK` candidates, and applies the maximal rank-ordered
+    * NON-INTERACTING prefix subset in one projection chain — so the
+    * per-merge cost amortizes to (2 jobs)/(accepted per round).
+    *
+    * Non-interacting = no symbol (left, right, or product) shared with a
+    * merge already accepted this round. Disjoint merges commute exactly:
+    * replacing l,r → lr can neither destroy nor create an adjacency of a
+    * pair that shares no symbol with it, so every accepted candidate's
+    * count is still exact when it applies. The ONE divergence from the
+    * sequential trainer (documented, spec-pinned): a pair CREATED by this
+    * round's merges (its product chaining with a neighbor) only becomes a
+    * candidate next round — a corpus where a chained pair would outrank a
+    * later same-round candidate learns the same merges in a different
+    * order. On corpora whose top-K candidates are pairwise disjoint and
+    * un-chained the sequence is IDENTICAL (spec-pinned), and `batchK = 1`
+    * degenerates to [[train]] exactly.
+    */
+  def trainBatched(docs: DataFrame, textCol: Column, numMerges: Int,
+      batchK: Int = 16): Seq[Merge] =
+    trainBatchedRounds(docs, textCol, numMerges, batchK)._1
+
+  /** [[trainBatched]] plus the number of recount rounds it ran — the
+    * scale harness logs it to prove the per-merge job amortization. */
+  private[graft] def trainBatchedRounds(docs: DataFrame, textCol: Column,
+      numMerges: Int, batchK: Int = 16): (Seq[Merge], Int) = {
+    var syms = wordCounts(docs, textCol)
+      .select(col("n"), symbolsOf(col("word")).as("syms"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rounds = 0
+    var done = false
+    while (out.size < numMerges && !done) {
+      val want = math.min(batchK, numMerges - out.size)
+      val top = pairCountsFrom(syms)
+        .orderBy(col("n_occ").desc, col("l"), col("r"))
+        .limit(want).collect()
+        .filter(_.getLong(2) >= 2L)
+      if (top.isEmpty) done = true
+      else {
+        rounds += 1
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        top.foreach { row =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          if (accepted.size < want && !used(l) && !used(r) && !used(l + r)) {
+            accepted += ((l, r, row.getLong(2)))
+            used += l; used += r; used += (l + r)
+          }
+        }
+        accepted.foreach { case (l, r, n) =>
+          out += Merge(out.size, l, r, l + r, n)
+        }
+        // one projection PER accepted merge (chained selects — nesting the
+        // folds as one expression would blow up 4^K; CollapseProject keeps
+        // its hands off non-cheap fold lambdas), one lineage cut per round
+        accepted.foreach { case (l, r, _) =>
+          syms = syms.select(col("n"), applyMerge(col("syms"), l, r, l + r).as("syms"))
+        }
+        syms = syms.localCheckpoint()
+      }
+    }
+    (out.toSeq, rounds)
+  }
+
   /** Segment a word table with a learned merge list: merges fold in rank
     * order over the DISTINCT-word frame (vocabulary-sized work — the
     * corpus is never re-folded; callers join documents' words to the

@@ -314,9 +314,7 @@ object Similarity {
     // shuffle corpus×nlist rows at production cell counts; ties break on
     // cell index, same as the probe ranking)
     val centroids = trainCentroids(c, nlist, iters)
-    def topCells(vec: Column, r: Int): Column =
-      VectorFunctions.centroid_top_cells(vec, flatCentroids(centroids),
-        centroids(0).length, r)
+    def topCells(vec: Column, r: Int): Column = topCellsCol(centroids, r)(vec)
     // index-side redundant assignment: each corpus vector enters its top-R
     // cells (standard IVF recall knob — storage ×R, probe work unchanged;
     // neighbors on a cell boundary stay reachable from adjacent probes)
@@ -478,6 +476,98 @@ object Similarity {
     transform(slice(sorted, 1, r), t => t.getField("c"))
   }
 
+  /** Group-contiguous layout of a trained cell matrix for the two-level
+    * kernel ([[graft.functions.CentroidTopCellsNested]]). */
+  private[graft] final case class CellGrouping(flatGroups: Array[Double],
+      flatCells: Array[Double], offsets: Array[Int], ids: Array[Int])
+
+  /** Cell count above which assignment switches from the flat kernel
+    * (O(k·dim) per vector) to the two-level kernel (O(√(p·k)·dim)). At
+    * the threshold the two-level path is already ~4× fewer multiplies;
+    * below it the flat kernel's simplicity wins. */
+  private[graft] val NestedCellThreshold = 256
+
+  /** Driver-side deterministic clustering of the CELL centroids into
+    * g = ⌈√(probes·k)⌉ groups (the cost-balancing choice: per-vector work
+    * g + p·k/g is minimized at g = √(p·k)): stride-sampled seeds over the
+    * centroid order, `lloydIters` spherical Lloyd rounds over the k
+    * centroid ROWS (all driver arithmetic, sequential → deterministic;
+    * k ≤ 2¹⁶ keeps this O(k·g·dim) trivial), then a group-contiguous
+    * reorder with an id map back to original 1-based cell ids.
+    */
+  private[graft] def groupCells(centroids: Array[Array[Double]],
+      groupProbes: Int, lloydIters: Int = 2): CellGrouping = {
+    val k = centroids.length
+    val dim = centroids(0).length
+    val g = math.max(1, math.min(k,
+      math.ceil(math.sqrt(groupProbes.toDouble * k)).toInt))
+    var groups = Array.tabulate(g)(i => centroids((i.toLong * k / g).toInt).clone())
+    val assign = new Array[Int](k)
+    def assignAll(): Unit = {
+      var c = 0
+      while (c < k) {
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var i = 0
+        while (i < g) {
+          var s = 0.0
+          var j = 0
+          while (j < dim) { s += groups(i)(j) * centroids(c)(j); j += 1 }
+          if (s > bestS) { bestS = s; best = i }
+          i += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+    }
+    for (_ <- 1 to lloydIters) {
+      assignAll()
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val counts = new Array[Int](g)
+      var c = 0
+      while (c < k) {
+        val s = sums(assign(c))
+        var j = 0
+        while (j < dim) { s(j) += centroids(c)(j); j += 1 }
+        counts(assign(c)) += 1
+        c += 1
+      }
+      groups = groups.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old else normalizeVec(sums(i))
+      }
+    }
+    assignAll()
+    val order = (0 until k).sortBy(c => (assign(c), c))
+    val flatCells = new Array[Double](k * dim)
+    val ids = new Array[Int](k)
+    val offsets = new Array[Int](g + 1)
+    order.zipWithIndex.foreach { case (c, pos) =>
+      System.arraycopy(centroids(c), 0, flatCells, pos * dim, dim)
+      ids(pos) = c + 1
+      offsets(assign(c) + 1) += 1
+    }
+    var i = 0
+    while (i < g) { offsets(i + 1) += offsets(i); i += 1 }
+    CellGrouping(flatCentroids(groups), flatCells, offsets, ids)
+  }
+
+  /** Top-`r` cells of `vec` — flat kernel at gate-scale cell counts,
+    * two-level past [[NestedCellThreshold]] (where flat assignment would
+    * make corpus scoring O(n·k·dim), quadratic once k is derived from
+    * the corpus). `groupProbes` is the two-level recall knob; pair
+    * PRECISION is unaffected either way (exact-cosine verify). */
+  private[graft] def topCellsCol(centroids: Array[Array[Double]], r: Int,
+      groupProbes: Int = 8)(vec: Column): Column =
+    if (centroids.length <= NestedCellThreshold)
+      VectorFunctions.centroid_top_cells(vec, flatCentroids(centroids),
+        centroids(0).length, r)
+    else {
+      val grp = groupCells(centroids, groupProbes)
+      VectorFunctions.centroid_top_cells_nested(vec, grp.flatGroups,
+        grp.flatCells, grp.offsets, grp.ids, centroids(0).length,
+        groupProbes, r)
+    }
+
   /** Seeds for LARGE nlist: the first `nlist` corpus vectors by
     * content-hash order (a deterministic, partition-independent random
     * sample), normalized — the standard random-init regime. The
@@ -507,8 +597,7 @@ object Similarity {
     if (centroids.isEmpty) return centroids
     for (_ <- 1 to iters) {
       val assigned = c.withColumn("cluster",
-        element_at(VectorFunctions.centroid_top_cells(col("n_vec"),
-          flatCentroids(centroids), centroids(0).length, 1), 1))
+        element_at(topCellsCol(centroids, 1)(col("n_vec")), 1))
       val means = lloydMeans(assigned).collect() // ≤ nlist rows
       val next = centroids.map(_.clone())
       means.foreach { r =>
@@ -537,8 +626,10 @@ object Similarity {
     * still meets in a shared second-choice cell.
     *
     * Scale shape: in-cell pair work is Σ cell², so the DEFAULT
-    * (`nlist = 0`) derives the cell count from the corpus —
-    * nlist ≈ n/targetCell — and then PROBES the realized candidate count
+    * (`nlist = 0`) derives the cell count from the corpus — replica-aware,
+    * sized so the EXPECTED candidate count n·R·(m−1)/2 meets the budget
+    * with per-cell population m capped at `targetCell` — and then PROBES
+    * the realized candidate count
     * (exactly Σ m·(m−1)/2 over cells, one cheap partial-agg count — the
     * same governor [[cosineNearDupPairsChosen]] runs) against
     * max(4×10⁷, 64·n): a clustered corpus that concentrates into few
@@ -575,20 +666,45 @@ object Similarity {
     val auto = nlist <= 0
     // known size skips the count() scan — same contract as the LSH governor
     val n = if (!auto) -1L else if (corpusSize > 0) corpusSize else c.count()
+    val repl = math.max(1, assignReplicas)
+    val budget =
+      if (candidateBudget > 0) candidateBudget
+      else if (auto) math.max(4.0e7, 64.0 * n) else 0.0
     var k =
       if (!auto) nlist
-      else math.max(16, math.min(1 << 16,
-        math.ceil(n.toDouble / math.max(targetCell, 1)).toInt))
-    var centroids = trainCentroids(c, k, iters)
+      else {
+        // replica-aware derivation: each vector enters R cells, so the
+        // expected population at k cells is m = n·R/k and the candidate
+        // count is k·m(m−1)/2 ≈ n·R·(m−1)/2. Solve m for the budget
+        // (not just n/targetCell — at R=2 that would leave realized
+        // candidates ~2× over and force escalations by construction),
+        // cap at targetCell (the semantic granularity ceiling), and
+        // floor at 16 so tiny corpora don't degenerate to 1-member cells.
+        val mBudget = 2.0 * budget / (n.toDouble * repl) + 1.0
+        val m = math.max(16.0, math.min(targetCell.toDouble, mBudget))
+        math.max(16, math.min(1 << 16, math.ceil(n.toDouble * repl / m).toInt))
+      }
+    // env-gated stage profile (stderr) — the same diagnostic pattern as
+    // GRAFT_INGEST_PROFILE; driver-synchronous stages only, the lazy pair
+    // plan's cost is the caller's total minus these
+    def timed[A](label: String)(f: => A): A =
+      if (!sys.env.contains("GRAFT_SEM_PROFILE")) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[sem] $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+    var centroids = timed(s"train k=$k")(trainCentroids(c, k, iters))
     if (centroids.isEmpty) // empty corpus: empty pair frame, nothing to train
       return (c.select(col("n_id").as("id_a"), col("n_id").as("id_b"),
         lit(0d).as("cos")).limit(0), 0)
 
     def cellsFor(cents: Array[Array[Double]]): DataFrame =
       c.select(col("n_id"),
-          explode(VectorFunctions.centroid_top_cells(col("n_vec"),
-            flatCentroids(cents), cents(0).length,
-            math.max(1, assignReplicas))).as("cluster"))
+          explode(topCellsCol(cents, math.max(1, assignReplicas))(col("n_vec")))
+            .as("cluster"))
         .stagePersist()
     var cells = cellsFor(centroids)
 
@@ -602,15 +718,17 @@ object Similarity {
           .first()
         if (row.isNullAt(0)) 0.0 else row.getDouble(0)
       }
-      val budget =
-        if (candidateBudget > 0) candidateBudget else math.max(4.0e7, 64.0 * n)
-      var cand = candidates()
+      var cand = timed(s"probe k=$k")(candidates())
+      if (sys.env.contains("GRAFT_SEM_PROFILE"))
+        System.err.println(f"[sem] candidates=$cand%.3g budget=$budget%.3g")
       var tries = 0
       while (tries < maxEscalations && cand > budget && k < (1 << 16)) {
         k = math.min(k * 2, 1 << 16)
-        centroids = trainCentroids(c, k, iters)
+        centroids = timed(s"train k=$k")(trainCentroids(c, k, iters))
         cells = cellsFor(centroids)
-        cand = candidates()
+        cand = timed(s"probe k=$k")(candidates())
+        if (sys.env.contains("GRAFT_SEM_PROFILE"))
+          System.err.println(f"[sem] candidates=$cand%.3g budget=$budget%.3g")
         tries += 1
       }
       if (cand > budget)

@@ -118,6 +118,19 @@ object ScaleBench {
       import s.implicits._
       merges.toDF()
     },
+    // the production-vocabulary trainer: 300 merges batched (top-16
+    // candidates per recount round, non-interacting subset applied per
+    // round) vs x_bpe's 2-jobs-per-merge sequential path — the rounds
+    // count printed below is the amortization proof
+    "x_bpe_batched" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val (merges, rounds) = graft.operators.Bpe.trainBatchedRounds(
+        t.documents, col("text"), numMerges = 300, batchK = 16)
+      System.err.println(s"[scale] bpe batched: ${merges.size} merges in " +
+        s"$rounds rounds on $dir")
+      import s.implicits._
+      merges.toDF()
+    },
     // applying a learned merge list corpus-wide: the vocabulary segments
     // once (distinct words), documents JOIN for subword counts — the
     // corpus is scanned but never folded. Merges come from a 1% training
@@ -338,6 +351,17 @@ object ScaleBench {
         t.embeddings, "vec_id", "embedding", dim = 64, threshold = 0.92,
         maxEscalations = 6)
       System.err.println(s"[scale] embed dense governor settled at planes=$planes on $dir")
+      pairs
+    },
+    // SemDeDup AUTO mode at ladder scale: derived (replica/budget-aware)
+    // cell count + the Σ m(m−1)/2 probe-and-escalate governor; runs the
+    // full train→assign→probe→pair pipeline each timing pass. The chosen
+    // cell count prints so the ladder records derivation + escalation.
+    "x_sem_auto" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val (pairs, cells) = graft.operators.Similarity.semanticNearDupPairsChosen(
+        t.embeddings, "vec_id", "embedding", threshold = 0.9)
+      System.err.println(s"[scale] semantic governor settled at nlist=$cells on $dir")
       pairs
     })
 

@@ -960,6 +960,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(counted.size == 3)
   }
 
+  test("batched bpe: equals sequential on disjoint corpora, K=1 lockstep, conflicts defer") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // three letter-disjoint pair groups with strictly decreasing counts,
+    // each pair split across two word contexts so its CHAINED products
+    // (count ≤ 5) rank below the next group's pair — the regime where the
+    // batched and sequential merge SEQUENCES must be identical
+    def rep(w: String, k: Int) = Seq.fill(k)(w).mkString(" ")
+    val disjoint = Seq(
+      (1L, rep("xabz", 5) + " " + rep("yabw", 4)), // (a,b): 9
+      (2L, rep("ucdv", 4) + " " + rep("mcdn", 4)), // (c,d): 8
+      (3L, rep("gefh", 4) + " " + rep("iefj", 3))  // (e,f): 7
+    ).toDF("doc_id", "text")
+    val seq3 = Bpe.train(disjoint, col("text"), numMerges = 3)
+    assert(seq3.map(_.merged) == Seq("ab", "cd", "ef"), s"fixture self-check: $seq3")
+    val (bat3, rounds3) = Bpe.trainBatchedRounds(disjoint, col("text"),
+      numMerges = 3, batchK = 8)
+    assert(bat3 == seq3, s"batched diverged on the disjoint corpus: $bat3")
+    assert(rounds3 == 1, s"disjoint top-3 should land in ONE round, took $rounds3")
+
+    // interaction conflict: "ab"×9 puts (a,b) and (b,</w>) both at 9 —
+    // they share b, so the batch accepts only (a,b) and the chained
+    // (ab,</w>) waits for round 2; the resulting sequence still equals
+    // sequential because the conflict rule deferred, not reordered
+    val chained = Seq((1L, rep("ab", 9))).toDF("doc_id", "text")
+    val seqC = Bpe.train(chained, col("text"), numMerges = 2)
+    val (batC, roundsC) = Bpe.trainBatchedRounds(chained, col("text"),
+      numMerges = 2, batchK = 8)
+    assert(batC == seqC, s"conflict corpus diverged: $batC vs $seqC")
+    assert(roundsC == 2, s"shared-symbol candidates must defer a round, took $roundsC")
+
+    // batchK = 1 degenerates to the sequential trainer exactly
+    val mixed = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest"),
+      (4L, "widest widest widest")
+    ).toDF("doc_id", "text")
+    assert(Bpe.trainBatched(mixed, col("text"), numMerges = 6, batchK = 1) ==
+      Bpe.train(mixed, col("text"), numMerges = 6))
+  }
+
   test("bpe greedy fold is left-to-right; early stop below count 2") {
     import spark.implicits._
     import graft.operators.Bpe
@@ -1296,23 +1338,65 @@ class OperatorSpec extends AnyFunSuite {
     graft.operators.Staging.releaseAll()
   }
 
+  test("nested top-cells kernel: full probing equals flat; partial probing high-recall") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val emb = t("embeddings")
+      .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("n_vec"))
+    // a 300-cell matrix (past NestedCellThreshold) from sampled seeds
+    val cents = Similarity.sampleSeeds(emb, 300)
+    val grp = Similarity.groupCells(cents, groupProbes = 8)
+    val g = grp.offsets.length - 1
+    for (r <- Seq(1, 3)) {
+      val rows = emb.select(
+          graft.functions.VectorFunctions.centroid_top_cells(
+            col("n_vec"), Similarity.flatCentroids(cents), cents(0).length, r)
+            .as("flat"),
+          graft.functions.VectorFunctions.centroid_top_cells_nested(
+            col("n_vec"), grp.flatGroups, grp.flatCells, grp.offsets, grp.ids,
+            cents(0).length, g, r).as("full"),
+          graft.functions.VectorFunctions.centroid_top_cells_nested(
+            col("n_vec"), grp.flatGroups, grp.flatCells, grp.offsets, grp.ids,
+            cents(0).length, 8, r).as("partial"))
+        .collect()
+      // probing ALL groups scores every cell → bit-identical to flat
+      rows.foreach { row =>
+        assert(row.getSeq[Int](0) == row.getSeq[Int](1),
+          s"full-probe nested != flat at r=$r")
+      }
+      // partial probing: the TOP cell agrees with flat on the large
+      // majority of vectors (the standard IVF recall trade — precision
+      // downstream is exact regardless). 0.8 bound, not higher, because
+      // THIS fixture is adversarially dense: 300 cells over 500 vectors
+      // makes cells near-singletons and group centroids noisy; at the
+      // operator's real density (targetCell ≈ 10²-10³ members/cell —
+      // the x_sem_auto ladder) groups are cluster-sized and agreement is
+      // far higher, with replica assignment absorbing the remainder
+      val agree = rows.count(row => row.getSeq[Int](2).headOption ==
+        row.getSeq[Int](0).headOption)
+      assert(agree >= (rows.length * 8) / 10,
+        s"partial-probe top-cell agreement $agree/${rows.length} at r=$r")
+    }
+  }
+
   test("semantic auto mode derives nlist from the corpus and escalates under a tight budget") {
     val emb = t("embeddings")
     val n = emb.count()
-    // auto derivation: nlist = clamp(ceil(n / targetCell), 16, 2^16)
+    // auto derivation (replicas R=2 default): per-cell population m caps
+    // at targetCell when the budget allows it, nlist = ceil(n·R/m)
     val (pairsAuto, chosen) = Similarity.semanticNearDupPairsChosen(
       emb, "vec_id", "embedding", threshold = 0.2, targetCell = 32)
-    val expected = math.max(16, math.ceil(n.toDouble / 32).toInt)
+    val expected = math.max(16, math.ceil(n.toDouble * 2 / 32).toInt)
     val autoSet = pairsAuto.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(chosen >= expected, s"derived nlist $chosen < expected $expected")
-    // a candidateBudget the realized cell sizes can't meet forces the
-    // governor to escalate past the derived count (×2 per try)
+    assert(chosen == expected, s"derived nlist $chosen != expected $expected")
+    // a candidateBudget the realized cell sizes can't meet: derivation
+    // floors m at 16, then the governor escalates ×2 per try
+    val k0 = math.max(16, math.ceil(n.toDouble * 2 / 16).toInt)
     val (pairsEsc, escalated) = Similarity.semanticNearDupPairsChosen(
       emb, "vec_id", "embedding", threshold = 0.2, targetCell = 32,
       candidateBudget = 1.0, maxEscalations = 2)
-    assert(escalated == expected * 4,
-      s"expected two ×2 escalations from $expected, got $escalated")
+    assert(escalated == k0 * 4,
+      s"expected two ×2 escalations from $k0, got $escalated")
     // precision stays exact on both paths: every emitted pair clears τ
     // against brute-force cosine
     val v = emb.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
