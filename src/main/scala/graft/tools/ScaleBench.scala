@@ -353,6 +353,19 @@ object ScaleBench {
       System.err.println(s"[scale] embed dense governor settled at planes=$planes on $dir")
       pairs
     },
+    // the keywords df-join FALLBACK, observed deliberately: this
+    // generator's vocabulary caps at ~200k tokens (~5 MB), so the df
+    // table never outgrows broadcast on ANY tier — disabling broadcast
+    // is the only way to measure the shuffle-join plan a 100 TB
+    // vocabulary (10⁸+ tokens) would actually get
+    "x_keywords_nobroadcast" -> { (s0, dir) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s0.conf.get("spark.sql.shuffle.partitions"))
+      val plan = graft.SparkEntry.queries("q_keywords")(s, dir)
+      plan
+    },
     // SemDeDup AUTO mode at ladder scale: derived (replica/budget-aware)
     // cell count + the Σ m(m−1)/2 probe-and-escalate governor; runs the
     // full train→assign→probe→pair pipeline each timing pass. The chosen
