@@ -58,9 +58,24 @@ object Staging {
     * (repartitioning afterwards would shuffle results the slow way).
     */
   def widen(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.rdd.getNumPartitions
-    if (parts * 2 < cores) df.repartition(cores) else df
+    if (sys.env.contains("GRAFT_WIDEN_DISABLE")) return df // A/B diagnostic
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    // Cheap split estimate from catalog stats + the leaf-file count — the
+    // original `df.rdd.getNumPartitions` probe materialized the physical
+    // RDD (full planning pass) per call, and the unconditional repartition
+    // below shuffles the raw input; at GATE scale both cost more than the
+    // serialization they prevent (measured: q_pipeline_hygiene 1.71 →
+    // 1.12 s, q_sim_ivf 2.33 → 2.00 s at sf0.1 with widen off). So widen
+    // now ALSO requires enough input bytes (64 MB+) that a single-core
+    // narrow pipeline genuinely hurts — the ladder/sf1 single-file cases
+    // that motivated it stay widened, the small-scan cases stay identity.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < (64L << 20)) return df
+    val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val splits = math.max(df.inputFiles.length.toLong,
+      ((bytes + maxSplit - 1) / maxSplit).toLong)
+    if (splits * 2 < cores) df.repartition(cores) else df
   }
 
   /** Postfix form: `df.stagePersist()` reads like the `.persist(...)` it

@@ -167,19 +167,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(graft.operators.Staging.liveCount == 0)
   }
 
-  test("widen raises narrow scans to the core count and leaves wide frames alone") {
+  test("widen raises LARGE narrow scans to the core count; small and wide frames pass through") {
     import spark.implicits._
     val cores = spark.sparkContext.defaultParallelism
     // a coalesce(1) frame models the single-file / single-row-group scan:
-    // every narrow stage downstream would run as ONE task without the floor
-    val narrow = spark.range(1000).toDF("id").coalesce(1)
+    // every narrow stage downstream would run as ONE task without the
+    // floor. 10M longs ≈ 80 MB of stats — past the 64 MB work threshold.
+    val narrow = spark.range(10000000L).toDF("id").coalesce(1)
     assert(narrow.rdd.getNumPartitions == 1)
     val widened = graft.operators.Staging.widen(narrow)
     assert(widened.rdd.getNumPartitions == cores)
     // rows survive the round-robin exchange untouched
-    assert(widened.agg(sum("id")).as[Long].head() == 999L * 1000 / 2)
+    assert(widened.agg(sum("id")).as[Long].head() == 9999999L * 10000000L / 2)
+    // a SMALL narrow frame stays narrow: the repartition (plus the probe
+    // itself) costs more than gate-scale serialization — the r8 bench
+    // regression this threshold fixed (q_pipeline_hygiene 1.71 → 1.00 s)
+    val small = spark.range(1000).toDF("id").coalesce(1)
+    assert(graft.operators.Staging.widen(small).rdd.getNumPartitions == 1)
     // an already-wide frame is returned as-is (identity at cluster scale)
-    val wide = spark.range(1000).toDF("id").repartition(cores)
+    val wide = spark.range(10000000L).toDF("id").repartition(cores)
     assert(graft.operators.Staging.widen(wide).rdd.getNumPartitions == cores)
   }
 
