@@ -63,7 +63,13 @@ object CorpusIngest {
       indexPath: String): IncrementalDedup.Params = {
     val p = new Path(indexPath, "params")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mtime = fs.getFileStatus(p).getModificationTime
+    // max over CHILD files, not the directory status: object stores
+    // (S3A-style) report fake directory mtimes (often 0), which would
+    // quietly disable the rebuild-detection this cache key exists for
+    val statuses = fs.listStatus(p)
+    val mtime =
+      if (statuses.isEmpty) fs.getFileStatus(p).getModificationTime
+      else statuses.map(_.getModificationTime).max
     paramsCache.getOrElseUpdate((indexPath, mtime),
       IncrementalDedup.readParams(spark, indexPath))
   }
