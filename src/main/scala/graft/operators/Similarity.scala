@@ -701,8 +701,11 @@ object Similarity {
       return (c.select(col("n_id").as("id_a"), col("n_id").as("id_b"),
         lit(0d).as("cos")).limit(0), 0)
 
+    // norm computed ONCE per cell row (n·R of them) so the per-candidate
+    // verify is a single dot product — cosine_sim would recompute both
+    // norms per pair, 3× the flops on the quadratic-adjacent stream
     def cellsFor(cents: Array[Array[Double]]): DataFrame =
-      c.select(col("n_id"),
+      c.select(col("n_id"), col("n_vec"), norm(col("n_vec")).as("n_nrm"),
           explode(topCellsCol(cents, math.max(1, assignReplicas))(col("n_vec")))
             .as("cluster"))
         .stagePersist()
@@ -740,19 +743,50 @@ object Similarity {
             f"(nlist=$k) — proceeding with super-linear in-cell verify work")
     }
 
-    // within-cell candidate pairs — ids only; vectors join back for the
-    // exact-cosine verify, so the cell shuffle never carries embeddings
-    val pairIds = cells.select(col("cluster"), col("n_id").as("id_a"))
-      .join(cells.select(col("cluster").as("cl_r"), col("n_id").as("id_b")),
+    // Within-cell candidate pairs, vectors carried THROUGH the self-join.
+    // The first cut kept the cell shuffle id-only and joined vectors back
+    // onto the candidate set for the verify — which meant the heaviest
+    // frame in the operator (candidate pairs, quadratic-adjacent) was the
+    // SORT INPUT of two more joins. When those joins planned as SMJ (any
+    // scale past the broadcast threshold) the sorter spilled the entire
+    // candidate set to disk: 2.25e8-row sort, 520 s at sf1 vs 1.8 s. This
+    // shape instead sorts only the n·R cell rows (linear, vector payload
+    // ~dim·8 B/row), streams candidate pairs out of the join map-side
+    // through the codegen'd cosine filter, and lets ONLY survivors reach
+    // a shuffle (the replica dedup). cos is deterministic per pair, so
+    // deduping after the filter picks identical values.
+    //
+    // Join-side planning: the self-join's key cardinality IS k. When k is
+    // small relative to the cluster (a pinned-nlist call on an outgrown
+    // corpus — the gate fixture at 10×), a shuffle join parallelizes the
+    // pair stream over at most k tasks no matter how wide the cluster;
+    // broadcasting the build side instead spreads it across the probe
+    // side's partitions, balanced by construction, with no sort at all
+    // (measured at sf1, 20k vecs, pinned nlist=8, 2.25e8 candidates:
+    // 67.7 s SMJ → see SCALE.md). The broadcast is safe exactly in that
+    // regime: small k with a bounded corpus means a bounded frame (size-
+    // guarded below). In the auto/production regime nlist ∝ n gives
+    // thousands of keys — no skew, and the frame is unbroadcastable
+    // anyway — so the shuffle join stands.
+    val cores = corpus.sparkSession.sparkContext.defaultParallelism
+    val bcastBuild =
+      k < 4 * cores && {
+        val nEff = if (n > 0) n else if (corpusSize > 0) corpusSize else c.count()
+        val dim = c.select(size(col("n_vec"))).head().getInt(0)
+        nEff * repl * (8L * dim + 48L) < (256L << 20)
+      }
+    val build = cells.select(col("cluster").as("cl_r"), col("n_id").as("id_b"),
+      col("n_vec").as("vec_b"), col("n_nrm").as("nrm_b"))
+    val pairs = cells
+      .select(col("cluster"), col("n_id").as("id_a"), col("n_vec").as("vec_a"),
+        col("n_nrm").as("nrm_a"))
+      .join(if (bcastBuild) broadcast(build) else build,
         col("cluster") === col("cl_r") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b") // replica cells meet a pair twice
-    val pairs = pairIds
-      .join(c.select(col("n_id").as("id_a"), col("n_vec").as("vec_a")), "id_a")
-      .join(c.select(col("n_id").as("id_b"), col("n_vec").as("vec_b")), "id_b")
-      .withColumn("cos", VectorFunctions.cosine_sim(col("vec_a"), col("vec_b")))
+      .withColumn("cos", VectorFunctions.vector_dot(col("vec_a"), col("vec_b"))
+        / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+      .dropDuplicates("id_a", "id_b") // replica cells meet a pair twice
     (pairs, k)
   }
 }

@@ -67,15 +67,23 @@ object Staging {
     // below shuffles the raw input; at GATE scale both cost more than the
     // serialization they prevent (measured: q_pipeline_hygiene 1.71 →
     // 1.12 s, q_sim_ivf 2.33 → 2.00 s at sf0.1 with widen off). So widen
-    // now ALSO requires enough input bytes (64 MB+) that a single-core
-    // narrow pipeline genuinely hurts — the ladder/sf1 single-file cases
-    // that motivated it stay widened, the small-scan cases stay identity.
+    // now ALSO requires enough input bytes that a single-core narrow
+    // pipeline genuinely hurts. The floor is 4 MB of COMPRESSED scan, not
+    // 64 MB: per-row compute (shingle/hash/cosine) scales with rows, not
+    // bytes, and a 64 MB floor left sf1's 6-8 MB documents/embeddings —
+    // quadratic-adjacent pair work — serialized on one core (measured:
+    // q_dedup_semantic 1.8 → 520 s, q_pipeline OOM at sf1). 4 MB keeps
+    // the sf0.1 gate-scale scans (≤ 2 MB) on the identity path.
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < (64L << 20)) return df
+    if (bytes < (4L << 20)) return df
     val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
     val splits = math.max(df.inputFiles.length.toLong,
       ((bytes + maxSplit - 1) / maxSplit).toLong)
-    if (splits * 2 < cores) df.repartition(cores) else df
+    // strict (not splits*2 < cores): past the byte floor the input is
+    // big enough that the one narrow shuffle is noise next to the heavy
+    // stage it feeds — at sf1 the 16-file fixtures sat at exactly
+    // cores/2 splits and left half the machine idle in the pair verify
+    if (splits < cores) df.repartition(cores) else df
   }
 
   /** Postfix form: `df.stagePersist()` reads like the `.persist(...)` it
