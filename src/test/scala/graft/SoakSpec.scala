@@ -89,6 +89,9 @@ class SoakSpec extends AnyFunSuite {
       val late = median(durs.takeRight(50))
       assert(late <= math.max(3 * early, early + 200),
         s"per-batch wall grew: early=$early ms late=$late ms")
+      // observability for the SCALE.md soak row (sbt test prints info)
+      info(f"drain soak: batches=${prog.length} stateRowsMax=${stateRows.max} " +
+        f"earlyMedian=${early}ms lateMedian=${late}ms")
 
       // CHECKPOINT LOGS ARE PURGED, NOT ACCUMULATED FOREVER: retention
       // keeps minBatchesToRetain (100) entries, but the purge itself is
@@ -169,6 +172,8 @@ class SoakSpec extends AnyFunSuite {
       // delta-sized (3× bound absorbs host noise, not growth trends)
       assert(chunkWalls.last <= chunkWalls.head * 3,
         s"chunk walls grew: ${chunkWalls.map(w => f"$w%.1f").mkString(", ")} s")
+      info(s"ingest soak chunk walls (50 batches each): " +
+        chunkWalls.map(w => f"$w%.1f s").mkString(", "))
 
       // the one duplicate planted 199 batches after its source dropped;
       // everything else survived
