@@ -145,17 +145,43 @@ object Sampling {
     * no driver collect, no full shuffle of the corpus.
     */
   def mixtureSample(df: DataFrame, fp: Column, strata: Column,
-      weights: Map[String, Double]): DataFrame = {
+      weights: Map[String, Double]): DataFrame =
+    mixtureByMeasure(df, fp, strata, weights,
+      df.select(strata.as("_stratum")).groupBy("_stratum")
+        .agg(count(lit(1)).cast("double").as("_n")))
+
+  /** [[mixtureSample]] with proportions measured in TOKENS — the unit
+    * data cards actually state ("the mix is 50% en BY TOKENS"). Document
+    * counts mis-state a mixture whenever strata have different length
+    * distributions (a verbose stratum at 12.5% of documents can be 30%
+    * of tokens). Same solve with sum(tokens) as the stratum mass:
+    * T = min_k(tokens_k / w_k), keep-rate_k = w_k·T / tokens_k, same
+    * deterministic per-document content-hash rule. Rate-sampling
+    * documents hits the token proportions in EXPECTATION — exact to
+    * ~1/√docs-per-stratum since membership is hash-independent of
+    * length, which at corpus scale is tighter than the weights are
+    * specified; a hard per-stratum ceiling is [[tokenQuota]]'s job.
+    */
+  def mixtureByTokens(df: DataFrame, fp: Column, strata: Column,
+      tokens: Column, weights: Map[String, Double]): DataFrame =
+    mixtureByMeasure(df, fp, strata, weights,
+      df.select(strata.as("_stratum"), tokens.cast("double").as("_m"))
+        .groupBy("_stratum").agg(sum(col("_m")).as("_n")))
+
+  /** Shared mixture solve over a per-stratum mass table `(_stratum, _n)`
+    * — documents for [[mixtureSample]], token sums for
+    * [[mixtureByTokens]]. Two-pass declarative plan as documented on
+    * [[mixtureSample]].
+    */
+  private def mixtureByMeasure(df: DataFrame, fp: Column, strata: Column,
+      weights: Map[String, Double], mass: DataFrame): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be a non-empty map of positive fractions")
     import org.apache.spark.sql.functions.broadcast
     val weightCol = weights.foldLeft(lit(null).cast("double")) {
       case (acc, (k, w)) => when(col("_stratum") === lit(k), lit(w)).otherwise(acc)
     }
-    val counts = df.select(strata.as("_stratum")).groupBy("_stratum")
-      .agg(count(lit(1)).cast("double").as("_n"))
-      .withColumn("_w", weightCol)
-      .filter(col("_w").isNotNull)
+    val counts = mass.withColumn("_w", weightCol).filter(col("_w").isNotNull)
     // binding total: the stratum that runs out first caps the mixture.
     // The binding stratum's rate is mathematically exactly 1, but the
     // floating solve can land at 1−ulp (non-dyadic weights), and the
@@ -171,5 +197,38 @@ object Sampling {
     df.join(broadcast(rates), strata === col("_stratum"), "inner")
       .filter(uniformBucket(fp) < col("_cut"))
       .drop("_stratum", "_cut")
+  }
+
+  /** Per-group TOKEN budget: greedily fill each group with documents in
+    * the deterministic content-hash order until `budget` tokens are
+    * reached — "at most 1B tokens per source", the token-denominated
+    * sibling of [[groupQuota]]'s row cap. A document is kept iff the
+    * budget was not already exhausted BEFORE it (greedy prefix fill:
+    * the crossing document is included, so the overshoot is bounded by
+    * one document and a group whose first document alone exceeds the
+    * budget still contributes it — a hard `<= budget` cut would
+    * silently emit nothing there). Selection is reproducible across
+    * reruns and topology like every sampler here; `tiebreak` must be
+    * unique within a group or ties make the prefix ambiguous.
+    *
+    * Plans as one shuffle on the group key + an in-partition sort for
+    * the running-sum window — unlike [[groupQuota]] there is no
+    * WindowGroupLimit short-circuit (the cutoff rank is data-dependent),
+    * so the cost is the full sort of the LARGEST group. At 100 TB,
+    * groups are sources/domains/languages (bounded cardinality each);
+    * for a group so large its sort won't fit an executor, downsample
+    * first with [[mixtureByTokens]]/[[keepByRate]] (expected-share) and
+    * reserve the exact budget cut for the survivors.
+    */
+  def tokenQuota(df: DataFrame, group: Column, fp: Column, tiebreak: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(!df.columns.contains("__cum"),
+      "input already has a __cum column — rename it before tokenQuota")
+    df.withColumn("__cum", sum(tokens).over(
+        Window.partitionBy(group).orderBy(uniformBucket(fp), tiebreak)))
+      .filter(col("__cum") - tokens < budget)
+      .drop("__cum")
   }
 }

@@ -53,6 +53,35 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // The same mixture measured in TOKENS — the unit data cards state.
+    // On this fixture en is ~58% of tokens at ~44% of documents, so the
+    // token solve genuinely differs from q_mixture's document solve
+    // (en binds here; the doc-count mixture binds elsewhere).
+    "q_mixture_tokens" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Sampling.mixtureByTokens(t.documents,
+          TextAnalysis.fingerprint(col("text")), col("lang"),
+          TextAnalysis.tokenCount(col("text")),
+          Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+            "fr" -> 0.125, "zh" -> 0.125))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Per-group TOKEN budget: greedy prefix fill of each language in
+    // content-hash order until 2000 tokens (crossing doc included —
+    // overshoot bounded by one document).
+    "q_token_quota" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Sampling.tokenQuota(t.documents, col("lang"),
+          TextAnalysis.fingerprint(col("text")), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")), budget = 2000L)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Leakage-safe split: near-dup clusters move into train/val/test as
     // ONE unit (split keyed on the cluster id, not the row's own bytes),
     // so a paraphrased pair can never straddle the eval boundary.
@@ -215,6 +244,51 @@ object PipelineQueries extends QueryModule {
          SELECT f.doc_id, f.lang FROM f JOIN r ON f.lang = r.lang
          WHERE (f.fp * 2654435761) % 1000000 < r.cut
          ORDER BY f.doc_id""",
+
+    // identical solve with sum(n_tokens) as the stratum mass (integer-
+    // valued double sums — order-independent, so cross-engine exact)
+    "q_mixture_tokens" ->
+      s"""WITH f AS (
+           SELECT doc_id, lang, $fpSql AS fp,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS n,
+             CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                       WHEN 'de' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'es' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'fr' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'zh' THEN CAST(0.125 AS DOUBLE) END AS w
+           FROM f GROUP BY lang),
+         t AS (SELECT min(n / w) AS t FROM c WHERE w IS NOT NULL),
+         r AS (
+           SELECT lang,
+             CASE WHEN (w * t.t) / n >= 1.0 THEN 1000000
+                  ELSE CAST(trunc(((w * t.t) / n) * 1000000.0) AS BIGINT)
+             END AS cut
+           FROM c, t WHERE w IS NOT NULL)
+         SELECT f.doc_id, f.lang, f.n_tokens FROM f JOIN r ON f.lang = r.lang
+         WHERE (f.fp * 2654435761) % 1000000 < r.cut
+         ORDER BY f.doc_id""",
+
+    // greedy prefix fill: kept iff the budget wasn't exhausted BEFORE
+    // the document (cum - n_tokens < budget), ties impossible (doc_id)
+    "q_token_quota" ->
+      s"""WITH f AS (
+           SELECT doc_id, lang, $fpSql AS fp,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY (fp * 2654435761) % 1000000, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM f)
+         SELECT doc_id, lang, n_tokens FROM s
+         WHERE cum - n_tokens < 2000 ORDER BY doc_id""",
 
     // Same shingle/pair/closure pipeline as the q_dedup_clusters oracle,
     // then the split CASE keyed on the CLUSTER id.

@@ -141,6 +141,83 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byLang.getOrElse("a", 0L) == 10L)
   }
 
+  test("mixtureByTokens hits TOKEN proportions; binding stratum kept whole") {
+    val weights = Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+      "fr" -> 0.125, "zh" -> 0.125)
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val tok = TextAnalysis.tokenCount(col("text"))
+    val out = Sampling.mixtureByTokens(docs, fp, col("lang"), tok, weights)
+      .select(col("lang"), tok.as("n_tok"))
+    val got = out.groupBy("lang").agg(sum("n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = got.values.sum.toDouble
+    weights.foreach { case (k, w) =>
+      val frac = got.getOrElse(k, 0L) / total
+      assert(math.abs(frac - w) < 0.08, s"$k: token frac $frac want $w")
+    }
+    // binding stratum (min tokens_k/w_k) kept whole, by token count
+    val inTok = docs.select(col("lang"), tok.as("n_tok"))
+      .groupBy("lang").agg(sum("n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = weights.keys.minBy(k => inTok(k) / weights(k))
+    assert(got(binding) == inTok(binding), s"binding $binding not whole")
+    // and the DOC-count mixture picks different rows than the token one
+    // on this fixture (the two units genuinely disagree: en is token-
+    // richer than its doc share, so every token-solve rate sits strictly
+    // below its doc-solve rate and the doc mixture keeps rows the token
+    // mixture cuts)
+    val byDocs = Sampling.mixtureSample(docs, fp, col("lang"), weights)
+    assert(byDocs.select("doc_id").exceptAll(
+      Sampling.mixtureByTokens(docs, fp, col("lang"), tok, weights)
+        .select("doc_id")).count() > 0)
+  }
+
+  test("tokenQuota: greedy prefix fill, overshoot ≤ one doc, oversize first doc kept") {
+    import spark.implicits._
+    val fp = TextAnalysis.fingerprint(col("text"))
+    val tok = TextAnalysis.tokenCount(col("text"))
+    val budget = 700L
+    val out = Sampling.tokenQuota(docs, col("lang"), fp, col("doc_id"), tok, budget)
+      .select(col("doc_id"), col("lang"), tok.as("n_tok"))
+    val kept = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = kept.groupBy(_._2)
+    val inTotals = docs.select(col("lang"), tok.as("n_tok"))
+      .groupBy("lang").agg(sum("n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rows) =>
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      // budget reached (within the crossing doc) or group exhausted
+      assert(total < budget + maxDoc, s"$lang overshot: $total")
+      assert(total >= math.min(budget, inTotals(lang)),
+        s"$lang underfilled: $total of ${inTotals(lang)} (budget $budget)")
+    }
+    // kept set is a PREFIX of the deterministic hash order per group
+    val ordered = docs.select(col("doc_id"), col("lang"),
+        Sampling.uniformBucket(fp).as("b")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val keptIds = kept.map(_._1).toSet
+    ordered.groupBy(_._2).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1)).map(_._1)
+      val keptPrefix = sorted.takeWhile(keptIds)
+      assert(sorted.filter(keptIds).toSeq == keptPrefix.toSeq,
+        s"$lang kept set is not a prefix of the hash order")
+    }
+    // a first document larger than the whole budget is still kept: id=2
+    // hashes first (bucket 582718 < 791359), carries 50 tokens against a
+    // budget of 10 — kept (greedy fill guarantees progress), and the
+    // budget is then exhausted before id=1
+    val tiny = Seq((1L, "g", 5L), (2L, "g", 50L)).toDF("id", "grp", "n")
+    val t2 = Sampling.tokenQuota(tiny, col("grp"), col("id") * 7919L,
+      col("id"), col("n"), budget = 10L)
+    assert(t2.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // determinism under a different physical layout
+    val repart = Sampling.tokenQuota(docs.repartition(7), col("lang"), fp,
+      col("doc_id"), tok, budget).select("doc_id")
+    assert(repart.exceptAll(out.select("doc_id")).isEmpty &&
+      out.select("doc_id").exceptAll(repart).isEmpty)
+  }
+
   // ---- leakage-safe split --------------------------------------------
 
   test("group-keyed split never straddles a near-dup cluster") {
