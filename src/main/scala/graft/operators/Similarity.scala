@@ -245,10 +245,9 @@ object Similarity {
     */
   private[graft] def farthestPointSeeds(c: DataFrame, nlist: Int,
       samplePerList: Int = 32, seed: Long = 42L): Array[Array[Double]] = {
-    val pool = c.orderBy(xxhash64(col("n_id")), col("n_id"))
-      .limit(math.max(nlist, 1) * math.max(samplePerList, 1))
-      .select("n_vec").collect()
-      .map(r => normalizeVec(r.getSeq[Double](0).toArray))
+    // hashHead, not a bare TakeOrdered — same driver-traffic bound as
+    // sampleSeeds (an 8k pool × hundreds of tasks is the same class)
+    val pool = hashHead(c, math.max(nlist, 1) * math.max(samplePerList, 1))
     if (pool.isEmpty) return Array.empty
     val k = math.min(nlist, pool.length)
     val rnd = new java.util.Random(seed)
@@ -578,10 +577,38 @@ object Similarity {
     * deliver at that cell density; sampled seeds keep seeding O(nlist·dim).
     */
   private[graft] def sampleSeeds(c: DataFrame, nlist: Int): Array[Array[Double]] =
-    c.orderBy(xxhash64(col("n_id")), col("n_id"))
-      .limit(math.max(nlist, 1))
-      .select("n_vec").collect()
-      .map(r => normalizeVec(r.getSeq[Double](0).toArray))
+    hashHead(c, math.max(nlist, 1))
+
+  /** The `k` corpus rows with the smallest (xxhash64(id), id) — the
+    * content-addressed deterministic sample both seeders draw from,
+    * normalized.
+    *
+    * NOT a bare `orderBy(...).limit(k)`: that plans as TakeOrdered,
+    * which ships every task's LOCAL top-k to the driver — at a derived
+    * tier-D cell count (k ≈ 61k vectors of 64 doubles) that is ~34 MB
+    * × tasks, and the 2M-vector ladder run died on
+    * spark.driver.maxResultSize at 31 tasks (≈ 1 GB) before the first
+    * Lloyd pass. Pre-filtering to the hash slice expected to hold ~3k
+    * rows keeps the same selection function (the global top-k is a
+    * subset of the slice whenever the slice holds ≥ k rows — checked,
+    * with the exact path as fallback, which is cheap exactly when it
+    * triggers) while driver traffic drops to the seed set itself, not
+    * tasks × k.
+    */
+  private def hashHead(c: DataFrame, k: Int): Array[Array[Double]] = {
+    def exact(df: DataFrame): Array[Array[Double]] =
+      df.orderBy(xxhash64(col("n_id")), col("n_id"))
+        .limit(k).select("n_vec").collect()
+        .map(r => normalizeVec(r.getSeq[Double](0).toArray))
+    val n = c.count() // persisted corpus — a narrow cached scan
+    if (n <= 4L * k) return exact(c)
+    // xxhash64 is uniform over the full signed-long range: the smallest
+    // hashes live just above Long.MinValue, so a threshold at fraction
+    // f of the range keeps ~f·n rows (f = 3k/n → ~3k, ≥ k w.h.p.)
+    val thr = Long.MinValue + (3.0 * k / n * 1.8446744073709552e19).toLong
+    val slice = c.filter(xxhash64(col("n_id")) < lit(thr))
+    if (slice.count() >= k) exact(slice) else exact(c)
+  }
 
   /** Shared IVF coarse-quantizer trainer over a staged (n_id, n_vec)
     * frame: seeded (roulette ≤256 cells, sampled above — see
