@@ -172,7 +172,7 @@ class OperatorSpec extends AnyFunSuite {
     val cores = spark.sparkContext.defaultParallelism
     // a coalesce(1) frame models the single-file / single-row-group scan:
     // every narrow stage downstream would run as ONE task without the
-    // floor. 10M longs ≈ 80 MB of stats — past the 64 MB work threshold.
+    // floor. 10M longs ≈ 80 MB of stats — far past the 4 MB floor.
     val narrow = spark.range(10000000L).toDF("id").coalesce(1)
     assert(narrow.rdd.getNumPartitions == 1)
     val widened = graft.operators.Staging.widen(narrow)
@@ -184,6 +184,15 @@ class OperatorSpec extends AnyFunSuite {
     // regression this threshold fixed (q_pipeline_hygiene 1.71 → 1.00 s)
     val small = spark.range(1000).toDF("id").coalesce(1)
     assert(graft.operators.Staging.widen(small).rdd.getNumPartitions == 1)
+    // the sf1 regime the 4 MB floor exists for: a mid-size (~8 MB)
+    // narrow frame widens — the original 64 MB floor left exactly this
+    // shape serialized (q_dedup_semantic 520 s at sf1)
+    val mid = spark.range(1000000L).toDF("id").coalesce(1)
+    assert(graft.operators.Staging.widen(mid).rdd.getNumPartitions == cores)
+    // ... and a half-wide frame (cores/2 splits — sf1's 16-file scans on
+    // 32 cores) widens too under the strict splits < cores condition
+    val half = spark.range(10000000L).toDF("id").repartition(cores / 2)
+    assert(graft.operators.Staging.widen(half).rdd.getNumPartitions == cores)
     // an already-wide frame is returned as-is (identity at cluster scale)
     val wide = spark.range(10000000L).toDF("id").repartition(cores)
     assert(graft.operators.Staging.widen(wide).rdd.getNumPartitions == cores)
