@@ -617,6 +617,19 @@ object Similarity {
     * independent of how the cell count was derived. Driver traffic:
     * the seed pool once, then ≤ nlist mean rows per iteration.
     */
+  /** The governor's escalation-futility rule: a (necessarily final)
+    * escalation INTO the cell-count clamp is skipped when even the
+    * optimistic occupancy model — candidates ∝ 1/k at fixed corpus —
+    * says the budget stays unmet. Optimistic is the safe direction:
+    * adversarially concentrated corpora shrink candidates SLOWER than
+    * ∝1/k, so this never skips an escalation that could have helped.
+    * Un-clamped doublings are never futile by this rule (the remaining
+    * escalation headroom can compound).
+    */
+  private[graft] def escalationFutile(cand: Double, k: Int, kNext: Int,
+      clamp: Int, budget: Double): Boolean =
+    kNext == clamp && cand * (k.toDouble / kNext) > budget
+
   private[graft] def trainCentroids(c: DataFrame, nlist: Int,
       iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] =
@@ -752,14 +765,26 @@ object Similarity {
       if (sys.env.contains("GRAFT_SEM_PROFILE"))
         System.err.println(f"[sem] candidates=$cand%.3g budget=$budget%.3g")
       var tries = 0
-      while (tries < maxEscalations && cand > budget && k < (1 << 16)) {
-        k = math.min(k * 2, 1 << 16)
-        centroids = timed(s"train k=$k")(trainCentroids(c, k, iters))
-        cells = cellsFor(centroids)
-        cand = timed(s"probe k=$k")(candidates())
-        if (sys.env.contains("GRAFT_SEM_PROFILE"))
-          System.err.println(f"[sem] candidates=$cand%.3g budget=$budget%.3g")
-        tries += 1
+      var futile = false
+      while (!futile && tries < maxEscalations && cand > budget && k < (1 << 16)) {
+        val kNext = math.min(k * 2, 1 << 16)
+        if (escalationFutile(cand, k, kNext, 1 << 16, budget)) {
+          // the FINAL (clamped) escalation cannot meet the budget even
+          // under the optimistic ∝1/k candidate model — the retrain
+          // would be pure cost. Observed at tier D (2M vectors): the
+          // derived 61,539 cells clamp-escalate to 65,536, a 6% cell
+          // increase bought with a full second training. Degrade loudly
+          // below instead.
+          futile = true
+        } else {
+          k = kNext
+          centroids = timed(s"train k=$k")(trainCentroids(c, k, iters))
+          cells = cellsFor(centroids)
+          cand = timed(s"probe k=$k")(candidates())
+          if (sys.env.contains("GRAFT_SEM_PROFILE"))
+            System.err.println(f"[sem] candidates=$cand%.3g budget=$budget%.3g")
+          tries += 1
+        }
       }
       if (cand > budget)
         // degrade LOUDLY: the operator still runs, but the caller is told

@@ -1434,6 +1434,20 @@ class OperatorSpec extends AnyFunSuite {
     graft.operators.Staging.releaseAll()
   }
 
+  test("semantic governor futility: clamped escalation skipped only when it can't meet the budget") {
+    import graft.operators.Similarity.escalationFutile
+    // un-clamped doublings are never futile — remaining headroom compounds
+    assert(!escalationFutile(cand = 1e9, k = 1024, kNext = 2048,
+      clamp = 65536, budget = 1.0))
+    // the tier-D shape: 61,539 → 65,536 is a 6% cell increase; a 1.4e8
+    // candidate count cannot reach a 1.28e8 budget even ∝1/k → skip
+    assert(escalationFutile(cand = 1.4e8, k = 61539, kNext = 65536,
+      clamp = 65536, budget = 1.28e8))
+    // the same clamped step IS taken when the reduction clears the budget
+    assert(!escalationFutile(cand = 1.30e8, k = 61539, kNext = 65536,
+      clamp = 65536, budget = 1.28e8))
+  }
+
   test("semantic pairs: exact-cosine precision, brute-force subset, replica monotonicity") {
     val emb = t("embeddings")
     val sem = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
