@@ -206,10 +206,10 @@ case class CentroidTopCellsNested(child: Expression, groups: Array[Double],
          |    }
          |    int $id = $idm[$cIdx];
          |    int $pos = $cnt < $take ? $cnt : $take - 1;
-         |    if ($cnt < $take || $s > $topS[$take - 1]
-         |        || ($s == $topS[$take - 1] && $id < $topI[$take - 1])) {
-         |      while ($pos > 0 && ($topS[$pos - 1] < $s
-         |          || ($topS[$pos - 1] == $s && $topI[$pos - 1] > $id))) {
+         |    if ($cnt < $take || $s > $topS[$take - 1] ||
+         |        ($s == $topS[$take - 1] && $id < $topI[$take - 1])) {
+         |      while ($pos > 0 && ($topS[$pos - 1] < $s ||
+         |          ($topS[$pos - 1] == $s && $topI[$pos - 1] > $id))) {
          |        $topS[$pos] = $topS[$pos - 1]; $topI[$pos] = $topI[$pos - 1];
          |        $pos--;
          |      }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.Staging.Stageable
+
+/** Corpus-scale n-gram language-model scoring with STUPID BACKOFF
+  * (Brants et al. 2007, "Large Language Models in Machine Translation") —
+  * the LM-based quality filter of a training-data pipeline (CCNet,
+  * Wenzek et al. 2020, filters Common Crawl by reference-LM perplexity;
+  * Gopher/Rae et al. 2021 and Llama use the same family). A document whose
+  * token transitions are atypical of the reference corpus (boilerplate,
+  * lorem-ipsum, wrong language, OCR noise) scores LOW and gets filtered or
+  * down-weighted before training.
+  *
+  * Model: bigram stupid backoff. For token w with predecessor u,
+  *
+  *   p(w | u) = c(u,w) / c(u)        when the bigram was observed,
+  *            = 0.4 · c(w) / T       otherwise (backoff, fixed α = 0.4),
+  *   p(w)     = c(w) / T             for a document's first token,
+  *
+  * where counts come from the REFERENCE corpus and T is its token total.
+  * Stupid backoff deliberately uses unnormalized score ratios instead of
+  * Kneser-Ney discounting — at corpus scale the counts are large enough
+  * that the cheap estimator matches the expensive one (the paper's point),
+  * and every ratio is ONE IEEE division, exactly replayable in ANSI SQL.
+  *
+  * The document score is the MEAN per-token score, not log-perplexity:
+  * `log` would hang cross-engine equality on libm ulps (same reasoning as
+  * `TextAnalysis.topKeywords`' linear idf), and the mean keeps the same
+  * filtering ORDER for the thresholds a pipeline actually applies. To make
+  * the mean independent of partition/merge order, per-token scores are
+  * quantized to integer units of 1e-9 with `floor` (exact on doubles in
+  * both engines — the `mixtureSample` trunc-cut precedent) and summed as
+  * longs: `lm_score = Σ floor(p·1e9) / n_tok / 1e9`.
+  *
+  * Scale shape (100 TB corpus, reference possibly == corpus):
+  *   - The corpus is tokenized ONCE; occurrences pre-aggregate to per-doc
+  *     (prev, w) pair counts map-side, so the model joins see one row per
+  *     DISTINCT per-doc transition, not one per token.
+  *   - The unigram and bigram tables are vocabulary-sized (Heaps' law:
+  *     sublinear in corpus size) and partial-agg'd; AQE broadcasts them
+  *     when they fit, otherwise the joins are plain shuffled hash joins
+  *     keyed on the token — no skew beyond natural token skew, which the
+  *     pair-count pre-aggregation already bounds per document.
+  *   - Nothing corpus-sized reaches the driver; T enters as a broadcast
+  *     one-row aggregate.
+  */
+object LanguageModel {
+
+  /** Per-document transition counts: one row per distinct (prev, w) pair
+    * per document, weighted by its in-document count `k`. `prev` is NULL
+    * for each document's first token; empty tokens (the `split` artifact
+    * of an all-whitespace document) are dropped.
+    */
+  private def pairCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs
+      .select(col(idCol).as("_id"),
+        filter(
+          transform(toks, (t, i) =>
+            struct(t.as("w"),
+              when(i > 0, element_at(toks, i)).as("prev"))),
+          p => p.getField("w") =!= "").as("_pairs"))
+      .select(col("_id"), explode(col("_pairs")).as("p"))
+      .groupBy(col("_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("k"))
+  }
+
+  /** Score `docs` against a stupid-backoff bigram LM trained on `ref`.
+    * Output: one row per input document — (idCol, n_tok, lm_score),
+    * lm_score ∈ [0, 1], 0 for empty documents and documents made entirely
+    * of reference-unseen tokens. Deterministic under any partitioning.
+    */
+  def scoreAgainst(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String): DataFrame = {
+    val refPairs = pairCounts(
+      ref.select(monotonically_increasing_id().as("_rid"), col(refTextCol)),
+      "_rid", refTextCol).stagePersist()
+    scoreWithModel(docs, idCol, pairCounts(docs, idCol, textCol), refPairs)
+  }
+
+  /** Self-trained form: the corpus is its own reference — the standard
+    * boilerplate/outlier detector when no curated reference exists (a
+    * document atypical of its OWN corpus is noise or template looping).
+    * The corpus tokenizes ONCE: the staged per-doc pair frame serves both
+    * the model aggregates and the scoring side.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val oc = pairCounts(docs, idCol, textCol).stagePersist()
+    scoreWithModel(docs, idCol, oc, oc)
+  }
+
+  /** Shared scoring plan: the model tables (unigram, total, bigram —
+    * occurrence-weighted sums over the reference pair frame) joined onto
+    * the per-doc pair counts, quantized mean per document.
+    */
+  private def scoreWithModel(docs: DataFrame, idCol: String,
+      oc: DataFrame, refPairs: DataFrame): DataFrame = {
+    val uni = refPairs.groupBy("w").agg(sum("k").as("cw"))
+    val tot = refPairs.agg(sum("k").as("tt"))
+    val big = refPairs.filter(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(sum("k").as("cbw"))
+    val cu = uni.select(col("w").as("prev"), col("cw").as("cu"))
+    val scored = oc
+      .join(uni, Seq("w"), "left")
+      .join(cu, Seq("prev"), "left")
+      .join(big, Seq("prev", "w"), "left")
+      .crossJoin(broadcast(tot))
+    // Unseen-in-reference words back off to c(w)=0 → p=0 (never null).
+    val pUni = coalesce(col("cw"), lit(0L)).cast("double") / col("tt")
+    val p = when(col("prev").isNull, pUni)
+      .when(col("cbw").isNotNull, col("cbw").cast("double") / col("cu"))
+      .otherwise(lit(0.4d) * pUni)
+    val agg = scored
+      .select(col("_id"), col("k"),
+        (col("k") * floor(p * lit(1e9d)).cast("long")).as("ku"))
+      .groupBy("_id")
+      .agg(sum("k").as("n_tok"), sum("ku").as("su"))
+    // Left-join back so zero-token documents appear with n_tok = 0
+    // (the Bpe.tokenCount rule).
+    docs.select(col(idCol))
+      .join(agg.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        when(col("su").isNull, lit(0.0d))
+          .otherwise(col("su").cast("double") / col("n_tok") / lit(1e9d))
+          .as("lm_score"))
+  }
+}

@@ -231,4 +231,53 @@ object Sampling {
       .filter(col("__cum") - tokens < budget)
       .drop("__cum")
   }
+
+  // Affine remix constant for the EPOCH read-order key — a different odd
+  // multiplier than `Scramble` so the training order is decorrelated from
+  // the fractional-epoch keep decision (the Sharding shard⊥split rule).
+  private val OrderScramble = 2246822519L // xxhash PRIME32_2
+
+  /** Multi-EPOCH curriculum plan — the upsampling step of a training mix
+    * ("2.5 epochs of books, 1 epoch of web"; Llama/GPT-3-style data cards
+    * state repeat factors per source): every row is replicated
+    * floor(e) times for its stratum's epoch factor e, plus one fractional
+    * copy kept by content hash with probability e − floor(e), each copy
+    * tagged with its `epoch` index and a deterministic `ord` read-order
+    * key. Sorting the plan by `ord` interleaves sources and epochs
+    * uniformly — the loader streams the plan in `ord` order and trains a
+    * shuffled multi-epoch curriculum without a global runtime shuffle.
+    *
+    * Decisions are pure functions of (fingerprint, epoch): the fractional
+    * copy survives iff `uniformBucket(fp + epoch)` clears the truncated
+    * rate cut (the [[mixtureSample]] convention; the +epoch offset keeps
+    * per-epoch decisions independent, and `fp < 1e9+7` keeps the scramble
+    * product inside i64), and `ord = pmod((fp + epoch)·OrderScramble,
+    * Buckets)` uses a DIFFERENT multiplier so read order never correlates
+    * with the keep cut. Strata not named in `epochs` are dropped.
+    *
+    * Scale shape: per-row compute — a when-chain over the (tiny, constant)
+    * epoch map, one ≤ ⌈e⌉-element sequence per row, explode, filter — no
+    * shuffle, no driver involvement; output volume is Σ e_k · |stratum k|
+    * by construction.
+    */
+  def epochPlan(df: DataFrame, fp: Column, strata: Column,
+      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.nonEmpty && epochs.values.forall(_ > 0),
+      "epoch factors must be a non-empty map of positive values")
+    require(!df.columns.contains("epoch") && !df.columns.contains("ord"),
+      "input already has an epoch/ord column — rename it before epochPlan")
+    val eCol = epochs.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, e)) => when(strata === lit(k), lit(e)).otherwise(acc)
+    }
+    val nFull = floor(col("_e")).cast("long")
+    val frac = col("_e") - floor(col("_e"))
+    df.withColumn("_e", eCol).filter(col("_e").isNotNull)
+      .withColumn("epoch", explode(sequence(lit(0L), nFull)))
+      .filter(col("epoch") < nFull ||
+        uniformBucket(fp + col("epoch")) <
+          (frac * lit(Buckets.toDouble)).cast("long"))
+      .withColumn("ord",
+        pmod((fp + col("epoch")) * lit(OrderScramble), lit(Buckets)))
+      .drop("_e")
+  }
 }

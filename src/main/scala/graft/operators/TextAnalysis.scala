@@ -264,4 +264,48 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select("doc_id", "token", "tf", "df", "score", "rank")
   }
+
+  /** Token-window document CHUNKING with overlap — the retrieval/context
+    * preparation step (RAG indexing, long-document embedding, fixed-window
+    * pretraining examples): each document splits into windows of `window`
+    * tokens advancing by `stride` (overlap = window − stride), so content
+    * near a boundary always appears whole in at least one chunk.
+    *
+    * Chunk i covers 0-based token positions [i·stride, i·stride + window);
+    * the final chunk is the first one whose window reaches the document
+    * end (it may be shorter). Documents with zero non-whitespace tokens
+    * produce NO chunks — there is nothing to retrieve. Output:
+    * (id, chunk_id, tok_start, n_tok, chunk_text), deterministic.
+    *
+    * Scale shape: per-row compute only — tokenize, one `sequence` of
+    * ~n/stride chunk ids, explode, slice — no shuffle, fuses into the
+    * scan's codegen span either side of the generator. Output text volume
+    * is (window/stride)× the input by construction (the overlap is the
+    * point); chunk counts are data-derived, so a 1M-token outlier document
+    * emits its ~n/stride chunks without any driver involvement.
+    */
+  def chunkByTokens(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got stride=$stride window=$window")
+    val base = docs
+      .select(col(idCol),
+        filter(tokens(col(textCol)), t => t =!= "").as("_t"))
+      .withColumn("_n", size(col("_t")).cast("long"))
+      .filter(col("_n") > 0L)
+    // ceil((n-window)/stride) + 1 full-or-final windows; n <= window → 1.
+    val nChunks = when(col("_n") <= window, lit(1L))
+      .otherwise(
+        ceil((col("_n") - window).cast("double") / stride).cast("long") + 1L)
+    base
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1L)))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        least(lit(window.toLong), col("_n") - col("chunk_id") * stride)
+          .as("n_tok"),
+        array_join(
+          slice(col("_t"), (col("chunk_id") * stride + 1L).cast("int"),
+            lit(window)), " ").as("chunk_text"))
+  }
 }

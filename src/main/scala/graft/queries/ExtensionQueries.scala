@@ -560,6 +560,16 @@ object ExtensionQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Stupid-backoff bigram LM scoring, self-trained on the corpus — the
+    // CCNet-style LM quality filter: mean per-token transition score,
+    // quantized to 1e-9 units so the mean is partition-order-independent.
+    "q_lm_score" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      graft.operators.LanguageModel
+        .lmScore(Staging.widen(t.documents), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // BPE trainer core surface: the level-0 adjacent-symbol-pair count
     // table (chars + </w>), weighted by word frequency — exactly the
     // aggregation every merge iteration argmaxes over. Top-50 under a
@@ -1238,6 +1248,47 @@ object ExtensionQueries extends QueryModule {
                      / CAST(len(s.s) AS DOUBLE) END AS novelty
          FROM sh s LEFT JOIN nv ON s.doc_id = nv.doc_id
          ORDER BY s.doc_id""",
+    // the same model algebra: per-doc (prev, w) pair counts → unigram/
+    // bigram/total sums → one IEEE division per ratio → floor(p·1e9)
+    // units, summed exactly as integers, one final double division chain
+    "q_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         idx AS (
+           SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+         occ AS (
+           SELECT doc_id, t[i] AS w,
+                  CASE WHEN i > 1 THEN t[i - 1] END AS prev
+           FROM idx WHERE t[i] <> ''),
+         oc AS (
+           SELECT doc_id, prev, w, count(*) AS k FROM occ GROUP BY ALL),
+         uni AS (SELECT w, CAST(sum(k) AS BIGINT) AS cw FROM oc GROUP BY w),
+         tot AS (SELECT CAST(sum(k) AS BIGINT) AS tt FROM oc),
+         big AS (
+           SELECT prev, w, CAST(sum(k) AS BIGINT) AS cbw FROM oc
+           WHERE prev IS NOT NULL GROUP BY prev, w),
+         sc AS (
+           SELECT oc.doc_id, oc.k,
+             CASE WHEN oc.prev IS NULL
+                    THEN CAST(uni.cw AS DOUBLE) / tot.tt
+                  WHEN big.cbw IS NOT NULL
+                    THEN CAST(big.cbw AS DOUBLE) / cu.cw
+                  ELSE 0.4 * (CAST(uni.cw AS DOUBLE) / tot.tt) END AS p
+           FROM oc
+           JOIN uni ON oc.w = uni.w
+           LEFT JOIN uni cu ON oc.prev = cu.w
+           LEFT JOIN big ON oc.prev = big.prev AND oc.w = big.w
+           CROSS JOIN tot),
+         agg AS (
+           SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tok,
+             CAST(sum(k * CAST(floor(p * 1e9) AS BIGINT)) AS BIGINT) AS su
+           FROM sc GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+           CASE WHEN a.doc_id IS NULL THEN CAST(0 AS DOUBLE)
+                ELSE CAST(a.su AS DOUBLE) / a.n_tok / 1e9 END AS lm_score
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
     // same construction: word counts → chars+</w> → adjacent pairs
     // weighted by word frequency, total-ordered top-50
     "q_bpe" ->

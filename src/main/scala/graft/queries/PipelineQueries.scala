@@ -183,6 +183,67 @@ object PipelineQueries extends QueryModule {
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       TextAnalysis.topKeywords(toks, col("toks"), col("doc_id"), 3)
         .orderBy("doc_id", "rank")
+    },
+
+    // Token-window chunking with overlap (window 24, stride 16): the
+    // RAG/indexing preparation step — boundary content always appears
+    // whole in at least one chunk; zero-token documents emit none.
+    "q_chunk" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      TextAnalysis.chunkByTokens(Staging.widen(t.documents),
+          "doc_id", "text", window = 24, stride = 16)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Multi-epoch curriculum plan: 1.5 epochs of en, 2 of de, 0.25 of zh
+    // — full copies per floor(e), fractional copy by per-epoch content
+    // hash, deterministic interleaved read-order key.
+    "q_epoch_plan" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Sampling.epochPlan(t.documents,
+          TextAnalysis.fingerprint(col("text")), col("lang"),
+          Map("en" -> 1.5, "de" -> 2.0, "zh" -> 0.25))
+        .select("doc_id", "lang", "epoch", "ord")
+        .orderBy("doc_id", "epoch")
+    },
+
+    // Corpus DATA CARD: the per-language release report a data card
+    // states — documents, tokens, token share, exact-duplicate count,
+    // mean quality, mean length — composed from the engine's own
+    // oracle-checked signals in ONE plan. Mean quality is the
+    // floor(q·1e9) integer-unit mean (partition-order-independent, the
+    // LanguageModel rule); token share is one double division against a
+    // broadcast one-row total.
+    "q_datacard" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = Staging.widen(t.documents)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .stagePersist()
+      val keep = Dedup.exact(docs, "doc_id", "text")
+        .select(col("doc_id"), lit(1L).as("_keep"))
+      val perDoc = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          TextAnalysis.tokenCountFromTokens(col("toks")).as("n_tok"),
+          floor(TextAnalysis.qualityScore(col("text")) * lit(1e9d))
+            .cast("long").as("_qu"))
+        .join(keep, Seq("doc_id"), "left")
+      // tiny (one row per language) but feeds both the total and the
+      // report — stage it so the corpus scan runs once
+      val grouped = Staging.stage(perDoc.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        (count(lit(1)) - count(col("_keep"))).as("n_exact_dup"),
+        sum("_qu").as("_squ"),
+        sum("n_chars").as("_sch")))
+      val tot = grouped.agg(sum("n_tokens").as("_tt"))
+      grouped.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("_tt")).as("token_share"),
+          col("n_exact_dup"),
+          (col("_squ").cast("double") / col("n_docs") / lit(1e9d))
+            .as("mean_quality"),
+          (col("_sch").cast("double") / col("n_docs")).as("mean_chars"))
+        .orderBy("lang")
     }
   )
 
@@ -468,6 +529,98 @@ object PipelineQueries extends QueryModule {
            ((fp % 1000000007) * 40503 + 2654435761) % 8 AS shard FROM f)
          SELECT shard, count(*) AS n_rows, bit_xor(fp) AS checksum,
            min(doc_id) AS min_id, max(doc_id) AS max_id
-         FROM s GROUP BY shard ORDER BY shard"""
+         FROM s GROUP BY shard ORDER BY shard""",
+
+    // same windows: non-empty tokens, ceil((n-W)/S)+1 chunks, 1-based
+    // inclusive list_slice twin of Spark's (start, length) slice
+    "q_chunk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks
+           WHERE len(t) > 0),
+         ch AS (
+           SELECT doc_id, t, n,
+             unnest(range(0, CASE WHEN n <= 24 THEN 1
+               ELSE CAST(ceil(CAST(n - 24 AS DOUBLE) / 16) AS BIGINT) + 1
+               END)) AS chunk_id
+           FROM c)
+         SELECT doc_id, chunk_id, chunk_id * 16 AS tok_start,
+           least(24, n - chunk_id * 16) AS n_tok,
+           array_to_string(list_slice(t, chunk_id * 16 + 1,
+             least(chunk_id * 16 + 24, n)), ' ') AS chunk_text
+         FROM ch ORDER BY doc_id, chunk_id""",
+
+    // full copies per floor(e); the fractional epoch keeps by the same
+    // scramble/truncated-cut rule as q_mixture, offset by the epoch
+    // index; the read-order key remixes with a DIFFERENT multiplier
+    "q_epoch_plan" ->
+      s"""WITH f AS (SELECT doc_id, lang, $fpSql AS fp FROM documents),
+         e AS (
+           SELECT doc_id, lang, fp,
+             CASE lang WHEN 'en' THEN CAST(1.5 AS DOUBLE)
+                       WHEN 'de' THEN CAST(2.0 AS DOUBLE)
+                       WHEN 'zh' THEN CAST(0.25 AS DOUBLE) END AS ef
+           FROM f),
+         x AS (
+           SELECT doc_id, lang, fp, ef,
+             unnest(range(0, CAST(floor(ef) AS BIGINT) + 1)) AS epoch
+           FROM e WHERE ef IS NOT NULL)
+         SELECT doc_id, lang, epoch,
+           ((fp + epoch) * 2246822519) % 1000000 AS ord
+         FROM x
+         WHERE epoch < CAST(floor(ef) AS BIGINT)
+            OR ((fp + epoch) * 2654435761) % 1000000
+               < CAST(trunc((ef - floor(ef)) * 1000000.0) AS BIGINT)
+         ORDER BY doc_id, epoch""",
+
+    // per-language report: exact-dup count against the min-id keep list,
+    // floor(q·1e9) quality units, one-division shares/means
+    "q_datacard" ->
+      s"""WITH base AS (
+           SELECT doc_id, lang, n_chars, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+         keepl AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY lower(text)),
+         per AS (
+           SELECT b.doc_id, b.lang, b.n_chars,
+             CAST(len(b.toks) AS BIGINT) AS n_tok,
+             CAST(floor((
+               least(CAST(length(b.text) AS DOUBLE) / 500, 1.0) * 0.4
+               + (CAST(length(regexp_replace(lower(b.text), '[^a-z ]', '', 'g')) AS DOUBLE)
+                  / greatest(length(b.text), 1)) * 0.4
+               + (CASE WHEN (CAST(len(list_filter(b.toks, t -> t IN $stopSql)) AS DOUBLE)
+                             / greatest(len(b.toks), 1)) > 0.02
+                       THEN 1.0
+                       ELSE (CAST(len(list_filter(b.toks, t -> t IN $stopSql)) AS DOUBLE)
+                             / greatest(len(b.toks), 1)) * 50 END) * 0.2
+             ) * 1e9) AS BIGINT) AS qu,
+             CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END AS dup
+           FROM base b LEFT JOIN keepl k ON b.doc_id = k.doc_id),
+         g AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(dup) AS BIGINT) AS n_exact_dup,
+             CAST(sum(qu) AS BIGINT) AS squ,
+             CAST(sum(n_chars) AS BIGINT) AS sch
+           FROM per GROUP BY lang),
+         tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM g)
+         SELECT lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / tt.t AS token_share,
+           n_exact_dup,
+           CAST(squ AS DOUBLE) / n_docs / 1e9 AS mean_quality,
+           CAST(sch AS DOUBLE) / n_docs AS mean_chars
+         FROM g CROSS JOIN tt ORDER BY lang"""
   )
+
+  /** The any-language stopword marker IN-list, as the oracle replays the
+    * `TextAnalysis.qualityScore` stopword term.
+    */
+  private val stopSql: String =
+    TextAnalysis.markers.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("(", ", ", ")")
 }

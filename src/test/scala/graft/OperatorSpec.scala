@@ -1483,4 +1483,87 @@ class OperatorSpec extends AnyFunSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == sem2)
   }
+
+  test("centroid kernels codegen-compile — no silent interpreter fallback") {
+    // regression: a generated continuation line must never BEGIN with '|'
+    // — downstream codegen templates re-stripMargin the assembled source,
+    // eating a leading '||' into a janino syntax error and silently
+    // dropping the whole stage to interpreted execution (the HyperplaneSigs
+    // failure class, caught here by forbidding the fallback entirely)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    graft.functions.VectorFunctions.ensureRegistered(s2)
+    val emb = s2.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.sampleSeeds(
+      emb.select(col("vec_id").as("n_id"), col("v").as("n_vec")), 300)
+    val grp = Similarity.groupCells(cents, groupProbes = 8)
+    val g = grp.offsets.length - 1
+    val rows = emb.select(
+        graft.functions.VectorFunctions.centroid_top_cells(
+          col("v"), Similarity.flatCentroids(cents), cents(0).length, 2)
+          .as("flat"),
+        graft.functions.VectorFunctions.centroid_top_cells_nested(
+          col("v"), grp.flatGroups, grp.flatCells, grp.offsets, grp.ids,
+          cents(0).length, g, 2).as("full"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+
+  // ---- stupid-backoff LM scoring --------------------------------------
+
+  private def lmRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("lmScore: hand-computed stupid-backoff scores on a 3-doc corpus") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    // corpus: T=7; c(a)=3 c(b)=2 c(c)=2; bigrams (a,b)=(b,a)=(a,c)=(c,b)=1
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c b"), (4L, "   "))
+      .toDF("doc_id", "text")
+    val out = lmRows(LanguageModel.lmScore(docs, "doc_id", "text"))
+    def u(p: Double): Long = math.floor(p * 1e9).toLong
+    // d1: a|∅=3/7, b|a=1/3, a|b=1/2
+    val d1 = (u(3.0 / 7) + u(1.0 / 3) + u(1.0 / 2)).toDouble / 3 / 1e9
+    // d2: a|∅=3/7, c|a=1/3
+    val d2 = (u(3.0 / 7) + u(1.0 / 3)).toDouble / 2 / 1e9
+    // d3: c|∅=2/7, b|c=1/2
+    val d3 = (u(2.0 / 7) + u(1.0 / 2)).toDouble / 2 / 1e9
+    assert(out(1L) == ((3L, d1)))
+    assert(out(2L) == ((2L, d2)))
+    assert(out(3L) == ((2L, d3)))
+    // whitespace-only doc still present: zero tokens, score 0
+    assert(out(4L) == ((0L, 0.0)))
+    graft.operators.Staging.releaseAll()
+  }
+
+  test("scoreAgainst: unseen bigram backs off at 0.4, unseen word scores 0") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    val ref = Seq((1L, "a b a"), (2L, "a c"), (3L, "c b")).toDF("rid", "text")
+    val docs = Seq((10L, "b b"), (11L, "z a")).toDF("doc_id", "text")
+    val out = lmRows(LanguageModel.scoreAgainst(
+      docs, "doc_id", "text", ref, "text"))
+    def u(p: Double): Long = math.floor(p * 1e9).toLong
+    // "b b": b|∅=2/7; (b,b) unseen → 0.4·(2/7)
+    val bb = (u(2.0 / 7) + u(0.4 * (2.0 / 7))).toDouble / 2 / 1e9
+    // "z a": z unseen → 0; (z,a) unseen bigram AND unseen context →
+    // backoff to 0.4·c(a)/T
+    val za = (0L + u(0.4 * (3.0 / 7))).toDouble / 2 / 1e9
+    assert(out(10L) == ((2L, bb)))
+    assert(out(11L) == ((2L, za)))
+    graft.operators.Staging.releaseAll()
+  }
+
+  test("lmScore is deterministic under repartitioning") {
+    import graft.operators.LanguageModel
+    val docs = t("documents")
+    val a = lmRows(LanguageModel.lmScore(docs, "doc_id", "text"))
+    graft.operators.Staging.releaseAll()
+    val b = lmRows(LanguageModel.lmScore(docs.repartition(7), "doc_id", "text"))
+    graft.operators.Staging.releaseAll()
+    assert(a == b)
+    assert(a.values.forall { case (_, s) => s >= 0.0 && s <= 1.0 })
+  }
 }

@@ -372,4 +372,110 @@ class PipelineOpsSpec extends AnyFunSuite {
       .groupBy("shard").agg(count_distinct(col("split")).as("n"))
     assert(joint.filter(col("n") < 2).isEmpty)
   }
+
+  // ---- token-window chunking ------------------------------------------
+
+  private def chunkRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+
+  test("chunkByTokens: hand-computed windows, overlap, and final short chunk") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "t1 t2 t3 t4 t5"),    // 5 toks, w=3 s=2 → [0..2], [2..4]
+      (2L, "u1 u2 u3 u4 u5 u6"), // 6 toks → [0..2], [2..4], [4..5] short
+      (3L, "v1 v2"),             // under window → one whole chunk
+      (4L, "  ")                 // zero tokens → no chunks
+    ).toDF("doc_id", "text")
+    val got = chunkRows(TextAnalysis.chunkByTokens(d, "doc_id", "text", 3, 2))
+    assert(got == Seq(
+      (1L, 0L, 0L, 3L, "t1 t2 t3"), (1L, 1L, 2L, 3L, "t3 t4 t5"),
+      (2L, 0L, 0L, 3L, "u1 u2 u3"), (2L, 1L, 2L, 3L, "u3 u4 u5"),
+      (2L, 2L, 4L, 2L, "u5 u6"),
+      (3L, 0L, 0L, 2L, "v1 v2")))
+  }
+
+  test("chunkByTokens: stride == window partitions tokens exactly") {
+    // no overlap → the chunks tile the document: token counts re-add to
+    // the doc's token count and every start lands on the stride grid
+    val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 8, 8)
+    val toks = docs.select(col("doc_id"),
+      size(filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= ""))
+        .cast("long").as("n"))
+    val sums = out.groupBy("doc_id").agg(sum("n_tok").as("s"))
+      .join(toks, "doc_id")
+    assert(sums.filter(col("s") =!= col("n")).isEmpty)
+    assert(out.filter(pmod(col("tok_start"), lit(8L)) =!= 0L).isEmpty)
+  }
+
+  test("chunkByTokens: every token position is covered by some chunk") {
+    val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 24, 16)
+    // per doc: max(tok_start + n_tok) == token count and chunks advance
+    // by exactly the stride
+    val toks = docs.select(col("doc_id"),
+      size(filter(split(trim(lower(col("text"))), "\\s+"), t => t =!= ""))
+        .cast("long").as("n"))
+    val cover = out.groupBy("doc_id")
+      .agg(max(col("tok_start") + col("n_tok")).as("covered"),
+        count(lit(1)).as("k"), max("chunk_id").as("maxc"))
+      .join(toks.filter(col("n") > 0), "doc_id")
+    assert(cover.filter(col("covered") =!= col("n")).isEmpty)
+    assert(cover.filter(col("maxc") =!= col("k") - 1).isEmpty)
+  }
+
+  // ---- multi-epoch curriculum plan ------------------------------------
+
+  test("epochPlan: integer factors replicate exactly, fractional by rate") {
+    import spark.implicits._
+    val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val plan = Sampling.epochPlan(rows, col("id"), col("g"),
+      Map("a" -> 2.0, "b" -> 0.25))
+    val byG = plan.groupBy("g").agg(count(lit(1)).as("n"),
+        count_distinct(col("epoch")).as("ne"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exactly 2 copies of every 'a' row (epochs 0 and 1, nothing kept at 2)
+    assert(byG("a") == ((4000L, 2L)))
+    // 'b' keeps ~25% of one epoch: binomial(2000, .25) stays in ±5σ
+    val (nb, _) = byG("b")
+    assert(nb > 400 && nb < 600, s"fractional epoch kept $nb of 2000")
+    // epoch ids are exactly {0,1} for a and {0} for b
+    assert(plan.filter(col("g") === "a" && !col("epoch").isin(0L, 1L)).isEmpty)
+    assert(plan.filter(col("g") === "b" && col("epoch") =!= 0L).isEmpty)
+    // unlisted strata are dropped, ord lands in [0, 1e6)
+    assert(plan.filter(!col("g").isin("a", "b")).isEmpty)
+    assert(plan.filter(col("ord") < 0L || col("ord") >= 1000000L).isEmpty)
+  }
+
+  test("epochPlan is deterministic and per-epoch decisions are independent") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => (i, "x")).toDF("id", "g")
+    def run() = Sampling.epochPlan(rows, col("id"), col("g"), Map("x" -> 2.5))
+      .select("id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run()
+    assert(a == run())
+    // everyone has epochs 0 and 1; epoch 2 holds ~half, and its keep set
+    // is NOT the low-id prefix (hash-scrambled)
+    val e2 = a.filter(_._2 == 2L).map(_._1)
+    assert(a.count(_._2 == 0L) == 2000 && a.count(_._2 == 1L) == 2000)
+    assert(e2.size > 850 && e2.size < 1150, s"epoch-2 kept ${e2.size}")
+    assert(e2.exists(_ > 1900) && !(1L to 100L).forall(e2.contains))
+  }
+
+  test("datacard query: shares sum to 1, dup counts bounded, quality in [0,1]") {
+    val dc = graft.SparkEntry.queries("q_datacard")(spark, dir)
+    val rows = dc.collect()
+    assert(rows.nonEmpty)
+    val share = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(share - 1.0) < 1e-9, s"token shares sum to $share")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact_dup") >= 0L)
+      assert(r.getAs[Long]("n_exact_dup") < r.getAs[Long]("n_docs"))
+      val q = r.getAs[Double]("mean_quality")
+      assert(q >= 0.0 && q <= 1.0, s"mean_quality $q")
+    }
+    graft.operators.Staging.releaseAll()
+  }
 }
