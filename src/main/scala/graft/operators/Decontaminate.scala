@@ -185,4 +185,77 @@ object Decontaminate {
         coalesce(col("overlap"), lit(0L)).as("overlap"),
         (coalesce(col("overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
+
+  /** FUZZY (near-duplicate) decontamination pairs — the PARAPHRASE
+    * contamination shape: (corpus doc, benchmark doc) pairs whose
+    * n-gram-shingle Jaccard is ≥ `threshold`, found via MinHash/LSH
+    * banding and verified with exact Jaccard. Shingle-overlap counts
+    * ([[flagContaminated]]) catch verbatim inclusion; a lightly edited
+    * benchmark item (word swaps, clause reorder, template re-fill) slides
+    * under an absolute-overlap cut while keeping high set similarity, and
+    * published decontamination pipelines treat it as contaminated (the
+    * fuzzy-collision variant of GPT-3's n-gram filtering; the near-dup
+    * member of the same family the dedup operators implement).
+    *
+    * Scale shape: both sides sign with the SAME MinHash params (shared
+    * `Dedup.minhashSignature`/`bandedKeys` — bit-identical band keys);
+    * the benchmark side is eval-suite-sized, so its band keys AND its
+    * shingle sets broadcast. The corpus scans once, candidates fall out
+    * of a map-side band join, and only colliding pairs pay the exact
+    * verify — no corpus-side shuffle at all. Error is one-sided in the
+    * LSH sense: precision is exact (every emitted pair passed the real
+    * Jaccard), recall is the banding curve's (gated by the driver key).
+    */
+  def fuzzyContaminationPairs(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val dbase = Dedup.shingleFrame(docs, idCol, textCol, n)
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), numHashes))
+      .stagePersist()
+    val bbase = Dedup.shingleFrame(benchmark, benchIdCol, benchTextCol, n)
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), numHashes))
+      .stagePersist()
+    val dband = Dedup.bandedKeys(dbase, numHashes, bands)
+    val bband = Dedup.bandedKeys(bbase, numHashes, bands)
+      .select(col("band"), col("band_sig"), col("id").as("bench_id"))
+    val cand = dband.join(broadcast(bband), Seq("band", "band_sig"))
+      .select(col("id"), col("bench_id"))
+      .dropDuplicates("id", "bench_id")
+    cand
+      .join(dbase.select(col("id"), col("sh").as("_shd"),
+        col("n_sh").as("_nd")), "id")
+      .join(broadcast(bbase.select(col("id").as("bench_id"),
+        col("sh").as("_shb"), col("n_sh").as("_nb"))), "bench_id")
+      .withColumn("_common", size(array_intersect(col("_shd"), col("_shb"))))
+      .withColumn("jaccard", col("_common").cast("double") /
+        (col("_nd") + col("_nb") - col("_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id"), col("bench_id"), col("jaccard"))
+  }
+
+  /** Per-document form of [[fuzzyContaminationPairs]]: every input
+    * document appears once — (idCol, contaminated, n_matches,
+    * best_jaccard, best_bench), where best_bench is the most-similar
+    * benchmark id (ties: lower id). Requires a numeric benchmark id.
+    */
+  def flagContaminatedFuzzy(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = fuzzyContaminationPairs(docs, idCol, textCol,
+      benchmark, benchIdCol, benchTextCol, n, numHashes, bands, threshold)
+    val perDoc = pairs.groupBy("id").agg(
+      count(lit(1)).as("n_matches"),
+      max(col("jaccard")).as("best_jaccard"),
+      max_by(col("bench_id"),
+        struct(col("jaccard"), -col("bench_id"))).as("best_bench"))
+    docs.select(col(idCol))
+      .join(perDoc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_matches").isNotNull.as("contaminated"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_jaccard"), lit(0.0d)).as("best_jaccard"),
+        col("best_bench"))
+  }
 }

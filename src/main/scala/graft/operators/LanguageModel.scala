@@ -71,13 +71,26 @@ object LanguageModel {
     * Output: one row per input document — (idCol, n_tok, lm_score),
     * lm_score ∈ [0, 1], 0 for empty documents and documents made entirely
     * of reference-unseen tokens. Deterministic under any partitioning.
+    *
+    * `minBigramCount` prunes bigrams the reference saw fewer times from
+    * the model (they score through the backoff path instead) — the
+    * standard count cutoff of corpus-scale LM training (Brants et al.
+    * 2007 build their tables with exactly this knob). It exists because
+    * the BIGRAM table is not Heaps-bounded the way the unigram table is:
+    * distinct bigram types keep growing near-linearly in the long tail,
+    * and at 10¹² training tokens the unpruned table outgrows what any
+    * join side should carry. A cutoff of 2 typically drops the majority
+    * of bigram TYPES (the df=1 tail) while keeping almost all bigram
+    * MASS. Default 1 = no pruning (the oracle-gated configuration).
     */
   def scoreAgainst(docs: DataFrame, idCol: String, textCol: String,
-      ref: DataFrame, refTextCol: String): DataFrame = {
+      ref: DataFrame, refTextCol: String,
+      minBigramCount: Long = 1L): DataFrame = {
     val refPairs = pairCounts(
       ref.select(monotonically_increasing_id().as("_rid"), col(refTextCol)),
       "_rid", refTextCol).stagePersist()
-    scoreWithModel(docs, idCol, pairCounts(docs, idCol, textCol), refPairs)
+    scoreWithModel(docs, idCol, pairCounts(docs, idCol, textCol), refPairs,
+      minBigramCount)
   }
 
   /** Self-trained form: the corpus is its own reference — the standard
@@ -86,9 +99,10 @@ object LanguageModel {
     * The corpus tokenizes ONCE: the staged per-doc pair frame serves both
     * the model aggregates and the scoring side.
     */
-  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      minBigramCount: Long = 1L): DataFrame = {
     val oc = pairCounts(docs, idCol, textCol).stagePersist()
-    scoreWithModel(docs, idCol, oc, oc)
+    scoreWithModel(docs, idCol, oc, oc, minBigramCount)
   }
 
   /** Shared scoring plan: the model tables (unigram, total, bigram —
@@ -96,11 +110,14 @@ object LanguageModel {
     * the per-doc pair counts, quantized mean per document.
     */
   private def scoreWithModel(docs: DataFrame, idCol: String,
-      oc: DataFrame, refPairs: DataFrame): DataFrame = {
+      oc: DataFrame, refPairs: DataFrame, minBigramCount: Long): DataFrame = {
+    require(minBigramCount >= 1L,
+      s"minBigramCount must be >= 1, got $minBigramCount")
     val uni = refPairs.groupBy("w").agg(sum("k").as("cw"))
     val tot = refPairs.agg(sum("k").as("tt"))
     val big = refPairs.filter(col("prev").isNotNull)
       .groupBy("prev", "w").agg(sum("k").as("cbw"))
+      .filter(col("cbw") >= minBigramCount)
     val cu = uni.select(col("w").as("prev"), col("cw").as("cu"))
     val scored = oc
       .join(uni, Seq("w"), "left")

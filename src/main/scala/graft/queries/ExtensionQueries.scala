@@ -712,6 +712,46 @@ object ExtensionQueries extends QueryModule {
             .as("fp_bounded"))
     },
 
+    // FUZZY decontamination gate: MinHash/LSH near-dup (corpus, bench)
+    // pairs, exact-Jaccard verified at τ=0.5, vs DuckDB's exact cross
+    // pair twin — precision must be total (the verify is exact), recall
+    // ≥ 0.75 on the ≥2-common exact set (the q_dedup_minhash banding
+    // contract, cross-corpus).
+    "q_decontaminate_fuzzy" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val fz = Decontaminate.fuzzyContaminationPairs(docs, "doc_id", "text",
+          bench, "doc_id", "text", threshold = 0.5)
+        .select(col("id").as("id_a"), col("bench_id").as("id_b"))
+        .stagePersist()
+      // exact cross twin: inverted-index join, bench side broadcast
+      val dsh = Dedup.shingleFrame(docs, "doc_id", "text", 3)
+      val dinv = dsh.select(col("id").as("id_a"), col("n_sh").as("na"),
+        explode(col("sh")).as("shingle"))
+      val binv = dsh.filter(col("id") % 97 === 0)
+        .select(col("id").as("id_b"), col("n_sh").as("nb"),
+          explode(col("sh")).as("shingle"))
+      val pairsAll = dinv.join(broadcast(binv), "shingle")
+        .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("common"))
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
+        .stagePersist()
+      val exact = pairsAll.filter(col("jaccard") >= 0.5)
+      val exact2 = exact.filter(col("common") >= 2).select("id_a", "id_b")
+      val nExact = exact2.agg(count(lit(1)).as("n_exact"))
+      val nHit = fz.join(exact2, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val nPrecMiss = fz.join(exact.select("id_a", "id_b"),
+          Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_miss"))
+      broadcast(nExact).crossJoin(broadcast(nHit)).crossJoin(broadcast(nPrecMiss))
+        .select(col("n_exact"),
+          (col("n_miss") === 0).as("precision_ok"),
+          (col("n_exact") === 0 ||
+            col("n_hit") >= col("n_exact") * lit(0.75)).as("recall_ok"))
+    },
+
     // Keep-BEST cluster representatives: near-dup clusters on a 25%
     // slice (the composition gate — the cluster build's own scale story
     // lives with q_dedup_clusters), then one partial-aggregating
@@ -1611,6 +1651,29 @@ object ExtensionQueries extends QueryModule {
          SELECT count(*) AS n_exact,
            TRUE AS recall_total, TRUE AS fp_bounded
          FROM ov WHERE overlap >= 2""",
+    // cross-corpus variant of the minhash gate twin: exact (doc, bench)
+    // Jaccard pairs at τ=0.5 with ≥2 common shingles (string shingles —
+    // the engine's 64-bit digests differ by the accepted ~2^-64 term)
+    "q_decontaminate_fuzzy" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 2), 'string_agg', ' '))) AS s
+           FROM toks),
+         inv AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+           FROM inv a JOIN inv b
+             ON a.shingle = b.shingle AND b.doc_id % 97 = 0
+           GROUP BY 1, 2, 3, 4)
+         SELECT count(*) AS n_exact, TRUE AS precision_ok, TRUE AS recall_ok
+         FROM pairs
+         WHERE common >= 2
+           AND CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""",
     // the q_dedup_clusters recursive closure restricted to the 25% slice
     // + argmax by (n_chars DESC, doc_id ASC) per cluster
     "q_dedup_keepbest" ->

@@ -1556,6 +1556,74 @@ class OperatorSpec extends AnyFunSuite {
     graft.operators.Staging.releaseAll()
   }
 
+  test("lmScore: minBigramCount prunes bigrams to the backoff path") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    // every bigram in this corpus has count 1 → a cutoff of 2 prunes ALL
+    // bigrams: every non-first token scores through 0.4·c(w)/T
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c b"))
+      .toDF("doc_id", "text")
+    val out = lmRows(LanguageModel.lmScore(docs, "doc_id", "text",
+      minBigramCount = 2L))
+    def u(p: Double): Long = math.floor(p * 1e9).toLong
+    val d1 = (u(3.0 / 7) + u(0.4 * (2.0 / 7)) + u(0.4 * (3.0 / 7)))
+      .toDouble / 3 / 1e9
+    val d2 = (u(3.0 / 7) + u(0.4 * (2.0 / 7))).toDouble / 2 / 1e9
+    val d3 = (u(2.0 / 7) + u(0.4 * (2.0 / 7))).toDouble / 2 / 1e9
+    assert(out(1L) == ((3L, d1)))
+    assert(out(2L) == ((2L, d2)))
+    assert(out(3L) == ((2L, d3)))
+    graft.operators.Staging.releaseAll()
+  }
+
+  // ---- fuzzy (near-dup) decontamination --------------------------------
+
+  test("fuzzy decontamination: exact copy flagged, disjoint not, verify exact") {
+    import spark.implicits._
+    import graft.operators.Decontaminate
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // jaccard 1 — always banded
+      (2L, "alpha beta gamma delta epsilon eta"),  // jaccard 3/5 — banding may
+      (3L, "one two three four five six seven")    // jaccard 0 — never banded
+    ).toDF("doc_id", "text")
+    val flags = Decontaminate.flagContaminatedFuzzy(
+        docs, "doc_id", "text", bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(flags(1L).getBoolean(1))
+    assert(flags(1L).getDouble(3) == 1.0)
+    assert(flags(1L).getLong(4) == 100L)
+    assert(!flags(3L).getBoolean(1) && flags(3L).getLong(2) == 0L)
+    // if banding surfaced the paraphrase, the exact verify scored it:
+    // emitted jaccard must be the true 3/5 — never a false positive
+    if (flags(2L).getBoolean(1)) assert(flags(2L).getDouble(3) == 0.6)
+    graft.operators.Staging.releaseAll()
+  }
+
+  test("fuzzy decontamination pairs: precision total, self-pairs complete") {
+    import graft.operators.Decontaminate
+    val docs = t("documents")
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    val fz = Decontaminate.fuzzyContaminationPairs(docs, "doc_id", "text",
+        bench, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fz.nonEmpty)
+    assert(fz.forall(_._3 >= 0.4), "verified jaccard below threshold")
+    assert(fz.forall(_._2 % 11 == 0), "bench id outside the benchmark slice")
+    // identical sets band identically: every bench doc with ≥1 shingle
+    // must self-match at jaccard exactly 1
+    val selfIds = fz.filter(p => p._1 == p._2)
+    assert(selfIds.forall(_._3 == 1.0))
+    val benchWithShingles = bench
+      .select(col("doc_id"),
+        size(graft.operators.Dedup.shinglesFromTokens(
+          graft.operators.Dedup.tokens(col("text")), 3)).as("n"))
+      .filter(col("n") > 0).collect().map(_.getLong(0)).toSet
+    assert(selfIds.map(_._1).toSet == benchWithShingles)
+    graft.operators.Staging.releaseAll()
+  }
+
   test("lmScore is deterministic under repartitioning") {
     import graft.operators.LanguageModel
     val docs = t("documents")
