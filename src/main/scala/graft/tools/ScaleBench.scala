@@ -153,6 +153,24 @@ object ScaleBench {
       graft.operators.Decontaminate.flagContaminatedBloom(
         t.documents, "doc_id", "text", bloom, n = 3, minOverlap = 2)
     },
+    // fuzzy decontamination OPERATOR only (the q_ key's wall is dominated
+    // by its exact-twin gate construction): banded near-dup flags vs a
+    // fixed-size broadcast benchmark slice.
+    "x_decontam_fuzzy" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val bench = t.documents.filter(col("doc_id") % 97 === 0)
+      graft.operators.Decontaminate.flagContaminatedFuzzy(
+        t.documents, "doc_id", "text", bench, "doc_id", "text",
+        threshold = 0.5)
+    },
+    // LM scoring with the production bigram count cutoff — measures what
+    // pruning the df=1 tail does to the model-table joins.
+    "x_lm_pruned" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.LanguageModel.lmScore(
+        graft.operators.Staging.widen(t.documents), "doc_id", "text",
+        minBigramCount = 2L)
+    },
     // DURABLE streaming drain: the same append+watermark incremental run
     // as q_stream_append but into a parquet sink with a checkpoint — the
     // production output shape, no driver-side funnel. Fresh sink+ckpt per

@@ -267,4 +267,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
       s"no codegen span:\n$p")
   }
+
+  test("chunking is exchange-free: pure per-row generate, no shuffle") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.TextAnalysis.chunkByTokens(
+      new graft.model.Tables(spark, dir).documents, "doc_id", "text", 24, 16)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking shuffled:\n$p")
+    assert(p.contains("Generate"), s"no generator in plan:\n$p")
+  }
+
+  test("epoch plan is exchange-free per-row compute") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Sampling.epochPlan(
+      new graft.model.Tables(spark, dir).documents,
+      graft.operators.TextAnalysis.fingerprint(col("text")), col("lang"),
+      Map("en" -> 1.5, "de" -> 2.0))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"epoch plan shuffled:\n$p")
+  }
+
+  test("fuzzy decontamination broadcasts the benchmark side only") {
+    import org.apache.spark.sql.functions.col
+    val t = new graft.model.Tables(spark, dir)
+    val docs = t.documents
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val df = graft.operators.Decontaminate.fuzzyContaminationPairs(
+      docs, "doc_id", "text", bench, "doc_id", "text")
+    df.collect() // AQE: finalize the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join (bench must broadcast):\n$p")
+    graft.operators.Staging.releaseAll()
+  }
+
+  test("LM scoring model tables join as broadcasts at gate scale") {
+    val df = SparkEntry.queries("q_lm_score")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // vocabulary-sized tables (uni/cu/big) + the one-row total: all
+    // broadcast at this scale; the corpus side never sort-merge-joins
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+    graft.operators.Staging.releaseAll()
+  }
 }
