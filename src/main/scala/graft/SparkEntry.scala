@@ -18,7 +18,8 @@ object SparkEntry {
     StreamQueries,
     LangQueries,
     EtlQueries,
-    PipelineQueries
+    PipelineQueries,
+    CompareQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-vs-corpus comparison operators — the monitoring / curation layer
+  * of a training-data pipeline: how different is this crawl from the last
+  * one (distribution drift), how much of it have we already got (content
+  * overlap), and which slice of it looks most like the curated target
+  * (importance-weighted data selection, Xie et al. 2023 "Data Selection
+  * for Language Models via Importance Resampling" — DSIR). No reference
+  * analogue: upstream htsql stops at relational navigation; these compare
+  * whole corpora as distributions, the step a 100 TB pipeline runs before
+  * committing a new snapshot to training.
+  *
+  * Determinism rule (the `LanguageModel.lmScore` precedent): every
+  * per-gram / per-bucket contribution is a fixed tree of IEEE divisions,
+  * multiplications, and subtractions — all correctly-rounded operations
+  * that evaluate bit-identically in any engine — quantized to integer
+  * units of 1e-9 with `floor` and summed as longs, so no result depends
+  * on partition or merge order and no transcendental (log) can diverge
+  * cross-engine by a ulp. `topKeywords`' linear idf and `lmScore`'s mean
+  * score follow the same rule.
+  *
+  * 100 TB shape, common to all three families:
+  *   - each corpus is tokenized ONCE and pre-aggregated map-side, so every
+  *     shuffle carries one row per DISTINCT gram / bucket / digest — the
+  *     Heaps-bounded vocabulary or the fixed bucket table, never the
+  *     corpus bytes;
+  *   - the model tables that join back onto per-document rows are
+  *     aggregate-sized (≤ #buckets or 1 row) and broadcast;
+  *   - nothing corpus-sized reaches the driver.
+  */
+object CorpusCompare {
+
+  /** Unigram occurrence counts of a corpus: one row per distinct token.
+    * Explode → partial-agg: the shuffle carries the distinct-token table
+    * (Heaps' law: sublinear in corpus size), not token occurrences.
+    */
+  private def gramCounts(df: DataFrame, text: Column): DataFrame =
+    Staging.widen(df)
+      .select(explode(TextAnalysis.tokens(text)).as("gram"))
+      .filter(col("gram") =!= "")
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+
+  /** Per-gram drift frame shared by [[driftByGram]] and [[driftSummary]]:
+    * full-outer join of the two corpora's token distributions with rates
+    * and the quantized |p − q| contribution. Rates are single IEEE
+    * divisions against broadcast one-row totals.
+    */
+  private def driftFrame(a: DataFrame, b: DataFrame, text: Column): DataFrame = {
+    val ca = gramCounts(a, text).withColumnRenamed("n", "n_a")
+    val cb = gramCounts(b, text).withColumnRenamed("n", "n_b")
+    val ta = ca.agg(sum("n_a").as("ta"))
+    val tb = cb.agg(sum("n_b").as("tb"))
+    val joined = ca.join(cb, Seq("gram"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+    val p = col("n_a").cast("double") / col("ta")
+    val q = col("n_b").cast("double") / col("tb")
+    joined.select(col("gram"), col("n_a"), col("n_b"),
+      floor(abs(p - q) * lit(1e9d)).cast("long").as("drift_q"),
+      floor((p - q) * (p - q) / (p + q) * lit(1e9d)).cast("long").as("tri_q"))
+  }
+
+  /** Top-`k` drifting tokens between corpora `a` and `b`: the grams whose
+    * rate |n_a/Ta − n_b/Tb| moved most, under the total order
+    * (drift desc, gram asc). Output: (gram, n_a, n_b, drift_q) where
+    * drift_q = floor(1e9·|p − q|) — an exact integer both engines agree
+    * on. This is the "what changed between crawls" report: new
+    * boilerplate, a language shift, or a scraper bug each surface as a
+    * handful of grams owning the drift mass.
+    *
+    * Plan: two distinct-gram aggregations → one full-outer join on the
+    * gram → TakeOrdered(k). The join is vocabulary-sized on both sides.
+    */
+  def driftByGram(a: DataFrame, b: DataFrame, text: Column, k: Int): DataFrame =
+    driftFrame(a, b, text)
+      .orderBy(col("drift_q").desc, col("gram"))
+      .limit(k)
+      .select("gram", "n_a", "n_b", "drift_q")
+
+  /** One-row corpus drift summary:
+    *   - `n_types_a` / `n_types_b` / `n_types_common` — vocabulary sizes
+    *     and shared-type count;
+    *   - `tvd` — total variation distance, ½·Σ|p−q| ∈ [0,1];
+    *   - `tri` — triangular discrimination, Σ(p−q)²/(p+q) ∈ [0,2]
+    *     (Topsøe 2000; bounds Jensen–Shannon divergence within constant
+    *     factors) — a log-free f-divergence, so it obeys the
+    *     no-transcendentals determinism rule where KL cannot.
+    * Both sums aggregate the quantized per-gram longs: exact, order-free.
+    */
+  def driftSummary(a: DataFrame, b: DataFrame, text: Column): DataFrame =
+    driftFrame(a, b, text).agg(
+      sum(when(col("n_a") > 0, 1L).otherwise(0L)).as("n_types_a"),
+      sum(when(col("n_b") > 0, 1L).otherwise(0L)).as("n_types_b"),
+      sum(when(col("n_a") > 0 && col("n_b") > 0, 1L).otherwise(0L))
+        .as("n_types_common"),
+      (sum("drift_q").cast("double") / lit(2e9d)).as("tvd"),
+      (sum("tri_q").cast("double") / lit(1e9d)).as("tri"))
+
+  /** Content overlap between two corpora, exact + gated sample estimate.
+    *
+    * Identity is the rolling-hash content fingerprint (the dedup /
+    * mixture / split identity): a document is "shared" iff its exact
+    * bytes (mod lowercasing by the caller's text expression) appear in
+    * both corpora. One row out:
+    *   - `n_a`, `n_b` — distinct contents per corpus;
+    *   - `n_common` — distinct contents in both;
+    *   - `jaccard` — n_common / (n_a + n_b − n_common), one division;
+    *   - `est_ok` — |sampled estimate − exact| ≤ `tol`, the gate bit for
+    *     the mod-`sampleMod` estimator below.
+    *
+    * Plan: union both corpora's fingerprints tagged by side → ONE
+    * partial-agg'd groupBy on the 8-byte digest → one-row final aggregate
+    * computing the exact counts and, from the same grouped frame, the
+    * sampled counts (digests with hash(fp) mod sampleMod = 0). At 100 TB
+    * the exact path's shuffle carries one row per distinct digest; the
+    * production estimator [[corpusOverlapSampled]] pushes the mod filter
+    * BELOW the shuffle instead, cutting the exchange by sampleMod×.
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, text: Column,
+      sampleMod: Int = 4, tol: Double = 0.2): DataFrame = {
+    val sides = overlapSides(a, b, text)
+    val sampled = col("_smp")
+    val estJ = overlapJaccard(
+      sum(when(sampled && col("in_a"), 1L).otherwise(0L)),
+      sum(when(sampled && col("in_b"), 1L).otherwise(0L)),
+      sum(when(sampled && col("in_a") && col("in_b"), 1L).otherwise(0L)))
+    sides
+      .withColumn("_smp", pmod(xxhash64(col("fp")), lit(sampleMod.toLong)) === 0L)
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("n_common"),
+        overlapJaccard(
+          sum(when(col("in_a"), 1L).otherwise(0L)),
+          sum(when(col("in_b"), 1L).otherwise(0L)),
+          sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))).as("jaccard"),
+        (abs(estJ - overlapJaccard(
+          sum(when(col("in_a"), 1L).otherwise(0L)),
+          sum(when(col("in_b"), 1L).otherwise(0L)),
+          sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)))) <= tol)
+          .as("est_ok"))
+  }
+
+  /** Production overlap estimator: the mod-`sampleMod` digest sample,
+    * filter pushed BELOW the distinct-digest shuffle — the exchange and
+    * the aggregation state shrink by sampleMod× while the Jaccard
+    * estimate stays unbiased (a uniform hash samples A∩B, A, B at the
+    * same rate). Use when the corpora are too large to justify the exact
+    * distinct pass; [[corpusOverlap]]'s gate bit bounds the error on
+    * every run of the oracle suite.
+    */
+  def corpusOverlapSampled(a: DataFrame, b: DataFrame, text: Column,
+      sampleMod: Int): DataFrame =
+    overlapSidesFiltered(a, b, text, sampleMod).agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a_sampled"),
+      sum(when(col("in_b"), 1L).otherwise(0L)).as("n_b_sampled"),
+      sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+        .as("n_common_sampled"),
+      overlapJaccard(
+        sum(when(col("in_a"), 1L).otherwise(0L)),
+        sum(when(col("in_b"), 1L).otherwise(0L)),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)))
+        .as("jaccard_est"))
+
+  private def overlapJaccard(na: Column, nb: Column, nc: Column): Column =
+    when(na + nb - nc === 0L, lit(0.0d))
+      .otherwise(nc.cast("double") / (na + nb - nc).cast("double"))
+
+  /** (fp, in_a, in_b): one row per distinct content digest with side
+    * membership — a single partial-agg'd groupBy over the tagged union.
+    */
+  private def overlapSides(a: DataFrame, b: DataFrame, text: Column): DataFrame =
+    Staging.widen(a)
+      .select(TextAnalysis.fingerprint(text).as("fp"), lit(1).as("side"))
+      .unionByName(Staging.widen(b)
+        .select(TextAnalysis.fingerprint(text).as("fp"), lit(2).as("side")))
+      .groupBy("fp")
+      .agg(max(col("side") === 1).as("in_a"), max(col("side") === 2).as("in_b"))
+
+  private def overlapSidesFiltered(a: DataFrame, b: DataFrame, text: Column,
+      sampleMod: Int): DataFrame =
+    Staging.widen(a)
+      .select(TextAnalysis.fingerprint(text).as("fp"), lit(1).as("side"))
+      .unionByName(Staging.widen(b)
+        .select(TextAnalysis.fingerprint(text).as("fp"), lit(2).as("side")))
+      .filter(pmod(xxhash64(col("fp")), lit(sampleMod.toLong)) === 0L)
+      .groupBy("fp")
+      .agg(max(col("side") === 1).as("in_a"), max(col("side") === 2).as("in_b"))
+
+  /** Hashed-bigram bucket occurrence counts: (bucket, c) with ≤ `buckets`
+    * rows. Grams keep duplicates (DSIR weights by occurrence); the bucket
+    * is the rolling-hash fingerprint of the gram mod `buckets` — the
+    * "hashed n-gram features" of the DSIR paper, with the engine's
+    * cross-engine-exact hash so the oracle can replay the bucketing.
+    */
+  private def bucketCounts(df: DataFrame, text: Column, buckets: Int): DataFrame =
+    df.select(TextAnalysis.tokens(text).as("_toks"))
+      .select(explode(Dedup.ngramsFromTokens(col("_toks"), 2)).as("gram"))
+      .groupBy(pmod(TextAnalysis.fingerprint(col("gram")), lit(buckets.toLong))
+        .as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** DSIR-style importance-weighted data selection: score every document
+    * of `raw` by how much more typical its hashed-bigram features are of
+    * `target` than of `raw` itself, and keep the top `k`.
+    *
+    * Per bucket b, with add-1 smoothing over `buckets` cells:
+    *
+    *   r_b = p_target(b) / p_raw(b)
+    *       = ((ct_b + 1) / (Tt + B)) / ((cr_b + 1) / (Tr + B))
+    *
+    * and a document's score is the MEAN r over its gram occurrences —
+    * the linearized form of DSIR's sum of log-ratios, for the same reason
+    * `topKeywords` uses linear idf and `lmScore` uses mean probability:
+    * log is not correctly-rounded, so a log-space score could differ
+    * cross-engine by a ulp and flip a floor; the ratio tree here is all
+    * IEEE divisions. Selection order under the mean-ratio score tracks
+    * the log form whenever per-doc ratios are moderate (r within a few
+    * orders of magnitude — guaranteed by smoothing), which is the regime
+    * data selection runs in.
+    *
+    * Output: (idCol, n_gram, score) for the top `k` documents under
+    * (score desc, id asc). Documents with no bigram (0- or 1-token texts)
+    * carry no feature evidence and are excluded — a selector never picks
+    * them.
+    *
+    * Plan shape: raw tokenizes ONCE into the staged per-document bucket
+    * table; its corpus-level bucket counts derive from that staged frame
+    * (one agg over pre-aggregated rows, not a second scan), and target
+    * aggregates once to its own ≤`buckets`-row table. The ratio table
+    * broadcasts onto the per-document bucket counts (pre-aggregated
+    * map-side, ≤ min(grams, buckets) rows per doc); one quantized-sum
+    * groupBy per document and a TakeOrdered(k) finish it. One scan per
+    * corpus total, no corpus-sized join side, no driver funnel.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      text: Column, buckets: Int = 4096, k: Int = 100): DataFrame = {
+    import Staging.Stageable
+    require(buckets > 0 && k > 0, s"buckets=$buckets k=$k must be positive")
+    val docBuckets = Staging.widen(raw)
+      .select(col(idCol), TextAnalysis.tokens(text).as("_toks"))
+      .select(col(idCol), explode(Dedup.ngramsFromTokens(col("_toks"), 2)).as("gram"))
+      .groupBy(col(idCol),
+        pmod(TextAnalysis.fingerprint(col("gram")), lit(buckets.toLong))
+          .as("bucket"))
+      .agg(count(lit(1)).as("kb"))
+      .stagePersist()
+    val ct = bucketCounts(target, text, buckets)
+      .withColumnRenamed("c", "ct")
+    val cr = docBuckets.groupBy("bucket").agg(sum("kb").as("cr"))
+    val tt = ct.agg(sum("ct").as("tt"))
+    val tr = cr.agg(sum("cr").as("tr"))
+    // cr covers every bucket any raw document can hit (the features come
+    // from raw itself), so a LEFT join from doc buckets is total; ct may
+    // miss buckets → coalesce to 0.
+    val rates = cr.join(ct, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+      .select(col("bucket"),
+        (((col("ct") + 1L).cast("double") / (col("tt") + buckets.toLong)) /
+          ((col("cr") + 1L).cast("double") / (col("tr") + buckets.toLong)))
+          .as("r"))
+    docBuckets.join(broadcast(rates), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum("kb").as("n_gram"),
+        sum(col("kb") * floor(col("r") * lit(1e9d)).cast("long")).as("_su"))
+      .select(col(idCol), col("n_gram"),
+        (col("_su").cast("double") / col("n_gram") / lit(1e9d)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

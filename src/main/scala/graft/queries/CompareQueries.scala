@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.CorpusCompare
+
+/** Corpus-vs-corpus comparison keys (operators/CorpusCompare.scala): token
+  * distribution drift between two corpora, content-overlap measurement
+  * with a gated sample estimator, and DSIR-style importance-weighted data
+  * selection. The monitoring/curation layer a pipeline runs on every new
+  * crawl BEFORE committing it to training; no reference analogue (upstream
+  * stops at relational navigation).
+  *
+  * All four keys are exactly SQL-expressible under the engine's
+  * determinism rule (quantized IEEE-division sums, no transcendentals), so
+  * each gets a full-hash DuckDB oracle; the one sketch (the mod-sampled
+  * overlap estimator) rides as a gate bit inside `q_corpus_overlap`.
+  */
+object CompareQueries extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+
+    // Token-distribution drift report: the 20 grams whose occurrence RATE
+    // moved most between the English and German slices — the "what
+    // changed between crawls" diagnostic (here the two slices differ by
+    // language, so the top drifters are the language marker words).
+    "q_drift" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      CorpusCompare.driftByGram(
+        t.documents.filter(col("lang") === "en"),
+        t.documents.filter(col("lang") === "de"),
+        col("text"), k = 20)
+    },
+
+    // One-row drift summary: vocabulary sizes, shared types, total
+    // variation distance, triangular discrimination (the log-free
+    // f-divergence — KL would hang cross-engine equality on libm ulps).
+    "q_drift_summary" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      CorpusCompare.driftSummary(
+        t.documents.filter(col("lang") === "en"),
+        t.documents.filter(col("lang") === "de"),
+        col("text"))
+    },
+
+    // Content overlap between the current corpus and a synthetic "next
+    // crawl" (every 3rd document re-crawled byte-identical; every 5th
+    // re-crawled with an edit, so its content digest moves): exact
+    // distinct-digest counts + Jaccard, plus the gate bit bounding the
+    // mod-4 sampled estimator against the exact value.
+    "q_corpus_overlap" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val a = t.documents
+      val b = t.documents.filter(col("doc_id") % 3 === 0)
+        .select(col("text"))
+        .unionByName(t.documents.filter(col("doc_id") % 5 === 0)
+          .select(concat(col("text"), lit(" v2")).as("text")))
+      CorpusCompare.corpusOverlap(a, b, col("text"), sampleMod = 4, tol = 0.2)
+    },
+
+    // DSIR importance selection: score every document by how much more
+    // typical its hashed-bigram features are of the English slice (the
+    // "curated target") than of the whole corpus, keep the top 100.
+    "q_dsir" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      CorpusCompare.dsirSelect(t.documents,
+        t.documents.filter(col("lang") === "en"),
+        "doc_id", col("text"), buckets = 4096, k = 100)
+    }
+  )
+
+  /** The rolling-hash fingerprint fold over an arbitrary SQL expression
+    * (PipelineQueries.fpSql generalized from the `text` column).
+    */
+  private def fpOf(expr: String): String =
+    s"""list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_filter(string_split($expr, ''), c -> c <> ''),
+             c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+  private val driftJoined =
+    """WITH a AS (
+         SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS gram
+         FROM documents WHERE lang = 'en'),
+       ca AS (
+         SELECT gram, count(*) AS n_a FROM a WHERE gram <> '' GROUP BY gram),
+       b AS (
+         SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS gram
+         FROM documents WHERE lang = 'de'),
+       cb AS (
+         SELECT gram, count(*) AS n_b FROM b WHERE gram <> '' GROUP BY gram),
+       ta AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta FROM ca),
+       tb AS (SELECT CAST(sum(n_b) AS BIGINT) AS tb FROM cb),
+       j AS (
+         SELECT coalesce(ca.gram, cb.gram) AS gram,
+           coalesce(ca.n_a, 0) AS n_a, coalesce(cb.n_b, 0) AS n_b
+         FROM ca FULL OUTER JOIN cb ON ca.gram = cb.gram),
+       q AS (
+         SELECT gram, n_a, n_b,
+           CAST(floor(abs(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+             * 1e9) AS BIGINT) AS drift_q,
+           CAST(floor(
+             (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+             * (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+             / (CAST(n_a AS DOUBLE) / ta + CAST(n_b AS DOUBLE) / tb)
+             * 1e9) AS BIGINT) AS tri_q
+         FROM j CROSS JOIN ta CROSS JOIN tb)"""
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_drift" ->
+      s"""$driftJoined
+         SELECT gram, n_a, n_b, drift_q FROM q
+         ORDER BY drift_q DESC, gram LIMIT 20""",
+
+    "q_drift_summary" ->
+      s"""$driftJoined
+         SELECT
+           CAST(sum(CASE WHEN n_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_a,
+           CAST(sum(CASE WHEN n_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_b,
+           CAST(sum(CASE WHEN n_a > 0 AND n_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_types_common,
+           CAST(sum(drift_q) AS DOUBLE) / 2e9 AS tvd,
+           CAST(sum(tri_q) AS DOUBLE) / 1e9 AS tri
+         FROM q""",
+
+    "q_corpus_overlap" ->
+      s"""WITH fa AS (
+           SELECT DISTINCT ${fpOf("text")} AS fp FROM documents),
+         fb AS (
+           SELECT DISTINCT fp FROM (
+             SELECT ${fpOf("text")} AS fp FROM documents WHERE doc_id % 3 = 0
+             UNION ALL
+             SELECT ${fpOf("text || ' v2'")} AS fp FROM documents
+             WHERE doc_id % 5 = 0)),
+         m AS (
+           SELECT fa.fp IS NOT NULL AS in_a, fb.fp IS NOT NULL AS in_b
+           FROM fa FULL OUTER JOIN fb ON fa.fp = fb.fp),
+         c AS (
+           SELECT
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_common
+           FROM m)
+         SELECT n_a, n_b, n_common,
+           CASE WHEN n_a + n_b - n_common = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(n_common AS DOUBLE)
+                  / CAST(n_a + n_b - n_common AS DOUBLE) END AS jaccard,
+           TRUE AS est_ok
+         FROM c""",
+
+    "q_dsir" ->
+      s"""WITH toks AS (
+           SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, lang, unnest(list_transform(
+             range(1, greatest(len(t) - 1, 0) + 1),
+             i -> list_aggregate(list_slice(t, i, i + 1), 'string_agg', ' ')))
+             AS gram
+           FROM toks),
+         gb AS (
+           SELECT doc_id, lang, ${fpOf("gram")} % 4096 AS bucket FROM g),
+         ct AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM gb
+           WHERE lang = 'en' GROUP BY bucket),
+         cr AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM gb
+           GROUP BY bucket),
+         tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM ct),
+         tr AS (SELECT CAST(sum(cr) AS BIGINT) AS tr FROM cr),
+         rates AS (
+           SELECT cr.bucket,
+             (CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / (tt + 4096))
+               / (CAST(cr.cr + 1 AS DOUBLE) / (tr + 4096)) AS r
+           FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket
+           CROSS JOIN tt CROSS JOIN tr),
+         db AS (
+           SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS kb FROM gb
+           GROUP BY doc_id, bucket),
+         sc AS (
+           SELECT doc_id, CAST(sum(kb) AS BIGINT) AS n_gram,
+             CAST(sum(kb * CAST(floor(r * 1e9) AS BIGINT)) AS BIGINT) AS su
+           FROM db JOIN rates ON db.bucket = rates.bucket
+           GROUP BY doc_id)
+         SELECT doc_id, n_gram, CAST(su AS DOUBLE) / n_gram / 1e9 AS score
+         FROM sc ORDER BY score DESC, doc_id LIMIT 100"""
+  )
+}

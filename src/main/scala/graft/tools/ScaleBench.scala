@@ -384,6 +384,50 @@ object ScaleBench {
       val plan = graft.SparkEntry.queries("q_keywords")(s, dir)
       plan
     },
+    // corpus drift between the even and odd document halves: two
+    // vocabulary-sized aggregations + one full-outer join on the gram —
+    // the per-gram report and the one-row summary share driftFrame, so
+    // time the summary (it consumes every joined row)
+    "x_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.CorpusCompare.driftSummary(
+        t.documents.filter(col("doc_id") % 2 === 0),
+        t.documents.filter(col("doc_id") % 2 === 1), col("text"))
+    },
+    // exact content overlap vs a synthetic next crawl (1/3 re-crawled
+    // identical, 1/5 edited): the distinct-digest shuffle is the cost
+    "x_overlap_exact" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val t = new graft.model.Tables(s, dir)
+      val b = t.documents.filter(col("doc_id") % 3 === 0).select(col("text"))
+        .unionByName(t.documents.filter(col("doc_id") % 5 === 0)
+          .select(concat(col("text"), lit(" v2")).as("text")))
+      graft.operators.CorpusCompare.corpusOverlap(
+        t.documents, b, col("text"), sampleMod = 16, tol = 0.2)
+    },
+    // the production mod-16 sampled estimator on the same fixture: the
+    // digest filter sits below the shuffle, so the exchange carries
+    // ~1/16 of the rows — the 100 TB default
+    "x_overlap_sampled" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val t = new graft.model.Tables(s, dir)
+      val b = t.documents.filter(col("doc_id") % 3 === 0).select(col("text"))
+        .unionByName(t.documents.filter(col("doc_id") % 5 === 0)
+          .select(concat(col("text"), lit(" v2")).as("text")))
+      graft.operators.CorpusCompare.corpusOverlapSampled(
+        t.documents, b, col("text"), 16)
+    },
+    // DSIR selection of the generated corpus against its own en slice:
+    // two bucket aggregations (≤4096 rows each, broadcast) + one per-doc
+    // quantized-sum groupBy + TakeOrdered
+    "x_dsir" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.CorpusCompare.dsirSelect(t.documents,
+        t.documents.filter(col("lang") === "en"), "doc_id", col("text"),
+        buckets = 4096, k = 100)
+    },
     // SemDeDup AUTO mode at ladder scale: derived (replica/budget-aware)
     // cell count + the Σ m(m−1)/2 probe-and-escalate governor; runs the
     // full train→assign→probe→pair pipeline each timing pass. The chosen

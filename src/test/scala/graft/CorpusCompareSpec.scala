@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CorpusCompare
+
+/** Properties of the corpus-comparison operators (CompareQueries) beyond
+  * the single-fixture DuckDB hash: identity and disjointness laws for
+  * drift and overlap, the sampled-estimator gate, and the DSIR selector's
+  * self-consistency (raw == target → every score is exactly 1) and
+  * target-recovery behavior.
+  */
+class CorpusCompareSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  val dir = "/root/testdata/sf0.001"
+  private def docs = new graft.model.Tables(spark, dir).documents
+
+  // ---- drift ----------------------------------------------------------
+
+  test("driftSummary: a corpus has zero drift against itself") {
+    val r = CorpusCompare.driftSummary(docs, docs, col("text")).head()
+    assert(r.getAs[Double]("tvd") == 0.0)
+    assert(r.getAs[Double]("tri") == 0.0)
+    assert(r.getAs[Long]("n_types_common") == r.getAs[Long]("n_types_a"))
+    assert(r.getAs[Long]("n_types_a") == r.getAs[Long]("n_types_b"))
+  }
+
+  test("driftSummary: disjoint-vocabulary corpora have maximal tvd") {
+    import spark.implicits._
+    val a = Seq("aa bb cc", "aa bb").toDF("text")
+    val b = Seq("xx yy", "yy zz").toDF("text")
+    val r = CorpusCompare.driftSummary(a, b, col("text")).head()
+    assert(r.getAs[Long]("n_types_common") == 0L)
+    // Each side contributes Σp = 1 of one-sided mass → tvd = 1 up to the
+    // 1e-9 quantization floor.
+    assert(math.abs(r.getAs[Double]("tvd") - 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("tri") - 2.0) < 1e-6)
+  }
+
+  test("driftByGram en-vs-de surfaces language marker words first") {
+    val top = CorpusCompare.driftByGram(
+      docs.filter(col("lang") === "en"), docs.filter(col("lang") === "de"),
+      col("text"), k = 10).collect().map(_.getAs[String]("gram")).toSet
+    val markers = (graft.operators.TextAnalysis.markers("en") ++
+      graft.operators.TextAnalysis.markers("de")).toSet
+    assert(top.exists(markers.contains),
+      s"expected a language marker in top drift grams, got $top")
+  }
+
+  test("driftByGram is symmetric in |p - q|") {
+    val ab = CorpusCompare.driftByGram(
+      docs.filter(col("lang") === "en"), docs.filter(col("lang") === "de"),
+      col("text"), k = 10).collect()
+    val ba = CorpusCompare.driftByGram(
+      docs.filter(col("lang") === "de"), docs.filter(col("lang") === "en"),
+      col("text"), k = 10).collect()
+    assert(ab.map(r => (r.getString(0), r.getLong(3))).toSeq ==
+      ba.map(r => (r.getString(0), r.getLong(3))).toSeq)
+  }
+
+  // ---- overlap --------------------------------------------------------
+
+  test("corpusOverlap: a corpus overlaps itself completely") {
+    val r = CorpusCompare.corpusOverlap(docs, docs, col("text")).head()
+    assert(r.getAs[Long]("n_a") == r.getAs[Long]("n_common"))
+    assert(r.getAs[Double]("jaccard") == 1.0)
+    assert(r.getAs[Boolean]("est_ok"))
+  }
+
+  test("corpusOverlap: disjoint corpora have zero overlap") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val r = CorpusCompare.corpusOverlap(a, b, col("text")).head()
+    assert(r.getAs[Long]("n_common") == 0L)
+    assert(r.getAs[Double]("jaccard") == 0.0)
+  }
+
+  test("corpusOverlapSampled estimate lands inside the gate tolerance") {
+    val a = docs
+    val b = docs.filter(col("doc_id") % 3 === 0).select(col("text"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select(concat(col("text"), lit(" v2")).as("text")))
+    val exact = CorpusCompare.corpusOverlap(a, b, col("text")).head()
+    val est = CorpusCompare.corpusOverlapSampled(a, b, col("text"), 4).head()
+    assert(exact.getAs[Boolean]("est_ok"))
+    assert(math.abs(est.getAs[Double]("jaccard_est") -
+      exact.getAs[Double]("jaccard")) <= 0.2)
+  }
+
+  // ---- DSIR selection -------------------------------------------------
+
+  test("dsirSelect: raw == target makes every bucket ratio exactly 1") {
+    val sel = CorpusCompare.dsirSelect(docs, docs, "doc_id", col("text"),
+      buckets = 512, k = 50)
+    val scores = sel.collect().map(_.getAs[Double]("score")).toSet
+    // ct == cr and tt == tr per bucket → r = 1.0 exactly; the quantized
+    // mean of all-ones is exactly 1.0.
+    assert(scores == Set(1.0), s"expected all scores exactly 1.0, got $scores")
+  }
+
+  test("dsirSelect recovers the target slice from the mixed corpus") {
+    val sel = CorpusCompare.dsirSelect(docs,
+      docs.filter(col("lang") === "en"), "doc_id", col("text"),
+      buckets = 4096, k = 40)
+    val selected = sel.join(docs, Seq("doc_id"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val en = selected.getOrElse("en", 0L)
+    assert(en * 2 > selected.values.sum,
+      s"expected en-majority selection, got $selected")
+  }
+
+  test("dsirSelect excludes documents with no bigram evidence") {
+    import spark.implicits._
+    val raw = Seq((1L, "alpha beta gamma"), (2L, "single"), (3L, ""))
+      .toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha beta")).toDF("text")
+    val ids = CorpusCompare.dsirSelect(raw, target, "doc_id", col("text"),
+      buckets = 64, k = 10).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+  }
+
+  test("dsirSelect is deterministic across partitionings") {
+    val a = CorpusCompare.dsirSelect(docs.repartition(1),
+      docs.filter(col("lang") === "en"), "doc_id", col("text"), 4096, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = CorpusCompare.dsirSelect(docs.repartition(17),
+      docs.filter(col("lang") === "en"), "doc_id", col("text"), 4096, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b)
+  }
+}
