@@ -36,10 +36,14 @@ object CorpusCompare {
   /** Unigram occurrence counts of a corpus: one row per distinct token.
     * Explode → partial-agg: the shuffle carries the distinct-token table
     * (Heaps' law: sublinear in corpus size), not token occurrences.
+    * No `Staging.widen` here (or in the overlap digests): the per-row
+    * work is a single tokenize/hash — too light to repay repartitioning
+    * the text bytes (measured: drift 3.0 → 12.0 s at the 50k-doc ladder
+    * tier with widen on a 16-split input). The dsir gram stream, whose
+    * per-row work is bigram-concat + fingerprint per gram, DOES widen.
     */
   private def gramCounts(df: DataFrame, text: Column): DataFrame =
-    Staging.widen(df)
-      .select(explode(TextAnalysis.tokens(text)).as("gram"))
+    df.select(explode(TextAnalysis.tokens(text)).as("gram"))
       .filter(col("gram") =!= "")
       .groupBy("gram").agg(count(lit(1)).as("n"))
 
@@ -173,19 +177,17 @@ object CorpusCompare {
     * membership — a single partial-agg'd groupBy over the tagged union.
     */
   private def overlapSides(a: DataFrame, b: DataFrame, text: Column): DataFrame =
-    Staging.widen(a)
-      .select(TextAnalysis.fingerprint(text).as("fp"), lit(1).as("side"))
-      .unionByName(Staging.widen(b)
-        .select(TextAnalysis.fingerprint(text).as("fp"), lit(2).as("side")))
+    a.select(TextAnalysis.fingerprint(text).as("fp"), lit(1).as("side"))
+      .unionByName(
+        b.select(TextAnalysis.fingerprint(text).as("fp"), lit(2).as("side")))
       .groupBy("fp")
       .agg(max(col("side") === 1).as("in_a"), max(col("side") === 2).as("in_b"))
 
   private def overlapSidesFiltered(a: DataFrame, b: DataFrame, text: Column,
       sampleMod: Int): DataFrame =
-    Staging.widen(a)
-      .select(TextAnalysis.fingerprint(text).as("fp"), lit(1).as("side"))
-      .unionByName(Staging.widen(b)
-        .select(TextAnalysis.fingerprint(text).as("fp"), lit(2).as("side")))
+    a.select(TextAnalysis.fingerprint(text).as("fp"), lit(1).as("side"))
+      .unionByName(
+        b.select(TextAnalysis.fingerprint(text).as("fp"), lit(2).as("side")))
       .filter(pmod(xxhash64(col("fp")), lit(sampleMod.toLong)) === 0L)
       .groupBy("fp")
       .agg(max(col("side") === 1).as("in_a"), max(col("side") === 2).as("in_b"))
@@ -227,34 +229,72 @@ object CorpusCompare {
     * carry no feature evidence and are excluded — a selector never picks
     * them.
     *
-    * Plan shape: raw tokenizes ONCE into the staged per-document bucket
-    * table; its corpus-level bucket counts derive from that staged frame
-    * (one agg over pre-aggregated rows, not a second scan), and target
-    * aggregates once to its own ≤`buckets`-row table. The ratio table
-    * broadcasts onto the per-document bucket counts (pre-aggregated
-    * map-side, ≤ min(grams, buckets) rows per doc); one quantized-sum
-    * groupBy per document and a TakeOrdered(k) finish it. One scan per
-    * corpus total, no corpus-sized join side, no driver funnel.
+    * Plan shape: raw tokenizes and fingerprints ONCE into a staged
+    * (id, bucket) gram stream — two longs per gram occurrence, the
+    * lmScore staging rule (the tokenize+hash scan dominates every other
+    * stage: ~6 s of an 8 s pass at the 500k-doc ladder tier, so a second
+    * scan costs more than the narrow cache it avoids). Raw's bucket
+    * table derives from the cache by one partial-agg'd groupBy (exchange
+    * ≤ buckets rows per partition); target aggregates once to its own
+    * ≤`buckets`-row table; the ratio table broadcasts back onto the
+    * cached stream MAP-SIDE and the quantized sums partial-agg straight
+    * to one row per document — no per-(doc, bucket) exchange ever exists
+    * (the first shape shuffled that pair table: ~10⁸ exchanged rows at
+    * the 500k-doc tier, task skew 73). A TakeOrdered(k) finishes it.
+    * No corpus-sized join side, no driver funnel.
     */
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
       text: Column, buckets: Int = 4096, k: Int = 100): DataFrame = {
     import Staging.Stageable
     require(buckets > 0 && k > 0, s"buckets=$buckets k=$k must be positive")
-    val docBuckets = Staging.widen(raw)
-      .select(col(idCol), TextAnalysis.tokens(text).as("_toks"))
-      .select(col(idCol), explode(Dedup.ngramsFromTokens(col("_toks"), 2)).as("gram"))
-      .groupBy(col(idCol),
-        pmod(TextAnalysis.fingerprint(col("gram")), lit(buckets.toLong))
-          .as("bucket"))
-      .agg(count(lit(1)).as("kb"))
-      .stagePersist()
+    val docGrams = gramBuckets(raw, idCol, text, buckets).stagePersist()
     val ct = bucketCounts(target, text, buckets)
       .withColumnRenamed("c", "ct")
-    val cr = docBuckets.groupBy("bucket").agg(sum("kb").as("cr"))
+    scoreFromGramStream(docGrams, ct, idCol, buckets, k)
+  }
+
+  /** [[dsirSelect]] for the common case where the target IS a slice of
+    * raw (a language, a source, a quality band): `targetPred` marks the
+    * target rows, BOTH bucket tables derive from the single staged gram
+    * stream, and the corpus tokenizes exactly once — the two-corpus form
+    * pays a second tokenize scan for the target that this form skips.
+    */
+  def dsirSelectWithin(raw: DataFrame, idCol: String, text: Column,
+      targetPred: Column, buckets: Int = 4096, k: Int = 100): DataFrame = {
+    import Staging.Stageable
+    require(buckets > 0 && k > 0, s"buckets=$buckets k=$k must be positive")
+    val docGrams = gramBuckets(
+      raw.withColumn("_tgt", targetPred), idCol, text, buckets,
+      extra = Seq(col("_tgt"))).stagePersist()
+    val ct = docGrams.filter(col("_tgt"))
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    scoreFromGramStream(docGrams, ct, idCol, buckets, k)
+  }
+
+  /** The staged (id, bucket [, extra…]) gram-occurrence stream: tokenize,
+    * bigram, fingerprint, bucket — the one pass that dominates the
+    * operator's cost, run exactly once.
+    */
+  private def gramBuckets(df: DataFrame, idCol: String, text: Column,
+      buckets: Int, extra: Seq[Column] = Nil): DataFrame =
+    Staging.widen(df)
+      .select(Seq(col(idCol), TextAnalysis.tokens(text).as("_toks")) ++ extra: _*)
+      .select(Seq(col(idCol),
+        explode(Dedup.ngramsFromTokens(col("_toks"), 2)).as("gram")) ++ extra: _*)
+      .select(Seq(col(idCol),
+        pmod(TextAnalysis.fingerprint(col("gram")), lit(buckets.toLong))
+          .as("bucket")) ++ extra: _*)
+
+  /** Shared scoring tail: raw's bucket table from the cached stream, the
+    * broadcast ratio table, the per-doc quantized mean, TakeOrdered(k).
+    */
+  private def scoreFromGramStream(docGrams: DataFrame, ct: DataFrame,
+      idCol: String, buckets: Int, k: Int): DataFrame = {
+    val cr = docGrams.groupBy("bucket").agg(count(lit(1)).as("cr"))
     val tt = ct.agg(sum("ct").as("tt"))
     val tr = cr.agg(sum("cr").as("tr"))
     // cr covers every bucket any raw document can hit (the features come
-    // from raw itself), so a LEFT join from doc buckets is total; ct may
+    // from raw itself), so the gram-stream join below is total; ct may
     // miss buckets → coalesce to 0.
     val rates = cr.join(ct, Seq("bucket"), "left")
       .na.fill(0L, Seq("ct"))
@@ -263,10 +303,10 @@ object CorpusCompare {
         (((col("ct") + 1L).cast("double") / (col("tt") + buckets.toLong)) /
           ((col("cr") + 1L).cast("double") / (col("tr") + buckets.toLong)))
           .as("r"))
-    docBuckets.join(broadcast(rates), Seq("bucket"))
+    docGrams.join(broadcast(rates), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(sum("kb").as("n_gram"),
-        sum(col("kb") * floor(col("r") * lit(1e9d)).cast("long")).as("_su"))
+      .agg(count(lit(1)).as("n_gram"),
+        sum(floor(col("r") * lit(1e9d)).cast("long")).as("_su"))
       .select(col(idCol), col("n_gram"),
         (col("_su").cast("double") / col("n_gram") / lit(1e9d)).as("score"))
       .orderBy(col("score").desc, col(idCol))

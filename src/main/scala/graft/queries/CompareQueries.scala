@@ -63,9 +63,8 @@ object CompareQueries extends QueryModule {
     // "curated target") than of the whole corpus, keep the top 100.
     "q_dsir" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      CorpusCompare.dsirSelect(t.documents,
-        t.documents.filter(col("lang") === "en"),
-        "doc_id", col("text"), buckets = 4096, k = 100)
+      CorpusCompare.dsirSelectWithin(t.documents, "doc_id", col("text"),
+        col("lang") === "en", buckets = 4096, k = 100)
     }
   )
 

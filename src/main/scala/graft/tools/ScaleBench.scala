@@ -424,6 +424,16 @@ object ScaleBench {
     "x_dsir" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val t = new graft.model.Tables(s, dir)
+      graft.operators.CorpusCompare.dsirSelectWithin(t.documents,
+        "doc_id", col("text"), col("lang") === "en",
+        buckets = 4096, k = 100)
+    },
+    // the general two-corpus form on the same fixture: pays the target's
+    // own tokenize scan (the within form derives both tables from one
+    // staged stream)
+    "x_dsir_twocorpus" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
       graft.operators.CorpusCompare.dsirSelect(t.documents,
         t.documents.filter(col("lang") === "en"), "doc_id", col("text"),
         buckets = 4096, k = 100)

@@ -122,6 +122,17 @@ class CorpusCompareSpec extends AnyFunSuite {
     assert(ids == Set(1L))
   }
 
+  test("dsirSelectWithin equals the two-corpus form on a raw-slice target") {
+    val within = CorpusCompare.dsirSelectWithin(docs, "doc_id", col("text"),
+      col("lang") === "en", buckets = 4096, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val general = CorpusCompare.dsirSelect(docs,
+      docs.filter(col("lang") === "en"), "doc_id", col("text"),
+      buckets = 4096, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(within == general)
+  }
+
   test("dsirSelect is deterministic across partitionings") {
     val a = CorpusCompare.dsirSelect(docs.repartition(1),
       docs.filter(col("lang") === "en"), "doc_id", col("text"), 4096, 25)
