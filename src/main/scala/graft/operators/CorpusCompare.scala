@@ -47,25 +47,42 @@ object CorpusCompare {
       .filter(col("gram") =!= "")
       .groupBy("gram").agg(count(lit(1)).as("n"))
 
-  /** Per-gram drift frame shared by [[driftByGram]] and [[driftSummary]]:
-    * full-outer join of the two corpora's token distributions with rates
-    * and the quantized |p − q| contribution. Rates are single IEEE
-    * divisions against broadcast one-row totals.
+  /** Quantified drift join over two (key, count) distributions: full-outer
+    * join with rates against broadcast one-row totals, each row carrying
+    * the quantized |p − q| and (p−q)²/(p+q) contributions. Rates are
+    * single IEEE divisions; shared by the token and embedding drifts.
+    * `ca` must carry (key, n_a), `cb` (key, n_b).
     */
-  private def driftFrame(a: DataFrame, b: DataFrame, text: Column): DataFrame = {
-    val ca = gramCounts(a, text).withColumnRenamed("n", "n_a")
-    val cb = gramCounts(b, text).withColumnRenamed("n", "n_b")
+  private def driftJoin(ca: DataFrame, cb: DataFrame, key: String): DataFrame = {
     val ta = ca.agg(sum("n_a").as("ta"))
     val tb = cb.agg(sum("n_b").as("tb"))
-    val joined = ca.join(cb, Seq("gram"), "full_outer")
+    val joined = ca.join(cb, Seq(key), "full_outer")
       .na.fill(0L, Seq("n_a", "n_b"))
       .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
     val p = col("n_a").cast("double") / col("ta")
     val q = col("n_b").cast("double") / col("tb")
-    joined.select(col("gram"), col("n_a"), col("n_b"),
+    joined.select(col(key), col("n_a"), col("n_b"),
       floor(abs(p - q) * lit(1e9d)).cast("long").as("drift_q"),
       floor((p - q) * (p - q) / (p + q) * lit(1e9d)).cast("long").as("tri_q"))
   }
+
+  /** One-row summary over a [[driftJoin]] frame — the type counts and the
+    * exact quantized-long divergence sums.
+    */
+  private def summarize(j: DataFrame): DataFrame =
+    j.agg(
+      sum(when(col("n_a") > 0, 1L).otherwise(0L)).as("n_types_a"),
+      sum(when(col("n_b") > 0, 1L).otherwise(0L)).as("n_types_b"),
+      sum(when(col("n_a") > 0 && col("n_b") > 0, 1L).otherwise(0L))
+        .as("n_types_common"),
+      (sum("drift_q").cast("double") / lit(2e9d)).as("tvd"),
+      (sum("tri_q").cast("double") / lit(1e9d)).as("tri"))
+
+  /** Per-gram drift frame shared by [[driftByGram]] and [[driftSummary]]. */
+  private def driftFrame(a: DataFrame, b: DataFrame, text: Column): DataFrame =
+    driftJoin(
+      gramCounts(a, text).withColumnRenamed("n", "n_a"),
+      gramCounts(b, text).withColumnRenamed("n", "n_b"), "gram")
 
   /** Top-`k` drifting tokens between corpora `a` and `b`: the grams whose
     * rate |n_a/Ta − n_b/Tb| moved most, under the total order
@@ -95,13 +112,99 @@ object CorpusCompare {
     * Both sums aggregate the quantized per-gram longs: exact, order-free.
     */
   def driftSummary(a: DataFrame, b: DataFrame, text: Column): DataFrame =
-    driftFrame(a, b, text).agg(
-      sum(when(col("n_a") > 0, 1L).otherwise(0L)).as("n_types_a"),
-      sum(when(col("n_b") > 0, 1L).otherwise(0L)).as("n_types_b"),
-      sum(when(col("n_a") > 0 && col("n_b") > 0, 1L).otherwise(0L))
-        .as("n_types_common"),
-      (sum("drift_q").cast("double") / lit(2e9d)).as("tvd"),
-      (sum("tri_q").cast("double") / lit(1e9d)).as("tri"))
+    summarize(driftFrame(a, b, text))
+
+  /** Sign-pattern bucket of an embedding: bit i set iff vec[i] ≥ 0 over
+    * the first `dims` dimensions — the axis-aligned instance of
+    * sign-random-projection hashing (Charikar 2002; SimHash with identity
+    * projections), so nearby vectors share buckets and a distribution
+    * shift moves bucket occupancy. IEEE `≥` is exact in any engine (−0.0
+    * ≥ 0 is true in both; NaN is false in both; a missing dimension
+    * indexes to NULL → bit 0 in both).
+    */
+  def signBucket(vec: Column, dims: Int): Column =
+    (0 until dims).map { i =>
+      when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Embedding-distribution drift between two VECTOR corpora — the
+    * vector-side sibling of [[driftSummary]] ("did the embedding space
+    * move between snapshots / sources"): corpora histogram into
+    * ≤2^`signDims` sign-pattern buckets (one per-row bit-pack each, no
+    * model to train, exactly replayable in SQL), then the same
+    * quantized TVD / triangular-discrimination summary over bucket
+    * occupancy. Output mirrors driftSummary with bucket counts as types.
+    *
+    * What it can and cannot see (measured on the isotropic fixture):
+    * occupancy drift detects SHAPE/ASYMMETRY changes — a truncation, a
+    * collapsed mode, an abs/clip bug upstream. A near-symmetric mixture
+    * is ~uniform over sign buckets, so transformations that preserve
+    * that symmetry (e.g. global negation) are INVISIBLE here, and
+    * location/scale drift shows weakly; run [[embeddingMomentDrift]]
+    * alongside for those. Sampling noise in tvd scales ~√(buckets/n):
+    * choose 2^signDims ≪ corpus size (the 16-bit default assumes ≥10⁸
+    * vectors; toy corpora want 4-6 bits).
+    *
+    * 100 TB shape: one narrow scan per corpus fused into a partial-agg'd
+    * groupBy on a ≤65k-value key; the join and summary are
+    * histogram-sized. Distinguishes distribution-level drift, not
+    * per-item novelty — pair that question with the ANN/novelty ops.
+    */
+  def embeddingDriftSummary(a: DataFrame, b: DataFrame, vec: Column,
+      signDims: Int = 16): DataFrame = {
+    require(signDims > 0 && signDims <= 62,
+      s"signDims must be in [1, 62], got $signDims")
+    def counts(df: DataFrame, alias: String): DataFrame =
+      df.select(signBucket(vec, signDims).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(alias))
+    summarize(driftJoin(counts(a, "n_a"), counts(b, "n_b"), "bucket"))
+  }
+
+  /** Per-dimension MOMENT drift between two vector corpora — the
+    * first-line embedding-drift monitor (location/scale changes that the
+    * occupancy histogram sees weakly): for every dimension, both corpora's
+    * count, mean, and the Welch z-score of the mean difference,
+    *
+    *   z_d = (m_a − m_b) / √(v_a/n_a + v_b/n_b),
+    *
+    * |z| ≫ 3 on any dimension = the embedding distribution moved (a new
+    * encoder checkpoint, a normalization bug, a modality mix shift).
+    *
+    * Determinism: element values quantize to floor(x·1e6) (and x²·1e6)
+    * longs summed into exact decimals — partition-order-free and exactly
+    * SQL-replayable; means/variances/z are then a fixed tree of
+    * correctly-rounded IEEE ops (divisions, one sqrt — IEEE 754 requires
+    * sqrt exact, unlike log/exp), so both engines agree bitwise. The 1e-6
+    * quantization step is far below any drift worth alarming on.
+    *
+    * 100 TB shape: one narrow scan per corpus, posexplode → partial-agg'd
+    * groupBy on the ≤dims-value key (exchange = dims rows per partition);
+    * the join and z computation are dims-sized. Decimal sums hold to 10³⁸
+    * — no overflow at any corpus size (a quantized long sum would clip
+    * past ~10¹² large-magnitude elements).
+    */
+  def embeddingMomentDrift(a: DataFrame, b: DataFrame, vec: Column): DataFrame = {
+    def mom(df: DataFrame, sfx: String): DataFrame =
+      df.select(posexplode(vec).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as(s"n_$sfx"),
+          sum(floor(col("x").cast("double") * lit(1e6d)).cast("decimal(38,0)"))
+            .as(s"s1_$sfx"),
+          sum(floor(col("x").cast("double") * col("x").cast("double") * lit(1e6d))
+            .cast("decimal(38,0)")).as(s"s2_$sfx"))
+    def mean(sfx: String): Column =
+      col(s"s1_$sfx").cast("double") / lit(1e6d) / col(s"n_$sfx")
+    def vr(sfx: String): Column = greatest(
+      col(s"s2_$sfx").cast("double") / lit(1e6d) / col(s"n_$sfx")
+        - mean(sfx) * mean(sfx), lit(0.0d))
+    val denom = sqrt(vr("a") / col("n_a") + vr("b") / col("n_b"))
+    mom(a, "a").join(mom(b, "b"), Seq("dim"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        when(denom === 0.0d, lit(0.0d))
+          .otherwise((mean("a") - mean("b")) / denom).as("z"))
+      .orderBy("dim")
+  }
 
   /** Content overlap between two corpora, exact + gated sample estimate.
     *

@@ -11,7 +11,7 @@ import graft.operators.CorpusCompare
   * crawl BEFORE committing it to training; no reference analogue (upstream
   * stops at relational navigation).
   *
-  * All four keys are exactly SQL-expressible under the engine's
+  * All five keys are exactly SQL-expressible under the engine's
   * determinism rule (quantized IEEE-division sums, no transcendentals), so
   * each gets a full-hash DuckDB oracle; the one sketch (the mod-sampled
   * overlap estimator) rides as a gate bit inside `q_corpus_overlap`.
@@ -65,8 +65,42 @@ object CompareQueries extends QueryModule {
       val t = new Tables(s, dir)
       CorpusCompare.dsirSelectWithin(t.documents, "doc_id", col("text"),
         col("lang") === "en", buckets = 4096, k = 100)
+    },
+
+    // Embedding-space drift vs a snapshot with a planted upstream bug
+    // (half the vectors abs()-transformed — a lost sign bit; abs is exact
+    // on floats in any engine, so the fixture carries no rounding risk):
+    // sign-pattern occupancy histograms + the quantized TVD/triangular
+    // summary. The fixture embeddings are isotropic, so NATURAL slices
+    // (labels, parity) are indistinguishable by construction — drift
+    // must be planted to be detectable, which is also what makes the
+    // key's expected values stable. signDims=6 sizes the 64-bucket
+    // histogram to the gate corpus (the 16-bit default assumes ≥1e8
+    // vectors; occupancy ≫ 1 is the noise rule).
+    "q_drift_embed" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      CorpusCompare.embeddingDriftSummary(
+        t.embeddings, absHalf(t.embeddings), col("embedding"), signDims = 6)
+    },
+
+    // Per-dimension moment drift on the same planted fixture: the
+    // abs-half corpus moves every dimension's mean by ~E|x|/2, so the
+    // Welch z-scores flag all 64 dimensions — the location/scale
+    // detector the occupancy histogram complements.
+    "q_drift_embed_moments" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      CorpusCompare.embeddingMomentDrift(
+        t.embeddings, absHalf(t.embeddings), col("embedding"))
     }
   )
+
+  /** The planted-drift snapshot: even vec_ids unchanged, odd vec_ids
+    * abs()-transformed (sign bit cleared — bit-exact in both engines).
+    */
+  private def absHalf(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("vec_id") % 2 === 0).select(col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 2 === 1)
+        .select(transform(col("embedding"), x => abs(x)).as("embedding")))
 
   /** The rolling-hash fingerprint fold over an arbitrary SQL expression
     * (PipelineQueries.fpSql generalized from the `text` column).
@@ -77,6 +111,34 @@ object CompareQueries extends QueryModule {
            list_transform(list_filter(string_split($expr, ''), c -> c <> ''),
              c -> CAST(ascii(c) AS BIGINT))),
          (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+  /** Sign-pattern bucket over the first 6 embedding dimensions, the
+    * oracle twin of `CorpusCompare.signBucket` at the gate key's width
+    * (−0.0 ≥ 0 and NULL→0 agree across engines; see the operator KDoc).
+    */
+  private val signBucketSql =
+    """CAST(list_sum(list_transform(range(1, 7),
+         i -> CASE WHEN embedding[i] >= 0
+                THEN (CAST(1 AS BIGINT) << (i - 1))
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+
+  /** The planted-drift snapshot twin: abs is exact on floats. */
+  private val absHalfSql =
+    """SELECT embedding FROM embeddings WHERE vec_id % 2 = 0
+       UNION ALL
+       SELECT list_transform(embedding, x -> abs(x)) AS embedding
+       FROM embeddings WHERE vec_id % 2 = 1"""
+
+  /** The shared one-row drift summary over a `q`-named quantified CTE. */
+  private val summarySelect =
+    """SELECT
+         CAST(sum(CASE WHEN n_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_a,
+         CAST(sum(CASE WHEN n_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_b,
+         CAST(sum(CASE WHEN n_a > 0 AND n_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_types_common,
+         CAST(sum(drift_q) AS DOUBLE) / 2e9 AS tvd,
+         CAST(sum(tri_q) AS DOUBLE) / 1e9 AS tri
+       FROM q"""
 
   private val driftJoined =
     """WITH a AS (
@@ -115,14 +177,70 @@ object CompareQueries extends QueryModule {
 
     "q_drift_summary" ->
       s"""$driftJoined
-         SELECT
-           CAST(sum(CASE WHEN n_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_a,
-           CAST(sum(CASE WHEN n_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_b,
-           CAST(sum(CASE WHEN n_a > 0 AND n_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_types_common,
-           CAST(sum(drift_q) AS DOUBLE) / 2e9 AS tvd,
-           CAST(sum(tri_q) AS DOUBLE) / 1e9 AS tri
-         FROM q""",
+         $summarySelect""",
+
+    "q_drift_embed" ->
+      s"""WITH bsnap AS ($absHalfSql),
+         ba AS (
+           SELECT $signBucketSql AS bucket FROM embeddings),
+         ca AS (SELECT bucket, count(*) AS n_a FROM ba GROUP BY bucket),
+         bb AS (
+           SELECT $signBucketSql AS bucket FROM bsnap),
+         cb AS (SELECT bucket, count(*) AS n_b FROM bb GROUP BY bucket),
+         ta AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta FROM ca),
+         tb AS (SELECT CAST(sum(n_b) AS BIGINT) AS tb FROM cb),
+         j AS (
+           SELECT coalesce(ca.n_a, 0) AS n_a, coalesce(cb.n_b, 0) AS n_b
+           FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+         q AS (
+           SELECT n_a, n_b,
+             CAST(floor(abs(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+               * 1e9) AS BIGINT) AS drift_q,
+             CAST(floor(
+               (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+               * (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+               / (CAST(n_a AS DOUBLE) / ta + CAST(n_b AS DOUBLE) / tb)
+               * 1e9) AS BIGINT) AS tri_q
+           FROM j CROSS JOIN ta CROSS JOIN tb)
+         $summarySelect""",
+
+    "q_drift_embed_moments" ->
+      s"""WITH bsnap AS ($absHalfSql),
+         ea AS (
+           SELECT unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings),
+         eb AS (
+           SELECT unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+           FROM bsnap),
+         ma AS (
+           SELECT dim, CAST(count(*) AS BIGINT) AS n_a,
+             sum(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS s1a,
+             sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
+               AS BIGINT)) AS s2a
+           FROM ea GROUP BY dim),
+         mb AS (
+           SELECT dim, CAST(count(*) AS BIGINT) AS n_b,
+             sum(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS s1b,
+             sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
+               AS BIGINT)) AS s2b
+           FROM eb GROUP BY dim),
+         z AS (
+           SELECT ma.dim, n_a, n_b,
+             CAST(s1a AS DOUBLE) / 1e6 / n_a AS mean_a,
+             CAST(s1b AS DOUBLE) / 1e6 / n_b AS mean_b,
+             greatest(CAST(s2a AS DOUBLE) / 1e6 / n_a
+               - (CAST(s1a AS DOUBLE) / 1e6 / n_a)
+               * (CAST(s1a AS DOUBLE) / 1e6 / n_a), 0.0) AS v_a,
+             greatest(CAST(s2b AS DOUBLE) / 1e6 / n_b
+               - (CAST(s1b AS DOUBLE) / 1e6 / n_b)
+               * (CAST(s1b AS DOUBLE) / 1e6 / n_b), 0.0) AS v_b
+           FROM ma JOIN mb ON ma.dim = mb.dim)
+         SELECT dim, n_a, n_b, mean_a, mean_b,
+           CASE WHEN sqrt(v_a / n_a + v_b / n_b) = 0.0 THEN CAST(0 AS DOUBLE)
+                ELSE (mean_a - mean_b) / sqrt(v_a / n_a + v_b / n_b) END AS z
+         FROM z ORDER BY dim""",
 
     "q_corpus_overlap" ->
       s"""WITH fa AS (

@@ -438,6 +438,28 @@ object ScaleBench {
         t.documents.filter(col("lang") === "en"), "doc_id", col("text"),
         buckets = 4096, k = 100)
     },
+    // embedding-drift pair vs a planted sign-loss snapshot: occupancy
+    // histogram (one bit-pack scan per corpus → ≤2^10-row join) and
+    // per-dimension moments (posexplode → 64-row partial-agg'd tables)
+    "x_drift_embed" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val t = new graft.model.Tables(s, dir)
+      val e = t.embeddings
+      val b = e.filter(col("vec_id") % 2 === 0).select(col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 2 === 1)
+          .select(transform(col("embedding"), x => abs(x)).as("embedding")))
+      graft.operators.CorpusCompare.embeddingDriftSummary(
+        e, b, col("embedding"), signDims = 10)
+    },
+    "x_drift_embed_moments" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val t = new graft.model.Tables(s, dir)
+      val e = t.embeddings
+      val b = e.filter(col("vec_id") % 2 === 0).select(col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 2 === 1)
+          .select(transform(col("embedding"), x => abs(x)).as("embedding")))
+      graft.operators.CorpusCompare.embeddingMomentDrift(e, b, col("embedding"))
+    },
     // SemDeDup AUTO mode at ladder scale: derived (replica/budget-aware)
     // cell count + the Σ m(m−1)/2 probe-and-escalate governor; runs the
     // full train→assign→probe→pair pipeline each timing pass. The chosen

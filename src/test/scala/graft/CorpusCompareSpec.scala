@@ -60,6 +60,70 @@ class CorpusCompareSpec extends AnyFunSuite {
       ba.map(r => (r.getString(0), r.getLong(3))).toSeq)
   }
 
+  test("embeddingDriftSummary: a vector corpus has zero drift vs itself") {
+    val emb = new graft.model.Tables(spark, dir).embeddings
+    val r = CorpusCompare.embeddingDriftSummary(emb, emb, col("embedding")).head()
+    assert(r.getAs[Double]("tvd") == 0.0)
+    assert(r.getAs[Double]("tri") == 0.0)
+    assert(r.getAs[Long]("n_types_common") == r.getAs[Long]("n_types_a"))
+  }
+
+  test("embeddingDriftSummary: planted sign-loss drifts far above sampling noise") {
+    val emb = new graft.model.Tables(spark, dir).embeddings
+    def absHalf = emb.filter(col("vec_id") % 2 === 0).select(col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 2 === 1)
+        .select(transform(col("embedding"), x => abs(x)).as("embedding")))
+    val planted = CorpusCompare.embeddingDriftSummary(
+      emb, absHalf, col("embedding"), signDims = 6).head().getAs[Double]("tvd")
+    // Noise floor: two disjoint samples of the SAME distribution. (The
+    // fixture is isotropic, so natural slices — labels, parity — are
+    // indistinguishable by construction; drift must be planted.)
+    val parity = CorpusCompare.embeddingDriftSummary(
+      emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+      col("embedding"), signDims = 6).head().getAs[Double]("tvd")
+    // Half the snapshot collapses to the all-signs-positive bucket:
+    // structural tvd ≈ 0.5·(1 − 1/64) ≈ 0.49 ≫ the ~0.15 parity noise.
+    assert(planted > parity + 0.15,
+      s"expected planted drift ≫ parity noise, got $planted vs $parity")
+  }
+
+  test("embeddingMomentDrift: identical corpora give z = 0 on every dim") {
+    val emb = new graft.model.Tables(spark, dir).embeddings
+    val zs = CorpusCompare.embeddingMomentDrift(emb, emb, col("embedding"))
+      .collect()
+    assert(zs.length == 64)
+    assert(zs.forall(_.getAs[Double]("z") == 0.0))
+    assert(zs.forall(r => r.getAs[Double]("mean_a") == r.getAs[Double]("mean_b")))
+  }
+
+  test("embeddingMomentDrift flags the planted sign-loss on most dimensions") {
+    val emb = new graft.model.Tables(spark, dir).embeddings
+    val absHalf = emb.filter(col("vec_id") % 2 === 0).select(col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 2 === 1)
+        .select(transform(col("embedding"), x => abs(x)).as("embedding")))
+    val planted = CorpusCompare.embeddingMomentDrift(emb, absHalf, col("embedding"))
+      .collect().count(r => math.abs(r.getAs[Double]("z")) > 3.0)
+    // the abs-half snapshot moves every dim's mean by ~E|x|/2 ≈ 0.4σ
+    val noise = CorpusCompare.embeddingMomentDrift(
+      emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1),
+      col("embedding")).collect().count(r => math.abs(r.getAs[Double]("z")) > 3.0)
+    assert(planted >= 48, s"expected most dims flagged, got $planted/64")
+    assert(noise <= 8, s"parity-split false alarms: $noise/64")
+  }
+
+  test("signBucket packs sign bits deterministically and in range") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 0.0f, -0.0f)),
+      (2L, Array(-1.0f, -1.0f, -1.0f, -1.0f)),
+      (3L, Array(1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("id", "v")
+    val got = df.select(col("id"), CorpusCompare.signBucket(col("v"), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bit i set iff v[i] >= 0; -0.0 >= 0 is true in IEEE comparison
+    assert(got == Map(1L -> (1 + 4 + 8).toLong, 2L -> 0L, 3L -> 15L))
+  }
+
   // ---- overlap --------------------------------------------------------
 
   test("corpusOverlap: a corpus overlaps itself completely") {
