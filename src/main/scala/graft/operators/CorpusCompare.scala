@@ -67,7 +67,10 @@ object CorpusCompare {
   }
 
   /** One-row summary over a [[driftJoin]] frame — the type counts and the
-    * exact quantized-long divergence sums.
+    * exact quantized-long divergence sums. Drift against an EMPTY corpus
+    * is ill-defined (its total is null, so rates and both divergences
+    * come back null rather than a fabricated number — callers comparing
+    * possibly-empty snapshots should count first).
     */
   private def summarize(j: DataFrame): DataFrame =
     j.agg(
