@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-vs-corpus comparison operators — the monitoring / curation layer
@@ -22,7 +23,7 @@ import org.apache.spark.sql.functions._
   * cross-engine by a ulp. `topKeywords`' linear idf and `lmScore`'s mean
   * score follow the same rule.
   *
-  * 100 TB shape, common to all three families:
+  * 100 TB shape, common to every family here:
   *   - each corpus is tokenized ONCE and pre-aggregated map-side, so every
   *     shuffle carries one row per DISTINCT gram / bucket / digest — the
   *     Heaps-bounded vocabulary or the fixed bucket table, never the
@@ -207,6 +208,94 @@ object CorpusCompare {
         when(denom === 0.0d, lit(0.0d))
           .otherwise((mean("a") - mean("b")) / denom).as("z"))
       .orderBy("dim")
+  }
+
+  // ---- incremental drift: persisted gram-count index -------------------
+
+  /** Build a persisted gram-count index at `path` (overwrites): the
+    * `grams/` store holds (gram, n) occurrence counts — the corpus's
+    * token distribution, Heaps-bounded (vocabulary-sized, a few percent
+    * of the text bytes), which is all drift ever reads. The incremental
+    * pattern of `IncrementalDedup` applied to the monitoring family: a
+    * DAILY drift check must not re-tokenize the historical corpus.
+    *
+    * Durability contract: plain single-writer parquet, same as the dedup
+    * indices; appends add complete delta-count files and reads SUM per
+    * gram across files, so the layout is merge-on-read and append crashes
+    * leave at worst a missing delta (re-run the append). [[compactGramIndex]]
+    * folds accumulated deltas through the `IndexMaintenance` write-ahead-
+    * marker swap; every reader heals first.
+    */
+  def buildGramIndex(docs: DataFrame, text: Column, path: String): Unit =
+    gramCounts(docs, text).write.mode("overwrite").parquet(s"$path/grams")
+
+  /** Append a delta batch's gram counts to an existing index (one
+    * vocabulary-sized file per append; reads merge by summing).
+    */
+  def appendToGramIndex(delta: DataFrame, text: Column, path: String): Unit = {
+    IndexMaintenance.heal(delta.sparkSession, path, "grams")
+    gramCounts(delta, text).write.mode("append").parquet(s"$path/grams")
+  }
+
+  /** The index's merged distribution: SUM per gram across the build file
+    * and every appended delta — exactly the counts a monolithic
+    * [[driftSummary]] over the unioned corpus would compute.
+    */
+  private def indexCounts(spark: SparkSession, path: String): DataFrame = {
+    IndexMaintenance.heal(spark, path, "grams")
+    spark.read.parquet(s"$path/grams")
+      .groupBy("gram").agg(sum("n").as("n"))
+  }
+
+  /** [[driftSummary]] of the INDEXED corpus vs a live corpus `b`: the
+    * index side reads the vocabulary-sized gram store instead of
+    * re-tokenizing the history — per-check cost is the delta scan + a
+    * vocab-sized merge, regardless of how large the indexed corpus has
+    * grown. Exactly equals the monolithic summary over the same corpora
+    * (spec-pinned bit equality).
+    */
+  def driftSummaryAgainstIndex(spark: SparkSession, path: String,
+      b: DataFrame, text: Column): DataFrame =
+    summarize(driftJoin(
+      indexCounts(spark, path).withColumnRenamed("n", "n_a"),
+      gramCounts(b, text).withColumnRenamed("n", "n_b"), "gram"))
+
+  /** [[driftByGram]] against the persisted index — the top-k report at
+    * monitoring cadence.
+    */
+  def driftByGramAgainstIndex(spark: SparkSession, path: String,
+      b: DataFrame, text: Column, k: Int): DataFrame =
+    driftJoin(
+      indexCounts(spark, path).withColumnRenamed("n", "n_a"),
+      gramCounts(b, text).withColumnRenamed("n", "n_b"), "gram")
+      .orderBy(col("drift_q").desc, col("gram"))
+      .limit(k)
+      .select("gram", "n_a", "n_b", "drift_q")
+
+  /** Fold the accumulated append files into one pre-summed store — the
+    * same crash-safe protocol as [[IndexMaintenance]] (write staged →
+    * publish marker → swap; a crash at any point heals on the next read:
+    * marker present rolls the swap forward, marker absent discards the
+    * stage). Counts are bit-identical pre/post (sum of sums).
+    */
+  def compactGramIndex(spark: SparkSession, path: String): Unit = {
+    IndexMaintenance.heal(spark, path, "grams")
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$path/grams")
+    val staged = new Path(s"$path/grams.compact")
+    val marker = new Path(s"$path/_compact_grams")
+    spark.read.parquet(live.toString)
+      .groupBy("gram").agg(sum("n").as("n"))
+      .write.mode("overwrite").parquet(staged.toString)
+    val tmp = new Path(marker.toString + ".tmp")
+    val out = f.create(tmp, true)
+    try out.writeBytes("grams") finally out.close()
+    if (!f.rename(tmp, marker))
+      throw new IllegalStateException("gram-index compaction: marker rename failed")
+    f.delete(live, true)
+    if (!f.rename(staged, live))
+      throw new IllegalStateException("gram-index compaction: swap rename failed")
+    f.delete(marker, false)
   }
 
   /** Content overlap between two corpora, exact + gated sample estimate.

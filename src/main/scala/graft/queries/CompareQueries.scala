@@ -91,8 +91,54 @@ object CompareQueries extends QueryModule {
       val t = new Tables(s, dir)
       CorpusCompare.embeddingMomentDrift(
         t.embeddings, absHalf(t.embeddings), col("embedding"))
+    },
+
+    // Drift at monitoring cadence: the historical corpus lives in a
+    // persisted gram-count index (built in TWO batches — build + append —
+    // so the merge-on-read sum is itself under the hash), and the check
+    // reads the vocabulary-sized store instead of re-tokenizing history.
+    // Oracle = the monolithic drift summary over the same corpora, so the
+    // hash proves index route == direct route exactly.
+    "q_drift_incremental" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val idx = Scratch.cached("gramidx", dir) { p =>
+        CorpusCompare.buildGramIndex(
+          t.documents.filter(col("doc_id") % 2 === 0), col("text"), p)
+        CorpusCompare.appendToGramIndex(
+          t.documents.filter(col("doc_id") % 2 =!= 0), col("text"), p)
+      }
+      CorpusCompare.driftSummaryAgainstIndex(s, idx,
+        t.documents.filter(col("lang") === "en"), col("text"))
     }
   )
+
+  /** Session-lifetime scratch dirs for standing indices (the
+    * q_dedup_incremental pattern: a daily increment amortizes one build
+    * across every batch, so repeated invocations measure the CHECK).
+    */
+  private object Scratch {
+    private val built = scala.collection.mutable.Set.empty[String]
+    def cached(tag: String, dir: String)(build: String => Unit): String =
+      synchronized {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+          Integer.toHexString(dir.hashCode)
+        if (!built(path)) {
+          rmTree(path)
+          new java.io.File(path).mkdirs()
+          build(path)
+          built += path
+          Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(path)))
+        }
+        path
+      }
+    private def rmTree(p: String): Unit =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(p))) {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(x => java.nio.file.Files.delete(x))
+        finally walk.close()
+      }
+  }
 
   /** The planted-drift snapshot: even vec_ids unchanged, odd vec_ids
     * abs()-transformed (sign bit cleared — bit-exact in both engines).
@@ -140,15 +186,15 @@ object CompareQueries extends QueryModule {
          CAST(sum(tri_q) AS DOUBLE) / 1e9 AS tri
        FROM q"""
 
-  private val driftJoined =
-    """WITH a AS (
-         SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS gram
-         FROM documents WHERE lang = 'en'),
+  private def driftJoinedSql(whereA: String, whereB: String) =
+    s"""WITH a AS (
+         SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS gram
+         FROM documents WHERE $whereA),
        ca AS (
          SELECT gram, count(*) AS n_a FROM a WHERE gram <> '' GROUP BY gram),
        b AS (
-         SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS gram
-         FROM documents WHERE lang = 'de'),
+         SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS gram
+         FROM documents WHERE $whereB),
        cb AS (
          SELECT gram, count(*) AS n_b FROM b WHERE gram <> '' GROUP BY gram),
        ta AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta FROM ca),
@@ -168,6 +214,8 @@ object CompareQueries extends QueryModule {
              * 1e9) AS BIGINT) AS tri_q
          FROM j CROSS JOIN ta CROSS JOIN tb)"""
 
+  private val driftJoined = driftJoinedSql("lang = 'en'", "lang = 'de'")
+
   def oracleSql: Map[String, String] = Map(
 
     "q_drift" ->
@@ -177,6 +225,12 @@ object CompareQueries extends QueryModule {
 
     "q_drift_summary" ->
       s"""$driftJoined
+         $summarySelect""",
+
+    // the monolithic twin of the index route: all documents vs the en
+    // slice — hash equality proves index == direct
+    "q_drift_incremental" ->
+      s"""${driftJoinedSql("1 = 1", "lang = 'en'")}
          $summarySelect""",
 
     "q_drift_embed" ->

@@ -438,6 +438,28 @@ object ScaleBench {
         t.documents.filter(col("lang") === "en"), "doc_id", col("text"),
         buckets = 4096, k = 100)
     },
+    // drift at monitoring cadence: a 1% delta checks against the
+    // persisted gram-count index (vocab-sized scan) — vs the monolithic
+    // recompute that re-tokenizes the 99% history (x_drift_inc_rebuild)
+    "x_drift_inc" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val idx = s"/tmp/graft_gram_idx_${Integer.toHexString(dir.hashCode)}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "grams"))) {
+        scratchDirs.add(idx)
+        graft.operators.CorpusCompare.buildGramIndex(
+          t.documents.filter(col("doc_id") % 100 =!= 0), col("text"), idx)
+      }
+      graft.operators.CorpusCompare.driftSummaryAgainstIndex(s, idx,
+        t.documents.filter(col("doc_id") % 100 === 0), col("text"))
+    },
+    "x_drift_inc_rebuild" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.CorpusCompare.driftSummary(
+        t.documents.filter(col("doc_id") % 100 =!= 0),
+        t.documents.filter(col("doc_id") % 100 === 0), col("text"))
+    },
     // embedding-drift pair vs a planted sign-loss snapshot: occupancy
     // histogram (one bit-pack scan per corpus → ≤2^10-row join) and
     // per-dimension moments (posexplode → 64-row partial-agg'd tables)

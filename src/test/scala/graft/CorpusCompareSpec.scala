@@ -124,6 +124,68 @@ class CorpusCompareSpec extends AnyFunSuite {
     assert(got == Map(1L -> (1 + 4 + 8).toLong, 2L -> 0L, 3L -> 15L))
   }
 
+  // ---- incremental drift (persisted gram-count index) -----------------
+
+  private def freshIdx(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_gramidx_").toString
+    p
+  }
+
+  test("driftSummaryAgainstIndex == monolithic driftSummary (build + append)") {
+    val idx = freshIdx()
+    CorpusCompare.buildGramIndex(
+      docs.filter(col("doc_id") % 2 === 0), col("text"), idx)
+    CorpusCompare.appendToGramIndex(
+      docs.filter(col("doc_id") % 2 =!= 0), col("text"), idx)
+    val viaIndex = CorpusCompare.driftSummaryAgainstIndex(spark, idx,
+      docs.filter(col("lang") === "en"), col("text")).head()
+    val direct = CorpusCompare.driftSummary(docs,
+      docs.filter(col("lang") === "en"), col("text")).head()
+    assert(viaIndex == direct)
+    val top = CorpusCompare.driftByGramAgainstIndex(spark, idx,
+      docs.filter(col("lang") === "en"), col("text"), 10).collect().toSeq
+    val topDirect = CorpusCompare.driftByGram(docs,
+      docs.filter(col("lang") === "en"), col("text"), 10).collect().toSeq
+    assert(top == topDirect)
+  }
+
+  test("compactGramIndex: counts bit-identical, append files folded, crash heals") {
+    val idx = freshIdx()
+    CorpusCompare.buildGramIndex(
+      docs.filter(col("doc_id") % 3 === 0), col("text"), idx)
+    CorpusCompare.appendToGramIndex(
+      docs.filter(col("doc_id") % 3 === 1), col("text"), idx)
+    CorpusCompare.appendToGramIndex(
+      docs.filter(col("doc_id") % 3 === 2), col("text"), idx)
+    def counts() = spark.read.parquet(s"$idx/grams")
+      .groupBy("gram").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = counts()
+    val filesBefore = new java.io.File(s"$idx/grams").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    CorpusCompare.compactGramIndex(spark, idx)
+    val filesAfter = new java.io.File(s"$idx/grams").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(counts() == before)
+    assert(filesAfter < filesBefore,
+      s"expected fewer files after compaction, got $filesBefore -> $filesAfter")
+    // crash state: staged store complete + marker published, live deleted
+    // (the window between commit point and swap) — readers must roll the
+    // swap forward and see identical counts
+    val f = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$idx/grams").write.mode("overwrite")
+      .parquet(s"$idx/grams.compact")
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$idx/_compact_grams"), true)
+    try out.writeBytes("grams") finally out.close()
+    f.delete(new org.apache.hadoop.fs.Path(s"$idx/grams"), true)
+    val healed = CorpusCompare.driftSummaryAgainstIndex(spark, idx,
+      docs.filter(col("lang") === "en"), col("text")).head()
+    val direct = CorpusCompare.driftSummary(docs,
+      docs.filter(col("lang") === "en"), col("text")).head()
+    assert(healed == direct)
+  }
+
   // ---- overlap --------------------------------------------------------
 
   test("corpusOverlap: a corpus overlaps itself completely") {
