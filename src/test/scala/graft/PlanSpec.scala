@@ -248,6 +248,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-comparison plans: digests and buckets shuffle, never payloads") {
+    // q_dsir: the ratio table must BROADCAST onto the gram stream (a
+    // shuffled join here would re-exchange the corpus-sized stream), and
+    // no exchange may carry document text
+    locally {
+      val p = plan("q_dsir")
+      assert(p.contains("BroadcastHashJoin"), s"dsir rates not broadcast:\n$p")
+      val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(shuffles.forall(l => !l.contains("text")),
+        s"document text rides a dsir shuffle:\n${shuffles.mkString("\n")}")
+    }
+    // q_corpus_overlap: the only hashpartitioning exchange is the 8-byte
+    // digest groupBy — text never shuffles
+    locally {
+      val p = plan("q_corpus_overlap")
+      val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(shuffles.nonEmpty && shuffles.forall(l =>
+        l.contains("fp#") && !l.contains("text")),
+        s"overlap shuffles more than digests:\n${shuffles.mkString("\n")}")
+    }
+    // q_drift_embed: vectors bit-pack to buckets BELOW the exchange — the
+    // embedding array must never ride a shuffle
+    locally {
+      val p = plan("q_drift_embed")
+      val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(shuffles.forall(l => !l.contains("embedding")),
+        s"embedding arrays ride a drift shuffle:\n${shuffles.mkString("\n")}")
+    }
+    // drift summaries: exchanges carry the distinct-gram tables (strings,
+    // vocabulary-sized — allowed), never raw document text
+    for (key <- Seq("q_drift", "q_drift_summary", "q_drift_incremental")) {
+      val p = plan(key)
+      val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(shuffles.forall(l => !l.contains("text#")),
+        s"$key: document text rides a shuffle:\n${shuffles.mkString("\n")}")
+    }
+  }
+
   test("plan lint: no query plans a raw cartesian product") {
     // Broadcast-nested-loop over a 1-row/broadcast side is fine (detached
     // aggregates, kNN query broadcast); an unbroadcast CartesianProduct is
