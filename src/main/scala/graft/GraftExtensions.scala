@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, Fingerprint64, SimHash64, VectorDot}
+import graft.functions.{CosineSim, Fingerprint64, NfcNormalize, SimHash64, VectorDot}
 
 /** SparkSessionExtensions hook — the analogue of the reference's addon
   * system (`src/htsql/core/addon.py`): drop-in registration of the engine's
@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fingerprint64"),
       info("fingerprint64", "fingerprint64(text) - rolling-hash document fingerprint mod 1e9+7"),
       (args: Seq[Expression]) => Fingerprint64(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
   }
 }

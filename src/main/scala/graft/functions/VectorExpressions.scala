@@ -134,6 +134,8 @@ object VectorFunctions {
       exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("fingerprint64",
       exprs => Fingerprint64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(exprs.head), "scala_udf")
     // shape args arrive as foldable literals; evaluated once at bind time
     reg.createOrReplaceTempFunction("hyperplane_sigs",
       exprs => HyperplaneSigs(exprs(0),
@@ -170,6 +172,7 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def simhash64(hashes: Column): Column = call_function("simhash64", hashes)
   def fingerprint64(text: Column): Column = call_function("fingerprint64", text)
+  def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
   def hyperplane_sigs(vec: Column, dim: Int, numPlanes: Int, numTables: Int,
       seed: Long): Column =
     call_function("hyperplane_sigs", vec,

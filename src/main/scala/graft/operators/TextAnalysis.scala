@@ -147,6 +147,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.VectorFunctions.fingerprint64(text)
 
+  /** Corpus text canonicalization — run BEFORE any content-defined
+    * identity (fingerprints, exact dedup, overlap digests): Unicode NFC
+    * composition (the native [[graft.functions.NfcNormalize]] kernel — a
+    * re-crawl through a different encoder pipeline must not count as new
+    * content) followed by whitespace collapse + trim. Both steps are
+    * per-row codegen'd expressions with exact cross-engine twins
+    * (DuckDB `nfc_normalize` + RE2 `\s+` replace; both engines' `\s`
+    * agrees on the ASCII whitespace this pipeline's tokenizer splits on).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      graft.functions.VectorFunctions.nfcNormalize(text), "\\s+", " "))
+
   /** Corpus vocabulary: the top-`k` grams by occurrence count, with
     * document frequency — the tokenizer-training / stopword-discovery /
     * df-cap-calibration pass of a corpus build (`Dedup.ngramJaccardPairs`'

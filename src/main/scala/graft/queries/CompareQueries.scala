@@ -109,6 +109,20 @@ object CompareQueries extends QueryModule {
       }
       CorpusCompare.driftSummaryAgainstIndex(s, idx,
         t.documents.filter(col("lang") === "en"), col("text"))
+    },
+
+    // Text canonicalization: Unicode NFC (native kernel) + whitespace
+    // collapse + trim, over text with planted non-NFC content (a
+    // combining acute after 'cafe' — exactly the decomposed form a
+    // different encoder pipeline would emit) and planted tab/multi-space
+    // runs. Output is the normalized STRING, so the hash proves the
+    // JDK's NFC equals DuckDB's byte-for-byte on this corpus.
+    "q_normalize" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      t.documents.select(col("doc_id"),
+        graft.operators.TextAnalysis.normalizeText(
+          concat(col("text"), lit("  cafe\u0301\tx"))).as("norm"))
+        .orderBy("doc_id")
     }
   )
 
@@ -222,6 +236,13 @@ object CompareQueries extends QueryModule {
       s"""$driftJoined
          SELECT gram, n_a, n_b, drift_q FROM q
          ORDER BY drift_q DESC, gram LIMIT 20""",
+
+    "q_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(
+             nfc_normalize(text || '  cafe' || chr(769) || chr(9) || 'x'),
+             '\s+', ' ', 'g')) AS norm
+         FROM documents ORDER BY doc_id""",
 
     "q_drift_summary" ->
       s"""$driftJoined

@@ -124,6 +124,50 @@ class CorpusCompareSpec extends AnyFunSuite {
     assert(got == Map(1L -> (1 + 4 + 8).toLong, 2L -> 0L, 3L -> 15L))
   }
 
+  // ---- text canonicalization -------------------------------------------
+
+  test("nfcNormalize composes decomposed sequences; identity on NFC input") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (1L, "café"),         // e + combining acute -> precomposed
+      (2L, "café"),          // already NFC
+      (3L, ""),                   // empty
+      (4L, "Å")             // A + ring -> Å
+    ).toDF("id", "s")
+    val got = df.select(col("id"),
+        graft.functions.VectorFunctions.nfcNormalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "café")
+    assert(got(2L) == "café")
+    assert(got(3L) == "")
+    assert(got(4L) == "Å")
+    // null propagates
+    val n = df.select(graft.functions.VectorFunctions
+      .nfcNormalize(lit(null).cast("string"))).head().isNullAt(0)
+    assert(n)
+  }
+
+  test("nfcNormalize survives CODEGEN_ONLY (no silent interpreted fallback)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    graft.functions.VectorFunctions.ensureRegistered(s2)
+    import s2.implicits._
+    val out = Seq("café").toDF("s")
+      .select(graft.functions.VectorFunctions.nfcNormalize(col("s")))
+      .head().getString(0)
+    assert(out == "café")
+  }
+
+  test("normalizeText collapses whitespace, trims, and composes NFC") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val got = Seq("  a \t b\n\ncafé  ").toDF("s")
+      .select(graft.operators.TextAnalysis.normalizeText(col("s")))
+      .head().getString(0)
+    assert(got == "a b café")
+  }
+
   // ---- incremental drift (persisted gram-count index) -----------------
 
   private def freshIdx(): String = {
