@@ -124,6 +124,106 @@ class CorpusCompareSpec extends AnyFunSuite {
     assert(got == Map(1L -> (1 + 4 + 8).toLong, 2L -> 0L, 3L -> 15L))
   }
 
+  // ---- generative differential: DataFrame path vs raw-SQL twin ---------
+
+  test("20 random slice pairs: driftSummary matches an independent SQL rendering") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    docs.createOrReplaceTempView("cc_docs")
+    val rnd = new scala.util.Random(4242)
+    for (i <- 1 to 20) {
+      val (predDf, predSql) = rnd.nextInt(3) match {
+        case 0 =>
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          (col("doc_id") % m === r, s"doc_id % $m = $r")
+        case 1 =>
+          val l = Seq("en", "de", "es", "fr", "zh")(rnd.nextInt(5))
+          (col("lang") === l, s"lang = '$l'")
+        case _ =>
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          (col("doc_id") % m =!= r, s"doc_id % $m <> $r")
+      }
+      val (predDf2, predSql2) = {
+        val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+        (col("doc_id") % m === r, s"doc_id % $m = $r")
+      }
+      val viaDf = graft.operators.CorpusCompare.driftSummary(
+        docs.filter(predDf), docs.filter(predDf2), col("text")).head()
+      val viaSql = spark.sql(
+        s"""WITH a AS (
+              SELECT explode(split(trim(lower(text)), '\\\\s+')) AS gram
+              FROM cc_docs WHERE $predSql),
+            ca AS (
+              SELECT gram, count(*) AS n_a FROM a WHERE gram != ''
+              GROUP BY gram),
+            b AS (
+              SELECT explode(split(trim(lower(text)), '\\\\s+')) AS gram
+              FROM cc_docs WHERE $predSql2),
+            cb AS (
+              SELECT gram, count(*) AS n_b FROM b WHERE gram != ''
+              GROUP BY gram),
+            ta AS (SELECT sum(n_a) AS ta FROM ca),
+            tb AS (SELECT sum(n_b) AS tb FROM cb),
+            j AS (
+              SELECT coalesce(ca.n_a, 0L) AS n_a, coalesce(cb.n_b, 0L) AS n_b
+              FROM ca FULL OUTER JOIN cb ON ca.gram = cb.gram),
+            q AS (
+              SELECT n_a, n_b,
+                CAST(floor(abs(CAST(n_a AS DOUBLE) / ta
+                  - CAST(n_b AS DOUBLE) / tb) * 1e9) AS BIGINT) AS drift_q,
+                CAST(floor(
+                  (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+                  * (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+                  / (CAST(n_a AS DOUBLE) / ta + CAST(n_b AS DOUBLE) / tb)
+                  * 1e9) AS BIGINT) AS tri_q
+              FROM j CROSS JOIN ta CROSS JOIN tb)
+            SELECT
+              sum(CASE WHEN n_a > 0 THEN 1L ELSE 0L END) AS n_types_a,
+              sum(CASE WHEN n_b > 0 THEN 1L ELSE 0L END) AS n_types_b,
+              sum(CASE WHEN n_a > 0 AND n_b > 0 THEN 1L ELSE 0L END)
+                AS n_types_common,
+              CAST(sum(drift_q) AS DOUBLE) / 2e9 AS tvd,
+              CAST(sum(tri_q) AS DOUBLE) / 1e9 AS tri
+            FROM q""").head()
+      assert(viaDf == viaSql,
+        s"draw $i: a=[$predSql] b=[$predSql2]\ndf : $viaDf\nsql: $viaSql")
+    }
+  }
+
+  test("15 random snapshot pairs: corpusOverlap matches an independent SQL rendering") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    docs.createOrReplaceTempView("cc_docs")
+    val rnd = new scala.util.Random(777)
+    for (i <- 1 to 15) {
+      val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+      val m2 = 2 + rnd.nextInt(6); val r2 = rnd.nextInt(m2)
+      val suffix = Seq(" v2", " rev", "!")(rnd.nextInt(3))
+      val bDf = docs.filter(col("doc_id") % m === r).select(col("text"))
+        .unionByName(docs.filter(col("doc_id") % m2 === r2)
+          .select(concat(col("text"), lit(suffix)).as("text")))
+      val viaDf = graft.operators.CorpusCompare
+        .corpusOverlap(docs, bDf, col("text")).head()
+      val viaSql = spark.sql(
+        s"""WITH fa AS (SELECT DISTINCT fingerprint64(text) AS fp FROM cc_docs),
+            fb AS (
+              SELECT DISTINCT fp FROM (
+                SELECT fingerprint64(text) AS fp FROM cc_docs
+                WHERE doc_id % $m = $r
+                UNION ALL
+                SELECT fingerprint64(text || '$suffix') AS fp FROM cc_docs
+                WHERE doc_id % $m2 = $r2))
+            SELECT
+              sum(CASE WHEN fa.fp IS NOT NULL THEN 1L ELSE 0L END) AS n_a,
+              sum(CASE WHEN fb.fp IS NOT NULL THEN 1L ELSE 0L END) AS n_b,
+              sum(CASE WHEN fa.fp IS NOT NULL AND fb.fp IS NOT NULL
+                THEN 1L ELSE 0L END) AS n_common
+            FROM fa FULL OUTER JOIN fb ON fa.fp = fb.fp""").head()
+      assert(viaDf.getAs[Long]("n_a") == viaSql.getAs[Long]("n_a") &&
+        viaDf.getAs[Long]("n_b") == viaSql.getAs[Long]("n_b") &&
+        viaDf.getAs[Long]("n_common") == viaSql.getAs[Long]("n_common"),
+        s"draw $i: m=$m r=$r m2=$m2 r2=$r2 suffix='$suffix'\ndf : $viaDf\nsql: $viaSql")
+    }
+  }
+
   // ---- text canonicalization -------------------------------------------
 
   test("nfcNormalize composes decomposed sequences; identity on NFC input") {
