@@ -5,16 +5,21 @@ import graft.model.Tables
 import graft.operators.CorpusCompare
 
 /** Corpus-vs-corpus comparison keys (operators/CorpusCompare.scala): token
-  * distribution drift between two corpora, content-overlap measurement
-  * with a gated sample estimator, and DSIR-style importance-weighted data
-  * selection. The monitoring/curation layer a pipeline runs on every new
-  * crawl BEFORE committing it to training; no reference analogue (upstream
-  * stops at relational navigation).
+  * distribution drift between two corpora (direct, and at monitoring
+  * cadence against a persisted gram-count index), content-overlap
+  * measurement with a gated sample estimator, DSIR-style importance-
+  * weighted data selection, embedding-distribution drift (occupancy
+  * histograms + per-dimension moment z-scores), and the NFC text
+  * canonicalization those content identities depend on. The monitoring /
+  * curation layer a pipeline runs on every new crawl BEFORE committing it
+  * to training; no reference analogue (upstream stops at relational
+  * navigation).
   *
-  * All five keys are exactly SQL-expressible under the engine's
-  * determinism rule (quantized IEEE-division sums, no transcendentals), so
-  * each gets a full-hash DuckDB oracle; the one sketch (the mod-sampled
-  * overlap estimator) rides as a gate bit inside `q_corpus_overlap`.
+  * All eight keys are exactly SQL-expressible under the engine's
+  * determinism rule (quantized IEEE-division sums, correctly-rounded ops
+  * only — sqrt yes, log no), so each gets a full-hash DuckDB oracle; the
+  * one sketch (the mod-sampled overlap estimator) rides as a gate bit
+  * inside `q_corpus_overlap`.
   */
 object CompareQueries extends QueryModule {
 
