@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, Fingerprint64, NfcNormalize, SimHash64, VectorDot}
+import graft.functions.{CosineSim, Fingerprint64, NfcNormalize, SimHash64, UnicodeNormalize, VectorDot}
 
 /** SparkSessionExtensions hook — the analogue of the reference's addon
   * system (`src/htsql/core/addon.py`): drop-in registration of the engine's
@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
       (args: Seq[Expression]) => NfcNormalize(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("nfkc_normalize"),
+      info("nfkc_normalize", "nfkc_normalize(text) - Unicode NFKC compatibility composition"),
+      (args: Seq[Expression]) => UnicodeNormalize(args.head, "NFKC")))
   }
 }

@@ -135,7 +135,9 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("fingerprint64",
       exprs => Fingerprint64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
-      exprs => NfcNormalize(exprs.head), "scala_udf")
+      exprs => UnicodeNormalize(exprs.head, "NFC"), "scala_udf")
+    reg.createOrReplaceTempFunction("nfkc_normalize",
+      exprs => UnicodeNormalize(exprs.head, "NFKC"), "scala_udf")
     // shape args arrive as foldable literals; evaluated once at bind time
     reg.createOrReplaceTempFunction("hyperplane_sigs",
       exprs => HyperplaneSigs(exprs(0),
@@ -173,6 +175,7 @@ object VectorFunctions {
   def simhash64(hashes: Column): Column = call_function("simhash64", hashes)
   def fingerprint64(text: Column): Column = call_function("fingerprint64", text)
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
+  def nfkcNormalize(text: Column): Column = call_function("nfkc_normalize", text)
   def hyperplane_sigs(vec: Column, dim: Int, numPlanes: Int, numTables: Int,
       seed: Long): Column =
     call_function("hyperplane_sigs", vec,

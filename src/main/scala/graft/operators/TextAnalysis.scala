@@ -149,8 +149,8 @@ object TextAnalysis {
 
   /** Corpus text canonicalization — run BEFORE any content-defined
     * identity (fingerprints, exact dedup, overlap digests): Unicode NFC
-    * composition (the native [[graft.functions.NfcNormalize]] kernel — a
-    * re-crawl through a different encoder pipeline must not count as new
+    * composition (the native [[graft.functions.UnicodeNormalize]] kernel —
+    * a re-crawl through a different encoder pipeline must not count as new
     * content) followed by whitespace collapse + trim. Both steps are
     * per-row codegen'd expressions with exact cross-engine twins
     * (DuckDB `nfc_normalize` + RE2 `\s+` replace; both engines' `\s`
@@ -159,6 +159,18 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
       graft.functions.VectorFunctions.nfcNormalize(text), "\\s+", " "))
+
+  /** The tokenizer-input fold: NFKC compatibility composition (what BPE
+    * pipelines actually run before training — ligatures, fullwidth forms,
+    * superscripts, width variants all merge, so the spam variant `ｓｐａｍ`
+    * and `spam` count as the same token stream) + whitespace collapse +
+    * trim. LOSSY by design; use [[normalizeText]] (NFC) for content
+    * digests. No DuckDB twin exists for NFKC — spec-pinned, not
+    * oracle-hashed.
+    */
+  def normalizeForTokens(text: Column): Column =
+    trim(regexp_replace(
+      graft.functions.VectorFunctions.nfkcNormalize(text), "\\s+", " "))
 
   /** Corpus vocabulary: the top-`k` grams by occurrence count, with
     * document frequency — the tokenizer-training / stopword-discovery /

@@ -259,6 +259,32 @@ class CorpusCompareSpec extends AnyFunSuite {
     assert(out == "café")
   }
 
+  test("NFKC folds ligatures, fullwidth forms, and superscripts; NFC does not") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (1L, "ﬁle"),          // LATIN SMALL LIGATURE FI + "le" -> "file"
+      (2L, "ｓｐａｍ"), // fullwidth "spam" -> "spam"
+      (3L, "x²")            // superscript two -> "x2"
+    ).toDF("id", "s")
+    val nfkc = df.select(col("id"),
+        graft.functions.VectorFunctions.nfkcNormalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfkc == Map(1L -> "file", 2L -> "spam", 3L -> "x2"))
+    // NFC is identity-safe: none of these compatibility variants change
+    val nfc = df.select(col("id"),
+        graft.functions.VectorFunctions.nfcNormalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfc == Map(1L -> "ﬁle",
+      2L -> "ｓｐａｍ", 3L -> "x²"))
+    // the tokenizer-input fold merges the spam variant's token stream
+    val merged = Seq(("ｓｐａｍ  ham", "spam ham")).toDF("a", "b")
+      .select(graft.operators.TextAnalysis.normalizeForTokens(col("a")).as("na"),
+        graft.operators.TextAnalysis.normalizeForTokens(col("b")).as("nb"))
+      .head()
+    assert(merged.getString(0) == merged.getString(1))
+  }
+
   test("normalizeText collapses whitespace, trims, and composes NFC") {
     import spark.implicits._
     graft.functions.VectorFunctions.ensureRegistered(spark)
