@@ -123,8 +123,10 @@ object CorpusCompare {
     * sign-random-projection hashing (Charikar 2002; SimHash with identity
     * projections), so nearby vectors share buckets and a distribution
     * shift moves bucket occupancy. IEEE `≥` is exact in any engine (−0.0
-    * ≥ 0 is true in both; NaN is false in both; a missing dimension
-    * indexes to NULL → bit 0 in both).
+    * ≥ 0 is true in both; NaN ≥ 0 is TRUE in both — Spark SQL and DuckDB
+    * order NaN greater than any number under their total float ordering,
+    * so the bit is set either way; a missing dimension indexes to NULL →
+    * bit 0 in both).
     */
   def signBucket(vec: Column, dims: Int): Column =
     (0 until dims).map { i =>
@@ -226,8 +228,13 @@ object CorpusCompare {
     * folds accumulated deltas through the `IndexMaintenance` write-ahead-
     * marker swap; every reader heals first.
     */
-  def buildGramIndex(docs: DataFrame, text: Column, path: String): Unit =
+  def buildGramIndex(docs: DataFrame, text: Column, path: String): Unit = {
+    // Heal first: a compaction that crashed after publishing its marker
+    // would otherwise roll its STALE staged store forward over the fresh
+    // build on the next read, silently reverting it.
+    IndexMaintenance.heal(docs.sparkSession, path, "grams")
     gramCounts(docs, text).write.mode("overwrite").parquet(s"$path/grams")
+  }
 
   /** Append a delta batch's gram counts to an existing index (one
     * vocabulary-sized file per append; reads merge by summing).
@@ -279,23 +286,15 @@ object CorpusCompare {
     * stage). Counts are bit-identical pre/post (sum of sums).
     */
   def compactGramIndex(spark: SparkSession, path: String): Unit = {
+    // Heal BEFORE the read: spark.read.parquet snapshots the file index at
+    // plan time, so it must see the healed store. swapCompacted heals
+    // again (idempotent) and owns the staged-write → marker → swap.
     IndexMaintenance.heal(spark, path, "grams")
-    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new Path(s"$path/grams")
-    val staged = new Path(s"$path/grams.compact")
-    val marker = new Path(s"$path/_compact_grams")
-    spark.read.parquet(live.toString)
+    val folded = spark.read.parquet(s"$path/grams")
       .groupBy("gram").agg(sum("n").as("n"))
-      .write.mode("overwrite").parquet(staged.toString)
-    val tmp = new Path(marker.toString + ".tmp")
-    val out = f.create(tmp, true)
-    try out.writeBytes("grams") finally out.close()
-    if (!f.rename(tmp, marker))
-      throw new IllegalStateException("gram-index compaction: marker rename failed")
-    f.delete(live, true)
-    if (!f.rename(staged, live))
-      throw new IllegalStateException("gram-index compaction: swap rename failed")
-    f.delete(marker, false)
+    IndexMaintenance.swapCompacted(spark, path, "grams") { staged =>
+      folded.write.mode("overwrite").parquet(staged)
+    }
   }
 
   /** Content overlap between two corpora, exact + gated sample estimate.
@@ -320,6 +319,7 @@ object CorpusCompare {
     */
   def corpusOverlap(a: DataFrame, b: DataFrame, text: Column,
       sampleMod: Int = 4, tol: Double = 0.2): DataFrame = {
+    require(sampleMod > 0, s"sampleMod must be positive, got $sampleMod")
     val sides = overlapSides(a, b, text)
     val sampled = col("_smp")
     val estJ = overlapJaccard(
@@ -352,7 +352,8 @@ object CorpusCompare {
     * every run of the oracle suite.
     */
   def corpusOverlapSampled(a: DataFrame, b: DataFrame, text: Column,
-      sampleMod: Int): DataFrame =
+      sampleMod: Int): DataFrame = {
+    require(sampleMod > 0, s"sampleMod must be positive, got $sampleMod")
     overlapSidesFiltered(a, b, text, sampleMod).agg(
       sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a_sampled"),
       sum(when(col("in_b"), 1L).otherwise(0L)).as("n_b_sampled"),
@@ -363,6 +364,7 @@ object CorpusCompare {
         sum(when(col("in_b"), 1L).otherwise(0L)),
         sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)))
         .as("jaccard_est"))
+  }
 
   private def overlapJaccard(na: Column, nb: Column, nc: Column): Column =
     when(na + nb - nc === 0L, lit(0.0d))

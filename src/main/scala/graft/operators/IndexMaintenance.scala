@@ -65,23 +65,20 @@ object IndexMaintenance {
   def healAll(spark: SparkSession, root: String, stores: Seq[String]): Unit =
     stores.foreach(heal(spark, root, _))
 
-  /** Rewrite one store: `ceil(bytes/targetFileBytes)` files, clustered on
-    * `clusterCols`, sorted by `sortCols`, exact-duplicate rows dropped.
+  /** The ONE copy of the crash-safe staged-store swap, shared by every
+    * compaction (incl. [[CorpusCompare.compactGramIndex]], which folds by
+    * aggregation rather than dedup): heals any prior interrupted state,
+    * has `writeStaged` materialize the replacement at `<store>.compact`,
+    * then publishes the write-ahead marker and swaps. A crash anywhere
+    * leaves a state [[heal]] makes consistent.
     */
-  private def compactStore(spark: SparkSession, root: String, store: String,
-      clusterCols: Seq[Column], sortCols: Seq[Column], dedupCols: Seq[String],
-      targetFileBytes: Long): Unit = {
+  def swapCompacted(spark: SparkSession, root: String, store: String)(
+      writeStaged: String => Unit): Unit = {
     heal(spark, root, store)
     val f = fs(spark)
     val live = new Path(s"$root/$store")
-    val bytes = f.getContentSummary(live).getLength
-    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = spark.read.parquet(live.toString)
-      .dropDuplicates(dedupCols.head, dedupCols.tail: _*)
-      .repartition(nFiles, clusterCols: _*)
-      .sortWithinPartitions(sortCols: _*)
     val staged = stagedPath(root, store)
-    df.write.mode("overwrite").parquet(staged.toString)
+    writeStaged(staged.toString)
     // commit point: marker publishes via create-then-rename
     val marker = markerPath(root, store)
     val tmp = new Path(marker.toString + ".tmp")
@@ -94,6 +91,30 @@ object IndexMaintenance {
     if (!f.rename(staged, live))
       throw new IllegalStateException(s"compaction swap: rename failed for $staged")
     f.delete(marker, false)
+  }
+
+  /** Size-derived file count for a store rewrite. */
+  def targetFileCount(spark: SparkSession, root: String, store: String,
+      targetFileBytes: Long): Int = {
+    val bytes = fs(spark).getContentSummary(new Path(s"$root/$store")).getLength
+    math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+  }
+
+  /** Rewrite one store: `ceil(bytes/targetFileBytes)` files, clustered on
+    * `clusterCols`, sorted by `sortCols`, exact-duplicate rows dropped.
+    */
+  private def compactStore(spark: SparkSession, root: String, store: String,
+      clusterCols: Seq[Column], sortCols: Seq[Column], dedupCols: Seq[String],
+      targetFileBytes: Long): Unit = {
+    heal(spark, root, store)
+    val nFiles = targetFileCount(spark, root, store, targetFileBytes)
+    val df = spark.read.parquet(s"$root/$store")
+      .dropDuplicates(dedupCols.head, dedupCols.tail: _*)
+      .repartition(nFiles, clusterCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    swapCompacted(spark, root, store) { staged =>
+      df.write.mode("overwrite").parquet(staged)
+    }
   }
 
   /** Compact an [[IncrementalDedup]] index: `bands` clusters on the band

@@ -152,13 +152,17 @@ object TextAnalysis {
     * composition (the native [[graft.functions.UnicodeNormalize]] kernel —
     * a re-crawl through a different encoder pipeline must not count as new
     * content) followed by whitespace collapse + trim. Both steps are
-    * per-row codegen'd expressions with exact cross-engine twins
-    * (DuckDB `nfc_normalize` + RE2 `\s+` replace; both engines' `\s`
-    * agrees on the ASCII whitespace this pipeline's tokenizer splits on).
+    * per-row codegen'd expressions with exact cross-engine twins (DuckDB
+    * `nfc_normalize` + the same explicit whitespace class). The class is
+    * spelled out rather than `\s` because Java's `\s` includes vertical
+    * tab `\x0B` while RE2/DuckDB's does not — an explicit
+    * `[ \t\n\x0B\f\r]+` means both engines collapse the identical set.
     */
+  private[graft] val WhitespaceRun = "[ \\t\\n\\x0B\\f\\r]+"
+
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
-      graft.functions.VectorFunctions.nfcNormalize(text), "\\s+", " "))
+      graft.functions.VectorFunctions.nfcNormalize(text), WhitespaceRun, " "))
 
   /** The tokenizer-input fold: NFKC compatibility composition (what BPE
     * pipelines actually run before training — ligatures, fullwidth forms,
@@ -170,7 +174,7 @@ object TextAnalysis {
     */
   def normalizeForTokens(text: Column): Column =
     trim(regexp_replace(
-      graft.functions.VectorFunctions.nfkcNormalize(text), "\\s+", " "))
+      graft.functions.VectorFunctions.nfkcNormalize(text), WhitespaceRun, " "))
 
   /** Corpus vocabulary: the top-`k` grams by occurrence count, with
     * document frequency — the tokenizer-training / stopword-discovery /

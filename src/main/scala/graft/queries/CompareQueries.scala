@@ -246,7 +246,7 @@ object CompareQueries extends QueryModule {
       """SELECT doc_id,
            trim(regexp_replace(
              nfc_normalize(text || '  cafe' || chr(769) || chr(9) || 'x'),
-             '\s+', ' ', 'g')) AS norm
+             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
          FROM documents ORDER BY doc_id""",
 
     "q_drift_summary" ->

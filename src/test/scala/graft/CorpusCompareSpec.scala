@@ -356,7 +356,39 @@ class CorpusCompareSpec extends AnyFunSuite {
     assert(healed == direct)
   }
 
+  test("buildGramIndex over a pending stale compaction does not get reverted") {
+    val idx = freshIdx()
+    val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 =!= 0)
+    CorpusCompare.buildGramIndex(oldDocs, col("text"), idx)
+    // Simulate a compaction that crashed AFTER its commit point: the STALE
+    // store sits staged with the marker published. A rebuild must clear it
+    // — otherwise the next reader's heal rolls the stale store forward
+    // over the fresh build, silently reverting it.
+    val f = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$idx/grams").write.mode("overwrite")
+      .parquet(s"$idx/grams.compact")
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$idx/_compact_grams"), true)
+    try out.writeBytes("grams") finally out.close()
+    CorpusCompare.buildGramIndex(newDocs, col("text"), idx)
+    val viaIndex = CorpusCompare.driftSummaryAgainstIndex(spark, idx,
+      newDocs, col("text")).head()
+    val direct = CorpusCompare.driftSummary(newDocs, newDocs, col("text")).head()
+    assert(viaIndex == direct,
+      "rebuild over a pending stale compaction was reverted by heal")
+  }
+
   // ---- overlap --------------------------------------------------------
+
+  test("corpusOverlap rejects non-positive sampleMod loudly") {
+    intercept[IllegalArgumentException] {
+      CorpusCompare.corpusOverlap(docs, docs, col("text"), sampleMod = 0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusCompare.corpusOverlapSampled(docs, docs, col("text"), sampleMod = 0)
+    }
+  }
 
   test("corpusOverlap: a corpus overlaps itself completely") {
     val r = CorpusCompare.corpusOverlap(docs, docs, col("text")).head()
