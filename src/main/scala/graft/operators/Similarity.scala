@@ -630,6 +630,63 @@ object Similarity {
       clamp: Int, budget: Double): Boolean =
     kNext == clamp && cand * (k.toDouble / kNext) > budget
 
+  /** Expected in-cell candidate count under uniform occupancy: with every
+    * vector entering R of k cells, per-cell population m = n·R/k and the
+    * candidate total is k·m(m−1)/2 = n·R·(m−1)/2.
+    */
+  private[graft] def expectedCandidates(n: Long, repl: Int, k: Int): Double = {
+    val m = n.toDouble * repl / k
+    n.toDouble * repl * math.max(0.0, m - 1.0) / 2.0
+  }
+
+  /** BALANCED auto cell-count derivation — pick k by minimizing the sum
+    * of the two costs that actually move with it, in shared units of one
+    * dim-length dot product:
+    *
+    *   assign(k) = (iters+1) corpus passes × 2√(p·k) kernel evals/vector
+    *             = (iters+1)·2√p · n·√k        (two-level kernel, p probes)
+    *   verify(k) = γ · n·R·(m−1)/2 ≈ γ·(nR)²/(2k)   (m = nR/k)
+    *
+    * dT/dk = 0  →  k* = (γ·n·R² / ((iters+1)·2√p))^(2/3).
+    *
+    * The previous solve budgeted VERIFY alone (m from the candidate
+    * budget, so k ∝ n): that bought verify linearity with a √k assignment
+    * factor, measured 24× wall for 10× vectors at the 200k→2M decade
+    * (SCALE.md round 9). The balanced k grows as n^(2/3), so BOTH terms
+    * scale as n^(4/3) per decade (~21× model bound for 10×) and the total
+    * at fixed n is minimal — strictly better than either lopsided solve
+    * until the 2¹⁶ clamp returns the regime to linear-in-n.
+    *
+    * γ is the measured cost of streaming one candidate pair through the
+    * map-side verify relative to one assignment-kernel distance eval
+    * (same dim-length dot product plus join-row mechanics; calibrated ≈2
+    * on the 2M-vector ladder tier).
+    *
+    * Clamps, in order: an EXPLICIT candidate budget is a hard verify
+    * ceiling (k at least nR/m with m = 2B/(nR)+1 — the pre-balance
+    * verify-only solve, kept for callers that state a contract);
+    * expected population m ≤ `targetCell` (the semantic granularity
+    * ceiling — cells coarser than that stop meaning "one topic");
+    * m ≥ 16 (tiny corpora must not split into near-empty cells);
+    * k ∈ [16, 2¹⁶] (the kernel/layout clamp).
+    */
+  private[graft] def balancedNlist(n: Long, repl: Int, targetCell: Int,
+      iters: Int, groupProbes: Int = 8, gamma: Double = 2.0,
+      explicitBudget: Double = 0): Int = {
+    val nd = n.toDouble
+    val r = repl.toDouble
+    val aCoef = (iters + 1).toDouble * 2.0 * math.sqrt(groupProbes.toDouble)
+    val kStar = math.pow(gamma * nd * r * r / aCoef, 2.0 / 3.0)
+    val kFromBudget =
+      if (explicitBudget > 0) nd * r / (2.0 * explicitBudget / (nd * r) + 1.0)
+      else 0.0
+    val kGranularity = nd * r / targetCell
+    val kMax = math.max(16.0, nd * r / 16.0)
+    val k = math.min(kMax,
+      math.max(kStar, math.max(kFromBudget, kGranularity)))
+    math.max(16, math.min(1 << 16, math.ceil(k).toInt))
+  }
+
   private[graft] def trainCentroids(c: DataFrame, nlist: Int,
       iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] =
@@ -666,13 +723,16 @@ object Similarity {
     * still meets in a shared second-choice cell.
     *
     * Scale shape: in-cell pair work is Σ cell², so the DEFAULT
-    * (`nlist = 0`) derives the cell count from the corpus — replica-aware,
-    * sized so the EXPECTED candidate count n·R·(m−1)/2 meets the budget
-    * with per-cell population m capped at `targetCell` — and then PROBES
-    * the realized candidate count
+    * (`nlist = 0`) derives the cell count from the corpus — the BALANCED
+    * solve of [[balancedNlist]], which minimizes assignment + verify
+    * together (k ∝ n^(2/3); the pre-balance verify-only budget made
+    * k ∝ n and paid a measured √k assignment factor, 24× wall for 10×
+    * vectors at the 200k→2M decade), population-capped at `targetCell` —
+    * and then PROBES the realized candidate count
     * (exactly Σ m·(m−1)/2 over cells, one cheap partial-agg count — the
     * same governor [[cosineNearDupPairsChosen]] runs) against
-    * max(4×10⁷, 64·n): a clustered corpus that concentrates into few
+    * max(4×10⁷, 2× the solve's own expected count): a clustered corpus
+    * that concentrates into few
     * cells escalates nlist ×2 (retrain is linear — sampled seeds + Lloyd
     * scans) up to `maxEscalations`, then proceeds with a LOUD stderr
     * report if still over. An explicit `nlist` pins the partition and
@@ -707,23 +767,23 @@ object Similarity {
     // known size skips the count() scan — same contract as the LSH governor
     val n = if (!auto) -1L else if (corpusSize > 0) corpusSize else c.count()
     val repl = math.max(1, assignReplicas)
-    val budget =
-      if (candidateBudget > 0) candidateBudget
-      else if (auto) math.max(4.0e7, 64.0 * n) else 0.0
+    // balanced derivation (see [[balancedNlist]]): k minimizes assignment
+    // + verify together instead of budgeting verify alone
     var k =
       if (!auto) nlist
-      else {
-        // replica-aware derivation: each vector enters R cells, so the
-        // expected population at k cells is m = n·R/k and the candidate
-        // count is k·m(m−1)/2 ≈ n·R·(m−1)/2. Solve m for the budget
-        // (not just n/targetCell — at R=2 that would leave realized
-        // candidates ~2× over and force escalations by construction),
-        // cap at targetCell (the semantic granularity ceiling), and
-        // floor at 16 so tiny corpora don't degenerate to 1-member cells.
-        val mBudget = 2.0 * budget / (n.toDouble * repl) + 1.0
-        val m = math.max(16.0, math.min(targetCell.toDouble, mBudget))
-        math.max(16, math.min(1 << 16, math.ceil(n.toDouble * repl / m).toInt))
-      }
+      else balancedNlist(n, repl, targetCell, iters,
+        explicitBudget = candidateBudget)
+    // The probe budget: an explicit contract wins; otherwise 2× the
+    // balanced solve's own expected candidate count (with the old 4×10⁷
+    // absolute floor below which nobody cares). Escalation thereby fires
+    // exactly on CONCENTRATION — realized candidates well past the
+    // uniform-occupancy model — not on the model's own expectation, which
+    // the pre-balance linear budget (64·n) undercut by construction at
+    // the targetCell-bound tiers.
+    val budget =
+      if (candidateBudget > 0) candidateBudget
+      else if (auto) math.max(4.0e7, 2.0 * expectedCandidates(n, repl, k))
+      else 0.0
     // env-gated stage profile (stderr) — the same diagnostic pattern as
     // GRAFT_INGEST_PROFILE; driver-synchronous stages only, the lazy pair
     // plan's cost is the caller's total minus these

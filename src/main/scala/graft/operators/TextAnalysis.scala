@@ -164,6 +164,18 @@ object TextAnalysis {
     trim(regexp_replace(
       graft.functions.VectorFunctions.nfcNormalize(text), WhitespaceRun, " "))
 
+  /** CANONICAL content fingerprint — [[fingerprint]] over
+    * [[normalizeText]]: the identity the content-defined seams (release /
+    * hygiene capstones, stream ingest, corpus overlap, split/shard
+    * assignment) hash, so a re-crawl of the same document through a
+    * different encoder pipeline (NFD vs NFC, collapsed whitespace) maps
+    * to the SAME split, shard, and dedup identity instead of counting as
+    * new content. Use the raw [[fingerprint]] only when byte identity is
+    * itself the point (`q_text_fingerprint`).
+    */
+  def canonicalFingerprint(text: Column): Column =
+    fingerprint(normalizeText(text))
+
   /** The tokenizer-input fold: NFKC compatibility composition (what BPE
     * pipelines actually run before training — ligatures, fullwidth forms,
     * superscripts, width variants all merge, so the spam variant `ｓｐａｍ`

@@ -50,17 +50,27 @@ object CompareQueries extends QueryModule {
 
     // Content overlap between the current corpus and a synthetic "next
     // crawl" (every 3rd document re-crawled byte-identical; every 5th
-    // re-crawled with an edit, so its content digest moves): exact
-    // distinct-digest counts + Jaccard, plus the gate bit bounding the
-    // mod-4 sampled estimator against the exact value.
+    // re-crawled with an edit, so its content digest moves; every 7th —
+    // planted with a composed-é marker on the A side — re-crawled through
+    // a DIFFERENT ENCODER, i.e. the decomposed combining-acute form:
+    // byte-different, content-identical): exact distinct-digest counts +
+    // Jaccard over the CANONICAL identity (the re-encoded slice must
+    // count as overlap — raw-byte digests would call it new content),
+    // plus the gate bit bounding the mod-4 sampled estimator.
     "q_corpus_overlap" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      val a = t.documents
+      val a = t.documents.select(col("text"))
+        .unionByName(t.documents.filter(col("doc_id") % 7 === 0)
+          .select(concat(col("text"), lit(" r\u00e9")).as("text")))
       val b = t.documents.filter(col("doc_id") % 3 === 0)
         .select(col("text"))
         .unionByName(t.documents.filter(col("doc_id") % 5 === 0)
           .select(concat(col("text"), lit(" v2")).as("text")))
-      CorpusCompare.corpusOverlap(a, b, col("text"), sampleMod = 4, tol = 0.2)
+        .unionByName(t.documents.filter(col("doc_id") % 7 === 0)
+          .select(concat(col("text"), lit(" re\u0301")).as("text")))
+      CorpusCompare.corpusOverlap(a, b,
+        graft.operators.TextAnalysis.normalizeText(col("text")),
+        sampleMod = 4, tol = 0.2)
     },
 
     // DSIR importance selection: score every document by how much more
@@ -166,6 +176,15 @@ object CompareQueries extends QueryModule {
     e.filter(col("vec_id") % 2 === 0).select(col("embedding"))
       .unionByName(e.filter(col("vec_id") % 2 === 1)
         .select(transform(col("embedding"), x => abs(x)).as("embedding")))
+
+  /** The canonicalizer over an arbitrary SQL expression — the oracle twin
+    * of `TextAnalysis.normalizeText` (NFC + explicit whitespace class).
+    */
+  private def normOf(expr: String): String =
+    // concatenation, not s-interpolation: the interpolator processes
+    // escapes even in triple quotes, and \x is not a Scala escape
+    "trim(regexp_replace(nfc_normalize(" + expr + "), '" +
+      """[ \t\n\x0B\f\r]+""" + "', ' ', 'g'))"
 
   /** The rolling-hash fingerprint fold over an arbitrary SQL expression
     * (PipelineQueries.fpSql generalized from the `text` column).
@@ -324,13 +343,21 @@ object CompareQueries extends QueryModule {
 
     "q_corpus_overlap" ->
       s"""WITH fa AS (
-           SELECT DISTINCT ${fpOf("text")} AS fp FROM documents),
+           SELECT DISTINCT fp FROM (
+             SELECT ${fpOf(normOf("text"))} AS fp FROM documents
+             UNION ALL
+             SELECT ${fpOf(normOf("text || ' r' || chr(233)"))} AS fp
+             FROM documents WHERE doc_id % 7 = 0)),
          fb AS (
            SELECT DISTINCT fp FROM (
-             SELECT ${fpOf("text")} AS fp FROM documents WHERE doc_id % 3 = 0
+             SELECT ${fpOf(normOf("text"))} AS fp FROM documents
+             WHERE doc_id % 3 = 0
              UNION ALL
-             SELECT ${fpOf("text || ' v2'")} AS fp FROM documents
-             WHERE doc_id % 5 = 0)),
+             SELECT ${fpOf(normOf("text || ' v2'"))} AS fp FROM documents
+             WHERE doc_id % 5 = 0
+             UNION ALL
+             SELECT ${fpOf(normOf("text || ' re' || chr(769)"))} AS fp
+             FROM documents WHERE doc_id % 7 = 0)),
          m AS (
            SELECT fa.fp IS NOT NULL AS in_a, fb.fp IS NOT NULL AS in_b
            FROM fa FULL OUTER JOIN fb ON fa.fp = fb.fp),

@@ -128,8 +128,20 @@ object ExtensionQueries extends QueryModule {
       // paying a whole-corpus dedup per bench invocation — the corpus-
       // scale increment cost is measured on the event ladder instead
       // (x_stream_ingest, SCALE.md)
-      val docs = t.documents.select("doc_id", "text")
+      val base = t.documents.select("doc_id", "text")
         .filter(col("doc_id") % 4 === 0)
+      // planted RE-ENCODED duplicates: every 40th doc also arrives as a
+      // byte-different NFC-equal clone (composed é on the source,
+      // e + combining acute on the clone, id + 2 so the source arrives
+      // first) — the in-stream canonicalize pass must dedup the pair;
+      // without NFC the clone's shingle set differs and it would survive
+      val docs = base
+        .withColumn("text",
+          when(col("doc_id") % 40 === 0, concat(col("text"), lit(" caf\u00e9")))
+            .otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2L).as("doc_id"),
+            concat(col("text"), lit(" cafe\u0301")).as("text")))
       // the ARRIVAL fixture (corpus split into two id-ordered files) is a
       // standing input, not part of the operator: built once per data dir
       // per session (shutdown-hook cleaned), so repeated bench runs
@@ -145,7 +157,7 @@ object ExtensionQueries extends QueryModule {
         val kept = graft.streaming.CorpusIngest.runIngestAvailableNow(s, src,
           s"$work/idx", s"$work/sink", s"$work/ckpt", jaccardThreshold = 1.0,
           params = graft.operators.IncrementalDedup.Params(3, 16, 1),
-          shufflePartitions = Some(8))
+          shufflePartitions = Some(8), canonicalize = true)
         val rows = kept.select("doc_id").orderBy("doc_id").collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*),
           kept.select("doc_id").schema)
@@ -408,7 +420,23 @@ object ExtensionQueries extends QueryModule {
     // ids, and counts.
     "q_pipeline_hygiene" -> { (s, dir) =>
       val t = new Tables(s, dir)
-      val docs = t.documents
+      val base = t.documents
+      // planted RE-ENCODED duplicate pair: every 50th doc gets a composed
+      // é suffix, and a byte-different NFC-equal clone (e + combining
+      // acute, id + 1000000) joins the corpus — the canonicalized content
+      // identity below must collapse the pair at the exact-dedup stage
+      // (raw-byte hashing would keep both).
+      val docs0 = base
+        .withColumn("text",
+          when(col("doc_id") % 50 === 0, concat(col("text"), lit(" caf\u00e9")))
+            .otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+          .withColumn("text", concat(col("text"), lit(" cafe\u0301"))))
+      // hygiene operates on the CANONICAL text (NFC + whitespace collapse)
+      // — the content identity every downstream stage hashes
+      val docs = docs0.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("text"))
       // text is cached ONCE (in toks); the gram stage persists only what
       // its lambdas read, and survivors join the text back from the cache
       val toks = Staging.widen(docs)
@@ -612,13 +640,15 @@ object ExtensionQueries extends QueryModule {
         budget = 512, shards = 8).orderBy("doc_id")
     },
 
-    // Deterministic train/val/test split by content hash (98/1/1):
-    // a document lands in the same split on every rerun; exact copies
-    // can never straddle splits.
+    // Deterministic train/val/test split by CANONICAL content hash
+    // (98/1/1): a document lands in the same split on every rerun; exact
+    // copies — including re-encoded (NFC-equal) ones — can never straddle
+    // splits.
     "q_split" -> { (s, dir) =>
       val t = new Tables(s, dir)
       t.documents.select(col("doc_id"),
-        Sampling.assignSplit(TextAnalysis.fingerprint(col("text")), 0.98, 0.01)
+        Sampling.assignSplit(TextAnalysis.canonicalFingerprint(col("text")),
+            0.98, 0.01)
           .as("split"))
         .orderBy("doc_id")
     },
@@ -999,10 +1029,27 @@ object ExtensionQueries extends QueryModule {
     "q_dedup_text" -> minhashGateOracle(0.5),
     // τ=1.0 greedy first-fit dedup IS relational: the survivor set is
     // min doc_id per distinct 3-shingle set, plus every short doc
+    // the planted d0 union mirrors the key's re-encoded clones; the
+    // nfc_normalize + whitespace-class fold replays the in-stream
+    // canonicalize pass, so each (source, clone) pair shares one shingle
+    // set and the min-id rule keeps the source
     "q_dedup_stream_ingest" ->
-      """WITH toks AS (
+      """WITH d0 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 40 = 0 THEN text || ' caf' || chr(233)
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id + 2 AS doc_id, text || ' cafe' || chr(769) AS text
+           FROM documents WHERE doc_id % 4 = 0 AND doc_id % 40 = 0),
+         nrm AS (
+           SELECT doc_id,
+             trim(regexp_replace(nfc_normalize(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
+           FROM d0),
+         toks AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-           FROM documents WHERE doc_id % 4 = 0),
+           FROM nrm),
          sh AS (
            SELECT doc_id, list_sort(list_distinct(list_transform(
              range(1, greatest(len(t) - 2, 0) + 1),
@@ -1437,15 +1484,21 @@ object ExtensionQueries extends QueryModule {
            CAST(cum - n_tokens AS BIGINT) AS pos,
            CAST(((cum - n_tokens) // 512) * 8 + shard AS BIGINT) AS bin
          FROM s ORDER BY doc_id""",
+    // the fold runs over the CANONICAL text (nfc + whitespace collapse),
+    // the canonicalFingerprint twin
     "q_split" ->
-      """WITH f AS (
+      """WITH nrm AS (
+           SELECT doc_id, trim(regexp_replace(nfc_normalize(text),
+             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
+           FROM documents),
+         f AS (
            SELECT doc_id,
              list_reduce(
                list_prepend(CAST(0 AS BIGINT),
                  list_transform(list_filter(string_split(text, ''), c -> c <> ''),
                    c -> CAST(ascii(c) AS BIGINT))),
                (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-           FROM documents)
+           FROM nrm)
          SELECT doc_id,
            CASE WHEN (fp * 2654435761) % 1000000 < 980000 THEN 'train'
                 WHEN (fp * 2654435761) % 1000000 < 990000 THEN 'val'
@@ -1462,9 +1515,20 @@ object ExtensionQueries extends QueryModule {
     // stand-alone oracle (repetition filter uses the distinct-count
     // formulation — value-identical to the run-length fold)
     "q_pipeline_hygiene" ->
-      """WITH toks AS (
+      """WITH d0 AS (
+           SELECT doc_id, trim(regexp_replace(nfc_normalize(
+               CASE WHEN doc_id % 50 = 0 THEN text || ' caf' || chr(233)
+                    ELSE text END),
+             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+             trim(regexp_replace(nfc_normalize(text || ' cafe' || chr(769)),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
+           FROM documents WHERE doc_id % 50 = 0),
+         toks AS (
            SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS t
-           FROM documents),
+           FROM d0),
          grams AS (
            SELECT doc_id, text, t,
              list_transform(range(1, greatest(len(t) - 1, 0) + 1),
@@ -1480,7 +1544,7 @@ object ExtensionQueries extends QueryModule {
                     / CAST(len(g2) AS DOUBLE) END) < 0.15),
          btoks AS (
            SELECT string_split_regex(trim(lower(text)), '\s+') AS t
-           FROM documents WHERE doc_id % 97 = 0),
+           FROM d0 WHERE doc_id % 97 = 0),
          bsh AS (
            SELECT DISTINCT unnest(list_distinct(list_transform(
              range(1, greatest(len(t) - 2, 0) + 1),

@@ -120,7 +120,12 @@ object PipelineQueries extends QueryModule {
     // full-corpus scale story lives with its own operator key + ladder.
     "q_release" -> { (s, dir) =>
       val t = new Tables(s, dir)
+      // the release path operates on the CANONICAL text (NFC + whitespace
+      // collapse): every content identity downstream — the exact-dedup
+      // keep list, shingles, quota/mixture/split hashes, the shard
+      // checksum — must treat a re-encoded re-crawl as the same document
       val docs = t.documents.filter(col("doc_id") % 2 === 0)
+        .withColumn("text", TextAnalysis.normalizeText(col("text")))
       def fp = TextAnalysis.fingerprint(col("text"))
       val deduped = docs.join(
         Dedup.exact(docs, "doc_id", "text").select("doc_id"),
@@ -153,12 +158,13 @@ object PipelineQueries extends QueryModule {
         .orderBy("split", "shard")
     },
 
-    // Sharded-export manifest: 8 content-addressed shards, each row a
-    // (count, xor-checksum, id-range) a loader can verify.
+    // Sharded-export manifest: 8 content-addressed shards (CANONICAL
+    // fingerprint — a re-encoded copy lands in the same shard), each row
+    // a (count, xor-checksum, id-range) a loader can verify.
     "q_shard" -> { (s, dir) =>
       val t = new Tables(s, dir)
       Sharding.manifest(t.documents,
-          TextAnalysis.fingerprint(col("text")), col("doc_id"), 8)
+          TextAnalysis.canonicalFingerprint(col("text")), col("doc_id"), 8)
         .orderBy("shard")
     },
 
@@ -246,6 +252,11 @@ object PipelineQueries extends QueryModule {
         .orderBy("lang")
     }
   )
+
+  /** The canonicalizer (NFC + explicit-whitespace-class collapse), as the
+    * oracle replays `TextAnalysis.normalizeText`. */
+  private val normSql =
+    """trim(regexp_replace(nfc_normalize(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"""
 
   /** The rolling-hash fingerprint fold, as the oracle replays it. */
   private val fpSql =
@@ -411,7 +422,8 @@ object PipelineQueries extends QueryModule {
     // (restricted to the released set), and the shard/checksum aggregate.
     "q_release" ->
       s"""WITH RECURSIVE d0 AS (
-           SELECT * FROM documents WHERE doc_id % 2 = 0),
+           SELECT doc_id, lang, source, $normSql AS text
+           FROM documents WHERE doc_id % 2 = 0),
          toks AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
            FROM d0),
@@ -524,7 +536,8 @@ object PipelineQueries extends QueryModule {
          WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "q_shard" ->
-      s"""WITH f AS (SELECT doc_id, $fpSql AS fp FROM documents),
+      s"""WITH nrm AS (SELECT doc_id, $normSql AS text FROM documents),
+         f AS (SELECT doc_id, $fpSql AS fp FROM nrm),
          s AS (SELECT doc_id, fp,
            ((fp % 1000000007) * 40503 + 2654435761) % 8 AS shard FROM f)
          SELECT shard, count(*) AS n_rows, bit_xor(fp) AS checksum,

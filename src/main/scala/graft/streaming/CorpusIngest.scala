@@ -84,13 +84,23 @@ object CorpusIngest {
     * First run bootstraps the index at `indexPath` (params + empty
     * stores) unless one already exists — seeding with a pre-built index
     * dedups the stream against a standing corpus from the first batch.
+    *
+    * `canonicalize` folds [[graft.operators.TextAnalysis.normalizeText]]
+    * (Unicode NFC + whitespace collapse) over `textCol` IN-STREAM, before
+    * any shingling or signing — the production default for a crawl
+    * ingest, where the same document re-fetched through a different
+    * encoder pipeline (decomposed sequences, reflowed whitespace) must
+    * dedup against its earlier arrival rather than count as new content.
+    * The sink then holds the canonical text. Defaults to false so callers
+    * that ingest already-canonical corpora skip the per-row pass.
     */
   def runIngestAvailableNow(spark0: SparkSession, srcDir: String,
       indexPath: String, sinkPath: String, checkpointPath: String,
       idCol: String = "doc_id", textCol: String = "text",
       jaccardThreshold: Double = 0.5,
       params: IncrementalDedup.Params = IncrementalDedup.Params(3, 16, 4),
-      shufflePartitions: Option[Int] = None): DataFrame = {
+      shufflePartitions: Option[Int] = None,
+      canonicalize: Boolean = false): DataFrame = {
     // like EventStreams.drainSession: a bounded drain's exchanges should
     // be sized to ITS data, not the cluster default — a gate-scale batch
     // pays ~10 shuffles whose per-task overhead dwarfs the rows. A
@@ -102,11 +112,17 @@ object CorpusIngest {
       s
     }
     val schema = spark.read.parquet(srcDir).schema
-    val src = spark.readStream
+    val src0 = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet")
       .parquet(srcDir)
+    val src =
+      if (canonicalize) {
+        graft.functions.VectorFunctions.ensureRegistered(spark)
+        src0.withColumn(textCol,
+          graft.operators.TextAnalysis.normalizeText(col(textCol)))
+      } else src0
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, indexPath, sinkPath, idCol, textCol,

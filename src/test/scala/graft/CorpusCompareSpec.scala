@@ -294,6 +294,27 @@ class CorpusCompareSpec extends AnyFunSuite {
     assert(got == "a b café")
   }
 
+  test("canonicalFingerprint: re-encoded (NFC-equal) text maps to the same identity") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // composed \u00e9 vs e + combining acute, plus reflowed whitespace —
+    // the content-identity seams (release/hygiene/ingest/overlap/split/
+    // shard) must treat these as ONE document; the raw fingerprint must not
+    val df = Seq(
+      ("caf\u00e9 du monde", "cafe\u0301  du\tmonde"),
+      ("plain ascii text", "plain ascii text")).toDF("a", "b")
+    val r = df.select(
+      graft.operators.TextAnalysis.canonicalFingerprint(col("a")).as("ca"),
+      graft.operators.TextAnalysis.canonicalFingerprint(col("b")).as("cb"),
+      graft.operators.TextAnalysis.fingerprint(col("a")).as("ra"),
+      graft.operators.TextAnalysis.fingerprint(col("b")).as("rb")).collect()
+    r.foreach(row => assert(row.getLong(0) == row.getLong(1),
+      s"canonical identities differ: $row"))
+    assert(r(0).getLong(2) != r(0).getLong(3),
+      "raw fingerprints should differ on the re-encoded pair")
+    assert(r(1).getLong(2) == r(1).getLong(3))
+  }
+
   // ---- incremental drift (persisted gram-count index) -----------------
 
   private def freshIdx(): String = {

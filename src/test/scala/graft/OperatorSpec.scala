@@ -1396,16 +1396,23 @@ class OperatorSpec extends AnyFunSuite {
   test("semantic auto mode derives nlist from the corpus and escalates under a tight budget") {
     val emb = t("embeddings")
     val n = emb.count()
-    // auto derivation (replicas R=2 default): per-cell population m caps
-    // at targetCell when the budget allows it, nlist = ceil(n·R/m)
+    // BALANCED auto derivation (replicas R=2 default, iters=2, p=8, γ=2):
+    // k* = (γ·n·R²/((iters+1)·2√p))^(2/3), then the granularity cap
+    // (m ≤ targetCell), the degenerate-cell floor (m ≥ 16), and the
+    // [16, 2¹⁶] clamp — independent arithmetic, not the operator's own
+    val kStar = math.pow(2.0 * n * 4.0 / (3.0 * 2.0 * math.sqrt(8.0)), 2.0 / 3.0)
+    val expected = math.max(16, math.min(1 << 16, math.ceil(
+      math.min(math.max(16.0, n * 2.0 / 16.0),
+        math.max(kStar, n * 2.0 / 32.0))).toInt))
     val (pairsAuto, chosen) = Similarity.semanticNearDupPairsChosen(
       emb, "vec_id", "embedding", threshold = 0.2, targetCell = 32)
-    val expected = math.max(16, math.ceil(n.toDouble * 2 / 32).toInt)
     val autoSet = pairsAuto.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(chosen == expected, s"derived nlist $chosen != expected $expected")
-    // a candidateBudget the realized cell sizes can't meet: derivation
-    // floors m at 16, then the governor escalates ×2 per try
+    assert(chosen == Similarity.balancedNlist(n, 2, 32, 2))
+    // an explicit candidateBudget the realized cell sizes can't meet: the
+    // hard verify ceiling drives k to the m≥16 floor, then the governor
+    // escalates ×2 per try
     val k0 = math.max(16, math.ceil(n.toDouble * 2 / 16).toInt)
     val (pairsEsc, escalated) = Similarity.semanticNearDupPairsChosen(
       emb, "vec_id", "embedding", threshold = 0.2, targetCell = 32,
