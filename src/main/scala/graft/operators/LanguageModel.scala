@@ -13,6 +13,11 @@ import graft.operators.Staging.Stageable
   * lorem-ipsum, wrong language, OCR noise) scores LOW and gets filtered or
   * down-weighted before training.
   *
+  * Two orders ship: the bigram chain below (the cheap screen) and the
+  * TRIGRAM chain ([[lmScore3]]/[[scoreAgainst3]] — the order CCNet-class
+  * reference filters train at; the bigram form passes word salad stitched
+  * from common pairs, which the trigram chain backoff-penalizes).
+  *
   * Model: bigram stupid backoff. For token w with predecessor u,
   *
   *   p(w | u) = c(u,w) / c(u)        when the bigram was observed,
@@ -129,13 +134,125 @@ object LanguageModel {
     val p = when(col("prev").isNull, pUni)
       .when(col("cbw").isNotNull, col("cbw").cast("double") / col("cu"))
       .otherwise(lit(0.4d) * pUni)
+    quantizedMean(docs, idCol, scored, p)
+  }
+
+  // ---- order-3 backoff chain -------------------------------------------
+
+  /** Per-document transition counts at ORDER 3: one row per distinct
+    * (prev2, prev, w) triple per document, weighted by its in-document
+    * count `k`. `prev` is NULL for a document's first token, `prev2` for
+    * its first two — the same null-marking scheme as [[pairCounts]], one
+    * order deeper. Still ONE tokenize pass; the staged frame is at most
+    * one row per token occurrence (usually far fewer after the groupBy).
+    */
+  private def tripleCounts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs
+      .select(col(idCol).as("_id"),
+        filter(
+          transform(toks, (t, i) =>
+            struct(t.as("w"),
+              when(i > 0, element_at(toks, i)).as("prev"),
+              when(i > 1, element_at(toks, i - 1)).as("prev2"))),
+          p => p.getField("w") =!= "").as("_tr"))
+      .select(col("_id"), explode(col("_tr")).as("p"))
+      .groupBy(col("_id"), col("p.prev2").as("prev2"),
+        col("p.prev").as("prev"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("k"))
+  }
+
+  /** Score `docs` against a TRIGRAM stupid-backoff LM trained on `ref` —
+    * the order CCNet-class reference filters actually train at is ≥3;
+    * the bigram form passes degenerate text stitched from common pairs
+    * (word salad with plausible bigrams), which the trigram chain scores
+    * through TWO backoff hops instead:
+    *
+    *   p(w | u,v) = c(u,v,w) / c(u,v)          trigram observed,
+    *              = 0.4 · p(w | v)             otherwise,
+    *   p(w | v)   = c(v,w) / c(v)              bigram observed,
+    *              = 0.4 · c(w) / T             otherwise;
+    *   a document's first token scores c(w)/T, its second p(w|v).
+    *
+    * Per-order count cutoffs (`minBigramCount`, `minTrigramCount`) prune
+    * the NUMERATOR tables only — backoff denominators c(v) and c(u,v)
+    * stay unpruned (pruning says which transitions the model trusts,
+    * never what the contexts' masses were). The trigram table is the one
+    * that is NOT Heaps-bounded (distinct trigram types grow near-linearly
+    * in the long tail); its cutoff is the Brants table-size control and
+    * the reason the knob exists per order. Everything else — quantized
+    * 1e-9 integer-unit mean, broadcast one-row total, vocabulary-sized
+    * partial-agg'd join sides — carries over from the bigram form
+    * unchanged.
+    */
+  def scoreAgainst3(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String,
+      minBigramCount: Long = 1L, minTrigramCount: Long = 1L): DataFrame = {
+    val refTriples = tripleCounts(
+      ref.select(monotonically_increasing_id().as("_rid"), col(refTextCol)),
+      "_rid", refTextCol).stagePersist()
+    scoreWithModel3(docs, idCol, tripleCounts(docs, idCol, textCol),
+      refTriples, minBigramCount, minTrigramCount)
+  }
+
+  /** Self-trained trigram form (corpus == reference): the staged per-doc
+    * triple frame serves the model aggregates AND the scoring side — the
+    * corpus still tokenizes exactly once.
+    */
+  def lmScore3(docs: DataFrame, idCol: String, textCol: String,
+      minBigramCount: Long = 1L, minTrigramCount: Long = 1L): DataFrame = {
+    val oc = tripleCounts(docs, idCol, textCol).stagePersist()
+    scoreWithModel3(docs, idCol, oc, oc, minBigramCount, minTrigramCount)
+  }
+
+  private def scoreWithModel3(docs: DataFrame, idCol: String,
+      oc: DataFrame, refTriples: DataFrame,
+      minBigramCount: Long, minTrigramCount: Long): DataFrame = {
+    require(minBigramCount >= 1L && minTrigramCount >= 1L,
+      s"count cutoffs must be >= 1, got bigram=$minBigramCount trigram=$minTrigramCount")
+    val uni = refTriples.groupBy("w").agg(sum("k").as("cw"))
+    val tot = refTriples.agg(sum("k").as("tt"))
+    val bigAll = refTriples.filter(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(sum("k").as("cbw"))
+    val big = bigAll.filter(col("cbw") >= minBigramCount)
+    val tri = refTriples.filter(col("prev2").isNotNull)
+      .groupBy("prev2", "prev", "w").agg(sum("k").as("ctw"))
+      .filter(col("ctw") >= minTrigramCount)
+    val cu = uni.select(col("w").as("prev"), col("cw").as("cu"))
+    // trigram CONTEXT mass c(u,v) joins from the UNPRUNED bigram table
+    val cuv = bigAll.select(col("prev").as("prev2"), col("w").as("prev"),
+      col("cbw").as("cuv"))
+    val scored = oc
+      .join(uni, Seq("w"), "left")
+      .join(cu, Seq("prev"), "left")
+      .join(big, Seq("prev", "w"), "left")
+      .join(cuv, Seq("prev2", "prev"), "left")
+      .join(tri, Seq("prev2", "prev", "w"), "left")
+      .crossJoin(broadcast(tot))
+    val pUni = coalesce(col("cw"), lit(0L)).cast("double") / col("tt")
+    val pBi = when(col("cbw").isNotNull, col("cbw").cast("double") / col("cu"))
+      .otherwise(lit(0.4d) * pUni)
+    // a non-null ctw implies a non-null cuv (the reference saw the
+    // context with every trigram it saw), so the division is total
+    val p = when(col("prev").isNull, pUni)
+      .when(col("prev2").isNull, pBi)
+      .when(col("ctw").isNotNull, col("ctw").cast("double") / col("cuv"))
+      .otherwise(lit(0.4d) * pBi)
+    quantizedMean(docs, idCol, scored, p)
+  }
+
+  /** Shared quantized-mean tail: floor(p·1e9) integer units, exact long
+    * sums per document (partition-order-free), left-joined back so
+    * zero-token documents appear with n_tok = 0 (the Bpe.tokenCount rule).
+    */
+  private def quantizedMean(docs: DataFrame, idCol: String,
+      scored: DataFrame, p: Column): DataFrame = {
     val agg = scored
       .select(col("_id"), col("k"),
         (col("k") * floor(p * lit(1e9d)).cast("long")).as("ku"))
       .groupBy("_id")
       .agg(sum("k").as("n_tok"), sum("ku").as("su"))
-    // Left-join back so zero-token documents appear with n_tok = 0
-    // (the Bpe.tokenCount rule).
     docs.select(col(idCol))
       .join(agg.withColumnRenamed("_id", idCol), Seq(idCol), "left")
       .select(col(idCol),

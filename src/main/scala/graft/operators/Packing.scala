@@ -65,4 +65,32 @@ object Packing {
         (expr(s"((cum - n_tokens) div ${budget}L) * ${shards}L") +
           col("shard")).as("bin"))
   }
+
+  /** Column-general packing over an arbitrary PLAN frame — the form the
+    * training-set export composes, where one document yields several rows
+    * (epoch copies) so [[packByBudget]]'s (fingerprint, id) order key is
+    * not unique and the fingerprint/token columns already exist upstream.
+    * Same semantics: shard = fp mod `shards` (a copy packs in its
+    * document's shard — bins never cross shards by construction), in-shard
+    * order = `orderKeys` (must be unique within a shard or the prefix sums
+    * are ambiguous), `pos` = running token sum before the row, `bin` =
+    * the shard-interleaved [[binId]]. Appends (shard, pos, bin) to the
+    * input columns.
+    */
+  def packPlan(df: DataFrame, fp: Column, orderKeys: Seq[Column],
+      tokens: Column, budget: Int, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0 && orderKeys.nonEmpty)
+    require(Seq("shard", "pos", "bin", "__tok", "__cum")
+        .forall(c => !df.columns.contains(c)),
+      "input already carries a packing column — rename before packPlan")
+    val w = Window.partitionBy(col("shard")).orderBy(orderKeys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", pmod(fp, lit(shards.toLong)))
+      .withColumn("__tok", tokens.cast("long"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .withColumn("pos", col("__cum") - col("__tok"))
+      .withColumn("bin",
+        expr(s"(pos div ${budget}L) * ${shards}L") + col("shard"))
+      .drop("__tok", "__cum")
+  }
 }

@@ -234,6 +234,51 @@ object TextAnalysis {
       docId: Column, k: Int, rsd: Double = 0.05): org.apache.spark.sql.DataFrame =
     vocabularyWith(df, grams, docId, k, approx_count_distinct(col("_doc"), rsd))
 
+  /** AUTO path choice between [[vocabulary]] (exact df) and
+    * [[vocabularyApprox]] (HLL df) by a cheap one-pass OCCUPANCY probe —
+    * the tier-D finding that corrected the "HLL is the 100 TB default"
+    * claim (SCALE.md): the sketch pays a ~constant buffer PER DISTINCT
+    * GRAM, so on a pure long tail (df≈1 everywhere, ~1 occurrence per
+    * distinct gram) its aggregation state EXCEEDS the exact path's
+    * one-row-per-(gram,doc) shuffle, while on hot-gram skew the exact
+    * path's shuffle scales with corpus size for exactly the grams a df
+    * table exists to find.
+    *
+    * The probe: occupancy ratio r = total gram occurrences / distinct
+    * grams (HLL-estimated), ONE partial-agg'd pass over the staged gram
+    * stream with two counters of state. r lower-bounds nothing exotic —
+    * it is avg occurrences per distinct gram, which upper-bounds avg df;
+    * the crossover sits where the exact path's per-(gram,doc) rows
+    * out-byte the sketch buffers, ≈ sketchBytes/rowBytes ≈ 10–16 at
+    * rsd=0.05. `hotRatio` defaults to 16, with measured margin on both
+    * sides: the hot tier-C fixture probes r ≈ 125 (approx measured 2.7×
+    * cheaper, skew 7.7 → 1.1), the 5M-doc long-tail tier probes r ≈ 1.1
+    * (exact measured 1.5–2× cheaper). `n_occ`, the ranking key, is exact
+    * on both paths.
+    *
+    * Returns the table plus which path it chose (the
+    * `ngramJaccardPairsAutoChosen` convention, so harnesses can log it).
+    */
+  def vocabularyAutoChosen(df: org.apache.spark.sql.DataFrame, grams: Column,
+      docId: Column, k: Int, rsd: Double = 0.05,
+      hotRatio: Double = 16.0): (org.apache.spark.sql.DataFrame, String) = {
+    val probe = df.select(explode(grams).as("gram"))
+      .filter(col("gram") =!= "")
+      .agg(count(lit(1)).as("occ"),
+        approx_count_distinct(col("gram"), 0.05).as("d"))
+      .head()
+    val occ = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val d = math.max(1L, if (probe.isNullAt(1)) 0L else probe.getLong(1))
+    if (occ.toDouble / d >= hotRatio)
+      (vocabularyApprox(df, grams, docId, k, rsd), "approx")
+    else
+      (vocabulary(df, grams, docId, k), "exact")
+  }
+
+  def vocabularyAuto(df: org.apache.spark.sql.DataFrame, grams: Column,
+      docId: Column, k: Int, rsd: Double = 0.05): org.apache.spark.sql.DataFrame =
+    vocabularyAutoChosen(df, grams, docId, k, rsd)._1
+
   /** Per-document keyword extraction: the top-`k` tokens of each document
     * by tf·idf — the tagging / topic-indexing / boilerplate-spotting pass
     * (a token that ranks high in MANY documents is a template phrase).

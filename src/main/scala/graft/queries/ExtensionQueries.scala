@@ -598,6 +598,16 @@ object ExtensionQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // TRIGRAM stupid backoff, self-trained — the production LM-filter
+    // order (two backoff hops: trigram → 0.4·bigram → 0.16·unigram);
+    // the full model algebra is under the hash like q_lm_score's.
+    "q_lm_score3" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      graft.operators.LanguageModel
+        .lmScore3(Staging.widen(t.documents), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // BPE trainer core surface: the level-0 adjacent-symbol-pair count
     // table (chars + </w>), weighted by word frequency — exactly the
     // aggregation every merge iteration argmaxes over. Top-50 under a
@@ -1366,6 +1376,62 @@ object ExtensionQueries extends QueryModule {
            JOIN uni ON oc.w = uni.w
            LEFT JOIN uni cu ON oc.prev = cu.w
            LEFT JOIN big ON oc.prev = big.prev AND oc.w = big.w
+           CROSS JOIN tot),
+         agg AS (
+           SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tok,
+             CAST(sum(k * CAST(floor(p * 1e9) AS BIGINT)) AS BIGINT) AS su
+           FROM sc GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+           CASE WHEN a.doc_id IS NULL THEN CAST(0 AS DOUBLE)
+                ELSE CAST(a.su AS DOUBLE) / a.n_tok / 1e9 END AS lm_score
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
+    // the trigram chain: same triple-count algebra, two LEFT-joined
+    // backoff levels (numerators big/tri; denominators cu = c(v) and
+    // cuv = c(u,v) from the UNPRUNED tables), the same floor(p·1e9) mean
+    "q_lm_score3" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         idx AS (
+           SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+         occ AS (
+           SELECT doc_id, t[i] AS w,
+                  CASE WHEN i > 1 THEN t[i - 1] END AS prev,
+                  CASE WHEN i > 2 THEN t[i - 2] END AS prev2
+           FROM idx WHERE t[i] <> ''),
+         oc AS (
+           SELECT doc_id, prev2, prev, w, count(*) AS k FROM occ GROUP BY ALL),
+         uni AS (SELECT w, CAST(sum(k) AS BIGINT) AS cw FROM oc GROUP BY w),
+         tot AS (SELECT CAST(sum(k) AS BIGINT) AS tt FROM oc),
+         big AS (
+           SELECT prev, w, CAST(sum(k) AS BIGINT) AS cbw FROM oc
+           WHERE prev IS NOT NULL GROUP BY prev, w),
+         tri AS (
+           SELECT prev2, prev, w, CAST(sum(k) AS BIGINT) AS ctw FROM oc
+           WHERE prev2 IS NOT NULL GROUP BY prev2, prev, w),
+         sc AS (
+           SELECT oc.doc_id, oc.k,
+             CASE WHEN oc.prev IS NULL
+                    THEN CAST(uni.cw AS DOUBLE) / tot.tt
+                  WHEN oc.prev2 IS NULL THEN
+                    CASE WHEN big.cbw IS NOT NULL
+                           THEN CAST(big.cbw AS DOUBLE) / cu.cw
+                         ELSE 0.4 * (CAST(uni.cw AS DOUBLE) / tot.tt) END
+                  WHEN tri.ctw IS NOT NULL
+                    THEN CAST(tri.ctw AS DOUBLE) / cuv.cbw
+                  ELSE 0.4 * (
+                    CASE WHEN big.cbw IS NOT NULL
+                           THEN CAST(big.cbw AS DOUBLE) / cu.cw
+                         ELSE 0.4 * (CAST(uni.cw AS DOUBLE) / tot.tt) END)
+             END AS p
+           FROM oc
+           JOIN uni ON oc.w = uni.w
+           LEFT JOIN uni cu ON oc.prev = cu.w
+           LEFT JOIN big ON oc.prev = big.prev AND oc.w = big.w
+           LEFT JOIN big cuv ON oc.prev2 = cuv.prev AND oc.prev = cuv.w
+           LEFT JOIN tri ON oc.prev2 = tri.prev2 AND oc.prev = tri.prev
+                        AND oc.w = tri.w
            CROSS JOIN tot),
          agg AS (
            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tok,

@@ -213,6 +213,38 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_id", "epoch")
     },
 
+    // TRAINING-SET EXPORT capstone: the composition a data card implies
+    // but no single key exercised end-to-end — token-proportion mixture →
+    // multi-epoch curriculum plan → shard-local sequence packing of the
+    // epoch COPIES (packPlan: copies order by the curriculum `ord` key;
+    // a copy packs in its document's shard, so bins never cross shards
+    // by construction) → per-shard release manifest (copy count, bin
+    // count, token total, order-independent copy-identity checksum).
+    // Canonical (NFC) fingerprints throughout, like every identity seam.
+    "q_trainset" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val base = t.documents
+        .withColumn("text", TextAnalysis.normalizeText(col("text")))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val mixed = Sampling.mixtureByTokens(base, col("fp"), col("lang"),
+        col("n_tokens"),
+        Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+          "fr" -> 0.125, "zh" -> 0.125))
+      val plan = Sampling.epochPlan(mixed, col("fp"), col("lang"),
+        Map("en" -> 1.5, "de" -> 2.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 0.25))
+      graft.operators.Packing.packPlan(plan, col("fp"),
+          Seq(col("ord"), col("doc_id"), col("epoch")), col("n_tokens"),
+          budget = 512, shards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_copies"),
+          count_distinct(col("bin")).as("n_bins"),
+          sum("n_tokens").as("n_tokens"),
+          expr("bit_xor(fp + epoch)").as("checksum"))
+        .orderBy("shard")
+    },
+
     // Corpus DATA CARD: the per-language release report a data card
     // states — documents, tokens, token share, exact-duplicate count,
     // mean quality, mean length — composed from the engine's own
@@ -589,6 +621,70 @@ object PipelineQueries extends QueryModule {
             OR ((fp + epoch) * 2654435761) % 1000000
                < CAST(trunc((ef - floor(ef)) * 1000000.0) AS BIGINT)
          ORDER BY doc_id, epoch""",
+
+    // the trainset capstone composes the proven oracle fragments: the
+    // token-mixture solve (q_mixture_tokens), the epoch explode + two
+    // scrambles (q_epoch_plan), the shard-local running-sum pack (q_pack),
+    // and the manifest aggregate (q_shard) — over canonical text
+    "q_trainset" ->
+      s"""WITH nrm AS (SELECT doc_id, lang, $normSql AS text FROM documents),
+         f AS (
+           SELECT doc_id, lang, $fpSql AS fp,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tokens
+           FROM nrm),
+         c AS (
+           SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS n,
+             CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                       WHEN 'de' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'es' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'fr' THEN CAST(0.125 AS DOUBLE)
+                       WHEN 'zh' THEN CAST(0.125 AS DOUBLE) END AS w
+           FROM f GROUP BY lang),
+         t AS (SELECT min(n / w) AS t FROM c WHERE w IS NOT NULL),
+         r AS (
+           SELECT lang,
+             CASE WHEN (w * t.t) / n >= 1.0 THEN 1000000
+                  ELSE CAST(trunc(((w * t.t) / n) * 1000000.0) AS BIGINT)
+             END AS cut
+           FROM c, t WHERE w IS NOT NULL),
+         mixed AS (
+           SELECT f.* FROM f JOIN r ON f.lang = r.lang
+           WHERE (f.fp * 2654435761) % 1000000 < r.cut),
+         e AS (
+           SELECT doc_id, fp, n_tokens,
+             CASE lang WHEN 'en' THEN CAST(1.5 AS DOUBLE)
+                       WHEN 'de' THEN CAST(2.0 AS DOUBLE)
+                       WHEN 'es' THEN CAST(1.0 AS DOUBLE)
+                       WHEN 'fr' THEN CAST(1.0 AS DOUBLE)
+                       WHEN 'zh' THEN CAST(0.25 AS DOUBLE) END AS ef
+           FROM mixed),
+         x AS (
+           SELECT doc_id, fp, n_tokens, ef,
+             unnest(range(0, CAST(floor(ef) AS BIGINT) + 1)) AS epoch
+           FROM e WHERE ef IS NOT NULL),
+         plan AS (
+           SELECT doc_id, fp, n_tokens, epoch,
+             ((fp + epoch) * 2246822519) % 1000000 AS ord
+           FROM x
+           WHERE epoch < CAST(floor(ef) AS BIGINT)
+              OR ((fp + epoch) * 2654435761) % 1000000
+                 < CAST(trunc((ef - floor(ef)) * 1000000.0) AS BIGINT)),
+         packed AS (
+           SELECT shard, fp, epoch, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ord, doc_id, epoch
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS pos
+           FROM (SELECT plan.*, fp % 8 AS shard FROM plan)),
+         b AS (
+           SELECT shard, fp, epoch, n_tokens,
+             (pos // 512) * 8 + shard AS bin
+           FROM packed)
+         SELECT shard, count(*) AS n_copies,
+           CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           bit_xor(fp + epoch) AS checksum
+         FROM b GROUP BY shard ORDER BY shard""",
 
     // per-language report: exact-dup count against the min-id keep list,
     // floor(q·1e9) quality units, one-division shares/means

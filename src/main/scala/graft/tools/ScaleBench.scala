@@ -360,6 +360,34 @@ object ScaleBench {
         graft.operators.Dedup.ngramsFromTokens(col("toks"), 2),
         col("doc_id"), 500)
     },
+    // AUTO vocabulary: the occupancy probe picks exact/approx; the chosen
+    // path prints so the ladder records the decision per fixture
+    "x_vocab_auto" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      import graft.operators.Staging.Stageable
+      val t = new graft.model.Tables(s, dir)
+      val toks = graft.operators.Staging.widen(t.documents)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+        .stagePersist()
+      val (table, choice) = graft.operators.TextAnalysis.vocabularyAutoChosen(
+        toks, graft.operators.Dedup.ngramsFromTokens(col("toks"), 2),
+        col("doc_id"), 500)
+      System.err.println(s"[scale] vocabularyAuto chose '$choice' on $dir")
+      table
+    },
+    // trigram LM scoring (two backoff hops) + its trigram-table cutoff
+    "x_lm_score3" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.LanguageModel.lmScore3(
+        graft.operators.Staging.widen(t.documents), "doc_id", "text")
+    },
+    "x_lm3_pruned" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.LanguageModel.lmScore3(
+        graft.operators.Staging.widen(t.documents), "doc_id", "text",
+        minTrigramCount = 2L)
+    },
     // dense-corpus escalation: 500k vectors in 32 tight clusters keep
     // colliding at ANY plane count the old 24-bit frame allowed — the
     // governor must be able to keep escalating PAST 24 (the r7 ceiling)

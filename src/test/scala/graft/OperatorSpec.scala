@@ -1583,6 +1583,51 @@ class OperatorSpec extends AnyFunSuite {
     graft.operators.Staging.releaseAll()
   }
 
+  test("scoreAgainst3: hand-computed trigram chain exercises both backoff hops") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    // ref: T=5; c(a)=1 c(b)=2 c(c)=1 c(d)=1; bigrams (a,b)=(b,c)=(b,d)=1;
+    // trigram (a,b,c)=1
+    val ref = Seq((1L, "a b c"), (2L, "b d")).toDF("rid", "text")
+    val docs = Seq((10L, "a b c"), (11L, "a b d"), (12L, "c d b"))
+      .toDF("doc_id", "text")
+    val out = lmRows(LanguageModel.scoreAgainst3(
+      docs, "doc_id", "text", ref, "text"))
+    def u(p: Double): Long = math.floor(p * 1e9).toLong
+    // trigram HIT: c|a,b = c(abc)/c(ab) = 1/1
+    val d10 = (u(1.0 / 5) + u(1.0 / 1) + u(1.0 / 1)).toDouble / 3 / 1e9
+    // FIRST hop: (a,b,d) unseen → 0.4·(c(bd)/c(b)) = 0.4·(1/2)
+    val d11 = (u(1.0 / 5) + u(1.0 / 1) + u(0.4 * (1.0 / 2))).toDouble / 3 / 1e9
+    // BOTH hops: (c,d) unseen bigram → 0.4·c(d)/T; (c,d,b) unseen trigram
+    // over unseen bigram (d,b) → 0.4·(0.4·c(b)/T)
+    val d12 = (u(1.0 / 5) + u(0.4 * (1.0 / 5)) + u(0.4 * (0.4 * (2.0 / 5))))
+      .toDouble / 3 / 1e9
+    assert(out(10L) == ((3L, d10)))
+    assert(out(11L) == ((3L, d11)))
+    assert(out(12L) == ((3L, d12)))
+    graft.operators.Staging.releaseAll()
+  }
+
+  test("lmScore3: minTrigramCount prunes trigrams to the bigram hop; bigram context stays unpruned") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    // self-trained on one doc: every trigram count is 1 → cutoff 2 prunes
+    // ALL trigrams; third+ tokens score 0.4·(c(v,w)/c(v)) with the
+    // UNPRUNED bigram denominators
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = lmRows(LanguageModel.lmScore3(docs, "doc_id", "text",
+      minTrigramCount = 2L))
+    def u(p: Double): Long = math.floor(p * 1e9).toLong
+    // T=3, c(a)=c(b)=c(c)=1, bigrams (a,b)=(b,c)=1
+    val d1 = (u(1.0 / 3) + u(1.0 / 1) + u(0.4 * (1.0 / 1))).toDouble / 3 / 1e9
+    assert(out(1L) == ((3L, d1)))
+    // unpruned: the trigram hit scores 1/c(ab) = 1
+    val full = lmRows(LanguageModel.lmScore3(docs, "doc_id", "text"))
+    val d1full = (u(1.0 / 3) + u(1.0 / 1) + u(1.0 / 1)).toDouble / 3 / 1e9
+    assert(full(1L) == ((3L, d1full)))
+    graft.operators.Staging.releaseAll()
+  }
+
   // ---- fuzzy (near-dup) decontamination --------------------------------
 
   test("fuzzy decontamination: exact copy flagged, disjoint not, verify exact") {

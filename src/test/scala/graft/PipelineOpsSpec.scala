@@ -288,6 +288,78 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trainset packing: every epoch copy packs exactly once, bins never cross shards") {
+    import graft.operators.Packing
+    val base = docs
+      .withColumn("text", TextAnalysis.normalizeText(col("text")))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val mixed = Sampling.mixtureByTokens(base, col("fp"), col("lang"),
+      col("n_tokens"),
+      Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+        "fr" -> 0.125, "zh" -> 0.125))
+    val plan = Sampling.epochPlan(mixed, col("fp"), col("lang"),
+      Map("en" -> 1.5, "de" -> 2.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 0.25))
+      .persist()
+    val packed = Packing.packPlan(plan, col("fp"),
+      Seq(col("ord"), col("doc_id"), col("epoch")), col("n_tokens"),
+      budget = 512, shards = 8).persist()
+    assert(packed.count() == plan.count(), "packing dropped or duplicated copies")
+    // every epoch copy appears exactly once
+    assert(packed.groupBy("doc_id", "epoch").count()
+      .filter(col("count") > 1).count() == 0, "an epoch copy packed twice")
+    // a bin belongs to exactly one shard (shard-local packing)
+    assert(packed.groupBy("bin")
+      .agg(count_distinct(col("shard")).as("s"))
+      .filter(col("s") > 1).count() == 0, "a bin crossed shards")
+    // pos is a gapless running token sum within each shard: the last
+    // copy's pos + n_tokens equals the shard's token total (no holes, so
+    // bins are never left short of the budget by construction)
+    val gaps = packed.groupBy("shard")
+      .agg(max(col("pos") + col("n_tokens")).as("end"),
+        sum("n_tokens").as("tot"))
+      .filter(col("end") =!= col("tot")).count()
+    assert(gaps == 0, "per-shard running sums have holes")
+    // bin index tracks pos/budget exactly
+    assert(packed.filter(
+      col("bin") =!= expr("(pos div 512L) * 8L") + col("shard"))
+      .count() == 0)
+    plan.unpersist(); packed.unpersist()
+  }
+
+  test("vocabularyAuto: occupancy probe picks exact on long tails, approx on hot skew") {
+    import spark.implicits._
+    // LONG TAIL: every bigram distinct (df = 1 everywhere) → occupancy
+    // ratio ≈ 1 → the sketch's per-distinct-gram buffers would exceed the
+    // exact path's rows → exact
+    val rare = (0 until 50).map(i => (i.toLong,
+        (0 until 40).map(j => s"t${i * 1000 + j}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val grams = Dedup.ngramsFromTokens(col("toks"), 2)
+    val (rareTable, rareChoice) =
+      TextAnalysis.vocabularyAutoChosen(rare, grams, col("doc_id"), 100)
+    assert(rareChoice == "exact", s"long tail chose $rareChoice")
+    // exact path → df values equal the exact form's bit-for-bit
+    assert(rareTable.collect().toSeq ==
+      TextAnalysis.vocabulary(rare, grams, col("doc_id"), 100).collect().toSeq)
+    // HOT SKEW: a 5-token vocabulary repeated across every doc → a few
+    // distinct grams with corpus-scale occurrence counts → approx
+    val hot = (0 until 50).map(i => (i.toLong,
+        (0 until 40).map(j => s"w${j % 5}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val (hotTable, hotChoice) =
+      TextAnalysis.vocabularyAutoChosen(hot, grams, col("doc_id"), 100)
+    assert(hotChoice == "approx", s"hot skew chose $hotChoice")
+    // the ranking key n_occ stays exact on the approx path
+    val hotOcc = hotTable.collect().map(r => (r.getString(0), r.getLong(1)))
+    val hotExact = TextAnalysis.vocabulary(hot, grams, col("doc_id"), 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hotOcc.toSeq == hotExact.toSeq)
+  }
+
   test("topKeywords ranks by tf·idf with token tie-break") {
     import spark.implicits._
     val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c a"))

@@ -136,6 +136,101 @@ class SoakSpec extends AnyFunSuite {
     } finally rmTree(fixture)
   }
 
+  test("ProcessingTime soak: live timer trigger, gradual arrivals, empty batches harmless") {
+    // The AvailableNow drains above share the state machinery but never
+    // exercise the one mode a production job actually runs: a REAL timer
+    // trigger firing whether or not input arrived. This case runs the
+    // tumbling drain under Trigger.ProcessingTime against a source that
+    // keeps receiving files WHILE the query is live, then idles — so the
+    // run covers trigger-idle interaction (empty/no-data batches) and
+    // mid-flight arrivals, with the same invariants: bounded state, no
+    // re-emits, every closed window in the sink exactly once.
+    val fixture = java.nio.file.Files.createTempDirectory("graft_soak_pt_").toString
+    try {
+      import spark.implicits._
+      val evDir = s"$fixture/events.parquet"
+      val nInit = 30
+      val nLive = 20
+      def hourRows(i: Int) =
+        Seq(((i * 3600L + 600) * 1000000000L, "click", 1.0),
+          ((i * 3600L + 1800) * 1000000000L, "view", 2.0))
+      (0 until nInit).flatMap(hourRows).toDF("ts", "event_type", "value")
+        .repartitionByRange(nInit, col("ts"))
+        .write.parquet(evDir)
+      // mtime discipline (see the drain soak above): path order == ts
+      // order must also be mtime order, or the watermark regresses
+      val parts = new java.io.File(evDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - (nInit + 60) * 1000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        assert(f.setLastModified(t0 + i * 1000L))
+      }
+
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+      val agg = EventStreams.tumblingAgg(EventStreams.readEventStream(s, fixture))
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$fixture/sink")
+        .option("checkpointLocation", s"$fixture/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+
+      // LIVE arrivals: 20 more event-hours land while the timer runs —
+      // real wall-clock arrival order matches event-time order, so the
+      // watermark keeps advancing monotonically
+      (0 until nLive).foreach { j =>
+        val i = nInit + j
+        val tmp = s"$fixture/tmp_$i"
+        hourRows(i).toDF("ts", "event_type", "value")
+          .coalesce(1).write.parquet(tmp)
+        val pf = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(pf.toPath,
+          java.nio.file.Paths.get(evDir, f"live-$i%05d.parquet"))
+        rmTree(tmp)
+        Thread.sleep(150)
+      }
+      // drain the backlog (maxFilesPerTrigger=1 → one file per trigger),
+      // then idle long enough that guaranteed-EMPTY triggers fire
+      val deadline = System.currentTimeMillis() + 120000L
+      while (System.currentTimeMillis() < deadline &&
+          q.recentProgress.count(_.numInputRows > 0) < nInit + nLive)
+        Thread.sleep(250)
+      Thread.sleep(1500)
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      assert(q.isActive, "timer query died before stop()")
+      q.stop()
+      q.awaitTermination()
+
+      val prog = q.recentProgress
+      val data = prog.filter(_.numInputRows > 0)
+      val empty = prog.filter(_.numInputRows == 0)
+      assert(data.length >= nInit + nLive - 2,
+        s"expected ~${nInit + nLive} data batches, saw ${data.length}")
+      assert(empty.nonEmpty,
+        "no empty trigger observed — the idle path never ran")
+      // state stays watermark-bounded across live arrivals and idle fires
+      val stateRows = prog.flatMap(_.stateOperators.map(_.numRowsTotal))
+      assert(stateRows.max <= 12,
+        s"state grew to ${stateRows.max} rows — not watermark-bounded")
+      info(s"pt soak: dataBatches=${data.length} emptyTriggers=${empty.length} " +
+        s"stateRowsMax=${stateRows.max}")
+
+      // every closed window reached the sink exactly once; the trailing
+      // watermark-open windows stay in state
+      val n = nInit + nLive
+      val out = spark.read.parquet(s"$fixture/sink")
+      val emitted = out.count()
+      assert(emitted >= (n - 3) * 2L && emitted <= n * 2L,
+        s"emitted $emitted of ${n * 2} window rows")
+      assert(out.groupBy("bucket_start", "event_type").count()
+        .filter(col("count") > 1).count() == 0, "a window emitted twice")
+    } finally rmTree(fixture)
+  }
+
   test("ingest soak: 200 micro-batches in 4 resumed chunks, flat chunk wall, dedup across the whole span") {
     val root = java.nio.file.Files.createTempDirectory("graft_soak_ingest_").toString
     try {
