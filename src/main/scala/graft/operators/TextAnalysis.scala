@@ -244,25 +244,39 @@ object TextAnalysis {
     * path's shuffle scales with corpus size for exactly the grams a df
     * table exists to find.
     *
-    * The probe: occupancy ratio r = total gram occurrences / distinct
-    * grams (HLL-estimated), ONE partial-agg'd pass over the staged gram
-    * stream with two counters of state. r lower-bounds nothing exotic —
-    * it is avg occurrences per distinct gram, which upper-bounds avg df;
-    * the crossover sits where the exact path's per-(gram,doc) rows
-    * out-byte the sketch buffers, ≈ sketchBytes/rowBytes ≈ 10–16 at
-    * rsd=0.05. `hotRatio` defaults to 16, with measured margin on both
-    * sides: the hot tier-C fixture probes r ≈ 125 (approx measured 2.7×
-    * cheaper, skew 7.7 → 1.1), the 5M-doc long-tail tier probes r ≈ 1.1
-    * (exact measured 1.5–2× cheaper). `n_occ`, the ranking key, is exact
-    * on both paths.
+    * The probe: occupancy ratio r = gram occurrences / distinct grams
+    * (HLL-estimated), ONE partial-agg'd pass with two counters of state
+    * over a deterministic 1-in-`probeMod` DOCUMENT sample (hash of the
+    * doc id — the gram explode is the probe's cost, so sampling cuts it
+    * `probeMod`×; measured unsampled it cost as much as the build it was
+    * choosing for). r is avg occurrences per distinct gram; the crossover
+    * sits where the exact path's per-(gram,doc) rows out-byte the sketch
+    * buffers, ≈ sketchBytes/rowBytes ≈ 10–16 at rsd=0.05. Sampling is
+    * CONSERVATIVE: a doc sample keeps occurrences ∝ 1/probeMod while
+    * distinct grams shrink by AT MOST that factor, so the sampled r only
+    * ever under-reads hotness and the ambiguous middle resolves to exact
+    * — the path that never catastrophically loses (tier D measured it
+    * 1.5–2× ahead even on the regime HLL was built for; approx's win is
+    * bounded, its loss on long tails is the state blowup).
+    *
+    * Measured at tier C (500k docs): the rare long-tail fixture probes
+    * r ≈ 1.03 → exact (18.5 s vs approx 28.3 s — right); the
+    * boilerplate-hot fixture probes r ≈ 1.4 (its rare BODY still owns the
+    * distinct-gram count) → exact (22.0 vs 22.3 — a wash, right); the
+    * saturated-vocabulary fixture (the r7 "benign sfB" regime: a bounded
+    * token vocabulary at corpus scale) probes r ≫ 10³ → approx, the
+    * regime the sketch exists for. `n_occ`, the ranking key, is exact on
+    * both paths.
     *
     * Returns the table plus which path it chose (the
     * `ngramJaccardPairsAutoChosen` convention, so harnesses can log it).
     */
   def vocabularyAutoChosen(df: org.apache.spark.sql.DataFrame, grams: Column,
       docId: Column, k: Int, rsd: Double = 0.05,
-      hotRatio: Double = 16.0): (org.apache.spark.sql.DataFrame, String) = {
-    val probe = df.select(explode(grams).as("gram"))
+      hotRatio: Double = 16.0, probeMod: Int = 16): (org.apache.spark.sql.DataFrame, String) = {
+    require(probeMod >= 1, s"probeMod must be >= 1, got $probeMod")
+    val probe = df.filter(pmod(xxhash64(docId), lit(probeMod.toLong)) === 0L)
+      .select(explode(grams).as("gram"))
       .filter(col("gram") =!= "")
       .agg(count(lit(1)).as("occ"),
         approx_count_distinct(col("gram"), 0.05).as("d"))

@@ -338,8 +338,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     val grams = Dedup.ngramsFromTokens(col("toks"), 2)
+    // probeMod=1 (unsampled) on the 50-doc fixtures — the sampled form is
+    // pinned separately below
     val (rareTable, rareChoice) =
-      TextAnalysis.vocabularyAutoChosen(rare, grams, col("doc_id"), 100)
+      TextAnalysis.vocabularyAutoChosen(rare, grams, col("doc_id"), 100,
+        probeMod = 1)
     assert(rareChoice == "exact", s"long tail chose $rareChoice")
     // exact path → df values equal the exact form's bit-for-bit
     assert(rareTable.collect().toSeq ==
@@ -351,8 +354,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     val (hotTable, hotChoice) =
-      TextAnalysis.vocabularyAutoChosen(hot, grams, col("doc_id"), 100)
+      TextAnalysis.vocabularyAutoChosen(hot, grams, col("doc_id"), 100,
+        probeMod = 1)
     assert(hotChoice == "approx", s"hot skew chose $hotChoice")
+    // the SAMPLED probe (default probeMod=16) agrees on fixtures big
+    // enough to sample: saturation survives any doc sample (distinct
+    // grams don't shrink), and the long tail stays r≈1 in any sample
+    val bigHot = (0 until 800).map(i => (i.toLong,
+        (0 until 40).map(j => s"w${j % 5}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    assert(TextAnalysis.vocabularyAutoChosen(
+      bigHot, grams, col("doc_id"), 100)._2 == "approx")
+    val bigRare = (0 until 800).map(i => (i.toLong,
+        (0 until 40).map(j => s"t${i * 1000 + j}").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    assert(TextAnalysis.vocabularyAutoChosen(
+      bigRare, grams, col("doc_id"), 100)._2 == "exact")
     // the ranking key n_occ stays exact on the approx path
     val hotOcc = hotTable.collect().map(r => (r.getString(0), r.getLong(1)))
     val hotExact = TextAnalysis.vocabulary(hot, grams, col("doc_id"), 100)
