@@ -59,23 +59,31 @@ object Staging {
     */
   def widen(df: DataFrame): DataFrame = {
     if (sys.env.contains("GRAFT_WIDEN_DISABLE")) return df // A/B diagnostic
+    if (sys.env.contains("GRAFT_WIDEN_FORCE")) { // A/B diagnostic: pre-floor r8 behavior
+      val cores0 = df.sparkSession.sparkContext.defaultParallelism
+      return df.repartition(cores0)
+    }
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     // Cheap split estimate from catalog stats + the leaf-file count — the
     // original `df.rdd.getNumPartitions` probe materialized the physical
-    // RDD (full planning pass) per call, and the unconditional repartition
-    // below shuffles the raw input; at GATE scale both cost more than the
-    // serialization they prevent (measured: q_pipeline_hygiene 1.71 →
-    // 1.12 s, q_sim_ivf 2.33 → 2.00 s at sf0.1 with widen off). So widen
-    // now ALSO requires enough input bytes that a single-core narrow
-    // pipeline genuinely hurts. The floor is 4 MB of COMPRESSED scan, not
-    // 64 MB: per-row compute (shingle/hash/cosine) scales with rows, not
-    // bytes, and a 64 MB floor left sf1's 6-8 MB documents/embeddings —
-    // quadratic-adjacent pair work — serialized on one core (measured:
-    // q_dedup_semantic 1.8 → 520 s, q_pipeline OOM at sf1). 4 MB keeps
-    // the sf0.1 gate-scale scans (≤ 2 MB) on the identity path.
+    // RDD (full planning pass) per call; the r9 triage blamed that probe
+    // plus the unconditional repartition for gate-scale regressions and
+    // gated widen on input BYTES. The floor's history, all measured:
+    // 64 MB left sf1's 6-8 MB documents/embeddings — quadratic-adjacent
+    // pair work — serialized on one core (q_dedup_semantic 1.8 → 520 s,
+    // q_pipeline OOM at sf1); the r9 4 MB floor then silently EXCLUDED
+    // the sf0.1 documents scan (584 KB) and cost the single-stage
+    // HOF-heavy seams their only parallelism — the r9→r10 A/B measured
+    // q_quality_rep 0.62 → 0.27 s and q_text_stats 0.47 → 0.25 s with the
+    // repartition restored, while the keys whose plans shuffle right
+    // after the seam moved ≤ 0.15 s either way (per-row compute scales
+    // with ROWS, not bytes — the byte floor is only a guard against
+    // repartitioning trivial frames). 256 KB keeps sf0.01 gate inputs
+    // (≤ 200 KB) and literal/test frames on the identity path and widens
+    // everything a bench-scale corpus produces.
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < (4L << 20)) return df
+    if (bytes < (256L << 10)) return df
     val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
     val splits = math.max(df.inputFiles.length.toLong,
       ((bytes + maxSplit - 1) / maxSplit).toLong)
