@@ -415,6 +415,60 @@ object Dedup {
       (size(col("toks")) - size(kept)).cast("long").as("n_removed"))
   }
 
+  /** C4-style duplicate-segment removal with a CANONICAL SURVIVOR (Raffel
+    * et al. 2020 §2.2: "discard all but one of any three-sentence span
+    * occurring more than once", generalized to disjoint token windows —
+    * this corpus is unpunctuated): the corpus keeps exactly ONE copy of
+    * every repeated w-token segment, the occurrence with the smallest
+    * (document, position), where [[removeRepeatedWindows]] drops repeated
+    * content EVERYWHERE (the Lee-2022 semantics). Use this form when the
+    * content itself must survive once — licence headers, quoted passages,
+    * boilerplate whose first occurrence is legitimate.
+    *
+    * Segments are the disjoint `chunkByTokens(w, stride = w)` grid, so
+    * "keep first" is well defined (sliding windows overlap; dropping one
+    * occurrence of an overlapping window tears tokens shared with its
+    * survivors). Segment identity is the rolling-hash fingerprint of the
+    * canonical segment text (single-spaced lower-cased tokens) — the
+    * DuckDB oracle replays the identical byte fold, so a digest collision
+    * changes BOTH engines the same way instead of flapping the gate.
+    *
+    * Scale shape: segments explode map-side from the staged grid; the
+    * winner table is a partial-aggregating groupBy over the 8-byte digest
+    * carrying one 12-byte min-struct per DISTINCT segment (never segment
+    * text), joined back by digest — the [[removeRepeatedWindows]]
+    * join-vs-window rationale applies unchanged: a boilerplate segment
+    * repeated millions of times is one GROUP BY row, not one
+    * window-buffered straggler partition. Reassembly aggregates each
+    * document's own kept segments (bounded by the document's length).
+    */
+  def dedupSegmentsKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    val segs = graft.operators.TextAnalysis
+      .chunkByTokens(Staging.widen(docs), idCol, textCol, window = w, stride = w)
+      .select(col(idCol).as("id"), col("chunk_id"), col("chunk_text"),
+        graft.functions.VectorFunctions.fingerprint64(col("chunk_text")).as("fp"))
+      .stagePersist()
+    val winners = segs.groupBy("fp")
+      .agg(min(struct(col("id"), col("chunk_id"))).as("first"))
+    segs.join(winners, Seq("fp"))
+      .withColumn("kept",
+        col("first.id") === col("id") && col("first.chunk_id") === col("chunk_id"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls of the un-kept branch; the struct
+        // sorts by its leading chunk_id, so reassembly order is the
+        // document's own, independent of partition/merge order
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("chunk_id"), col("chunk_text"))))),
+            s => s.getField("chunk_text")), " ").as("clean"))
+      .select(col("id").as(idCol), col("n_seg"), col("n_kept"), col("clean"))
+  }
+
   /** Cluster assignment for EVERY document: near-dup pairs (exact n-gram
     * Jaccard) → connected components → (id, cluster) with singletons
     * mapping to themselves. `keep = (id == cluster)` is the dedup keep-list

@@ -261,4 +261,70 @@ object LanguageModel {
           .otherwise(col("su").cast("double") / col("n_tok") / lit(1e9d))
           .as("lm_score"))
   }
+
+  // ---- CCNet perplexity bucketing ---------------------------------------
+
+  /** CCNet's HEAD / MIDDLE / TAIL assignment (Wenzek et al. 2020 §4.4:
+    * Common Crawl is cut into thirds per language by reference-LM
+    * perplexity, and downstream recipes consume the buckets at different
+    * rates — head-heavy for quality, a tail trickle for diversity).
+    * `lm_score` is a FLUENCY score here (higher = more reference-like —
+    * see the object doc's quantized mean), so head sits at the TOP of the
+    * score axis: score ≥ tHead → 'head', ≥ tTail → 'middle', else 'tail'.
+    * A pure codegen'd CASE that fuses into whatever plan carries the
+    * score; the score doubles are bit-identical cross-engine (the
+    * quantized-mean contract), so literal-threshold comparison is exact.
+    *
+    * Thresholds are EXPLICIT arguments, not derived inside the operator:
+    * a production pipeline computes the cuts once (CCNet publishes
+    * per-language threshold tables) and applies them map-side everywhere —
+    * deriving per-run would hang a corpus-wide order statistic in front
+    * of a per-row filter and make bucket membership depend on what else
+    * shared the batch. [[bucketThresholds]] derives a pair when no
+    * published cuts exist.
+    */
+  def perplexityBucket(score: Column, tTail: Double, tHead: Double): Column = {
+    require(tTail <= tHead, s"tTail must be <= tHead, got $tTail > $tHead")
+    when(score >= lit(tHead), lit("head"))
+      .when(score >= lit(tTail), lit("middle"))
+      .otherwise(lit("tail"))
+  }
+
+  /** Bucketed sampling over a scored frame: assign the CCNet bucket, then
+    * a deterministic content-hash keep decision at that bucket's rate
+    * (buckets missing from `rates` keep everything). Returns ALL rows
+    * with (bucket, kept) so callers and the oracle can audit the
+    * decision; filter on `kept` for the sampled corpus. The gate is the
+    * same scrambled-fingerprint bucket every sampler and split uses —
+    * fed the canonical fingerprint, a re-encoded re-crawl of a document
+    * makes the IDENTICAL keep decision.
+    */
+  def bucketSample(scored: DataFrame, scoreCol: Column, fp: Column,
+      tTail: Double, tHead: Double, rates: Map[String, Double]): DataFrame = {
+    val unknown = rates.keySet -- Set("head", "middle", "tail")
+    require(unknown.isEmpty, s"unknown bucket names: $unknown")
+    val bucket = perplexityBucket(scoreCol, tTail, tHead)
+    val rate = when(bucket === "head", lit(rates.getOrElse("head", 1.0d)))
+      .when(bucket === "middle", lit(rates.getOrElse("middle", 1.0d)))
+      .otherwise(lit(rates.getOrElse("tail", 1.0d)))
+    scored.withColumn("bucket", bucket)
+      .withColumn("kept", Sampling.keepByRateCol(fp, rate))
+  }
+
+  /** Derive (tTail, tHead) as the score's tercile cut points via ONE
+    * `approx_percentile` aggregate — a partial-aggregated sketch, no sort,
+    * no data shuffle. Approximate by design: the cuts move membership only
+    * within the sketch's rank error, which a head/middle/tail recipe
+    * tolerates (CCNet's own cuts come from a corpus SAMPLE). Not under any
+    * oracle hash — the gate key pins the ASSIGNMENT algebra with explicit
+    * thresholds instead.
+    */
+  def bucketThresholds(scored: DataFrame, scoreCol: Column,
+      accuracy: Int = 10000): (Double, Double) = {
+    val cuts = scored
+      .agg(percentile_approx(scoreCol,
+        array(lit(1.0d / 3), lit(2.0d / 3)), lit(accuracy)))
+      .head().getSeq[Double](0)
+    (cuts(0), cuts(1))
+  }
 }

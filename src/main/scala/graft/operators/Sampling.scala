@@ -31,6 +31,14 @@ object Sampling {
   def keepByRate(fp: Column, rate: Double): Column =
     uniformBucket(fp) < lit((rate * Buckets).toLong)
 
+  /** Keep-flag with a per-row rate COLUMN (stratified and bucketed
+    * callers build the rate by CASE over their stratum). The stratified
+    * filter routes through it so every sampler agrees on the cutoff
+    * arithmetic: `floor(rate · 1e6)` exactly, in-engine.
+    */
+  def keepByRateCol(fp: Column, rate: Column): Column =
+    uniformBucket(fp) < (rate * Buckets).cast("long")
+
   /** EXACTLY k rows, deterministically: the k smallest (scrambled-hash,
     * tiebreak) pairs. Rate sampling can't hit a row budget ("exactly 1M
     * documents for this mixture") — ordering by a content-derived key and
@@ -53,7 +61,7 @@ object Sampling {
     val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
       when(strata === lit(k), lit(r)).otherwise(acc)
     }
-    df.filter(uniformBucket(fp) < (rateCol * Buckets).cast("long"))
+    df.filter(keepByRateCol(fp, rateCol))
   }
 
   /** Deterministic train/val/test assignment by content hash — every

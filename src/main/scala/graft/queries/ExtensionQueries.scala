@@ -35,6 +35,17 @@ object ExtensionQueries extends QueryModule {
       Dedup.exact(t.documents, "doc_id", "text").orderBy("doc_id")
     },
 
+    // C4-style duplicate-segment removal with a CANONICAL SURVIVOR: the
+    // corpus keeps exactly one copy (first by document, position) of
+    // every repeated 8-token segment — where q_dedup_substring's
+    // removeRepeatedWindows drops repeated content everywhere. Per-doc
+    // segment counts + the reassembled cleaned text are under the hash.
+    "q_dedup_segment" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      Dedup.dedupSegmentsKeepFirst(t.documents, "doc_id", "text", w = 8)
+        .orderBy("doc_id")
+    },
+
     // Exact n-gram Jaccard near-dup pairs (inverted-index join).
     "q_dedup_ngram" -> { (s, dir) =>
       val t = new Tables(s, dir)
@@ -608,6 +619,24 @@ object ExtensionQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // CCNet head/middle/tail bucketing over the self-trained LM score +
+    // per-bucket deterministic sampling (head kept whole, middle half,
+    // tail trickle). Gate = canonical-fingerprint scramble, same as every
+    // sampler/split, so a re-encoded re-crawl keeps identically.
+    "q_lm_buckets" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = Staging.widen(t.documents)
+      val scored = graft.operators.LanguageModel.lmScore(docs, "doc_id", "text")
+      val fp = docs.select(col("doc_id"),
+        TextAnalysis.canonicalFingerprint(col("text")).as("_fp"))
+      graft.operators.LanguageModel.bucketSample(
+          scored.join(fp, Seq("doc_id")), col("lm_score"), col("_fp"),
+          tTail = 0.0335, tHead = 0.0344,
+          rates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1))
+        .select("doc_id", "n_tok", "lm_score", "bucket", "kept")
+        .orderBy("doc_id")
+    },
+
     // BPE trainer core surface: the level-0 adjacent-symbol-pair count
     // table (chars + </w>), weighted by word frequency — exactly the
     // aggregation every merge iteration argmaxes over. Top-50 under a
@@ -1028,6 +1057,48 @@ object ExtensionQueries extends QueryModule {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS group_size
          FROM documents GROUP BY lower(text) ORDER BY doc_id""",
+    // the q_chunk grid at window=stride=8, segment identity = the same
+    // rolling-hash fold both engines run (collisions are symmetric),
+    // keep = first (doc_id, chunk_id) of each digest group
+    "q_dedup_segment" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks
+           WHERE len(t) > 0),
+         ch AS (
+           SELECT doc_id, t, n,
+             unnest(range(0, CASE WHEN n <= 8 THEN 1
+               ELSE CAST(ceil(CAST(n - 8 AS DOUBLE) / 8) AS BIGINT) + 1
+               END)) AS chunk_id
+           FROM c),
+         seg AS (
+           SELECT doc_id, chunk_id,
+             array_to_string(list_slice(t, chunk_id * 8 + 1,
+               least(chunk_id * 8 + 8, n)), ' ') AS chunk_text
+           FROM ch),
+         f AS (
+           SELECT doc_id, chunk_id, chunk_text,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split(chunk_text, ''), x -> x <> ''),
+                   x -> CAST(ascii(x) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+           FROM seg),
+         k AS (
+           SELECT doc_id, chunk_id, chunk_text,
+             row_number() OVER (PARTITION BY fp
+               ORDER BY doc_id, chunk_id) = 1 AS kept
+           FROM f)
+         SELECT doc_id, count(*) AS n_seg,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN kept THEN chunk_text END, ' '
+             ORDER BY chunk_id), '') AS clean
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
     // bound-check gates (round 6): n_exact is DuckDB's own exact-twin pair
     // count; the booleans are literal TRUE — a precision/recall violation
     // on the Spark side flips a value and breaks the driver's hash
@@ -1442,6 +1513,71 @@ object ExtensionQueries extends QueryModule {
                 ELSE CAST(a.su AS DOUBLE) / a.n_tok / 1e9 END AS lm_score
          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          ORDER BY d.doc_id""",
+    // the q_lm_score model algebra verbatim, then the CCNet CASE on the
+    // bit-identical score doubles + the canonical-fingerprint scramble
+    // gate; the keep cutoffs floor(rate·1e6) are precomputed integers so
+    // neither engine's double→int cast semantics enter the hash
+    "q_lm_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         idx AS (
+           SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+         occ AS (
+           SELECT doc_id, t[i] AS w,
+                  CASE WHEN i > 1 THEN t[i - 1] END AS prev
+           FROM idx WHERE t[i] <> ''),
+         oc AS (
+           SELECT doc_id, prev, w, count(*) AS k FROM occ GROUP BY ALL),
+         uni AS (SELECT w, CAST(sum(k) AS BIGINT) AS cw FROM oc GROUP BY w),
+         tot AS (SELECT CAST(sum(k) AS BIGINT) AS tt FROM oc),
+         big AS (
+           SELECT prev, w, CAST(sum(k) AS BIGINT) AS cbw FROM oc
+           WHERE prev IS NOT NULL GROUP BY prev, w),
+         sc AS (
+           SELECT oc.doc_id, oc.k,
+             CASE WHEN oc.prev IS NULL
+                    THEN CAST(uni.cw AS DOUBLE) / tot.tt
+                  WHEN big.cbw IS NOT NULL
+                    THEN CAST(big.cbw AS DOUBLE) / cu.cw
+                  ELSE 0.4 * (CAST(uni.cw AS DOUBLE) / tot.tt) END AS p
+           FROM oc
+           JOIN uni ON oc.w = uni.w
+           LEFT JOIN uni cu ON oc.prev = cu.w
+           LEFT JOIN big ON oc.prev = big.prev AND oc.w = big.w
+           CROSS JOIN tot),
+         agg AS (
+           SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tok,
+             CAST(sum(k * CAST(floor(p * 1e9) AS BIGINT)) AS BIGINT) AS su
+           FROM sc GROUP BY doc_id),
+         scr AS (
+           SELECT d.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+             CASE WHEN a.doc_id IS NULL THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(a.su AS DOUBLE) / a.n_tok / 1e9 END AS lm_score
+           FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+         nrm AS (
+           SELECT doc_id, trim(regexp_replace(nfc_normalize(text),
+             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS ctext
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split(ctext, ''), x -> x <> ''),
+                   x -> CAST(ascii(x) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+           FROM nrm)
+         SELECT s.doc_id, s.n_tok, s.lm_score,
+           CASE WHEN s.lm_score >= 0.0344 THEN 'head'
+                WHEN s.lm_score >= 0.0335 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           (f.fp * 2654435761) % 1000000 <
+             CASE WHEN s.lm_score >= 0.0344 THEN 1000000
+                  WHEN s.lm_score >= 0.0335 THEN 500000
+                  ELSE 100000 END AS kept
+         FROM scr s JOIN f ON s.doc_id = f.doc_id
+         ORDER BY s.doc_id""",
     // same construction: word counts → chars+</w> → adjacent pairs
     // weighted by word frequency, total-ordered top-50
     "q_bpe" ->

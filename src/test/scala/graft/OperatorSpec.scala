@@ -835,6 +835,59 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  private def segRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, String)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+  test("keep-first segment dedup keeps one canonical copy, drops later occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // both segments are the corpus-first of their text
+      (2L, "a b x y"),   // "a b" already seen at (1,0) → dropped; "x y" kept
+      (3L, "c d c d"),   // both occurrences lose to (1,1) — doc emptied
+      (4L, "z"),         // short doc: one final segment, kept
+      (5L, "   ")        // zero tokens → no segments → no output row
+    ).toDF("doc_id", "text")
+    val out = segRows(Dedup.dedupSegmentsKeepFirst(docs, "doc_id", "text", w = 2))
+    graft.operators.Staging.releaseAll()
+    assert(out == Map(
+      1L -> ((2L, 2L, "a b c d")),
+      2L -> ((2L, 1L, "x y")),
+      3L -> ((2L, 0L, "")),
+      4L -> ((1L, 1L, "z"))))
+  }
+
+  test("keep-first segment dedup matches a brute-force model on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(321)
+    (1 to 6).foreach { trial =>
+      val w = 2 + rnd.nextInt(3) // 2..4
+      val docs = (0 until 15).map { id =>
+        val len = rnd.nextInt(30)
+        (id.toLong, Seq.fill(len)(s"t${rnd.nextInt(4)}").mkString(" "))
+      }
+      // reference model: the disjoint w-grid per doc, global first
+      // occurrence by (doc, chunk) lexicographic order survives
+      val model: Map[Long, (Long, Long, String)] = {
+        val segs = docs.flatMap { case (id, t) =>
+          val ts = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          ts.grouped(w).zipWithIndex.map { case (g, ci) =>
+            (id, ci.toLong, g.mkString(" "))
+          }
+        }
+        val first = segs.groupBy(_._3).view
+          .mapValues(_.map(s => (s._1, s._2)).min).toMap
+        segs.groupBy(_._1).view.mapValues { ss =>
+          val kept = ss.sortBy(_._2).filter(s => first(s._3) == ((s._1, s._2)))
+          (ss.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" "))
+        }.toMap
+      }
+      val out = segRows(Dedup.dedupSegmentsKeepFirst(
+        docs.toDF("doc_id", "text"), "doc_id", "text", w))
+      graft.operators.Staging.releaseAll()
+      assert(out == model, s"trial $trial (w=$w): mismatch\n got $out\n exp $model")
+    }
+  }
+
   test("decontamination flags exactly the overlapping docs, with counts") {
     import spark.implicits._
     val docs = Seq(
@@ -1685,5 +1738,72 @@ class OperatorSpec extends AnyFunSuite {
     graft.operators.Staging.releaseAll()
     assert(a == b)
     assert(a.values.forall { case (_, s) => s >= 0.0 && s <= 1.0 })
+  }
+
+  // ---- CCNet perplexity bucketing --------------------------------------
+
+  test("perplexityBucket + bucketSample: hand-computed buckets and keep gates") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    // the independent model of the whole gate chain: the rolling-hash
+    // fold over the (already-canonical) text, the Knuth scramble, and the
+    // floor(rate·1e6) cutoff — reimplemented here, not shared with prod
+    def fp(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    def bucketOf(score: Double): String =
+      if (score >= 0.6) "head" else if (score >= 0.3) "middle" else "tail"
+    val rates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.0)
+    val rows = Seq(
+      (1L, "alpha beta", 0.75), // head: always kept
+      (2L, "gamma delta", 0.60), // boundary: score == tHead is head
+      (3L, "epsilon zeta", 0.45), // middle: hash decides at 500000
+      (4L, "eta theta", 0.30), // boundary: score == tTail is middle
+      (5L, "iota kappa", 0.10)) // tail: rate 0 never keeps
+    val scored = rows.toDF("doc_id", "text", "lm_score")
+      .withColumn("_fp", TextAnalysis.canonicalFingerprint(col("text")))
+    val out = LanguageModel.bucketSample(scored, col("lm_score"), col("_fp"),
+        tTail = 0.3, tHead = 0.6, rates)
+      .select("doc_id", "bucket", "kept")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    rows.foreach { case (id, text, score) =>
+      val b = bucketOf(score)
+      val cut = math.floor(rates(b) * 1e6).toLong
+      val kept = (fp(text) * 2654435761L) % 1000000L < cut
+      assert(out(id) == ((b, kept)), s"doc $id: ${out(id)} vs ($b, $kept)")
+    }
+    // the middle hash gate actually exercises both outcomes across seeds
+    assert(out(1L)._2 && !out(5L)._2)
+  }
+
+  test("bucketSample rejects unknown bucket names; perplexityBucket rejects inverted cuts") {
+    import spark.implicits._
+    import graft.operators.LanguageModel
+    val df = Seq((1L, 0.5, 1L)).toDF("doc_id", "lm_score", "_fp")
+    intercept[IllegalArgumentException] {
+      LanguageModel.bucketSample(df, col("lm_score"), col("_fp"),
+        0.3, 0.6, Map("hea" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.perplexityBucket(col("lm_score"), tTail = 0.6, tHead = 0.3)
+    }
+  }
+
+  test("bucketThresholds lands near the tercile ranks of the scored corpus") {
+    import graft.operators.LanguageModel
+    val docs = t("documents")
+    val scored = LanguageModel.lmScore(docs, "doc_id", "text")
+    val (tTail, tHead) = LanguageModel.bucketThresholds(scored, col("lm_score"))
+    graft.operators.Staging.releaseAll()
+    assert(tTail <= tHead)
+    val scores = scored.select("lm_score").collect().map(_.getDouble(0)).sorted
+    graft.operators.Staging.releaseAll()
+    val n = scores.length
+    // rank error of the sketch at accuracy 10000 on this corpus is far
+    // under 5% of n; assert the cuts sit within that band of the terciles
+    def rankOf(v: Double): Int = scores.count(_ <= v)
+    assert(math.abs(rankOf(tTail) - n / 3) <= math.max(2, n / 20),
+      s"tTail rank ${rankOf(tTail)} vs ${n / 3}")
+    assert(math.abs(rankOf(tHead) - 2 * n / 3) <= math.max(2, n / 20),
+      s"tHead rank ${rankOf(tHead)} vs ${2 * n / 3}")
   }
 }
