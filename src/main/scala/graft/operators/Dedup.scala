@@ -433,40 +433,48 @@ object Dedup {
     * DuckDB oracle replays the identical byte fold, so a digest collision
     * changes BOTH engines the same way instead of flapping the gate.
     *
-    * Scale shape: segments explode map-side from the staged grid; the
-    * winner table is a partial-aggregating groupBy over the 8-byte digest
-    * carrying one 12-byte min-struct per DISTINCT segment (never segment
-    * text), joined back by digest — the [[removeRepeatedWindows]]
-    * join-vs-window rationale applies unchanged: a boilerplate segment
-    * repeated millions of times is one GROUP BY row, not one
-    * window-buffered straggler partition. Reassembly aggregates each
-    * document's own kept segments (bounded by the document's length).
+    * Scale shape: the grid is projected to (id, chunk_id, digest) as it
+    * explodes, so segment TEXT never leaves its map task — the winner
+    * table is a partial-aggregating groupBy over the 8-byte digest
+    * carrying one 12-byte min-struct per DISTINCT segment, the join-back
+    * and the per-doc keep summary shuffle fixed-width ids/positions only
+    * (the [[removeRepeatedWindows]] join-vs-window rationale applies
+    * unchanged: a boilerplate segment repeated millions of times is one
+    * GROUP BY row, not one window-buffered straggler partition), and the
+    * cleaned text is rebuilt map-side from each document's OWN tokens
+    * after the doc-keyed summary join — the single exchange that carries
+    * text, the same one-corpus-shuffle cost as exact dedup.
     */
   def dedupSegmentsKeepFirst(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10): DataFrame = {
-    val segs = graft.operators.TextAnalysis
-      .chunkByTokens(Staging.widen(docs), idCol, textCol, window = w, stride = w)
-      .select(col(idCol).as("id"), col("chunk_id"), col("chunk_text"),
+    val base = Staging.widen(docs)
+    val grid = graft.operators.TextAnalysis
+      .chunkByTokens(base, idCol, textCol, window = w, stride = w)
+      .select(col(idCol).as("id"), col("chunk_id"),
         graft.functions.VectorFunctions.fingerprint64(col("chunk_text")).as("fp"))
       .stagePersist()
-    val winners = segs.groupBy("fp")
+    val winners = grid.groupBy("fp")
       .agg(min(struct(col("id"), col("chunk_id"))).as("first"))
-    segs.join(winners, Seq("fp"))
+    // collect_list drops the nulls of the un-kept branch; sorted, the
+    // kept positions are the document's own order, independent of
+    // partition/merge order
+    val perDoc = grid.join(winners, Seq("fp"))
       .withColumn("kept",
         col("first.id") === col("id") && col("first.chunk_id") === col("chunk_id"))
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_seg"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        // collect_list drops the nulls of the un-kept branch; the struct
-        // sorts by its leading chunk_id, so reassembly order is the
-        // document's own, independent of partition/merge order
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("kept"), struct(col("chunk_id"), col("chunk_text"))))),
-            s => s.getField("chunk_text")), " ").as("clean"))
-      .select(col("id").as(idCol), col("n_seg"), col("n_kept"), col("clean"))
+        array_sort(collect_list(when(col("kept"), col("chunk_id"))))
+          .as("kept_ids"))
+    base
+      .select(col(idCol).as("id"),
+        filter(tokens(col(textCol)), t => t =!= "").as("_t"))
+      .join(perDoc, Seq("id"))
+      .select(col("id").as(idCol), col("n_seg"), col("n_kept"),
+        array_join(transform(col("kept_ids"), ci =>
+          array_join(slice(col("_t"), (ci * w + 1L).cast("int"), lit(w)), " ")),
+          " ").as("clean"))
   }
 
   /** Cluster assignment for EVERY document: near-dup pairs (exact n-gram

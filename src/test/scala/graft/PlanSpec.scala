@@ -96,6 +96,20 @@ class PlanSpec extends AnyFunSuite {
       s"window text rides a shuffle:\n${shuffles.mkString("\n")}")
   }
 
+  test("keep-first segment dedup partitions by digest and id, never segment text") {
+    val df = SparkEntry.queries("q_dedup_segment")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.nonEmpty)
+    assert(shuffles.forall(l => !l.contains("chunk_text") && !l.contains("text")),
+      s"segment text keys a shuffle:\n${shuffles.mkString("\n")}")
+    // the winner/keep/summary stages see only (id, chunk_id, fp): every
+    // aggregate in the plan keys on digests or ids, never segment text
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.nonEmpty && aggs.forall(l => !l.contains("chunk_text")),
+      s"segment text reaches an aggregate:\n${aggs.mkString("\n")}")
+  }
+
   test("exact-k hash sample plans as per-partition top-k") {
     val p = plan("q_sample_exactk")
     assert(p.contains("TakeOrderedAndProject"),
