@@ -84,6 +84,63 @@ object TextAnalysis {
     lenScore * 0.4d + alphaRatio(text) * 0.4d + stopScore * 0.2d
   }
 
+  /** SOURCE TRIAGE — the domain-statistics blocklist derivation of
+    * RefinedWeb/FineWeb-class curation (Penedo et al. 2023/2024 drop
+    * whole domains by aggregate signals before any per-document filter
+    * sees them again): per-source mean quality + corpus-wide
+    * repeated-segment fraction, FLAGGING sources that fail either bar.
+    * A source hosting mostly boilerplate (high repeated-segment share)
+    * or low-quality text is dropped wholesale — per-document filters
+    * can't see the pattern because each individual page looks ordinary.
+    *
+    * mean_quality is the quantized floor(q·1e9) integer-sum mean (the
+    * datacard determinism rule); a segment counts as repeated when its
+    * w-token digest occurs ≥2× CORPUS-wide — every copy counts, the
+    * source hosting the "original" boilerplate is as suspect as its
+    * mirrors. Output one row per source: (source, n_docs, mean_quality,
+    * n_seg, rep_fraction, flagged); filtering the corpus is then a
+    * broadcast semi-join on the unflagged sources.
+    *
+    * Scale shape: quality partial-aggregates map-side to one row per
+    * source; the segment grid shuffles (id, digest) pairs only (the
+    * [[graft.operators.Dedup.dedupSegmentsKeepFirst]] discipline); the
+    * repeated-digest table is digest-keyed; the final joins are
+    * source-keyed over domain-cardinality rows. Nothing corpus-sized
+    * crosses a non-digest exchange.
+    */
+  def sourceTriage(docs: org.apache.spark.sql.DataFrame, srcCol: String,
+      idCol: String, textCol: String, w: Int,
+      minMeanQuality: Double, maxRepFraction: Double): org.apache.spark.sql.DataFrame = {
+    val base = graft.operators.Staging.widen(docs)
+    val qStats = base
+      .select(col(srcCol).as("source"),
+        floor(qualityScore(col(textCol)) * lit(1e9d)).cast("long").as("_qu"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_qu").as("_squ"))
+    import graft.operators.Staging.Stageable
+    val grid = chunkByTokens(base, idCol, textCol, window = w, stride = w)
+      .select(col(idCol).as("id"),
+        graft.functions.VectorFunctions.fingerprint64(col("chunk_text")).as("fp"))
+      .stagePersist()
+    val rep = grid.groupBy("fp").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2L)
+      .select(col("fp"), lit(1L).as("_rep"))
+    val segStats = grid.join(rep, Seq("fp"), "left")
+      .join(base.select(col(idCol).as("id"), col(srcCol).as("source")), Seq("id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(coalesce(col("_rep"), lit(0L))).as("_nrep"))
+    val meanQ = col("_squ").cast("double") / col("n_docs") / lit(1e9d)
+    val repFrac = when(coalesce(col("n_seg"), lit(0L)) === 0L, lit(0.0d))
+      .otherwise(col("_nrep").cast("double") / col("n_seg").cast("double"))
+    qStats.join(segStats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), meanQ.as("mean_quality"),
+        coalesce(col("n_seg"), lit(0L)).as("n_seg"),
+        repFrac.as("rep_fraction"),
+        (meanQ < lit(minMeanQuality) || repFrac > lit(maxRepFraction))
+          .as("flagged"))
+  }
+
   /** Fraction of tokens that repeat an earlier token (1 − distinct/total)
     * — the cheapest of the published repetition signals for filtering
     * looping/boilerplate documents (Gopher's repetition rules family,

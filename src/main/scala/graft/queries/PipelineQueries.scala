@@ -282,6 +282,17 @@ object PipelineQueries extends QueryModule {
             .as("mean_quality"),
           (col("_sch").cast("double") / col("n_docs")).as("mean_chars"))
         .orderBy("lang")
+    },
+
+    // FineWeb-style SOURCE TRIAGE: per-source mean quality + corpus-wide
+    // repeated-segment fraction (w=8 disjoint grid), flagging sources
+    // that fail either bar — the domain-blocklist derivation that runs
+    // before any per-document filter sees the source again.
+    "q_source_triage" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      TextAnalysis.sourceTriage(t.documents, "source", "doc_id", "text",
+          w = 8, minMeanQuality = 0.80, maxRepFraction = 0.15)
+        .orderBy("source")
     }
   )
 
@@ -723,7 +734,68 @@ object PipelineQueries extends QueryModule {
            n_exact_dup,
            CAST(squ AS DOUBLE) / n_docs / 1e9 AS mean_quality,
            CAST(sch AS DOUBLE) / n_docs AS mean_chars
-         FROM g CROSS JOIN tt ORDER BY lang"""
+         FROM g CROSS JOIN tt ORDER BY lang""",
+    // the datacard quality replay grouped by source + the q_dedup_segment
+    // grid/fold for the repeated-segment leg; flagged re-derives both
+    // means so the CASE sees the identical doubles
+    "q_source_triage" ->
+      s"""WITH base AS (
+           SELECT doc_id, source, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+         q AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(floor((
+               least(CAST(length(text) AS DOUBLE) / 500, 1.0) * 0.4
+               + (CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1)) * 0.4
+               + (CASE WHEN (CAST(len(list_filter(toks, t -> t IN $stopSql)) AS DOUBLE)
+                             / greatest(len(toks), 1)) > 0.02
+                       THEN 1.0
+                       ELSE (CAST(len(list_filter(toks, t -> t IN $stopSql)) AS DOUBLE)
+                             / greatest(len(toks), 1)) * 50 END) * 0.2
+             ) * 1e9) AS BIGINT)) AS BIGINT) AS squ
+           FROM base GROUP BY source),
+         c AS (
+           SELECT doc_id, source, list_filter(toks, x -> x <> '') AS t
+           FROM base),
+         c2 AS (
+           SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS n FROM c
+           WHERE len(t) > 0),
+         ch AS (
+           SELECT doc_id, source, t, n,
+             unnest(range(0, CASE WHEN n <= 8 THEN 1
+               ELSE CAST(ceil(CAST(n - 8 AS DOUBLE) / 8) AS BIGINT) + 1
+               END)) AS ci
+           FROM c2),
+         f AS (
+           SELECT source,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split(
+                     array_to_string(list_slice(t, ci * 8 + 1,
+                       least(ci * 8 + 8, n)), ' '), ''), x -> x <> ''),
+                   x -> CAST(ascii(x) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+           FROM ch),
+         d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) >= 2),
+         sg AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_seg,
+             CAST(sum(CASE WHEN f.fp IN (SELECT fp FROM d)
+               THEN 1 ELSE 0 END) AS BIGINT) AS nrep
+           FROM f GROUP BY source)
+         SELECT q.source, q.n_docs,
+           CAST(q.squ AS DOUBLE) / q.n_docs / 1e9 AS mean_quality,
+           coalesce(sg.n_seg, 0) AS n_seg,
+           CASE WHEN coalesce(sg.n_seg, 0) = 0 THEN 0.0
+                ELSE CAST(sg.nrep AS DOUBLE) / sg.n_seg END AS rep_fraction,
+           (CAST(q.squ AS DOUBLE) / q.n_docs / 1e9 < 0.80
+            OR CASE WHEN coalesce(sg.n_seg, 0) = 0 THEN 0.0
+                    ELSE CAST(sg.nrep AS DOUBLE) / sg.n_seg END > 0.15)
+             AS flagged
+         FROM q LEFT JOIN sg ON q.source = sg.source
+         ORDER BY q.source"""
   )
 
   /** The any-language stopword marker IN-list, as the oracle replays the

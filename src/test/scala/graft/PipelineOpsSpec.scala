@@ -569,4 +569,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     graft.operators.Staging.releaseAll()
   }
+
+  // ---- source triage ---------------------------------------------------
+
+  test("sourceTriage: hand-computed repeated-segment fractions flag the boilerplate source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "A", "a1 b1 c1 d1"), // 2 unique segments
+      (2L, "A", "e1 f1 g1 h1"), // 2 unique segments → A: rep 0/4
+      (3L, "B", "aa bb xx yy"), // "xx yy" shared with doc 4
+      (4L, "B", "xx yy zz ww")  // → B: rep 2/4 = 0.5
+    ).toDF("doc_id", "source", "text")
+    // minMeanQuality = 0 isolates the repeated-segment leg
+    val out = TextAnalysis.sourceTriage(d, "source", "doc_id", "text",
+        w = 2, minMeanQuality = 0.0, maxRepFraction = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    graft.operators.Staging.releaseAll()
+    assert(out("A") == ((2L, 4L, 0.0, false)))
+    assert(out("B") == ((2L, 4L, 0.5, true)))
+  }
+
+  test("sourceTriage: a source of empty docs gets n_seg 0, rep_fraction 0, and the quality flag") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "A", "alpha beta gamma delta"),
+      (2L, "E", "   ")) // zero tokens → no segments
+    .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceTriage(d, "source", "doc_id", "text",
+        w = 2, minMeanQuality = 1.0, maxRepFraction = 1.1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    graft.operators.Staging.releaseAll()
+    // both flagged by the (impossible) quality bar; the empty source's
+    // segment stats are the guarded zeros, never null or NaN
+    assert(out("E") == ((1L, 0L, 0.0, true)))
+    assert(out("A")._4 && out("A")._2 == 2L)
+  }
+
+  test("sourceTriage mean_quality equals the per-doc quantized quality mean") {
+    import spark.implicits._
+    val d = docs.limit(60)
+    val expected = d
+      .select(col("source"),
+        floor(TextAnalysis.qualityScore(col("text")) * lit(1e9d))
+          .cast("long").as("qu"))
+      .groupBy("source").agg(avg(col("qu")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1) / 1e9).toMap
+    val out = TextAnalysis.sourceTriage(d, "source", "doc_id", "text",
+        w = 8, minMeanQuality = 0.5, maxRepFraction = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    graft.operators.Staging.releaseAll()
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (s, q) =>
+      assert(math.abs(q - expected(s)) < 1e-12, s"$s: $q vs ${expected(s)}")
+    }
+  }
 }
