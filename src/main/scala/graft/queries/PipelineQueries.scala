@@ -293,6 +293,41 @@ object PipelineQueries extends QueryModule {
       TextAnalysis.sourceTriage(t.documents, "source", "doc_id", "text",
           w = 8, minMeanQuality = 0.80, maxRepFraction = 0.15)
         .orderBy("source")
+    },
+
+    // CURATION capstone: the domain→segment→model curation ladder as ONE
+    // declarative plan — source triage (drop flagged domains wholesale,
+    // q_source_triage's bars) → keep-first segment dedup of the
+    // survivors → self-trained LM scoring of the CLEANED text → CCNet
+    // head/middle/tail bucket sampling gated on the cleaned text's
+    // canonical fingerprint. Every stage is one of the engine's own
+    // oracle-checked operators; thresholds are the cleaned-survivor
+    // score terciles, pinned as literals like q_lm_buckets'.
+    "q_curate" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = Staging.widen(t.documents)
+      val triage = TextAnalysis.sourceTriage(docs, "source", "doc_id",
+        "text", w = 8, minMeanQuality = 0.80, maxRepFraction = 0.15)
+      val survivors = docs.join(
+        triage.filter(!col("flagged")).select("source"),
+        Seq("source"), "left_semi")
+      // the cleaned frame feeds the LM model, the scoring side, and the
+      // fingerprint gate — stage it or the triage+dedup prefix re-runs
+      val cleaned = Staging.stage(
+        Dedup.dedupSegmentsKeepFirst(survivors, "doc_id", "text", w = 8)
+          .select(col("doc_id"), col("n_kept"), col("clean")))
+      val scored = graft.operators.LanguageModel
+        .lmScore(cleaned, "doc_id", "clean")
+      val fp = cleaned.select(col("doc_id"),
+        TextAnalysis.canonicalFingerprint(col("clean")).as("_fp"))
+      graft.operators.LanguageModel.bucketSample(
+          scored.join(fp, Seq("doc_id"))
+            .join(cleaned.select("doc_id", "n_kept"), Seq("doc_id")),
+          col("lm_score"), col("_fp"),
+          tTail = 0.0344, tHead = 0.0352,
+          rates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1))
+        .select("doc_id", "n_kept", "n_tok", "lm_score", "bucket", "kept")
+        .orderBy("doc_id")
     }
   )
 
@@ -795,7 +830,126 @@ object PipelineQueries extends QueryModule {
                     ELSE CAST(sg.nrep AS DOUBLE) / sg.n_seg END > 0.15)
              AS flagged
          FROM q LEFT JOIN sg ON q.source = sg.source
-         ORDER BY q.source"""
+         ORDER BY q.source""",
+    // the q_source_triage, q_dedup_segment, q_lm_score, and q_lm_buckets
+    // oracle fragments composed in stage order: flagged sources drop
+    // wholesale, keep-first runs among the SURVIVORS' segments only, the
+    // LM self-trains on the cleaned text, and the gate hashes the cleaned
+    // text's canonical fingerprint
+    "q_curate" -> {
+      val fpSt = fpSql.replace("string_split(text", "string_split(st")
+      val fpCt = fpSql.replace("string_split(text", "string_split(ctext")
+      val normCt = normSql.replace("nfc_normalize(text)", "nfc_normalize(ct)")
+      s"""WITH base AS (
+           SELECT doc_id, source, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM documents),
+         q AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(floor((
+               least(CAST(length(text) AS DOUBLE) / 500, 1.0) * 0.4
+               + (CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1)) * 0.4
+               + (CASE WHEN (CAST(len(list_filter(toks, t -> t IN $stopSql)) AS DOUBLE)
+                             / greatest(len(toks), 1)) > 0.02
+                       THEN 1.0
+                       ELSE (CAST(len(list_filter(toks, t -> t IN $stopSql)) AS DOUBLE)
+                             / greatest(len(toks), 1)) * 50 END) * 0.2
+             ) * 1e9) AS BIGINT)) AS BIGINT) AS squ
+           FROM base GROUP BY source),
+         c AS (
+           SELECT doc_id, source, list_filter(toks, x -> x <> '') AS t
+           FROM base),
+         c2 AS (
+           SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS n FROM c
+           WHERE len(t) > 0),
+         ch AS (
+           SELECT doc_id, source, t, n,
+             unnest(range(0, CASE WHEN n <= 8 THEN 1
+               ELSE CAST(ceil(CAST(n - 8 AS DOUBLE) / 8) AS BIGINT) + 1
+               END)) AS ci
+           FROM c2),
+         seg AS (
+           SELECT doc_id, source, ci,
+             array_to_string(list_slice(t, ci * 8 + 1,
+               least(ci * 8 + 8, n)), ' ') AS st
+           FROM ch),
+         f AS (SELECT doc_id, source, ci, st, $fpSt AS fp FROM seg),
+         d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) >= 2),
+         sg AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_seg,
+             CAST(sum(CASE WHEN f.fp IN (SELECT fp FROM d)
+               THEN 1 ELSE 0 END) AS BIGINT) AS nrep
+           FROM f GROUP BY source),
+         flag AS (
+           SELECT q.source FROM q LEFT JOIN sg ON q.source = sg.source
+           WHERE CAST(q.squ AS DOUBLE) / q.n_docs / 1e9 < 0.80
+              OR (CASE WHEN coalesce(sg.n_seg, 0) = 0 THEN 0.0
+                       ELSE CAST(sg.nrep AS DOUBLE) / sg.n_seg END) > 0.15),
+         surv AS (
+           SELECT * FROM f
+           WHERE source NOT IN (SELECT source FROM flag)),
+         k AS (
+           SELECT doc_id, ci, st,
+             row_number() OVER (PARTITION BY fp
+               ORDER BY doc_id, ci) = 1 AS kept
+           FROM surv),
+         cl AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN kept THEN st END, ' '
+               ORDER BY ci), '') AS ct
+           FROM k GROUP BY doc_id),
+         ltoks AS (
+           SELECT doc_id, string_split_regex(trim(lower(ct)), '\\s+') AS t
+           FROM cl),
+         lidx AS (
+           SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM ltoks),
+         locc AS (
+           SELECT doc_id, t[i] AS w,
+                  CASE WHEN i > 1 THEN t[i - 1] END AS prev
+           FROM lidx WHERE t[i] <> ''),
+         oc AS (
+           SELECT doc_id, prev, w, count(*) AS k2 FROM locc GROUP BY ALL),
+         uni AS (SELECT w, CAST(sum(k2) AS BIGINT) AS cw FROM oc GROUP BY w),
+         tot AS (SELECT CAST(sum(k2) AS BIGINT) AS tt FROM oc),
+         big AS (
+           SELECT prev, w, CAST(sum(k2) AS BIGINT) AS cbw FROM oc
+           WHERE prev IS NOT NULL GROUP BY prev, w),
+         sc AS (
+           SELECT oc.doc_id, oc.k2,
+             CASE WHEN oc.prev IS NULL
+                    THEN CAST(uni.cw AS DOUBLE) / tot.tt
+                  WHEN big.cbw IS NOT NULL
+                    THEN CAST(big.cbw AS DOUBLE) / cu.cw
+                  ELSE 0.4 * (CAST(uni.cw AS DOUBLE) / tot.tt) END AS p
+           FROM oc
+           JOIN uni ON oc.w = uni.w
+           LEFT JOIN uni cu ON oc.prev = cu.w
+           LEFT JOIN big ON oc.prev = big.prev AND oc.w = big.w
+           CROSS JOIN tot),
+         agg AS (
+           SELECT doc_id, CAST(sum(k2) AS BIGINT) AS n_tok,
+             CAST(sum(k2 * CAST(floor(p * 1e9) AS BIGINT)) AS BIGINT) AS su
+           FROM sc GROUP BY doc_id),
+         scr AS (
+           SELECT cl.doc_id, cl.n_kept, coalesce(a.n_tok, 0) AS n_tok,
+             CASE WHEN a.doc_id IS NULL THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(a.su AS DOUBLE) / a.n_tok / 1e9 END AS lm_score
+           FROM cl LEFT JOIN agg a ON cl.doc_id = a.doc_id),
+         nrm AS (SELECT doc_id, $normCt AS ctext FROM cl),
+         fpd AS (SELECT doc_id, $fpCt AS fp2 FROM nrm)
+         SELECT s2.doc_id, s2.n_kept, s2.n_tok, s2.lm_score,
+           CASE WHEN s2.lm_score >= 0.0352 THEN 'head'
+                WHEN s2.lm_score >= 0.0344 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           (fpd.fp2 * 2654435761) % 1000000 <
+             CASE WHEN s2.lm_score >= 0.0352 THEN 1000000
+                  WHEN s2.lm_score >= 0.0344 THEN 500000
+                  ELSE 100000 END AS kept
+         FROM scr s2 JOIN fpd ON s2.doc_id = fpd.doc_id
+         ORDER BY s2.doc_id"""
+    }
   )
 
   /** The any-language stopword marker IN-list, as the oracle replays the
