@@ -607,6 +607,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out("A")._4 && out("A")._2 == 2L)
   }
 
+  test("the round-10 curation operators are deterministic under repartitioning") {
+    val d = docs.limit(120)
+    def seg(df: org.apache.spark.sql.DataFrame) = {
+      val out = Dedup.dedupSegmentsKeepFirst(df, "doc_id", "text", w = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      graft.operators.Staging.releaseAll(); out
+    }
+    assert(seg(d) == seg(d.repartition(7)))
+    def tri(df: org.apache.spark.sql.DataFrame) = {
+      val out = TextAnalysis.sourceTriage(df, "source", "doc_id", "text",
+          w = 6, minMeanQuality = 0.8, maxRepFraction = 0.1)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSet
+      graft.operators.Staging.releaseAll(); out
+    }
+    assert(tri(d) == tri(d.repartition(7)))
+  }
+
   test("sourceTriage mean_quality equals the per-doc quantized quality mean") {
     import spark.implicits._
     val d = docs.limit(60)
