@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Corpus partitioning by nearest centroid — the ASSIGNMENT step of
+  * Lloyd's k-means as a first-class, oracle-checkable operator. A
+  * training-data pipeline uses this to bucket a corpus by topic for
+  * mixture design (per-cluster sampling rates), to stratify quality
+  * audits, and as the coarse quantizer every IVF-family index is built
+  * on (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+  * Search" — the IVF coarse assignment; [[Similarity.ivfTopK]] and the
+  * SemDeDup path in [[Similarity.semanticNearDupPairs]] run the SAME
+  * kernel with trained centroids).
+  *
+  * Semantics: each vector goes to the centroid with the HIGHEST dot
+  * product, ties to the lower cell index — exactly the
+  * [[graft.functions.CentroidTopCells]] contract, so the assignment here
+  * is bit-identical to what the ANN/semantic-dedup family computes
+  * internally, and the DuckDB oracle replays it with the proven
+  * sequential-fold construction (the q_sim_knn twin). Centroids here are
+  * CALLER-SUPPLIED (deterministic: the k lowest-id corpus vectors) rather
+  * than Lloyd-trained — training is iterative driver-coordinated work
+  * already covered by [[Similarity.trainCentroids]]'s specs; the
+  * fixed-centroid form is the piece with exact cross-engine semantics
+  * worth a full-hash oracle.
+  *
+  * Determinism: per-member dot scores quantize to integer 1e-9 units with
+  * `floor` (the [[LanguageModel]] rule) before summing, so the
+  * per-cluster mean is independent of partition/merge order.
+  *
+  * Scale shape (100 TB of vectors, k clusters):
+  *   - Assignment is ONE map-side native-kernel pass (the centroid matrix
+  *     rides the closure as a reference object — no join, no shuffle, and
+  *     the kernel stays inside whole-stage codegen).
+  *   - The per-member score join is against a k-row broadcast frame.
+  *   - The only exchange is the final k-group partial aggregate —
+  *     map-side combine reduces it to k rows per task.
+  */
+object Clustering {
+
+  /** Cluster profile after assigning every vector to its nearest of the
+    * `k` lowest-id centroid vectors. Output, ordered by cluster:
+    * (cluster = centroid's id, n_members, mean_dot, min_member,
+    * max_member).
+    */
+  def assignProfile(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = emb.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val v = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // bounded driver fetch: exactly k centroid rows (the deterministic
+    // lowest-id rule — any caller-chosen centroid set works the same way)
+    val centRows: Array[Row] = v.orderBy(col("id")).limit(k).collect()
+    require(centRows.nonEmpty, "assignProfile needs a non-empty corpus")
+    val cents: Array[Array[Double]] = centRows.map(
+      _.getSeq[Double](1).toArray)
+    val centIds: Array[Long] = centRows.map(_.getLong(0))
+    // cell -> (centroid id, centroid vector), a k-row broadcast side
+    val centFrame = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        centIds.zipWithIndex.map { case (cid, i) =>
+          Row(i + 1, cid, cents(i).toSeq) }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false)))))
+    val assigned = v.withColumn("cell",
+        element_at(Similarity.topCellsCol(cents, r = 1)(col("vec")), 1))
+      .join(centFrame, "cell")
+      .withColumn("qd",
+        floor(Similarity.dot(col("vec"), col("cvec")) * lit(1e9d))
+          .cast("long"))
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("qd")).cast("double") / count(lit(1)).cast("double") /
+          lit(1e9d)).as("mean_dot"),
+        min(col("id")).as("min_member"),
+        max(col("id")).as("max_member"))
+      .orderBy("cluster")
+  }
+}

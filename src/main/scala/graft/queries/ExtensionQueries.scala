@@ -376,6 +376,27 @@ object ExtensionQueries extends QueryModule {
       }
     },
 
+    // BM25 ranked retrieval (targeted curation / retrieval-side
+    // decontamination) — full-hash oracle: the rational idf and the
+    // quantized-long score sum replay exactly in ANSI SQL (no libm).
+    // Terms span the df spectrum of the synthetic vocabulary: 'dup' is
+    // rare (df≈5%), 'vector' and 'batch' are common (df≈77/80%).
+    "q_bm25" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      graft.operators.Retrieval.bm25TopK(t.documents, "doc_id", "text",
+        Seq("dup", "vector", "batch"), k = 10)
+    },
+
+    // k-means ASSIGNMENT as a first-class operator (topic bucketing /
+    // IVF coarse quantization) — deterministic lowest-id centroids, the
+    // CentroidTopCells kernel map-side, full-hash oracle via the proven
+    // sequential-fold dot construction (the q_sim_knn twin).
+    "q_cluster_assign" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      graft.operators.Clustering.assignProfile(
+        t.embeddings, "vec_id", "embedding", k = 8)
+    },
+
     // Brute-force cosine top-k (exact ANN baseline) — ranks are
     // oracle-comparable because all arithmetic is sequential double folds
     // (native VectorDot loop == DuckDB list_reduce left fold, bit-exact).
@@ -1030,6 +1051,77 @@ object ExtensionQueries extends QueryModule {
          $extraWhere"""
 
   def oracleSql: Map[String, String] = Map(
+    // operation-for-operation IEEE mirror of Retrieval.bm25TopK (terms
+    // dup/vector/batch, k1=1.2, b=0.75, k=10): rational idf, quantized
+    // floor(x*1e9) longs, ties on ascending doc_id
+    "q_bm25" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'dup')) AS BIGINT) AS tf_0,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'vector')) AS BIGINT) AS tf_1,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'batch')) AS BIGINT) AS tf_2,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) AS t_len,
+             CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+             CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+             CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+           FROM base),
+         scored AS (
+           SELECT doc_id, dl,
+             CAST(floor((n_docs - df_0 + 0.5) / (df_0 + 0.5)
+               * (CAST(tf_0 AS DOUBLE) * 2.2 / (CAST(tf_0 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT)
+             + CAST(floor((n_docs - df_1 + 0.5) / (df_1 + 0.5)
+               * (CAST(tf_1 AS DOUBLE) * 2.2 / (CAST(tf_1 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT)
+             + CAST(floor((n_docs - df_2 + 0.5) / (df_2 + 0.5)
+               * (CAST(tf_2 AS DOUBLE) * 2.2 / (CAST(tf_2 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT) AS su
+           FROM base CROSS JOIN stats),
+         top AS (
+           SELECT doc_id, dl, su,
+             row_number() OVER (ORDER BY su DESC, doc_id) AS "rank"
+           FROM scored)
+         SELECT doc_id, dl, CAST(su AS DOUBLE) / 1e9 AS score,
+           CAST("rank" AS BIGINT) AS "rank"
+         FROM top WHERE "rank" <= 10 ORDER BY "rank"""",
+    // Clustering.assignProfile twin: lowest-8-id centroids, argmax dot
+    // with ties to the lower cell, quantized-mean cohesion
+    "q_cluster_assign" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+         c AS (
+           SELECT vec_id AS cluster, vec AS cvec,
+             row_number() OVER (ORDER BY vec_id) AS cell
+           FROM v ORDER BY vec_id LIMIT 8),
+         scored AS (
+           SELECT v.vec_id AS id, c.cluster, c.cell,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(v.vec, c.cvec), p -> p[1] * p[2])),
+               (acc, x) -> acc + x) AS dot
+           FROM v CROSS JOIN c),
+         best AS (
+           SELECT id, cluster, dot,
+             row_number() OVER (PARTITION BY id ORDER BY dot DESC, cell) AS rn
+           FROM scored)
+         SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CAST(floor(dot * 1e9) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1e9 AS mean_dot,
+           min(id) AS min_member, max(id) AS max_member
+         FROM best WHERE rn = 1
+         GROUP BY cluster ORDER BY cluster""",
     "q_sim_knn" ->
       """WITH v AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -1806,4 +1806,85 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(rankOf(tHead) - 2 * n / 3) <= math.max(2, n / 20),
       s"tHead rank ${rankOf(tHead)} vs ${2 * n / 3}")
   }
+
+  // ---- BM25 ranked retrieval -------------------------------------------
+
+  test("bm25TopK: hand-computed single-doc corpus and ranking invariants") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // two docs, one term: doc 1 has tf=2 of 'x' in dl=4, doc 2 has tf=0.
+    // N=2, df=1 → idf = (2-1+0.5)/1.5 = 1.0; avgdl = (4+2)/2 = 3.
+    // doc1: sat = 2*2.2/(2 + 1.2*(0.25+0.75*(4*2/6.0))) = 4.4/3.5
+    val docs = Seq((1L, "x y x z"), (2L, "y z")).toDF("doc_id", "text")
+    val rows = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 2)
+      .collect()
+    graft.operators.Staging.releaseAll()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 2L)) // ranks dense from 1
+    val expected = math.floor(1.0 * (2 * 2.2 / (2 + 1.2 *
+      (0.25 + 0.75 * (4.0 * 2.0 / 6.0)))) * 1e9) / 1e9
+    assert(rows(0).getDouble(2) == expected)
+    assert(rows(1).getDouble(2) == 0.0) // absent term scores exactly 0
+  }
+
+  test("bm25TopK is deterministic under repartitioning and rare terms rank up") {
+    import graft.operators.Retrieval
+    val docs = t("documents")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = Retrieval.bm25TopK(df, "doc_id", "text",
+        Seq("dup", "vector", "batch"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSeq
+      graft.operators.Staging.releaseAll()
+      r
+    }
+    val a = run(docs)
+    assert(a == run(docs.repartition(7)))
+    assert(a.map(_._3) == (1L to a.length))
+    // scores are non-increasing in rank, and the winner contains the rare
+    // term (idf('dup') ≈ 19 dwarfs the common terms' ≈ 0.25)
+    assert(a.sliding(2).forall { case Seq(x, y) => x._2 >= y._2; case _ => true })
+    val winners = docs.filter(col("doc_id") === a.head._1)
+      .select(graft.operators.TextAnalysis.tokens(col("text")))
+      .collect().head.getSeq[String](0)
+    assert(winners.contains("dup"))
+  }
+
+  // ---- k-means assignment profile ----------------------------------------
+
+  test("assignProfile partitions the corpus and matches the composed argmax") {
+    import graft.operators.{Clustering, Similarity}
+    val emb = t("embeddings")
+    val total = emb.count()
+    val prof = Clustering.assignProfile(emb, "vec_id", "embedding", k = 4)
+      .collect()
+    // every vector lands in exactly one cluster; clusters are centroid ids
+    assert(prof.map(_.getLong(1)).sum == total)
+    assert(prof.map(_.getLong(0)).toSet.subsetOf((0L until 4L).toSet))
+    // composed-form twin: literal per-centroid dot columns + greatest()
+    val cents = emb.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val scored = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val withDots = cents.zipWithIndex.foldLeft(scored) { case (df, ((_, c), i)) =>
+      df.withColumn(s"d_$i", Similarity.dot(col("vec"),
+        lit(c.map(java.lang.Double.valueOf))))
+    }
+    val composed = withDots.collect().map { r =>
+      val dots = (0 until 4).map(i => r.getDouble(r.fieldIndex(s"d_$i")))
+      val best = dots.zipWithIndex.maxBy { case (d, i) => (d, -i) }._2
+      (r.getLong(0), cents(best)._1)
+    }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(prof.map(r => r.getLong(0) -> r.getLong(1)).toMap == composed)
+  }
+
+  test("assignProfile is deterministic under repartitioning") {
+    import graft.operators.Clustering
+    val emb = t("embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Clustering.assignProfile(df, "vec_id", "embedding", k = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(run(emb) == run(emb.repartition(5)))
+  }
 }

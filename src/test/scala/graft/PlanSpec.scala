@@ -364,4 +364,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
     graft.operators.Staging.releaseAll()
   }
+
+  test("BM25 is map-side scoring: no token explode, top-k as TakeOrdered") {
+    val df = SparkEntry.queries("q_bm25")(spark, dir)
+    df.collect() // AQE: finalize
+    val p = df.queryExecution.executedPlan.toString
+    // tf/dl are per-row array scans — no (doc, token) Generate/explode and
+    // no doc-keyed exchange; the only shuffles serve the one-row stats agg
+    assert(!p.contains("Generate"), s"token explode in the BM25 plan:\n$p")
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.isEmpty, s"doc-keyed exchange:\n${shuffles.mkString("\n")}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k did not plan as TakeOrdered:\n$p")
+    graft.operators.Staging.releaseAll()
+  }
+
+  test("cluster assignment is one kernel pass + a k-group aggregate") {
+    val df = SparkEntry.queries("q_cluster_assign")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the centroid matrix rides the kernel as a reference object and the
+    // id->vector side is a k-row broadcast: the corpus never sort-merge-joins
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"centroid frame not broadcast:\n$p")
+    // exchanges carry only the k-group aggregate (+ the bounded sort), no
+    // vector payloads: no hashpartitioning exchange lists the vec column
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.forall(l => !l.contains("vec")),
+      s"vectors ride a shuffle:\n${shuffles.mkString("\n")}")
+  }
 }
