@@ -376,6 +376,20 @@ object ScaleBench {
       System.err.println(s"[scale] vocabularyAuto chose '$choice' on $dir")
       table
     },
+    // BM25 over the scale fixtures' own vocabulary (the contract key's
+    // terms don't exist in the generated corpora)
+    "x_bm25" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Retrieval.bm25TopK(t.documents, "doc_id", "text",
+        Seq("shuffle", "plan", "batch"), k = 10)
+    },
+    // k-means assignment at a production-ish IVF cell count (the contract
+    // key's k=8 exercises the oracle, not the kernel's O(n·k·dim) span)
+    "x_cluster256" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Clustering.assignProfile(
+        t.embeddings, "vec_id", "embedding", k = 256)
+    },
     // trigram LM scoring (two backoff hops) + its trigram-table cutoff
     "x_lm_score3" -> { (s, dir) =>
       val t = new graft.model.Tables(s, dir)
