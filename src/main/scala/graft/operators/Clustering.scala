@@ -85,4 +85,75 @@ object Clustering {
         max(col("id")).as("max_member"))
       .orderBy("cluster")
   }
+
+  /** Full spherical-k-means TRAINING (Lloyd), exposed as a one-row
+    * gated summary — the public face of the quantizer training every
+    * IVF/SemDeDup path runs internally ([[Similarity.trainCentroids]]:
+    * deterministic distance-weighted seeding, decimal-exact normalized
+    * mean updates, the CentroidTopCells assignment kernel).
+    *
+    * The gate rides the Lloyd monotonicity theorem: with centroids
+    * constrained to the unit sphere, both half-steps maximize the SAME
+    * objective O = Σ_v dot(v, c(v)) (assignment picks the argmax-dot
+    * cell; the normalized cluster mean is argmax_{|c|=1} Σ dot), so O is
+    * non-decreasing per iteration. `objective_improved` checks
+    * O_quant(trained) ≥ O_quant(seeds) − n (one 1e-9 quantization unit of
+    * slack per vector); `partition_ok` checks every vector landed in
+    * exactly one cell; `clusters_ok` bounds the non-empty cell count by
+    * [1, k]. Booleans ride to the oracle as literal TRUE — any violation
+    * flips a value and breaks the hash (the q_dist_approx gate pattern;
+    * centroid coordinates themselves are engine-specific iterative floats
+    * no SQL engine replays, hence gated, not full-hash).
+    *
+    * Scale shape: training is the established driver-coordinated regime —
+    * each iteration is one distributed assignment pass + one ≤k-row
+    * means collect; the two objective evaluations are one map-side kernel
+    * pass + k-row broadcast + one-row aggregate each.
+    */
+  def kmeansSummary(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val spark = emb.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    import graft.operators.Staging.Stageable
+    val c = Staging.widen(emb)
+      .select(col(idCol).cast("long").as("n_id"),
+        col(vecCol).cast("array<double>").as("n_vec"))
+      .stagePersist()
+    val seeds = Similarity.trainCentroids(c, k, iters = 0)
+    val trained = Similarity.trainCentroids(c, k, iters)
+    // quantized objective + occupancy for one centroid set: one kernel
+    // assignment pass, k-row broadcast for the dot, one-row aggregate
+    def profile(cents: Array[Array[Double]]): (Long, Long, Long) = {
+      val centFrame = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cents.zipWithIndex.map { case (cv, i) => Row(i + 1, cv.toSeq) }
+            .toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("cvec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false)))))
+      val r = c.withColumn("cell",
+          element_at(Similarity.topCellsCol(cents, r = 1)(col("n_vec")), 1))
+        .join(centFrame, "cell")
+        .agg(sum(floor(Similarity.dot(col("n_vec"), col("cvec")) * lit(1e9d))
+            .cast("long")).as("su"),
+          count(lit(1)).as("n"),
+          countDistinct(col("cell")).as("cells"))
+        .collect()(0)
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (seedQ, _, _) = profile(seeds)
+    val (trainQ, nAssigned, cellsUsed) = profile(trained)
+    val nVectors = c.count()
+    import spark.implicits._
+    Seq((nVectors,
+      nAssigned == nVectors,
+      cellsUsed >= 1L && cellsUsed <= k.toLong,
+      trainQ >= seedQ - nVectors))
+      .toDF("n_vectors", "partition_ok", "clusters_ok", "objective_improved")
+  }
 }

@@ -102,4 +102,101 @@ object Retrieval {
         (col("su").cast("double") / lit(1e9d)).as("score"), col("rank"))
       .orderBy("rank")
   }
+
+  /** The INVERTED-INDEX form of [[bm25TopK]] — same scoring contract,
+    * different plan shape for the large-q regime the scan form's ≤64-term
+    * guard points at (a benchmark's full query set, a curator's long
+    * lexicon): per-row array scans cost O(rows·q·tokens); here the corpus
+    * explodes to (doc, token) ONCE, filters to query terms MAP-SIDE (an
+    * `isin` literal set — Catalyst compiles a hash probe), and only the
+    * MATCHING occurrences reach the (doc, term) tf aggregate, so shuffle
+    * volume tracks term selectivity, not corpus size. df derives from the
+    * tf rows; dl/N/avgdl come from the same staged one-row-per-doc frame
+    * the scan form uses. Docs matching no term score 0 via the left join,
+    * so output EQUALS [[bm25TopK]] row-for-row (spec-pinned differential).
+    */
+  def bm25TopKIndexed(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKIndexed needs at least one query term")
+    require(k >= 1, s"k must be positive, got $k")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // one row per doc (id, dl), staged: feeds corpus stats AND the final
+    // left join that gives unmatched docs their zero score
+    val dls = Staging.stage(docs.select(col(idCol).as("doc_id"),
+      size(filter(toks, x => x =!= lit(""))).cast("long").as("dl")))
+    val nStats = dls.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_len"))
+    // (doc, term) tf over MATCHING occurrences only — the one exchange
+    // whose volume is term-selectivity-bound
+    val tf = Staging.stage(docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).cast("long").as("tf")))
+    // per-term df: a q-row aggregate of the tf rows, broadcast back
+    val dfT = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    val scored = tf.join(broadcast(dfT), "token")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(nStats))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val n = col("n_docs").cast("double")
+    val dlD = col("dl").cast("double")
+    val tLen = col("t_len").cast("double")
+    val idf = (n - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val sat = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD * n / tLen)))
+    val perDoc = scored
+      .withColumn("q", floor(idf * sat * lit(1e9d)).cast("long"))
+      .groupBy("doc_id").agg(sum(col("q")).as("su"))
+    val top = dls.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dl"),
+        coalesce(col("su"), lit(0L)).as("su"))
+      .orderBy(col("su").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("su").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("dl"),
+        (col("su").cast("double") / lit(1e9d)).as("score"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009, "Reciprocal Rank Fusion
+    * outperforms Condorcet and individual Rank Learning Methods") of two
+    * BOUNDED ranked lists — the standard hybrid-retrieval combiner for a
+    * lexical (BM25) and a semantic (embedding kNN) ranker:
+    *
+    *   rrf(d) = Σ_lists 1/(c + rank_list(d)),   c = 60 (the paper's value)
+    *
+    * Ranks come in as columns; a document missing from a list contributes
+    * 0 (the top-L truncation semantics real fusion runs on). Contributions
+    * quantize as floor(1e9/(c+rank)) longs — list- and partition-order
+    * independent, exactly replayable in SQL. Both inputs are top-L lists
+    * (bounded by construction from TakeOrdered rankers), so the fusion
+    * join is driver-scale however large the corpus; output keeps the
+    * quantized score as a double (su/1e9), ties on ascending id.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+      k: Int, c: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(c >= 0, s"c must be non-negative, got $c")
+    def contrib(r: Column): Column =
+      coalesce(floor(lit(1e9d) / (lit(c).cast("double") + r.cast("double")))
+        .cast("long"), lit(0L))
+    val left = a.select(col(idCol).as("id"), col(rankCol).as("rank_a"))
+    val right = b.select(col(idCol).as("id"), col(rankCol).as("rank_b"))
+    val fused = left.join(right, Seq("id"), "full_outer")
+      .select(col("id"),
+        (contrib(col("rank_a")) + contrib(col("rank_b"))).as("su"))
+    fused
+      .orderBy(col("su").desc, col("id"))
+      .limit(k)
+      .withColumn("rrf_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("su").desc, col("id"))).cast("long"))
+      .select(col("id"), (col("su").cast("double") / lit(1e9d)).as("rrf"),
+        col("rrf_rank"))
+      .orderBy("rrf_rank")
+  }
 }

@@ -387,6 +387,22 @@ object ExtensionQueries extends QueryModule {
         Seq("dup", "vector", "batch"), k = 10)
     },
 
+    // HYBRID retrieval: reciprocal-rank fusion (Cormack 2009, c=60) of
+    // the BM25 top-60 and the embedding-kNN top-60 around doc/vec 0 —
+    // the lexical+semantic combiner a decontamination audit actually
+    // runs. Both rankers are exact and oracle-proven; the fusion is
+    // integer-quantized rank arithmetic, so the whole chain full-hashes.
+    "q_hybrid_rank" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val lex = graft.operators.Retrieval.bm25TopK(t.documents, "doc_id",
+        "text", Seq("dup", "vector", "batch"), k = 60)
+      val sem = Similarity.bruteForceTopK(t.embeddings,
+          t.embeddings.filter(col("vec_id") === 0), "vec_id", "embedding",
+          k = 60)
+        .select(col("n_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(lex, sem, "doc_id", "rank", k = 10)
+    },
+
     // k-means ASSIGNMENT as a first-class operator (topic bucketing /
     // IVF coarse quantization) — deterministic lowest-id centroids, the
     // CentroidTopCells kernel map-side, full-hash oracle via the proven
@@ -395,6 +411,16 @@ object ExtensionQueries extends QueryModule {
       val t = new Tables(s, dir)
       graft.operators.Clustering.assignProfile(
         t.embeddings, "vec_id", "embedding", k = 8)
+    },
+
+    // Full Lloyd TRAINING summary, driver-gated (centroid floats are
+    // engine-specific iterative results no SQL engine replays): the
+    // monotonicity theorem (objective non-decreasing vs seeds), the
+    // partition invariant, and occupancy bounds ride as booleans.
+    "q_cluster_train" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      graft.operators.Clustering.kmeansSummary(
+        t.embeddings, "vec_id", "embedding", k = 16, iters = 3)
     },
 
     // Brute-force cosine top-k (exact ANN baseline) — ranks are
@@ -1095,6 +1121,82 @@ object ExtensionQueries extends QueryModule {
          SELECT doc_id, dl, CAST(su AS DOUBLE) / 1e9 AS score,
            CAST("rank" AS BIGINT) AS "rank"
          FROM top WHERE "rank" <= 10 ORDER BY "rank"""",
+    // the BM25 (k=60) + kNN (query 0, k=60) chains composed, fused by
+    // quantized reciprocal-rank arithmetic
+    "q_hybrid_rank" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'dup')) AS BIGINT) AS tf_0,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'vector')) AS BIGINT) AS tf_1,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'batch')) AS BIGINT) AS tf_2,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) AS t_len,
+             CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+             CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+             CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+           FROM base),
+         bmscored AS (
+           SELECT doc_id,
+             CAST(floor((n_docs - df_0 + 0.5) / (df_0 + 0.5)
+               * (CAST(tf_0 AS DOUBLE) * 2.2 / (CAST(tf_0 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT)
+             + CAST(floor((n_docs - df_1 + 0.5) / (df_1 + 0.5)
+               * (CAST(tf_1 AS DOUBLE) * 2.2 / (CAST(tf_1 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT)
+             + CAST(floor((n_docs - df_2 + 0.5) / (df_2 + 0.5)
+               * (CAST(tf_2 AS DOUBLE) * 2.2 / (CAST(tf_2 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT) AS su
+           FROM base CROSS JOIN stats),
+         lex AS (
+           SELECT id, r FROM (
+             SELECT doc_id AS id,
+               row_number() OVER (ORDER BY su DESC, doc_id) AS r
+             FROM bmscored) WHERE r <= 60),
+         v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+         nn AS (
+           SELECT vec_id, vec,
+             sqrt(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list_transform(vec, x -> x * x)),
+               (acc, x) -> acc + x)) AS nrm
+           FROM v),
+         semscored AS (
+           SELECT c.vec_id AS id,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(q.vec, c.vec), p -> p[1] * p[2])),
+               (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos
+           FROM nn q JOIN nn c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id = 0),
+         sem AS (
+           SELECT id, r FROM (
+             SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS r
+             FROM semscored) WHERE r <= 60),
+         fused AS (
+           SELECT COALESCE(lex.id, sem.id) AS id,
+             COALESCE(CAST(floor(1e9 / (CAST(60 AS DOUBLE)
+               + CAST(lex.r AS DOUBLE))) AS BIGINT), 0)
+             + COALESCE(CAST(floor(1e9 / (CAST(60 AS DOUBLE)
+               + CAST(sem.r AS DOUBLE))) AS BIGINT), 0) AS su
+           FROM lex FULL OUTER JOIN sem ON lex.id = sem.id),
+         fr AS (
+           SELECT id, su,
+             row_number() OVER (ORDER BY su DESC, id) AS rrf_rank
+           FROM fused)
+         SELECT id, CAST(su AS DOUBLE) / 1e9 AS rrf,
+           CAST(rrf_rank AS BIGINT) AS rrf_rank
+         FROM fr WHERE rrf_rank <= 10 ORDER BY rrf_rank""",
     // Clustering.assignProfile twin: lowest-8-id centroids, argmax dot
     // with ties to the lower cell, quantized-mean cohesion
     "q_cluster_assign" ->
@@ -1122,6 +1224,13 @@ object ExtensionQueries extends QueryModule {
            min(id) AS min_member, max(id) AS max_member
          FROM best WHERE rn = 1
          GROUP BY cluster ORDER BY cluster""",
+    // kmeansSummary gate: exact vector count + literal-TRUE invariants
+    // (any violation flips a boolean and breaks the hash)
+    "q_cluster_train" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           TRUE AS partition_ok, TRUE AS clusters_ok,
+           TRUE AS objective_improved
+         FROM embeddings""",
     "q_sim_knn" ->
       """WITH v AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

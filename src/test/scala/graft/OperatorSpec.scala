@@ -1878,6 +1878,73 @@ class OperatorSpec extends AnyFunSuite {
     assert(prof.map(r => r.getLong(0) -> r.getLong(1)).toMap == composed)
   }
 
+  test("bm25TopKIndexed equals the scan form row-for-row") {
+    import graft.operators.Retrieval
+    val docs = t("documents")
+    // small list AND a list wider than is sane for the scan form's
+    // per-row term loop — the indexed plan's home regime
+    val wide = Seq("dup", "vector", "batch", "spark", "merge", "window",
+      "table", "row", "agg", "scan", "the", "a", "key", "fast", "line",
+      "value", "column", "query", "group", "part")
+    for (terms <- Seq(Seq("dup", "vector", "batch"), wide)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3))).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      assert(rows(Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 15))
+        == rows(Retrieval.bm25TopKIndexed(docs, "doc_id", "text", terms, k = 15)))
+    }
+  }
+
+  test("rrfFuse: hand-computed fusion with a one-sided and a two-sided doc") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // doc 1 ranks 1st lexically and 2nd semantically; doc 2 only lexical;
+    // doc 3 only semantic (1st)
+    val lex = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val sem = Seq((3L, 1L), (1L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(lex, sem, "id", "rank", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def qr(r: Long) = math.floor(1e9 / (60.0 + r)).toLong
+    val expect = Seq(
+      (1L, (qr(1) + qr(2)).toDouble / 1e9, 1L),
+      (3L, qr(1).toDouble / 1e9, 2L),
+      (2L, qr(2).toDouble / 1e9, 3L))
+    assert(out.toSeq == expect)
+  }
+
+  test("kmeansSummary: gates hold and training separates planted clusters") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    // two tight planted clusters around orthogonal axes — training must
+    // keep the partition/occupancy/monotonicity gates AND actually
+    // separate them (seeds are hash-drawn, so this exercises real moves)
+    val rows = (0 until 40).map { i =>
+      val base = Array.fill(8)(0.001 * (i % 3))
+      base(if (i % 2 == 0) 0 else 4) = 1.0
+      (i.toLong, base.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Clustering.kmeansSummary(emb, "vec_id", "embedding",
+      k = 2, iters = 4).collect()(0)
+    graft.operators.Staging.releaseAll()
+    assert(out.getLong(0) == 40L)
+    assert(out.getBoolean(1) && out.getBoolean(2) && out.getBoolean(3))
+    // the corpus fixture: gates hold there too, and repeat runs agree
+    val emb2 = t("embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = Clustering.kmeansSummary(df, "vec_id", "embedding",
+        k = 8, iters = 2).collect()(0)
+      graft.operators.Staging.releaseAll()
+      (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+    }
+    val a = run(emb2)
+    assert(a == run(emb2.repartition(5)))
+    assert(a._2 && a._3 && a._4)
+  }
+
   test("assignProfile is deterministic under repartitioning") {
     import graft.operators.Clustering
     val emb = t("embeddings")
