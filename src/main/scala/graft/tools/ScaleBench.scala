@@ -383,6 +383,25 @@ object ScaleBench {
       graft.operators.Retrieval.bm25TopK(t.documents, "doc_id", "text",
         Seq("shuffle", "plan", "batch"), k = 10)
     },
+    // the inverted-index BM25 form on a wide (30-term) lexicon — the
+    // large-q regime where the scan form's per-row term loop loses
+    "x_bm25_indexed" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val wide = ("batch part spark line column order small sort fast value " +
+        "scan hash slow group agg filter query big key window row table " +
+        "stream merge data join shuffle plan stage task").split(' ').toSeq
+      graft.operators.Retrieval.bm25TopKIndexed(t.documents, "doc_id",
+        "text", wide, k = 10)
+    },
+    // the scan form on the SAME wide lexicon (the crossover comparison)
+    "x_bm25_scan_wide" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      val wide = ("batch part spark line column order small sort fast value " +
+        "scan hash slow group agg filter query big key window row table " +
+        "stream merge data join shuffle plan stage task").split(' ').toSeq
+      graft.operators.Retrieval.bm25TopK(t.documents, "doc_id",
+        "text", wide, k = 10)
+    },
     // k-means assignment at a production-ish IVF cell count (the contract
     // key's k=8 exercises the oracle, not the kernel's O(n·k·dim) span)
     "x_cluster256" -> { (s, dir) =>
