@@ -162,6 +162,156 @@ object Retrieval {
       .orderBy("rank")
   }
 
+  /** Persisted corpus TERM-STATISTICS index — the incremental-index
+    * backbone (the dedup/ANN/gram-store pattern) applied to retrieval: a
+    * rolling crawl scores each INCOMING batch against the historical
+    * corpus's BM25 statistics (df, N, Σdl) without re-tokenizing history.
+    * This is the frozen-ranker contract a production retrieval audit
+    * runs: idf and the length normalization come from the indexed corpus
+    * as of its last append; the new batch contributes only its own tf/dl.
+    *
+    * Layout mirrors the gram index ([[CorpusCompare.buildGramIndex]]):
+    * one `terms/` store of (token, df, tl) rows — merge-on-read, each
+    * append adds one vocabulary-sized (Heaps-bounded) delta file, reads
+    * SUM per token. df is additive across disjoint batches (count of docs
+    * containing the token), so merged == monolithic by construction
+    * (oracle-proven: the contract key builds in two batches). Corpus
+    * totals ride a SENTINEL row (token = '', impossible for a real token
+    * — the tokenizer drops empties): df = doc count, tl = token total;
+    * one write job per batch, same crash posture as the gram store, and
+    * reads heal any pending compaction first (the r9 ADVICE lesson).
+    */
+  def buildTermStatsIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    IndexMaintenance.heal(docs.sparkSession, path, "terms")
+    termStats(docs, idCol, textCol).write.mode("overwrite")
+      .parquet(s"$path/terms")
+  }
+
+  /** Append one batch's term statistics (must be DISJOINT from the docs
+    * already indexed — df additivity is the merge-on-read contract).
+    */
+  def appendToTermStatsIndex(delta: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    IndexMaintenance.heal(delta.sparkSession, path, "terms")
+    termStats(delta, idCol, textCol).write.mode("append")
+      .parquet(s"$path/terms")
+  }
+
+  private def termStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // df: one row per distinct (doc, token) — vocabulary-shaped shuffle
+    // (the TextAnalysis.vocabulary regime), token payloads only
+    val dfRows = docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+      .select(col("token"), col("df"), lit(0L).as("tl"))
+    val sentinel = docs
+      .select(size(filter(toks, x => x =!= lit(""))).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long").as("df"), sum(col("dl")).as("tl"))
+      .select(lit("").as("token"), col("df"), col("tl"))
+    dfRows.unionByName(sentinel)
+  }
+
+  /** BM25-score a NEW batch against the index — the scan form's exact
+    * arithmetic ([[bm25TopK]]'s IEEE tree, quantized-long sums, same tie
+    * rule) with (N, Σdl, df) read from the store: the parquet scan is
+    * filtered to the q query tokens + the sentinel (an `In` filter pushed
+    * to the scan — q+1 of the vocabulary's rows are read), merged by one
+    * tiny aggregate, and broadcast back over the batch's map-side tf/dl
+    * frame. Per-query cost is the batch scan + a (q+1)-row index probe,
+    * independent of how large the indexed corpus has grown.
+    */
+  def scoreAgainstTermIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], path: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "scoreAgainstTermIndex needs at least one term")
+    require(terms.forall(_.nonEmpty),
+      "empty-string terms are reserved for the corpus-stats sentinel")
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = newDocs.sparkSession
+    IndexMaintenance.heal(spark, path, "terms")
+    val idx = spark.read.parquet(s"$path/terms")
+      .filter(col("token").isin(terms :+ "": _*))
+      .groupBy("token")
+      .agg(sum(col("df")).as("df"), sum(col("tl")).as("tl"))
+    val statCols = sum(when(col("token") === "", col("df"))).as("n_docs") +:
+      sum(when(col("token") === "", col("tl"))).as("t_len") +:
+      terms.indices.map(i =>
+        coalesce(sum(when(col("token") === terms(i), col("df"))), lit(0L))
+          .as(s"df_$i"))
+    val stats = idx.agg(statCols.head, statCols.tail: _*)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val tfCols = terms.indices.map { i =>
+      size(filter(toks, x => x === lit(terms(i)))).cast("long").as(s"tf_$i")
+    }
+    val base = newDocs.select(
+      (col(idCol).as("doc_id") +: tfCols :+
+        size(filter(toks, x => x =!= lit(""))).cast("long").as("dl")): _*)
+    def contrib(i: Int): Column = {
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val n = col("n_docs").cast("double")
+      val dl = col("dl").cast("double")
+      val tLen = col("t_len").cast("double")
+      val idf = (n - df + lit(0.5)) / (df + lit(0.5))
+      val sat = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl * n / tLen)))
+      floor(idf * sat * lit(1e9d)).cast("long")
+    }
+    val su = terms.indices.map(contrib).reduce(_ + _)
+    val top = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), su.as("su"))
+      .orderBy(col("su").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("su").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("dl"),
+        (col("su").cast("double") / lit(1e9d)).as("score"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** Ranking-quality evaluation — MRR and precision@n of a ranked list
+    * against a relevance set (Voorhees 1999, the TREC reciprocal-rank
+    * measure): the audit step that closes the retrieval loop (is the
+    * decontamination ranker actually surfacing the contaminated docs?
+    * did the hybrid fusion beat either ranker alone?). One row out:
+    *
+    *   n_ranked, n_relevant, hits@n, precision@n (quantized),
+    *   mrr (floor(1e9/first_hit_rank)/1e9 — exactly one IEEE division,
+    *   0.0 when no relevant doc is ranked)
+    *
+    * `ranked` is a bounded top-k list (rank column dense from 1);
+    * `relevant` is any frame of relevant ids — at corpus scale it joins
+    * as a semi-join against the BOUNDED ranked list, so evaluation cost
+    * is the relevance scan, never a corpus shuffle.
+    */
+  def evalRanking(ranked: DataFrame, relevant: DataFrame, idCol: String,
+      rankCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val rel = relevant.select(col(idCol).as("id")).distinct()
+    val r = ranked.select(col(idCol).as("id"), col(rankCol).as("rank"))
+    val hits = r.join(rel, Seq("id"), "left_semi")
+    val nRanked = r.agg(count(lit(1)).as("n_ranked"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    val hitAgg = hits.agg(
+      sum(when(col("rank") <= n, 1L).otherwise(0L)).as("hits_at_n"),
+      min(col("rank")).as("first_hit"))
+    broadcast(nRanked).crossJoin(broadcast(nRel))
+      .crossJoin(broadcast(hitAgg))
+      .select(col("n_ranked"), col("n_relevant"),
+        coalesce(col("hits_at_n"), lit(0L)).as("hits_at_n"),
+        (floor(coalesce(col("hits_at_n"), lit(0L)).cast("double")
+          / lit(n.toDouble) * lit(1e9d)).cast("long").cast("double")
+          / lit(1e9d)).as("precision_at_n"),
+        (coalesce(floor(lit(1e9d) / col("first_hit").cast("double"))
+          .cast("long"), lit(0L)).cast("double") / lit(1e9d)).as("mrr"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009, "Reciprocal Rank Fusion
     * outperforms Condorcet and individual Rank Learning Methods") of two
     * BOUNDED ranked lists — the standard hybrid-retrieval combiner for a

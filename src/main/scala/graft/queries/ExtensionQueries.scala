@@ -387,6 +387,41 @@ object ExtensionQueries extends QueryModule {
         Seq("dup", "vector", "batch"), k = 10)
     },
 
+    // FROZEN-RANKER BM25 against the persisted term-stats index: new
+    // docs (doc_id % 4 == 0) score with the HISTORICAL corpus's df/N/Σdl
+    // (doc_id % 4 != 0), built in TWO batches so the merge-on-read sum
+    // is under the full hash — the incremental-index backbone applied to
+    // retrieval.
+    "q_bm25_incremental" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val hist = docs.filter(col("doc_id") % 4 =!= 0)
+      val work = SessionScratch.cached("bm25idx", dir) { p =>
+        graft.operators.Retrieval.buildTermStatsIndex(
+          hist.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+        graft.operators.Retrieval.appendToTermStatsIndex(
+          hist.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+      }
+      graft.operators.Retrieval.scoreAgainstTermIndex(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+        Seq("dup", "vector", "batch"), work, k = 10)
+    },
+
+    // RANKING-quality evaluation closing the retrieval loop: MRR +
+    // precision@10 of the BM25 top-20 against the docs that actually
+    // contain the rare term 'dup' — the audit a decontamination ranker
+    // gets before anyone trusts its keep/drop lists.
+    "q_retrieval_eval" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val ranked = graft.operators.Retrieval.bm25TopK(t.documents,
+        "doc_id", "text", Seq("dup", "vector", "batch"), k = 20)
+      val relevant = t.documents
+        .filter(array_contains(TextAnalysis.tokens(col("text")), "dup"))
+        .select("doc_id")
+      graft.operators.Retrieval.evalRanking(ranked, relevant,
+        "doc_id", "rank", n = 10)
+    },
+
     // HYBRID retrieval: reciprocal-rank fusion (Cormack 2009, c=60) of
     // the BM25 top-60 and the embedding-kNN top-60 around doc/vec 0 —
     // the lexical+semantic combiner a decontamination audit actually
@@ -1099,6 +1134,122 @@ object ExtensionQueries extends QueryModule {
              CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
              CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
            FROM base),
+         scored AS (
+           SELECT doc_id, dl,
+             CAST(floor((n_docs - df_0 + 0.5) / (df_0 + 0.5)
+               * (CAST(tf_0 AS DOUBLE) * 2.2 / (CAST(tf_0 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT)
+             + CAST(floor((n_docs - df_1 + 0.5) / (df_1 + 0.5)
+               * (CAST(tf_1 AS DOUBLE) * 2.2 / (CAST(tf_1 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT)
+             + CAST(floor((n_docs - df_2 + 0.5) / (df_2 + 0.5)
+               * (CAST(tf_2 AS DOUBLE) * 2.2 / (CAST(tf_2 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT) AS su
+           FROM base CROSS JOIN stats),
+         top AS (
+           SELECT doc_id, dl, su,
+             row_number() OVER (ORDER BY su DESC, doc_id) AS "rank"
+           FROM scored)
+         SELECT doc_id, dl, CAST(su AS DOUBLE) / 1e9 AS score,
+           CAST("rank" AS BIGINT) AS "rank"
+         FROM top WHERE "rank" <= 10 ORDER BY "rank"""",
+    // the BM25 k=20 chain + list_contains relevance + the quantized
+    // MRR / precision@10 arithmetic
+    "q_retrieval_eval" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'dup')) AS BIGINT) AS tf_0,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'vector')) AS BIGINT) AS tf_1,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'batch')) AS BIGINT) AS tf_2,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) AS t_len,
+             CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+             CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+             CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+           FROM base),
+         bmscored AS (
+           SELECT doc_id,
+             CAST(floor((n_docs - df_0 + 0.5) / (df_0 + 0.5)
+               * (CAST(tf_0 AS DOUBLE) * 2.2 / (CAST(tf_0 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT)
+             + CAST(floor((n_docs - df_1 + 0.5) / (df_1 + 0.5)
+               * (CAST(tf_1 AS DOUBLE) * 2.2 / (CAST(tf_1 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT)
+             + CAST(floor((n_docs - df_2 + 0.5) / (df_2 + 0.5)
+               * (CAST(tf_2 AS DOUBLE) * 2.2 / (CAST(tf_2 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT) AS su
+           FROM base CROSS JOIN stats),
+         ranked AS (
+           SELECT id, r FROM (
+             SELECT doc_id AS id,
+               row_number() OVER (ORDER BY su DESC, doc_id) AS r
+             FROM bmscored) WHERE r <= 20),
+         rel AS (
+           SELECT DISTINCT doc_id AS id FROM documents
+           WHERE list_contains(
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> ''), 'dup')),
+         hits AS (
+           SELECT r FROM ranked WHERE id IN (SELECT id FROM rel)),
+         agg AS (
+           SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM ranked) AS n_ranked,
+             (SELECT CAST(count(*) AS BIGINT) FROM rel) AS n_relevant,
+             (SELECT sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END) FROM hits) AS h,
+             (SELECT min(r) FROM hits) AS first_hit)
+         SELECT n_ranked, n_relevant,
+           CAST(COALESCE(h, 0) AS BIGINT) AS hits_at_n,
+           CAST(CAST(floor(CAST(COALESCE(h, 0) AS DOUBLE) / 10.0 * 1e9)
+             AS BIGINT) AS DOUBLE) / 1e9 AS precision_at_n,
+           CAST(COALESCE(CAST(floor(1e9 / CAST(first_hit AS DOUBLE))
+             AS BIGINT), 0) AS DOUBLE) / 1e9 AS mrr
+         FROM agg""",
+    // frozen-ranker replay: stats (N, Σdl, per-term df as distinct-doc
+    // counts) from the historical slice, tf/dl from the new slice, the
+    // q_bm25 IEEE tree otherwise
+    "q_bm25_incremental" ->
+      """WITH hist AS (
+           SELECT
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS dl,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'dup')) AS h0,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'vector')) AS h1,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'batch')) AS h2
+           FROM documents WHERE doc_id % 4 <> 0),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) AS t_len,
+             CAST(sum(CASE WHEN h0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+             CAST(sum(CASE WHEN h1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+             CAST(sum(CASE WHEN h2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+           FROM hist),
+         base AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'dup')) AS BIGINT) AS tf_0,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'vector')) AS BIGINT) AS tf_1,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'batch')) AS BIGINT) AS tf_2,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS BIGINT) AS dl
+           FROM documents WHERE doc_id % 4 = 0),
          scored AS (
            SELECT doc_id, dl,
              CAST(floor((n_docs - df_0 + 0.5) / (df_0 + 0.5)

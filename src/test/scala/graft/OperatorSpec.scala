@@ -1898,6 +1898,61 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("term-stats index: hand-computed frozen-ranker scores; append == build") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val work = java.nio.file.Files.createTempDirectory("graft_tsi_").toString
+    try {
+      // history: 'x' in 1 of 2 docs, Σdl = 6, N = 2 → idf = 1.0, avgdl = 3
+      val hist = Seq((1L, "x y x z"), (2L, "y z")).toDF("doc_id", "text")
+      // new batch: doc 10 has tf=1 in dl=2; doc 11 none
+      val fresh = Seq((10L, "x w"), (11L, "w w w")).toDF("doc_id", "text")
+      Retrieval.buildTermStatsIndex(hist, "doc_id", "text", s"$work/a")
+      val rows = Retrieval.scoreAgainstTermIndex(fresh, "doc_id", "text",
+        Seq("x"), s"$work/a", k = 2).collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 11L))
+      val expected = math.floor(1.0 * (1 * 2.2 / (1 + 1.2 *
+        (0.25 + 0.75 * (2.0 * 2.0 / 6.0)))) * 1e9) / 1e9
+      assert(rows(0).getDouble(2) == expected)
+      assert(rows(1).getDouble(2) == 0.0)
+      // two-batch append merges to the same statistics as one build
+      Retrieval.buildTermStatsIndex(hist.filter($"doc_id" === 1L),
+        "doc_id", "text", s"$work/b")
+      Retrieval.appendToTermStatsIndex(hist.filter($"doc_id" === 2L),
+        "doc_id", "text", s"$work/b")
+      val viaAppend = Retrieval.scoreAgainstTermIndex(fresh, "doc_id",
+        "text", Seq("x"), s"$work/b", k = 2).collect()
+      assert(viaAppend.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+        rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+      // empty-string query terms are reserved for the sentinel
+      intercept[IllegalArgumentException] {
+        Retrieval.scoreAgainstTermIndex(fresh, "doc_id", "text",
+          Seq("x", ""), s"$work/a", k = 1)
+      }
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  test("evalRanking: hand-computed MRR and precision, hit and no-hit cases") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val ranked = Seq((7L, 1L), (2L, 2L), (5L, 3L)).toDF("id", "rank")
+    val rel = Seq(Tuple1(2L), Tuple1(99L)).toDF("id")
+    val r = Retrieval.evalRanking(ranked, rel, "id", "rank", n = 2)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+    assert(r.getDouble(3) == math.floor(1.0 / 2.0 * 1e9) / 1e9) // p@2
+    assert(r.getDouble(4) == math.floor(1e9 / 2.0) / 1e9) // first hit rank 2
+    val none = Retrieval.evalRanking(ranked,
+      Seq(Tuple1(42L)).toDF("id"), "id", "rank", n = 2).collect()(0)
+    assert(none.getLong(2) == 0L && none.getDouble(3) == 0.0
+      && none.getDouble(4) == 0.0)
+  }
+
   test("rrfFuse: hand-computed fusion with a one-sided and a two-sided doc") {
     import spark.implicits._
     import graft.operators.Retrieval
