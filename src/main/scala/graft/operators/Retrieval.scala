@@ -216,6 +216,24 @@ object Retrieval {
     dfRows.unionByName(sentinel)
   }
 
+  /** Fold accumulated append deltas into one summed store — the
+    * small-files countermeasure, same write-ahead-marker swap as every
+    * other index ([[IndexMaintenance.swapCompacted]]; readers heal any
+    * crash state). Sums are per token, so the folded store is
+    * bit-identical to merge-on-read by construction.
+    */
+  def compactTermStatsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    // heal BEFORE the read: the parquet file index snapshots at plan time
+    IndexMaintenance.heal(spark, path, "terms")
+    val folded = spark.read.parquet(s"$path/terms")
+      .groupBy("token")
+      .agg(sum(col("df")).as("df"), sum(col("tl")).as("tl"))
+    IndexMaintenance.swapCompacted(spark, path, "terms") { staged =>
+      folded.write.mode("overwrite").parquet(staged)
+    }
+  }
+
   /** BM25-score a NEW batch against the index — the scan form's exact
     * arithmetic ([[bm25TopK]]'s IEEE tree, quantized-long sums, same tie
     * rule) with (N, Σdl, df) read from the store: the parquet scan is

@@ -1929,6 +1929,23 @@ class OperatorSpec extends AnyFunSuite {
         Retrieval.scoreAgainstTermIndex(fresh, "doc_id", "text",
           Seq("x", ""), s"$work/a", k = 1)
       }
+      // compaction folds deltas bit-identically and heals a crash state
+      Retrieval.compactTermStatsIndex(spark, s"$work/b")
+      val afterCompact = Retrieval.scoreAgainstTermIndex(fresh, "doc_id",
+        "text", Seq("x"), s"$work/b", k = 2).collect()
+      assert(afterCompact.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+        rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+      // plant the worst crash state (published marker + staged store from
+      // an interrupted compaction) — the next read must heal and agree
+      val stagedDir = java.nio.file.Paths.get(s"$work/b/terms.compact")
+      val marker = java.nio.file.Paths.get(s"$work/b/_compact_terms")
+      val live = java.nio.file.Paths.get(s"$work/b/terms")
+      java.nio.file.Files.move(live, stagedDir)
+      java.nio.file.Files.createFile(marker)
+      val healed = Retrieval.scoreAgainstTermIndex(fresh, "doc_id",
+        "text", Seq("x"), s"$work/b", k = 2).collect()
+      assert(healed.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+        rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
     } finally {
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
