@@ -397,4 +397,70 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count()
     assert(users == 0)
   }
+
+  test("streaming batches score against the frozen term index like static frames") {
+    // the rolling-crawl composition: a document STREAM scores per batch
+    // against the persisted historical BM25 stats (foreachBatch +
+    // scoreAgainstTermIndex) — each batch's ranking must equal scoring
+    // the same rows as a static frame, and the frozen stats must not
+    // move as batches arrive (the frozen-ranker contract)
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_tsi_").toString
+    try {
+      val hist = new Tables(spark, dir).documents
+      Retrieval.buildTermStatsIndex(hist, "doc_id", "text", s"$work/idx")
+      val batch1 = Seq((1000L, "dup batch dup"), (1001L, "vector table"))
+      val batch2 = Seq((2000L, "dup"), (2001L, "window window window"))
+      val now = System.currentTimeMillis()
+      new java.io.File(s"$work/in").mkdirs()
+      Seq(batch1, batch2).zipWithIndex.foreach { case (b, i) =>
+        // single FLAT part file with controlled mtime (FileStreamSource
+        // lists leaf files and drains by mtime — the TESTDATA gotcha)
+        val tmp = s"$work/tmp_$i"
+        b.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$work/in/f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        assert(dest.setLastModified(now - 60000 + i * 1000))
+      }
+      val got = scala.collection.mutable.Map.empty[Long, Seq[(Long, Double)]]
+      val q = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$work/in")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val scored = Retrieval.scoreAgainstTermIndex(df, "doc_id",
+            "text", Seq("dup", "vector", "batch"), s"$work/idx", k = 10)
+            .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+          got.synchronized { got(id) = scored }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination(120000)
+      graft.operators.Staging.releaseAll()
+      assert(got.size == 2, s"expected 2 batches, got ${got.keySet}")
+      // each streamed batch == the static scoring of the same rows
+      val allStatic = Seq(batch1, batch2).map { b =>
+        val r = Retrieval.scoreAgainstTermIndex(b.toDF("doc_id", "text"),
+          "doc_id", "text", Seq("dup", "vector", "batch"), s"$work/idx",
+          k = 10).collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      // batch→file order under maxFilesPerTrigger=1 follows mtime; match
+      // by content (the id set), then require exact score equality
+      assert(got.values.toSet == allStatic.toSet,
+        s"streamed $got vs static $allStatic")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
 }
