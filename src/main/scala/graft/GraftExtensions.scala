@@ -47,5 +47,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfkc_normalize"),
       info("nfkc_normalize", "nfkc_normalize(text) - Unicode NFKC compatibility composition"),
       (args: Seq[Expression]) => UnicodeNormalize(args.head, "NFKC")))
+    // shape-arg kernels (the temp-function registry's remaining entries,
+    // mirrored here so pure-SQL sessions get the FULL native kit): shape
+    // args must be foldable literals, evaluated once at bind time
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_sigs"),
+      info("hyperplane_sigs",
+        "hyperplane_sigs(vec, dim, numPlanes, numTables, seed) - per-table LSH signature array"),
+      (args: Seq[Expression]) => graft.functions.HyperplaneSigs(args(0),
+        args(1).eval().asInstanceOf[Int],
+        args(2).eval().asInstanceOf[Int],
+        args(3).eval().asInstanceOf[Int],
+        args(4).eval().asInstanceOf[Long])))
+    e.injectFunction((
+      FunctionIdentifier("centroid_top_cells"),
+      info("centroid_top_cells",
+        "centroid_top_cells(vec, flatCentroids, dim, r) - top-r nearest-centroid cell ids"),
+      (args: Seq[Expression]) => graft.functions.CentroidTopCells(args(0),
+        args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        args(2).eval().asInstanceOf[Int],
+        args(3).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("centroid_top_cells_nested"),
+      info("centroid_top_cells_nested",
+        "centroid_top_cells_nested(vec, groups, cells, offsets, ids, dim, probes, r) - two-level top-r cells"),
+      (args: Seq[Expression]) => graft.functions.CentroidTopCellsNested(args(0),
+        args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        args(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        args(3).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray(),
+        args(4).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray(),
+        args(5).eval().asInstanceOf[Int],
+        args(6).eval().asInstanceOf[Int],
+        args(7).eval().asInstanceOf[Int])))
   }
 }

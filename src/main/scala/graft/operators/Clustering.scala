@@ -86,6 +86,22 @@ object Clustering {
       .orderBy("cluster")
   }
 
+  /** Per-vector nearest-centroid assignment with CALLER-SUPPLIED
+    * centroids — the raw (id, cell) frame [[assignProfile]] aggregates,
+    * for pipelines that carry the cluster id downstream (per-cluster
+    * sampling rates, stratified splits). `cell` is the 1-based index into
+    * `centroids`, ties to the lower index (the kernel contract). One
+    * map-side kernel pass; no shuffle.
+    */
+  def assignments(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assignments needs at least one centroid")
+    graft.functions.VectorFunctions.ensureRegistered(emb.sparkSession)
+    emb.select(col(idCol).as("id"),
+      element_at(Similarity.topCellsCol(centroids, r = 1)(
+        col(vecCol).cast("array<double>")), 1).as("cell"))
+  }
+
   /** Full spherical-k-means TRAINING (Lloyd), exposed as a one-row
     * gated summary — the public face of the quantizer training every
     * IVF/SemDeDup path runs internally ([[Similarity.trainCentroids]]:

@@ -116,4 +116,27 @@ class FunctionSpec extends AnyFunSuite {
       case other => fail(s"unexpected: $other")
     }
   }
+
+  test("injected kernels resolve in a FRESH session via pure SQL") {
+    // spark.newSession() drops temp-function registrations but keeps the
+    // GraftExtensions injections — this pins that a pure-SQL user gets the
+    // full native kit (the shape-arg kernels included), not just the
+    // operators' temp-registered path
+    val spark = SparkTestSession.get
+    val fresh = spark.newSession()
+    assert(fresh.sql(
+      "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0) == 11.0)
+    // 2 centroids in dim 2: vec (1,0) is nearer cell 1
+    assert(fresh.sql(
+      """SELECT element_at(centroid_top_cells(array(1.0d, 0.0d),
+        |  array(1.0d, 0.0d, 0.0d, 1.0d), 2, 1), 1) AS cell""".stripMargin)
+      .collect()(0).getInt(0) == 1)
+    val sigs = fresh.sql(
+      "SELECT hyperplane_sigs(array(1.0d, 0.0d), 2, 4, 2, 42L) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sigs.length == 2)
+    assert(fresh.sql("SELECT nfc_normalize('café') AS t")
+      .collect()(0).getString(0) == "café")
+  }
 }
