@@ -118,6 +118,32 @@ object CorpusCompare {
   def driftSummary(a: DataFrame, b: DataFrame, text: Column): DataFrame =
     summarize(driftFrame(a, b, text))
 
+  /** QUALITY-distribution drift — the third leg of the monitoring triad
+    * (content grams, embedding geometry, and now the quality signal a
+    * filtering pipeline actually thresholds on): bucket
+    * [[TextAnalysis.qualityScore]] into `bins` fixed-width bins
+    * (floor(q·bins) — one exact IEEE multiply both engines agree on,
+    * since the score itself is the oracle-replayed datacard arithmetic)
+    * and run the shared quantized TVD/triangular summary over the two
+    * bucket histograms. Catches what gram drift can't see directly: a
+    * scraper change that shortens documents or strips punctuation moves
+    * the SCORE distribution even when the vocabulary barely shifts —
+    * i.e. tomorrow's keep-rate under today's threshold changes.
+    *
+    * Scale shape: per-corpus cost is one map-side score + one ≤(bins+1)-
+    * row partial aggregate; the drift join is bins-sized. Nothing
+    * corpus-sized shuffles.
+    */
+  def qualityDrift(a: DataFrame, b: DataFrame, text: Column,
+      bins: Int = 20): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    def counts(df: DataFrame, n: String) = df
+      .select(floor(TextAnalysis.qualityScore(text) * lit(bins.toDouble))
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(n))
+    summarize(driftJoin(counts(a, "n_a"), counts(b, "n_b"), "bucket"))
+  }
+
   /** Sign-pattern bucket of an embedding: bit i set iff vec[i] ≥ 0 over
     * the first `dims` dimensions — the axis-aligned instance of
     * sign-random-projection hashing (Charikar 2002; SimHash with identity

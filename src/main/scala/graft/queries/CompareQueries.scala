@@ -48,6 +48,19 @@ object CompareQueries extends QueryModule {
         col("text"))
     },
 
+    // QUALITY-distribution drift: the odd-id slice replays as a degraded
+    // "next crawl" (texts truncated to 100 chars — the scraper-change
+    // failure mode), so the score histogram shifts while the vocabulary
+    // barely moves. Buckets = floor(score·20); shared TVD/tri summary.
+    "q_drift_quality" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      CorpusCompare.qualityDrift(
+        t.documents.filter(col("doc_id") % 2 === 0),
+        t.documents.filter(col("doc_id") % 2 === 1)
+          .withColumn("text", substring(col("text"), 1, 100)),
+        col("text"))
+    },
+
     // Content overlap between the current corpus and a synthetic "next
     // crawl" (every 3rd document re-crawled byte-identical; every 5th
     // re-crawled with an edit, so its content digest moves; every 7th —
@@ -254,7 +267,55 @@ object CompareQueries extends QueryModule {
 
   private val driftJoined = driftJoinedSql("lang = 'en'", "lang = 'de'")
 
+  /** The any-language stopword IN-list (the PipelineQueries replay). */
+  private val stopInList: String =
+    graft.operators.TextAnalysis.markers.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+
   def oracleSql: Map[String, String] = Map(
+
+    // the proven datacard quality arithmetic per (possibly truncated)
+    // doc, bucketed floor(q·20), through the shared drift join/summary
+    "q_drift_quality" ->
+      s"""WITH d AS (
+           SELECT doc_id % 2 AS side,
+             CASE WHEN doc_id % 2 = 1 THEN substr(text, 1, 100)
+                  ELSE text END AS text
+           FROM documents),
+         t AS (
+           SELECT side, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+           FROM d),
+         s AS (
+           SELECT side, CAST(floor((
+             least(CAST(length(text) AS DOUBLE) / 500, 1.0) * 0.4
+             + (CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1)) * 0.4
+             + (CASE WHEN (CAST(len(list_filter(toks, t -> t IN $stopInList)) AS DOUBLE)
+                           / greatest(len(toks), 1)) > 0.02
+                     THEN 1.0
+                     ELSE (CAST(len(list_filter(toks, t -> t IN $stopInList)) AS DOUBLE)
+                           / greatest(len(toks), 1)) * 50 END) * 0.2
+           ) * 20.0) AS BIGINT) AS bucket FROM t),
+         ca AS (SELECT bucket, count(*) AS n_a FROM s WHERE side = 0 GROUP BY bucket),
+         cb AS (SELECT bucket, count(*) AS n_b FROM s WHERE side = 1 GROUP BY bucket),
+         ta AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta FROM ca),
+         tb AS (SELECT CAST(sum(n_b) AS BIGINT) AS tb FROM cb),
+         j AS (
+           SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+             coalesce(ca.n_a, 0) AS n_a, coalesce(cb.n_b, 0) AS n_b
+           FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+         q AS (
+           SELECT bucket, n_a, n_b,
+             CAST(floor(abs(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+               * 1e9) AS BIGINT) AS drift_q,
+             CAST(floor(
+               (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+               * (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+               / (CAST(n_a AS DOUBLE) / ta + CAST(n_b AS DOUBLE) / tb)
+               * 1e9) AS BIGINT) AS tri_q
+           FROM j CROSS JOIN ta CROSS JOIN tb)
+         $summarySelect""",
 
     "q_drift" ->
       s"""$driftJoined

@@ -39,6 +39,26 @@ class CorpusCompareSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("tri") - 2.0) < 1e-6)
   }
 
+  test("qualityDrift: zero on identity; truncation shifts the score histogram") {
+    val same = CorpusCompare.qualityDrift(docs, docs, col("text")).head()
+    assert(same.getAs[Double]("tvd") == 0.0)
+    assert(same.getAs[Double]("tri") == 0.0)
+    // the scraper-change failure mode: truncated texts lose length score,
+    // so the bucket mass moves even though the vocabulary barely does
+    import org.apache.spark.sql.functions.substring
+    val truncated = docs.withColumn("text", substring(col("text"), 1, 60))
+    val moved = CorpusCompare.qualityDrift(docs, truncated, col("text")).head()
+    assert(moved.getAs[Double]("tvd") > 0.1,
+      s"truncation should shift the histogram, tvd=${moved.getAs[Double]("tvd")}")
+    // bins clamp: a one-bucket comparison still answers
+    val one = CorpusCompare.qualityDrift(docs, truncated, col("text"),
+      bins = 1).head()
+    assert(one.getAs[Long]("n_types_a") >= 1L)
+    intercept[IllegalArgumentException] {
+      CorpusCompare.qualityDrift(docs, docs, col("text"), bins = 0)
+    }
+  }
+
   test("driftByGram en-vs-de surfaces language marker words first") {
     val top = CorpusCompare.driftByGram(
       docs.filter(col("lang") === "en"), docs.filter(col("lang") === "de"),
