@@ -409,6 +409,21 @@ object ScaleBench {
       graft.operators.Clustering.assignProfile(
         t.embeddings, "vec_id", "embedding", k = 256)
     },
+    // full Lloyd training + the two objective passes at a realistic
+    // coarse-quantizer size (the q_cluster_train gate runs k=16 at sf0.01)
+    "x_kmeans64" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Clustering.kmeansSummary(
+        t.embeddings, "vec_id", "embedding", k = 64, iters = 3)
+    },
+    // quality-distribution drift between the even/odd doc slices
+    "x_drift_quality" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.CorpusCompare.qualityDrift(
+        t.documents.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        t.documents.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+        org.apache.spark.sql.functions.col("text"))
+    },
     // trigram LM scoring (two backoff hops) + its trigram-table cutoff
     "x_lm_score3" -> { (s, dir) =>
       val t = new graft.model.Tables(s, dir)
