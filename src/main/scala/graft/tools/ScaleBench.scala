@@ -409,6 +409,27 @@ object ScaleBench {
       graft.operators.Clustering.assignProfile(
         t.embeddings, "vec_id", "embedding", k = 256)
     },
+    // frozen-ranker scoring: the term-stats index is the STANDING input
+    // (built once per data dir, like the incremental-dedup keys), the
+    // timed work is scoring a FIXED 5k-doc batch — across fixture tiers
+    // this measures the claim that per-batch cost is independent of how
+    // large the indexed corpus is
+    "x_bm25_frozen" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, concat_ws, lit}
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_xtsi_" +
+        Integer.toHexString(dir.hashCode)
+      if (!new java.io.File(s"$idx/terms").exists()) {
+        scratchDirs.add(idx)
+        val t = new graft.model.Tables(s, dir)
+        graft.operators.Retrieval.buildTermStatsIndex(
+          t.documents, "doc_id", "text", idx)
+      }
+      val batch = s.range(5000).toDF("doc_id")
+        .withColumn("text", concat_ws(" ", lit("shuffle plan"),
+          (col("doc_id") % 97).cast("string"), lit("batch scan table")))
+      graft.operators.Retrieval.scoreAgainstTermIndex(batch, "doc_id",
+        "text", Seq("shuffle", "plan", "batch"), idx, k = 10)
+    },
     // full Lloyd training + the two objective passes at a realistic
     // coarse-quantizer size (the q_cluster_train gate runs k=16 at sf0.01)
     "x_kmeans64" -> { (s, dir) =>
