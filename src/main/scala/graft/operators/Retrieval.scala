@@ -49,6 +49,28 @@ import graft.operators.Staging.Stageable
   */
 object Retrieval {
 
+  /** The scoring contract is stated over DISTINCT terms: the scan form
+    * counts a duplicated term twice while the tf-grouped forms count it
+    * once, so duplicates would silently break the row-for-row equality
+    * every differential here pins. Callers pass a set.
+    */
+  private def requireDistinctTerms(name: String, terms: Seq[String]): Unit =
+    require(terms.distinct.size == terms.size,
+      s"$name terms must be distinct (the scan and inverted forms count " +
+        s"a duplicated term differently); got $terms")
+
+  /** Length-normalization factor dl·N/Σdl with the DEGENERATE-corpus rule
+    * made explicit: an all-empty-text corpus has Σdl = 0 (and then every
+    * tf is 0 too), and 0/0 would turn scores into NaN-then-null rows; the
+    * guard pins the factor to 0 there, so every document scores exactly
+    * 0.0 and the ranking degrades to ascending id — a documented zero-
+    * score rule instead of silent nulls. On any real corpus (Σdl > 0) the
+    * branch is identical to the raw division, so oracle mirrors of the
+    * plain expression still hash-match.
+    */
+  private def lengthNorm(dl: Column, n: Column, tLen: Column): Column =
+    when(tLen > 0d, dl * n / tLen).otherwise(lit(0d))
+
   /** Top-k documents by BM25 over `terms`. Output:
     * (doc_id, dl, score, rank) ordered by rank; `score` is the quantized
     * sum replayed to a double (su / 1e9), `rank` dense from 1 with ties
@@ -61,6 +83,7 @@ object Retrieval {
     require(terms.size <= 64,
       s"bm25TopK is a per-row term scan — ${terms.size} terms would " +
         "better run as a join against an inverted index")
+    requireDistinctTerms("bm25TopK", terms)
     require(k >= 1, s"k must be positive, got $k")
     val toks = TextAnalysis.tokens(col(textCol))
     val tfCols = terms.indices.map { i =>
@@ -85,7 +108,7 @@ object Retrieval {
       val tLen = col("t_len").cast("double")
       val idf = (n - df + lit(0.5)) / (df + lit(0.5))
       val sat = tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl * n / tLen)))
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * lengthNorm(dl, n, tLen)))
       floor(idf * sat * lit(1e9d)).cast("long")
     }
     val su = terms.indices.map(contrib).reduce(_ + _)
@@ -119,6 +142,7 @@ object Retrieval {
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopKIndexed needs at least one query term")
+    requireDistinctTerms("bm25TopKIndexed", terms)
     require(k >= 1, s"k must be positive, got $k")
     val toks = TextAnalysis.tokens(col(textCol))
     // one row per doc (id, dl), staged: feeds corpus stats AND the final
@@ -145,7 +169,7 @@ object Retrieval {
     val tLen = col("t_len").cast("double")
     val idf = (n - dfD + lit(0.5)) / (dfD + lit(0.5))
     val sat = tfD * lit(k1 + 1.0) /
-      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD * n / tLen)))
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * lengthNorm(dlD, n, tLen)))
     val perDoc = scored
       .withColumn("q", floor(idf * sat * lit(1e9d)).cast("long"))
       .groupBy("doc_id").agg(sum(col("q")).as("su"))
@@ -201,12 +225,18 @@ object Retrieval {
   private def termStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    // df: one row per distinct (doc, token) — vocabulary-shaped shuffle
-    // (the TextAnalysis.vocabulary regime), token payloads only
+    // df: per-doc tokens dedup MAP-SIDE (array_distinct — within-doc
+    // repeats never leave the row), then the token count partial-aggs, so
+    // the exchange carries each task's LOCAL vocabulary (Heaps-bounded),
+    // not one row per distinct (doc, token) pair. The previous
+    // distinct()-then-count plan shuffled the full (doc, token) pair set —
+    // exactly the saturated-vocabulary regime this round's skew ladder
+    // measured at 2.5× wall (SCALE.md r10 satC) — because distinct's
+    // partial aggregate can't collapse across docs. df stays EXACT (the
+    // merge-on-read additivity contract requires it).
     val dfRows = docs
-      .select(col(idCol).as("doc_id"), explode(toks).as("token"))
-      .filter(col("token") =!= "")
-      .distinct()
+      .select(explode(array_distinct(filter(toks, x => x =!= lit(""))))
+        .as("token"))
       .groupBy("token").agg(count(lit(1)).cast("long").as("df"))
       .select(col("token"), col("df"), lit(0L).as("tl"))
     val sentinel = docs
@@ -249,9 +279,19 @@ object Retrieval {
     require(terms.nonEmpty, "scoreAgainstTermIndex needs at least one term")
     require(terms.forall(_.nonEmpty),
       "empty-string terms are reserved for the corpus-stats sentinel")
+    requireDistinctTerms("scoreAgainstTermIndex", terms)
     require(k >= 1, s"k must be positive, got $k")
     val spark = newDocs.sparkSession
     IndexMaintenance.heal(spark, path, "terms")
+    // fail fast on a pathological store: a missing or zero sentinel would
+    // otherwise flow null/NaN corpus stats into every score row. The probe
+    // is a pushed token='' filter — one row group, one tiny job.
+    val sent = spark.read.parquet(s"$path/terms")
+      .filter(col("token") === "")
+      .agg(sum(col("df")).as("n"), sum(col("tl")).as("tl")).collect()(0)
+    require(!sent.isNullAt(0) && sent.getLong(0) > 0L && sent.getLong(1) > 0L,
+      s"term-stats index at $path has no usable corpus sentinel " +
+        "(empty index, or an all-empty-text corpus was indexed)")
     val idx = spark.read.parquet(s"$path/terms")
       .filter(col("token").isin(terms :+ "": _*))
       .groupBy("token")
@@ -277,7 +317,7 @@ object Retrieval {
       val tLen = col("t_len").cast("double")
       val idf = (n - df + lit(0.5)) / (df + lit(0.5))
       val sat = tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl * n / tLen)))
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * lengthNorm(dl, n, tLen)))
       floor(idf * sat * lit(1e9d)).cast("long")
     }
     val su = terms.indices.map(contrib).reduce(_ + _)
@@ -328,6 +368,265 @@ object Retrieval {
           / lit(1e9d)).as("precision_at_n"),
         (coalesce(floor(lit(1e9d) / col("first_hit").cast("double"))
           .cast("long"), lit(0L)).cast("double") / lit(1e9d)).as("mrr"))
+  }
+
+  /** Persisted POSTINGS index — the structure that removes the last
+    * O(corpus) cost from the retrieval loop: where the term-stats store
+    * ([[buildTermStatsIndex]]) answers "score a NEW batch under frozen
+    * idf", the postings store answers "top-k documents IN the indexed
+    * corpus for query q" without re-scanning or re-tokenizing the corpus
+    * — the query a curation/decontamination audit repeats hundreds of
+    * times against the same frozen snapshot.
+    *
+    * Two stores, the established incremental-index lifecycle
+    * (merge-on-read appends, [[IndexMaintenance.swapCompacted]] crash-safe
+    * compaction, readers heal first):
+    *
+    *   - `postings/`: one row per (token, doc_id) with its tf and the
+    *     doc's dl — dl DENORMALIZED onto the posting row so scoring a
+    *     candidate never joins a per-doc side table (the per-posting cost
+    *     is 8 extra bytes; the alternative is an O(N)-row dl store scan
+    *     per query). Written token-clustered and (token, doc_id)-sorted,
+    *     so a query's `In(token, …)` filter prunes at the parquet
+    *     row-group level (PlanSpec pins the pushed filter).
+    *   - `ptotals/`: one (n_docs, t_len, min_id, max_id) row per appended
+    *     batch; corpus N and Σdl are the SUM over batch rows (additive for
+    *     disjoint batches), folded to one row by compaction. The id-range
+    *     columns are the batch's REPLAY IDENTITY: batches hold disjoint
+    *     doc_ids, so two legitimate batches can never produce identical
+    *     rows, while a crash-replayed append reproduces its row exactly —
+    *     readers dropDuplicates before summing and stay correct.
+    *
+    * df is NOT stored: it falls out of the query-term postings themselves
+    * (group size per token over (token, doc_id) rows — exact, and exact
+    * stays additive because disjoint batches contribute disjoint doc_ids).
+    * This is the fix the term-stats store's KDoc boundary points at: the
+    * BUILD here shuffles (token, doc_id, tf, dl) rows once — the index
+    * write — and no query ever pays a corpus-shaped aggregate again.
+    *
+    * Query cost ([[topKFromIndex]]): the q terms' postings (pushed-filter
+    * pruned scan) + a q-row df aggregate + a candidate-bound per-doc sum +
+    * TakeOrdered(k). Independent of corpus size for fixed term
+    * selectivity; grows with df(term) exactly as an inverted index should.
+    *
+    * Crash/replay posture: a re-run append can duplicate a batch's rows
+    * (the at-least-once contract every store here shares). Queries
+    * TOLERATE duplicates end to end — [[topKFromIndex]] collapses
+    * (token, doc_id) posting repeats with max(tf) and ptotals batch-row
+    * repeats with dropDuplicates on the replay identity (exact replays
+    * are identical rows in both stores) — and compaction drops them
+    * physically. Single writer at a time, like every store.
+    */
+  def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    IndexMaintenance.heal(docs.sparkSession, path, "postings")
+    IndexMaintenance.heal(docs.sparkSession, path, "ptotals")
+    val (post, tot) = postingsOf(docs, idCol, textCol)
+    post.write.mode("overwrite").parquet(s"$path/postings")
+    tot.write.mode("overwrite").parquet(s"$path/ptotals")
+  }
+
+  /** Append one batch (disjoint doc_ids from what's indexed — the same
+    * additivity contract as every merge-on-read store).
+    */
+  def appendToPostingsIndex(delta: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    IndexMaintenance.heal(delta.sparkSession, path, "postings")
+    IndexMaintenance.heal(delta.sparkSession, path, "ptotals")
+    val (post, tot) = postingsOf(delta, idCol, textCol)
+    post.write.mode("append").parquet(s"$path/postings")
+    tot.write.mode("append").parquet(s"$path/ptotals")
+  }
+
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = Staging.stage(docs.select(col(idCol).as("doc_id"),
+      filter(toks, x => x =!= lit("")).as("toks")))
+    // (token, doc_id, tf, dl): within-doc counting is map-side (explode +
+    // the doc-keyed aggregate collapses in the partial because a doc's
+    // tokens live in one row); the one exchange is the token-clustered
+    // index write itself
+    val post = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .repartition(col("token"))
+      .sortWithinPartitions("token", "doc_id")
+    val tot = base.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("t_len"),
+      min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    (post, tot)
+  }
+
+  /** Fold both stores: postings drop replayed (token, doc_id) duplicates
+    * and rewrite token-clustered at size-derived file counts; ptotals sum
+    * to one row. Same write-ahead-marker swap as every index; queries are
+    * bit-identical before and after (spec-pinned).
+    */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long = 128L << 20): Unit = {
+    IndexMaintenance.heal(spark, path, "postings")
+    IndexMaintenance.heal(spark, path, "ptotals")
+    val nFiles = IndexMaintenance.targetFileCount(spark, path, "postings",
+      targetFileBytes)
+    val folded = spark.read.parquet(s"$path/postings")
+      .dropDuplicates("token", "doc_id")
+      .repartition(nFiles, col("token"))
+      .sortWithinPartitions("token", "doc_id")
+    IndexMaintenance.swapCompacted(spark, path, "postings") { staged =>
+      folded.write.mode("overwrite").parquet(staged)
+    }
+    val tot = spark.read.parquet(s"$path/ptotals")
+      .dropDuplicates("n_docs", "t_len", "min_id", "max_id")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_len")).as("t_len"),
+        min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
+    IndexMaintenance.swapCompacted(spark, path, "ptotals") { staged =>
+      tot.write.mode("overwrite").parquet(staged)
+    }
+  }
+
+  /** Top-k documents IN the indexed corpus for `terms` — [[bm25TopK]]'s
+    * exact arithmetic (same IEEE tree, same quantized-long sum, same
+    * ascending-id tie rule) answered from the postings store alone:
+    *
+    *   1. postings scan filtered to the q terms (`In` pushed to parquet —
+    *      the token-clustered layout prunes to the terms' row groups);
+    *      replayed duplicates collapse via max(tf/dl) per (token, doc_id);
+    *   2. df per term = posting-group sizes (a q-row aggregate, broadcast);
+    *   3. N, Σdl = the ptotals sum (one ≤batches-row aggregate, broadcast);
+    *   4. per-doc quantized contribution sum over the candidate rows;
+    *   5. TakeOrdered(k) on (su desc, doc_id).
+    *
+    * EQUALITY CONTRACT vs the scan form: row-for-row equal to
+    * [[bm25TopK]](corpus, terms, k) whenever the scan form's k-th score is
+    * positive — i.e. at least k docs contain ≥1 query term (with rational
+    * idf every match contributes > 0). Documents matching NO term never
+    * appear here (they'd need the corpus scan this index exists to avoid);
+    * if fewer than k docs match, the result is shorter than k rather than
+    * padded with zero-score rows. Spec + the q_bm25_index_topk oracle pin
+    * the equality on a two-batch build.
+    */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "topKFromIndex needs at least one query term")
+    require(terms.forall(_.nonEmpty), "query terms must be non-empty strings")
+    requireDistinctTerms("topKFromIndex", terms)
+    require(k >= 1, s"k must be positive, got $k")
+    IndexMaintenance.heal(spark, path, "postings")
+    IndexMaintenance.heal(spark, path, "ptotals")
+    val tot = spark.read.parquet(s"$path/ptotals")
+      .dropDuplicates("n_docs", "t_len", "min_id", "max_id")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("t_len")).cast("long").as("t_len"))
+    // candidate postings: pushed In(token) filter; (token, doc_id) replay
+    // duplicates collapse here (exact replays are identical rows)
+    val cand = Staging.stage(spark.read.parquet(s"$path/postings")
+      .filter(col("token").isin(terms: _*))
+      .groupBy("token", "doc_id")
+      .agg(max(col("tf")).as("tf"), max(col("dl")).as("dl")))
+    val dfT = cand.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    val scored = cand.join(broadcast(dfT), "token")
+      .crossJoin(broadcast(tot))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val n = col("n_docs").cast("double")
+    val dlD = col("dl").cast("double")
+    val tLen = col("t_len").cast("double")
+    val idf = (n - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val sat = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * lengthNorm(dlD, n, tLen)))
+    val top = scored
+      .withColumn("q", floor(idf * sat * lit(1e9d)).cast("long"))
+      .groupBy("doc_id")
+      .agg(max(col("dl")).as("dl"), sum(col("q")).as("su"))
+      .orderBy(col("su").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("su").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("dl"),
+        (col("su").cast("double") / lit(1e9d)).as("score"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** MULTI-QUERY batched BM25 — a whole benchmark suite's queries scored
+    * in ONE corpus pass instead of one pass per query (the shape
+    * [[graft.operators.Decontaminate]] proves for shingles, applied to
+    * ranked retrieval). `queries` is a (query_id, term) frame — hundreds
+    * of audit queries are driver-scale by construction, so both the term
+    * set and the per-(query, term) map broadcast.
+    *
+    * Plan: the corpus explodes to (doc, token) once, filters to the UNION
+    * of all query terms map-side (broadcast semi-join — the only
+    * corpus-shaped work, shared by every query), aggregates (doc, token)
+    * tf; df per term derives from those rows; each query then joins its
+    * own terms against the shared tf frame (broadcast), sums quantized
+    * contributions per (query_id, doc_id), and takes its top-k via the
+    * per-group window top-k shape (the window runs over CANDIDATE rows —
+    * term-selectivity-bound, never the corpus).
+    *
+    * Output: (query_id, doc_id, dl, score, rank), ordered by (query_id,
+    * rank). Same per-query equality contract as [[topKFromIndex]]:
+    * row-for-row equal to a [[bm25TopK]] loop whenever each query's k-th
+    * scan-form score is positive; docs matching none of a query's terms
+    * don't appear under that query. Per-query duplicate terms in `queries`
+    * collapse (tf groups by token), matching the distinct-terms contract.
+    */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val q = Staging.stage(queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("token"))
+      .filter(col("token") =!= "").distinct())
+    val allTerms = q.select("token").distinct()
+    val toks = TextAnalysis.tokens(col(textCol))
+    // the corpus tokenizes ONCE into a staged (doc_id, tokens) frame (the
+    // LanguageModel staging rule); stats, tf, and dl all read it back
+    val base = Staging.stage(docs.select(col(idCol).as("doc_id"),
+      filter(toks, x => x =!= lit("")).as("toks")))
+    val nStats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("t_len"))
+    // dl rides the exploded rows (8 bytes per occurrence), so candidates
+    // never join a corpus-sized per-doc side table — every exchange below
+    // is term-selectivity-bound; only occurrences of SOME query's term
+    // survive the broadcast semi-join
+    val tf = Staging.stage(base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .join(broadcast(allTerms), Seq("token"), "left_semi")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl")))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    val scored = tf
+      .join(broadcast(q), "token") // fan out to the queries wanting the term
+      .join(broadcast(dfT), "token")
+      .crossJoin(broadcast(nStats))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val n = col("n_docs").cast("double")
+    val dlD = col("dl").cast("double")
+    val tLen = col("t_len").cast("double")
+    val idf = (n - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val sat = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * lengthNorm(dlD, n, tLen)))
+    val perDoc = scored
+      .withColumn("qv", floor(idf * sat * lit(1e9d)).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(max(col("dl")).as("dl"), sum(col("qv")).as("su"))
+    // per-query top-k over candidate rows only (the q_topk_group shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("su").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("dl"),
+        (col("su").cast("double") / lit(1e9d)).as("score"), col("rank"))
+      .orderBy("query_id", "rank")
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009, "Reciprocal Rank Fusion

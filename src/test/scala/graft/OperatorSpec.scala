@@ -1954,6 +1954,102 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("postings index: topKFromIndex == scan bm25TopK; replay/compact/crash-safe") {
+    import graft.operators.Retrieval
+    val docs = t("documents")
+    val terms = Seq("dup", "vector", "batch")
+    val work = java.nio.file.Files.createTempDirectory("graft_post_").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+      graft.operators.Staging.releaseAll()
+      r
+    }
+    try {
+      // two-batch build (odd then even ids) — merge-on-read additivity
+      Retrieval.buildPostingsIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", work)
+      Retrieval.appendToPostingsIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", work)
+      val scan = rows(Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 12))
+      val idx = rows(Retrieval.topKFromIndex(spark, work, terms, k = 12))
+      assert(idx == scan, "index route must equal the scan form row-for-row")
+      // REPLAYED append (the at-least-once crash contract): postings
+      // collapse on (token, doc_id), ptotals on the batch replay identity
+      Retrieval.appendToPostingsIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", work)
+      assert(rows(Retrieval.topKFromIndex(spark, work, terms, k = 12)) == scan,
+        "a replayed append must not change query results")
+      // compaction folds both stores bit-identically (and drops the replay)
+      Retrieval.compactPostingsIndex(spark, work)
+      assert(rows(Retrieval.topKFromIndex(spark, work, terms, k = 12)) == scan)
+      assert(spark.read.parquet(s"$work/ptotals").count() == 1L)
+      // worst crash state: published marker + staged store — reads heal
+      val staged = java.nio.file.Paths.get(s"$work/postings.compact")
+      val marker = java.nio.file.Paths.get(s"$work/_compact_postings")
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$work/postings"), staged)
+      java.nio.file.Files.createFile(marker)
+      assert(rows(Retrieval.topKFromIndex(spark, work, terms, k = 12)) == scan)
+      // duplicate query terms break the distinctness contract loudly
+      intercept[IllegalArgumentException] {
+        Retrieval.topKFromIndex(spark, work, Seq("dup", "dup"), k = 2)
+      }
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  test("bm25TopKBatch equals the per-query scan loop (overlapping + disjoint)") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = t("documents")
+    // qa/qb share 'vector'; qc is disjoint from both
+    val perQuery = Seq(
+      "qa" -> Seq("dup", "vector", "batch"),
+      "qb" -> Seq("vector", "table"),
+      "qc" -> Seq("scan", "row"))
+    val qFrame = perQuery.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    val batched = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+      qFrame, "query_id", "term", k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    graft.operators.Staging.releaseAll()
+    for ((q, ts) <- perQuery) {
+      val loop = Retrieval.bm25TopK(docs, "doc_id", "text", ts, k = 5)
+        .collect()
+        .map(r => (q, r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+      graft.operators.Staging.releaseAll()
+      assert(batched.filter(_._1 == q) == loop,
+        s"batched result for $q must equal its scan-form loop iteration")
+    }
+  }
+
+  test("bm25 degenerate corpus: all-empty texts score a documented zero, not null") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val empty = Seq((1L, ""), (2L, "  "), (3L, "")).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(empty, "doc_id", "text", Seq("x"), k = 3)
+      .collect()
+    graft.operators.Staging.releaseAll()
+    // Σdl = 0 → the lengthNorm guard pins every score to exactly 0.0 and
+    // the ranking degrades to ascending id — no NaN/null rows
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(r.forall(row => !row.isNullAt(2) && row.getDouble(2) == 0.0))
+    // the scan and inverted forms reject duplicated terms loudly
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(empty, "doc_id", "text", Seq("x", "x"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKIndexed(empty, "doc_id", "text", Seq("x", "x"), k = 1)
+    }
+  }
+
   test("evalRanking: hand-computed MRR and precision, hit and no-hit cases") {
     import spark.implicits._
     import graft.operators.Retrieval

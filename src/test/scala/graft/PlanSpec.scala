@@ -380,6 +380,34 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Staging.releaseAll()
   }
 
+  test("postings-index top-k pushes the In(token) filter to the parquet scan") {
+    val df = SparkEntry.queries("q_bm25_index_topk")(spark, dir)
+    df.collect() // AQE: finalize (and SessionScratch builds the store)
+    val p = df.queryExecution.executedPlan.toString
+    // the query reads the q terms' postings, not the store: the In filter
+    // reaches the scan (token-clustered files prune at row-group level)
+    assert(p.contains("PushedFilters") && p.contains("In(token"),
+      s"token In-filter not pushed to the postings scan:\n$p")
+    // and the CORPUS is nowhere in this plan — no documents.parquet scan,
+    // no tokenizer: the whole point of the index route
+    assert(!p.contains("documents.parquet"),
+      s"postings route still scans the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k did not plan as TakeOrdered:\n$p")
+    graft.operators.Staging.releaseAll()
+  }
+
+  test("batched BM25 shares one corpus pass across all queries") {
+    val df = SparkEntry.queries("q_bm25_batch")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // query-side frames (terms, per-query map, df, stats) all broadcast;
+    // the corpus never sort-merge-joins
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query frames not broadcast:\n$p")
+    graft.operators.Staging.releaseAll()
+  }
+
   test("cluster assignment is one kernel pass + a k-group aggregate") {
     val df = SparkEntry.queries("q_cluster_assign")(spark, dir)
     df.collect()
