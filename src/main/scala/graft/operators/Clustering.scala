@@ -102,6 +102,65 @@ object Clustering {
         col(vecCol).cast("array<double>")), 1).as("cell"))
   }
 
+  /** The staged normalized (n_id, n_vec) frame every training entry point
+    * shares. Callers release via [[Staging.releaseAll]] like every other
+    * staging site.
+    */
+  private def stagedVectors(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    import graft.operators.Staging.Stageable
+    Staging.widen(emb)
+      .select(col(idCol).cast("long").as("n_id"),
+        col(vecCol).cast("array<double>").as("n_vec"))
+      .stagePersist()
+  }
+
+  /** TRAIN a spherical-k-means quantizer and return the centroid MATRIX —
+    * the public face of [[Similarity.trainCentroids]] (deterministic
+    * distance-weighted seeding ≤256 cells / hash-sampled above,
+    * decimal-exact Lloyd refinement, unit-sphere normalization). This is
+    * the piece the mixture-design loop needs out in the open: train a
+    * quantizer once, then bucket any corpus with [[assignments]], audit
+    * with [[assignProfile]]-style aggregates, and stratify sampling on
+    * the cluster id ([[Sampling.mixtureSample]] over the cell column —
+    * the data-card "topic balance" step). Row index i is cell i+1, the
+    * same 1-based cell ids [[assignments]] emits.
+    *
+    * Scale shape: the seed pool collects once (hash-bounded), each Lloyd
+    * iteration is one distributed kernel-assignment pass + a ≤k-row means
+    * collect — the documented driver-coordinated regime; the matrix
+    * re-enters downstream plans as a kernel reference object, never a
+    * join side.
+    */
+  def trainCentroidMatrix(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    graft.functions.VectorFunctions.ensureRegistered(emb.sparkSession)
+    Similarity.trainCentroids(stagedVectors(emb, idCol, vecCol), k, iters)
+  }
+
+  /** The trained quantizer as a (cell, centroid) FRAME — for persisting a
+    * trained codebook next to the index stores, joining cluster metadata,
+    * or handing the matrix across a process boundary as data. `cell` is
+    * 1-based, matching [[assignments]]; `centroid` is the unit-normalized
+    * vector. k rows — driver-scale by construction.
+    */
+  def trainedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val m = trainCentroidMatrix(emb, idCol, vecCol, k, iters)
+    val spark = emb.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        m.zipWithIndex.map { case (v, i) => Row(i + 1, v.toSeq) }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+  }
+
   /** Full spherical-k-means TRAINING (Lloyd), exposed as a one-row
     * gated summary — the public face of the quantizer training every
     * IVF/SemDeDup path runs internally ([[Similarity.trainCentroids]]:
@@ -124,7 +183,13 @@ object Clustering {
     * Scale shape: training is the established driver-coordinated regime —
     * each iteration is one distributed assignment pass + one ≤k-row
     * means collect; the two objective evaluations are one map-side kernel
-    * pass + k-row broadcast + one-row aggregate each.
+    * pass + k-row broadcast + one-row aggregate each. The seed matrix is
+    * computed ONCE and threaded into the Lloyd refinement (seeding is
+    * deterministic, so the old second seeding pass was k identical
+    * distributed rounds of pure waste), and `n_vectors` comes from the
+    * seed objective pass's own count — no separate count() job, and the
+    * oracle pins it against the true corpus count, which makes the
+    * partition invariant EXTERNALLY checked rather than self-referential.
     */
   def kmeansSummary(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
@@ -132,13 +197,9 @@ object Clustering {
     require(iters >= 1, s"iters must be positive, got $iters")
     val spark = emb.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    import graft.operators.Staging.Stageable
-    val c = Staging.widen(emb)
-      .select(col(idCol).cast("long").as("n_id"),
-        col(vecCol).cast("array<double>").as("n_vec"))
-      .stagePersist()
+    val c = stagedVectors(emb, idCol, vecCol)
     val seeds = Similarity.trainCentroids(c, k, iters = 0)
-    val trained = Similarity.trainCentroids(c, k, iters)
+    val trained = Similarity.trainCentroids(c, k, iters, seeds = seeds)
     // quantized objective + occupancy for one centroid set: one kernel
     // assignment pass, k-row broadcast for the dot, one-row aggregate
     def profile(cents: Array[Array[Double]]): (Long, Long, Long) = {
@@ -162,9 +223,8 @@ object Clustering {
         .collect()(0)
       (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val (seedQ, _, _) = profile(seeds)
+    val (seedQ, nVectors, _) = profile(seeds)
     val (trainQ, nAssigned, cellsUsed) = profile(trained)
-    val nVectors = c.count()
     import spark.implicits._
     Seq((nVectors,
       nAssigned == nVectors,

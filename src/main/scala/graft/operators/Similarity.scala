@@ -688,9 +688,13 @@ object Similarity {
   }
 
   private[graft] def trainCentroids(c: DataFrame, nlist: Int,
-      iters: Int): Array[Array[Double]] = {
+      iters: Int, seeds: Array[Array[Double]] = null): Array[Array[Double]] = {
+    // seeding is deterministic, so a caller that already HAS the seed
+    // matrix (kmeansSummary evaluates the seed objective separately)
+    // threads it through rather than re-running the k-round seeding pass
     var centroids: Array[Array[Double]] =
-      if (nlist <= 256) farthestPointSeeds(c, nlist) else sampleSeeds(c, nlist)
+      if (seeds != null) seeds
+      else if (nlist <= 256) farthestPointSeeds(c, nlist) else sampleSeeds(c, nlist)
     if (centroids.isEmpty) return centroids
     for (_ <- 1 to iters) {
       val assigned = c.withColumn("cluster",

@@ -43,6 +43,38 @@ object ScaleBench {
   /** Temp working dirs created by scale-only keys; deleted before exit. */
   private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** Standing-index scratch: built ONCE PER PROCESS, never trusted across
+    * JVMs. The old skip-if-exists probe reused whatever a crashed or
+    * killed prior run left at the same tmp path — a regenerated fixture
+    * at the same dir (or a hashCode collision between dirs) then silently
+    * benchmarked against a stale index. The per-JVM set is the same
+    * contract as the contract keys' SessionScratch: contents are a pure
+    * function of the data dir WITHIN a process, and any leftover on disk
+    * is debris to delete before building.
+    */
+  private val standingBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def standingIndex(tag: String, dir: String)(
+      build: String => Unit): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      Integer.toHexString(dir.hashCode)
+    if (standingBuilt.add(idx)) {
+      rmTree(idx)
+      scratchDirs.add(idx)
+      build(idx)
+    }
+    idx
+  }
+
+  private def rmTree(d: String): Unit =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(d))) {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+
   /** Scale-only keys with no driver-contract analogue (the contract keys
     * run bounded fixtures; these exercise the write path / path switch on
     * the big generated corpora).
@@ -215,11 +247,9 @@ object ScaleBench {
     "x_inc_delta" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val t = new graft.model.Tables(s, dir)
-      val idx = s"/tmp/graft_inc_idx_${Integer.toHexString(dir.hashCode)}"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "params"))) {
-        scratchDirs.add(idx)
+      val idx = standingIndex("inc_idx", dir) { p =>
         graft.operators.IncrementalDedup.buildIndex(
-          t.documents.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", idx)
+          t.documents.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", p)
       }
       graft.operators.IncrementalDedup.newBatchPairs(
         t.documents.filter(col("doc_id") % 10 === 0), "doc_id", "text", idx,
@@ -236,11 +266,9 @@ object ScaleBench {
     "x_inc_delta1" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val t = new graft.model.Tables(s, dir)
-      val idx = s"/tmp/graft_inc1_idx_${Integer.toHexString(dir.hashCode)}"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "params"))) {
-        scratchDirs.add(idx)
+      val idx = standingIndex("inc1_idx", dir) { p =>
         graft.operators.IncrementalDedup.buildIndex(
-          t.documents.filter(col("doc_id") % 100 =!= 0), "doc_id", "text", idx)
+          t.documents.filter(col("doc_id") % 100 =!= 0), "doc_id", "text", p)
       }
       graft.operators.IncrementalDedup.newBatchPairs(
         t.documents.filter(col("doc_id") % 100 === 0), "doc_id", "text", idx,
@@ -249,12 +277,10 @@ object ScaleBench {
     "x_ann_delta1" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val t = new graft.model.Tables(s, dir)
-      val idx = s"/tmp/graft_ann1_idx_${Integer.toHexString(dir.hashCode)}"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "params"))) {
-        scratchDirs.add(idx)
+      val idx = standingIndex("ann1_idx", dir) { p =>
         graft.operators.IncrementalAnn.buildIndex(
           t.embeddings.filter(col("vec_id") % 100 =!= 0), "vec_id", "embedding",
-          dim = 64, path = idx)
+          dim = 64, path = p)
       }
       graft.operators.IncrementalAnn.newBatchPairs(
         t.embeddings.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
@@ -275,12 +301,10 @@ object ScaleBench {
     "x_ann_delta" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val t = new graft.model.Tables(s, dir)
-      val idx = s"/tmp/graft_ann_idx_${Integer.toHexString(dir.hashCode)}"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "params"))) {
-        scratchDirs.add(idx)
+      val idx = standingIndex("ann_idx", dir) { p =>
         graft.operators.IncrementalAnn.buildIndex(
           t.embeddings.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-          dim = 64, path = idx)
+          dim = 64, path = p)
       }
       graft.operators.IncrementalAnn.newBatchPairs(
         t.embeddings.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
@@ -416,13 +440,10 @@ object ScaleBench {
     // large the indexed corpus is
     "x_bm25_frozen" -> { (s, dir) =>
       import org.apache.spark.sql.functions.{col, concat_ws, lit}
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_xtsi_" +
-        Integer.toHexString(dir.hashCode)
-      if (!new java.io.File(s"$idx/terms").exists()) {
-        scratchDirs.add(idx)
+      val idx = standingIndex("xtsi", dir) { p =>
         val t = new graft.model.Tables(s, dir)
         graft.operators.Retrieval.buildTermStatsIndex(
-          t.documents, "doc_id", "text", idx)
+          t.documents, "doc_id", "text", p)
       }
       val batch = s.range(5000).toDF("doc_id")
         .withColumn("text", concat_ws(" ", lit("shuffle plan"),
@@ -541,11 +562,9 @@ object ScaleBench {
     "x_drift_inc" -> { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val t = new graft.model.Tables(s, dir)
-      val idx = s"/tmp/graft_gram_idx_${Integer.toHexString(dir.hashCode)}"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "grams"))) {
-        scratchDirs.add(idx)
+      val idx = standingIndex("gram_idx", dir) { p =>
         graft.operators.CorpusCompare.buildGramIndex(
-          t.documents.filter(col("doc_id") % 100 =!= 0), col("text"), idx)
+          t.documents.filter(col("doc_id") % 100 =!= 0), col("text"), p)
       }
       graft.operators.CorpusCompare.driftSummaryAgainstIndex(s, idx,
         t.documents.filter(col("doc_id") % 100 === 0), col("text"))
@@ -598,17 +617,14 @@ object ScaleBench {
   private def fragIdx(s: SparkSession, dir: String,
       t: graft.model.Tables): String = {
     import org.apache.spark.sql.functions.col
-    val idx = s"/tmp/graft_frag_idx_${Integer.toHexString(dir.hashCode)}"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "params"))) {
-      scratchDirs.add(idx)
+    standingIndex("frag_idx", dir) { p =>
       graft.operators.IncrementalDedup.buildIndex(
-        t.documents.filter(col("doc_id") % 21 === 0), "doc_id", "text", idx)
+        t.documents.filter(col("doc_id") % 21 === 0), "doc_id", "text", p)
       (1 to 19).foreach { i =>
         graft.operators.IncrementalDedup.appendBatch(
-          t.documents.filter(col("doc_id") % 21 === i), "doc_id", "text", idx)
+          t.documents.filter(col("doc_id") % 21 === i), "doc_id", "text", p)
       }
     }
-    idx
   }
 
   def main(args: Array[String]): Unit = {
@@ -650,11 +666,6 @@ object ScaleBench {
     }
     println(out.mkString("[", ",\n", "]"))
     spark.stop()
-    scratchDirs.forEach { d =>
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-      finally walk.close()
-    }
+    scratchDirs.forEach(rmTree)
   }
 }

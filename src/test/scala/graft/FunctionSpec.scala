@@ -136,6 +136,32 @@ class FunctionSpec extends AnyFunSuite {
       "SELECT hyperplane_sigs(array(1.0d, 0.0d), 2, 4, 2, 42L) AS s")
       .collect()(0).getSeq[Long](0)
     assert(sigs.length == 2)
+    // shape-arg coercion: integer seed `42` (IntegerType) casts to the
+    // kernel's Long and yields the same signatures as the 42L spelling;
+    // a DECIMAL-element centroid array casts to array<double>
+    assert(fresh.sql(
+      "SELECT hyperplane_sigs(array(1.0d, 0.0d), 2, 4, 2, 42) AS s")
+      .collect()(0).getSeq[Long](0) == sigs)
+    assert(fresh.sql(
+      """SELECT element_at(centroid_top_cells(array(1.0d, 0.0d),
+        |  array(1.0, 0.0, 0.0, 1.0), 2, 1), 1) AS cell""".stripMargin)
+      .collect()(0).getInt(0) == 1)
+    // wrong arity: a clear named message, not a raw IndexOutOfBounds
+    val arity = intercept[Exception] {
+      fresh.sql("SELECT centroid_top_cells(array(1.0d), array(1.0d), 1)")
+        .collect()
+    }
+    assert(arity.getMessage.contains("centroid_top_cells expects 4 arguments"),
+      s"unexpected arity error: ${arity.getMessage}")
+    // non-literal shape arg: named position, bind-time contract stated
+    fresh.range(1).createOrReplaceTempView("r_shape")
+    val nonLit = intercept[Exception] {
+      fresh.sql(
+        """SELECT hyperplane_sigs(array(1.0d, 0.0d), 2, 4, 2, id)
+          |FROM r_shape""".stripMargin).collect()
+    }
+    assert(nonLit.getMessage.contains("hyperplane_sigs argument 5 must be a literal"),
+      s"unexpected non-literal error: ${nonLit.getMessage}")
     assert(fresh.sql("SELECT nfc_normalize('café') AS t")
       .collect()(0).getString(0) == "café")
   }

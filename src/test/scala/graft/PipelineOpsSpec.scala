@@ -643,4 +643,52 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(math.abs(q - expected(s)) < 1e-12, s"$s: $q vs ${expected(s)}")
     }
   }
+
+  // ---- cluster-stratified mixture design --------------------------------
+
+  test("composed: train quantizer -> bucket corpus -> per-cluster quota + mixture") {
+    import graft.operators.{Clustering, Sampling}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val total = emb.count()
+    // the public quantizer surface: train once, bucket the corpus with the
+    // returned matrix (the data-card "topic balance" loop)
+    val m = Clustering.trainCentroidMatrix(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    graft.operators.Staging.releaseAll()
+    val bucketed = Clustering.assignments(emb, "vec_id", "embedding", m)
+      .withColumnRenamed("id", "vec_id")
+    // every vector lands in exactly one cell, cells within [1, k]
+    val perCell = bucketed.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCell.values.sum == total)
+    assert(perCell.keySet.subsetOf((1 to 4).toSet))
+    // per-cluster QUOTA: at most 20 per cell, deterministic, a subset
+    val quotaed = Sampling.groupQuota(bucketed, col("cell"),
+      pmod(xxhash64(col("vec_id")), lit(1000000007L)), col("vec_id"), k = 20)
+    val qCells = quotaed.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(qCells.forall { case (c, n) => n == math.min(20L, perCell(c)) })
+    val q2 = Sampling.groupQuota(bucketed.repartition(7), col("cell"),
+      pmod(xxhash64(col("vec_id")), lit(1000000007L)), col("vec_id"), k = 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(q2 == quotaed.select("vec_id").collect().map(_.getLong(0)).toSet)
+    // cluster-stratified MIXTURE: equal shares across the 4 cells — the
+    // binding (smallest) cell is kept whole, every cell contributes ≤ its
+    // share, and the realized mix is bounded by the hash-rate tolerance
+    val weights = (1 to 4).map(c => c.toString -> 0.25).toMap
+    val mixed = Sampling.mixtureSample(bucketed,
+      pmod(xxhash64(col("vec_id")), lit(1000000007L)), col("cell").cast("string"), weights)
+    val mixCells = mixed.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val binding = perCell.minBy(_._2)
+    assert(mixCells(binding._1) == binding._2,
+      "the binding cluster must be kept whole")
+    // rate-sampling is exact in expectation: each stratum lands within
+    // ~4/sqrt(n) of the binding count (hash-uniform membership)
+    mixCells.foreach { case (c, n) =>
+      val tol = math.max(4.0, 4.0 * math.sqrt(binding._2.toDouble))
+      assert(math.abs(n.toDouble - binding._2.toDouble) <= tol,
+        s"cell $c kept $n vs binding ${binding._2} (tol $tol)")
+    }
+  }
 }
