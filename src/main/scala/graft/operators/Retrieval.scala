@@ -553,6 +553,68 @@ object Retrieval {
       .orderBy("rank")
   }
 
+  /** [[bm25TopKBatch]] answered from the POSTINGS STORE — the
+    * benchmark-suite regime with NO corpus pass at all: one probe of the
+    * union of all queries' terms (pushed `In` filter), then per-query
+    * scoring/top-k exactly as the batch form. The union term list
+    * collects to the driver first (a query workload is driver-scale by
+    * definition — hundreds of audit queries, not a corpus column); df
+    * per term = posting-group sizes over the probed rows, so a term's df
+    * is identical whichever queries ask for it.
+    *
+    * Per-query equality contract: equal to [[topKFromIndex]] per query
+    * (and hence to the scan loop whenever each query's k-th score is
+    * positive). Replay tolerance inherited from [[topKFromIndex]] — the
+    * (token, doc_id) collapse and the ptotals replay identity.
+    */
+  def topKFromIndexBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, queryIdCol: String, termCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    IndexMaintenance.heal(spark, path, "postings")
+    IndexMaintenance.heal(spark, path, "ptotals")
+    val q = Staging.stage(queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("token"))
+      .filter(col("token") =!= "").distinct())
+    // bounded driver fetch: the union of the suite's DISTINCT terms (the
+    // literal list is what pushes the In filter into the parquet scan)
+    val terms = q.select("token").distinct().collect().map(_.getString(0))
+    require(terms.nonEmpty, "topKFromIndexBatch needs at least one query term")
+    val tot = spark.read.parquet(s"$path/ptotals")
+      .dropDuplicates("n_docs", "t_len", "min_id", "max_id")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("t_len")).cast("long").as("t_len"))
+    val cand = Staging.stage(spark.read.parquet(s"$path/postings")
+      .filter(col("token").isin(terms.toIndexedSeq: _*))
+      .groupBy("token", "doc_id")
+      .agg(max(col("tf")).as("tf"), max(col("dl")).as("dl")))
+    val dfT = cand.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    val scored = cand
+      .join(broadcast(q), "token")
+      .join(broadcast(dfT), "token")
+      .crossJoin(broadcast(tot))
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val n = col("n_docs").cast("double")
+    val dlD = col("dl").cast("double")
+    val tLen = col("t_len").cast("double")
+    val idf = (n - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val sat = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * lengthNorm(dlD, n, tLen)))
+    val perDoc = scored
+      .withColumn("qv", floor(idf * sat * lit(1e9d)).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(max(col("dl")).as("dl"), sum(col("qv")).as("su"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("su").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("dl"),
+        (col("su").cast("double") / lit(1e9d)).as("score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** MULTI-QUERY batched BM25 — a whole benchmark suite's queries scored
     * in ONE corpus pass instead of one pass per query (the shape
     * [[graft.operators.Decontaminate]] proves for shingles, applied to
@@ -627,6 +689,57 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("dl"),
         (col("su").cast("double") / lit(1e9d)).as("score"), col("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Per-query ranking evaluation over a SUITE — [[evalRanking]]'s
+    * metrics for every query of a batched retrieval run in one plan (the
+    * TREC shape: MRR is the MEAN of per-query reciprocal ranks; this
+    * emits the per-query rows the mean aggregates, plus hits/precision,
+    * so the suite report and any per-query drill-down read off the same
+    * frame). Inputs are (query_id, id, rank) ranked lists — bounded per
+    * query by construction from the top-k rankers — and a (query_id, id)
+    * relevance frame. One row per query, ordered by query_id:
+    *
+    *   query_id, n_ranked, n_relevant, hits_at_n, precision_at_n, rr
+    *
+    * rr = floor(1e9/first_hit_rank)/1e9 (exactly one IEEE division,
+    * 0.0 when no relevant doc is ranked — queries with relevance
+    * judgments but no ranked rows still appear, via the relevance side
+    * of the outer join). Suite MRR = avg over the rr column, left to the
+    * caller so the quantization story stays per-row.
+    *
+    * Scale shape: both sides group to one row per query before the
+    * bounded joins; the relevance set joins the ranked lists on
+    * (query_id, id) — cost tracks the judgment file, never a corpus.
+    */
+  def evalRankingBatch(ranked: DataFrame, relevant: DataFrame,
+      queryIdCol: String, idCol: String, rankCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val r = ranked.select(col(queryIdCol).as("query_id"),
+      col(idCol).as("id"), col(rankCol).as("rank"))
+    val rel = relevant.select(col(queryIdCol).as("query_id"),
+      col(idCol).as("id")).distinct()
+    val nRanked = r.groupBy("query_id")
+      .agg(count(lit(1)).as("n_ranked"))
+    val nRel = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("n_relevant"))
+    val hitAgg = r.join(rel, Seq("query_id", "id"), "left_semi")
+      .groupBy("query_id")
+      .agg(sum(when(col("rank") <= n, 1L).otherwise(0L)).as("hits_at_n"),
+        min(col("rank")).as("first_hit"))
+    nRanked.join(nRel, Seq("query_id"), "full_outer")
+      .join(hitAgg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("hits_at_n"), lit(0L)).as("hits_at_n"),
+        (floor(coalesce(col("hits_at_n"), lit(0L)).cast("double")
+          / lit(n.toDouble) * lit(1e9d)).cast("long").cast("double")
+          / lit(1e9d)).as("precision_at_n"),
+        (coalesce(floor(lit(1e9d) / col("first_hit").cast("double"))
+          .cast("long"), lit(0L)).cast("double") / lit(1e9d)).as("rr"))
+      .orderBy("query_id")
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009, "Reciprocal Rank Fusion

@@ -441,6 +441,52 @@ object ExtensionQueries extends QueryModule {
         "text", qs, "query_id", "term", k = 5)
     },
 
+    // The batched PROBE form: the same two queries answered from the
+    // postings store with NO corpus pass at all (one In-filtered probe of
+    // the union term set) — must equal q_bm25_batch exactly, which the
+    // shared oracle SQL enforces under the hash.
+    "q_bm25_index_batch" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val work = SessionScratch.cached("bm25post", dir) { p =>
+        graft.operators.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+        graft.operators.Retrieval.appendToPostingsIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+      }
+      import s.implicits._
+      val qs = Seq(
+        ("qa", "dup"), ("qa", "vector"), ("qa", "batch"),
+        ("qb", "table"), ("qb", "row"), ("qb", "scan"))
+        .toDF("query_id", "term")
+      graft.operators.Retrieval.topKFromIndexBatch(s, work,
+        qs, "query_id", "term", k = 5)
+    },
+
+    // SUITE-level ranking evaluation: per-query hits/precision/RR rows
+    // for the batched retrieval run against per-query relevance sets —
+    // the TREC shape whose mean is the suite MRR. Closes the
+    // batch-retrieve → batch-eval loop in two operators.
+    "q_retrieval_eval_batch" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      import s.implicits._
+      val qs = Seq(
+        ("qa", "dup"), ("qa", "vector"), ("qa", "batch"),
+        ("qb", "table"), ("qb", "row"), ("qb", "scan"))
+        .toDF("query_id", "term")
+      val ranked = graft.operators.Retrieval.bm25TopKBatch(t.documents,
+        "doc_id", "text", qs, "query_id", "term", k = 20)
+      val toks = TextAnalysis.tokens(col("text"))
+      val relevant = t.documents
+        .filter(array_contains(toks, "dup"))
+        .select(lit("qa").as("query_id"), col("doc_id"))
+        .unionByName(t.documents
+          .filter(array_contains(toks, "row"))
+          .select(lit("qb").as("query_id"), col("doc_id")))
+      graft.operators.Retrieval.evalRankingBatch(ranked, relevant,
+        "query_id", "doc_id", "rank", n = 10)
+    },
+
     // RANKING-quality evaluation closing the retrieval loop: MRR +
     // precision@10 of the BM25 top-20 against the docs that actually
     // contain the rare term 'dup' — the audit a decontamination ranker
@@ -1162,6 +1208,66 @@ object ExtensionQueries extends QueryModule {
          AND CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= $threshold
          $extraWhere"""
 
+  /** The batched-BM25 oracle tree, shared by q_bm25_batch (the
+    * one-corpus-pass form) and q_bm25_index_batch (the postings-probe
+    * form) — one SQL pinning both routes to the same result.
+    */
+  private lazy val bm25BatchSql: String =
+    s"""WITH base AS (
+           SELECT doc_id,
+             ${bmTfSql("dup", 0)},
+             ${bmTfSql("vector", 1)},
+             ${bmTfSql("batch", 2)},
+             ${bmTfSql("table", 3)},
+             ${bmTfSql("row", 4)},
+             ${bmTfSql("scan", 5)},
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) AS t_len,
+             CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+             CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+             CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2,
+             CAST(sum(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_3,
+             CAST(sum(CASE WHEN tf_4 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_4,
+             CAST(sum(CASE WHEN tf_5 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_5
+           FROM base),
+         scored_a AS (
+           SELECT doc_id, dl,
+             ${bmContribSql(0)}
+             + ${bmContribSql(1)}
+             + ${bmContribSql(2)} AS su
+           FROM base CROSS JOIN stats
+           WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0),
+         top_a AS (
+           SELECT doc_id, dl, su,
+             row_number() OVER (ORDER BY su DESC, doc_id) AS "rank"
+           FROM scored_a),
+         scored_b AS (
+           SELECT doc_id, dl,
+             ${bmContribSql(3)}
+             + ${bmContribSql(4)}
+             + ${bmContribSql(5)} AS su
+           FROM base CROSS JOIN stats
+           WHERE tf_3 > 0 OR tf_4 > 0 OR tf_5 > 0),
+         top_b AS (
+           SELECT doc_id, dl, su,
+             row_number() OVER (ORDER BY su DESC, doc_id) AS "rank"
+           FROM scored_b)
+         SELECT query_id, doc_id, dl, score, "rank" FROM (
+           SELECT 'qa' AS query_id, doc_id, dl,
+             CAST(su AS DOUBLE) / 1e9 AS score,
+             CAST("rank" AS BIGINT) AS "rank"
+           FROM top_a WHERE "rank" <= 5
+           UNION ALL
+           SELECT 'qb' AS query_id, doc_id, dl,
+             CAST(su AS DOUBLE) / 1e9 AS score,
+             CAST("rank" AS BIGINT) AS "rank"
+           FROM top_b WHERE "rank" <= 5)
+         ORDER BY query_id, "rank""""
+
   def oracleSql: Map[String, String] = Map(
     // operation-for-operation IEEE mirror of Retrieval.bm25TopK (terms
     // dup/vector/batch, k1=1.2, b=0.75, k=10): rational idf, quantized
@@ -1359,7 +1465,13 @@ object ExtensionQueries extends QueryModule {
          FROM top WHERE "rank" <= 12 ORDER BY "rank"""",
     // batched BM25: both queries' scan trees over ONE shared base/stats
     // CTE, each restricted to its own matching docs, per-query top-5
-    "q_bm25_batch" ->
+    "q_bm25_batch" -> bm25BatchSql,
+    // the postings-probe form answers the SAME two queries from the
+    // store — the shared SQL pins route-equality under the hash
+    "q_bm25_index_batch" -> bm25BatchSql,
+    // suite-level per-query metrics: both ranked lists (k=20) joined to
+    // their own relevance sets; hits@10, quantized precision and RR
+    "q_retrieval_eval_batch" ->
       s"""WITH base AS (
            SELECT doc_id,
              ${bmTfSql("dup", 0)},
@@ -1381,39 +1493,53 @@ object ExtensionQueries extends QueryModule {
              CAST(sum(CASE WHEN tf_4 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_4,
              CAST(sum(CASE WHEN tf_5 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_5
            FROM base),
-         scored_a AS (
-           SELECT doc_id, dl,
-             ${bmContribSql(0)}
-             + ${bmContribSql(1)}
-             + ${bmContribSql(2)} AS su
-           FROM base CROSS JOIN stats
-           WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0),
-         top_a AS (
-           SELECT doc_id, dl, su,
-             row_number() OVER (ORDER BY su DESC, doc_id) AS "rank"
-           FROM scored_a),
-         scored_b AS (
-           SELECT doc_id, dl,
-             ${bmContribSql(3)}
-             + ${bmContribSql(4)}
-             + ${bmContribSql(5)} AS su
-           FROM base CROSS JOIN stats
-           WHERE tf_3 > 0 OR tf_4 > 0 OR tf_5 > 0),
-         top_b AS (
-           SELECT doc_id, dl, su,
-             row_number() OVER (ORDER BY su DESC, doc_id) AS "rank"
-           FROM scored_b)
-         SELECT query_id, doc_id, dl, score, "rank" FROM (
-           SELECT 'qa' AS query_id, doc_id, dl,
-             CAST(su AS DOUBLE) / 1e9 AS score,
-             CAST("rank" AS BIGINT) AS "rank"
-           FROM top_a WHERE "rank" <= 5
+         ranked_a AS (
+           SELECT doc_id, r FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY su DESC, doc_id) AS r
+             FROM (
+               SELECT doc_id,
+                 ${bmContribSql(0)}
+                 + ${bmContribSql(1)}
+                 + ${bmContribSql(2)} AS su
+               FROM base CROSS JOIN stats
+               WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0))
+           WHERE r <= 20),
+         ranked_b AS (
+           SELECT doc_id, r FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY su DESC, doc_id) AS r
+             FROM (
+               SELECT doc_id,
+                 ${bmContribSql(3)}
+                 + ${bmContribSql(4)}
+                 + ${bmContribSql(5)} AS su
+               FROM base CROSS JOIN stats
+               WHERE tf_3 > 0 OR tf_4 > 0 OR tf_5 > 0))
+           WHERE r <= 20),
+         rel_a AS (SELECT DISTINCT doc_id FROM base WHERE tf_0 > 0),
+         rel_b AS (SELECT DISTINCT doc_id FROM base WHERE tf_4 > 0),
+         hits_a AS (SELECT r FROM ranked_a
+           WHERE doc_id IN (SELECT doc_id FROM rel_a)),
+         hits_b AS (SELECT r FROM ranked_b
+           WHERE doc_id IN (SELECT doc_id FROM rel_b)),
+         rows_ab AS (
+           SELECT 'qa' AS query_id,
+             (SELECT CAST(count(*) AS BIGINT) FROM ranked_a) AS n_ranked,
+             (SELECT CAST(count(*) AS BIGINT) FROM rel_a) AS n_relevant,
+             (SELECT sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END) FROM hits_a) AS h,
+             (SELECT min(r) FROM hits_a) AS first_hit
            UNION ALL
-           SELECT 'qb' AS query_id, doc_id, dl,
-             CAST(su AS DOUBLE) / 1e9 AS score,
-             CAST("rank" AS BIGINT) AS "rank"
-           FROM top_b WHERE "rank" <= 5)
-         ORDER BY query_id, "rank"""",
+           SELECT 'qb' AS query_id,
+             (SELECT CAST(count(*) AS BIGINT) FROM ranked_b),
+             (SELECT CAST(count(*) AS BIGINT) FROM rel_b),
+             (SELECT sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END) FROM hits_b),
+             (SELECT min(r) FROM hits_b))
+         SELECT query_id, n_ranked, n_relevant,
+           CAST(COALESCE(h, 0) AS BIGINT) AS hits_at_n,
+           CAST(CAST(floor(CAST(COALESCE(h, 0) AS DOUBLE) / 10.0 * 1e9)
+             AS BIGINT) AS DOUBLE) / 1e9 AS precision_at_n,
+           CAST(COALESCE(CAST(floor(1e9 / CAST(first_hit AS DOUBLE))
+             AS BIGINT), 0) AS DOUBLE) / 1e9 AS rr
+         FROM rows_ab ORDER BY query_id""",
     // the BM25 (k=60) + kNN (query 0, k=60) chains composed, fused by
     // quantized reciprocal-rank arithmetic
     "q_hybrid_rank" ->

@@ -451,6 +451,51 @@ object ScaleBench {
       graft.operators.Retrieval.scoreAgainstTermIndex(batch, "doc_id",
         "text", Seq("shuffle", "plan", "batch"), idx, k = 10)
     },
+    // TOP-K FROM THE POSTINGS INDEX: the store is the standing input;
+    // timed work = the three terms' postings probe + df agg + TakeOrdered.
+    // Across fixture tiers this measures the claim that an indexed-corpus
+    // query costs the terms' postings (df-bound), never a corpus scan —
+    // compare against x_bm25 (the scan route) at each tier.
+    "x_bm25_index_topk" -> { (s, dir) =>
+      val idx = standingIndex("xpost", dir) { p =>
+        val t = new graft.model.Tables(s, dir)
+        graft.operators.Retrieval.buildPostingsIndex(
+          t.documents, "doc_id", "text", p)
+      }
+      graft.operators.Retrieval.topKFromIndex(s, idx,
+        Seq("shuffle", "plan", "batch"), k = 10)
+    },
+    // MULTI-QUERY batched BM25 at suite scale: 100 queries × 3 terms from
+    // the 30-word scale lexicon in ONE corpus pass — against ~100× the
+    // x_bm25 single-query wall a per-query loop would pay
+    "x_bm25_batch100" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val lex = ("batch part spark line column order small sort fast value " +
+        "scan hash slow group agg filter query big key window row table " +
+        "stream merge data join shuffle plan stage task").split(' ')
+      import s.implicits._
+      val qs = (0 until 100).flatMap { i =>
+        Seq(lex(i % 30), lex((i * 7 + 1) % 30), lex((i * 13 + 2) % 30))
+          .distinct.map(term => (s"q$i", term))
+      }.toDF("query_id", "term")
+      graft.operators.Retrieval.bm25TopKBatch(t.documents, "doc_id",
+        "text", qs, "query_id", "term", k = 10)
+    },
+    // HYBRID retrieval on the GOVERNED ANN family: BM25 top-60 fused with
+    // the IVF top-60 (not the brute-force baseline) — the production
+    // hybrid shape, laddered so the fused audit is proven at scale
+    "x_hybrid_ivf" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      val lex = graft.operators.Retrieval.bm25TopK(t.documents, "doc_id",
+        "text", Seq("shuffle", "plan", "batch"), k = 60)
+      val sem = graft.operators.Similarity.ivfTopK(t.embeddings,
+          t.embeddings.filter(col("vec_id") === 0), "vec_id", "embedding",
+          k = 60, nlist = 64, nprobe = 8)
+        .select(col("n_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(lex, sem, "doc_id", "rank", k = 10)
+    },
     // full Lloyd training + the two objective passes at a realistic
     // coarse-quantizer size (the q_cluster_train gate runs k=16 at sf0.01)
     "x_kmeans64" -> { (s, dir) =>

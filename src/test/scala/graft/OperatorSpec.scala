@@ -2030,6 +2030,77 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("topKFromIndexBatch == per-query index route == the one-pass corpus batch") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = t("documents")
+    val perQuery = Seq(
+      "qa" -> Seq("dup", "vector", "batch"),
+      "qb" -> Seq("vector", "table"),
+      "qc" -> Seq("scan", "row"))
+    val qFrame = perQuery.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    val work = java.nio.file.Files.createTempDirectory("graft_postb_").toString
+    try {
+      Retrieval.buildPostingsIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", work)
+      Retrieval.appendToPostingsIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", work)
+      def rows5(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      val probe = rows5(Retrieval.topKFromIndexBatch(spark, work,
+        qFrame, "query_id", "term", k = 5))
+      // == the one-pass corpus batch form
+      val corpus = rows5(Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+        qFrame, "query_id", "term", k = 5))
+      assert(probe == corpus,
+        "postings-probe batch must equal the corpus-pass batch")
+      // == the single-query index route, per query
+      for ((q, ts) <- perQuery) {
+        val one = Retrieval.topKFromIndex(spark, work, ts, k = 5)
+          .collect().map(r => (q, r.getLong(0), r.getLong(1),
+            r.getDouble(2), r.getLong(3))).toSeq
+        graft.operators.Staging.releaseAll()
+        assert(probe.filter(_._1 == q) == one,
+          s"batched probe for $q must equal its single-query route")
+      }
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  test("evalRankingBatch: hand-computed per-query rows incl. no-hit and unranked queries") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val ranked = Seq(
+      ("qa", 7L, 1L), ("qa", 2L, 2L), ("qa", 5L, 3L),
+      ("qb", 9L, 1L)).toDF("query_id", "id", "rank")
+    // qa: judged {2, 99}, hit at rank 2; qb: judged {4}, no hit;
+    // qc: judged {42} but produced NO ranked rows (appears with zeros)
+    val rel = Seq(("qa", 2L), ("qa", 99L), ("qb", 4L), ("qc", 42L))
+      .toDF("query_id", "id")
+    val out = Retrieval.evalRankingBatch(ranked, rel, "query_id", "id",
+      "rank", n = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    val p1of2 = math.floor(1.0 / 2.0 * 1e9) / 1e9
+    val rr2 = math.floor(1e9 / 2.0) / 1e9
+    assert(out == Seq(
+      ("qa", 3L, 2L, 1L, p1of2, rr2),
+      ("qb", 1L, 1L, 0L, 0.0, 0.0),
+      ("qc", 0L, 1L, 0L, 0.0, 0.0)))
+    // suite MRR is the caller's mean over rr — matches evalRanking's
+    // per-query quantized values by construction
+    assert(math.abs(out.map(_._6).sum / 3 - rr2 / 3) < 1e-15)
+  }
+
   test("bm25 degenerate corpus: all-empty texts score a documented zero, not null") {
     import spark.implicits._
     import graft.operators.Retrieval
@@ -2183,6 +2254,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(summaryJobs <= 18,
       s"kmeansSummary ran $summaryJobs jobs (seeding alone is $seedJobs) — " +
         "the seed matrix is being recomputed (or a new job crept in)")
+  }
+
+  test("hybrid fusion over the governed ANN ranker == fusion over exact kNN at recall 1.0") {
+    import graft.operators.{Retrieval, Similarity}
+    val docs = t("documents")
+    val emb = t("embeddings")
+    val q0 = emb.filter(col("vec_id") === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getLong(2))).toSeq
+      graft.operators.Staging.releaseAll()
+      r
+    }
+    val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("dup", "vector", "batch"), k = 60)
+    // nprobe == nlist probes EVERY cell: the IVF candidate set is the full
+    // corpus and recall is exactly 1.0 — the same exact-cosine verify and
+    // the same (cos desc, id asc) tie rule make the ranked list identical
+    // to brute force, so fusing the ANN ranker must reproduce the exact
+    // hybrid bit for bit (the rank column is the only thing rrfFuse reads)
+    val ivf = Similarity.ivfTopK(emb, q0, "vec_id", "embedding",
+      k = 60, nlist = 8, nprobe = 8, iters = 2)
+      .select(col("n_id").as("doc_id"), col("rank"))
+    val exact = Similarity.bruteForceTopK(emb, q0, "vec_id", "embedding",
+      k = 60).select(col("n_id").as("doc_id"), col("rank"))
+    val fusedIvf = rows(Retrieval.rrfFuse(lex, ivf, "doc_id", "rank", k = 10))
+    val fusedExact = rows(Retrieval.rrfFuse(lex, exact, "doc_id", "rank", k = 10))
+    assert(fusedIvf == fusedExact,
+      "hybrid fusion over the exhaustive-probe IVF list must equal the exact hybrid")
+    assert(fusedIvf.map(_._3) == (1L to fusedIvf.length))
   }
 
   test("kmeansSummary: gates hold and training separates planted clusters") {
