@@ -538,6 +538,28 @@ object ExtensionQueries extends QueryModule {
         t.embeddings, "vec_id", "embedding", k = 16, iters = 3)
     },
 
+    // Cluster-STRATIFIED quota — the mixture-design composition as one
+    // full-hash key: fixed lowest-8-id centroids (the q_cluster_assign
+    // oracle construction) assign every vector a cell via the public
+    // `assignments` surface, then `groupQuota` keeps ≤20 per cell by the
+    // deterministic content-hash order (fingerprint of the id digits —
+    // the q_quota scramble, replayed char-fold in SQL). The per-cluster
+    // sampling step every topic-balanced data card runs.
+    "q_cluster_quota" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val emb = t.embeddings
+      val cents = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val assigned = graft.operators.Clustering.assignments(
+        emb, "vec_id", "embedding", cents)
+      graft.operators.Sampling.groupQuota(assigned, col("cell"),
+          TextAnalysis.fingerprint(col("id").cast("string")), col("id"),
+          k = 20)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    },
+
     // Brute-force cosine top-k (exact ANN baseline) — ranks are
     // oracle-comparable because all arithmetic is sequential double folds
     // (native VectorDot loop == DuckDB list_reduce left fold, bit-exact).
@@ -1643,6 +1665,44 @@ object ExtensionQueries extends QueryModule {
            min(id) AS min_member, max(id) AS max_member
          FROM best WHERE rn = 1
          GROUP BY cluster ORDER BY cluster""",
+    // cluster-stratified quota: the q_cluster_assign argmax construction
+    // assigns cells, the q_quota scramble-rank keeps ≤20 per cell; fp is
+    // the rolling-hash fold over the id's decimal digits
+    "q_cluster_quota" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+         c AS (
+           SELECT vec AS cvec,
+             row_number() OVER (ORDER BY vec_id) AS cell
+           FROM v ORDER BY vec_id LIMIT 8),
+         scored AS (
+           SELECT v.vec_id AS id, c.cell,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(v.vec, c.cvec), p -> p[1] * p[2])),
+               (acc, x) -> acc + x) AS dot
+           FROM v CROSS JOIN c),
+         best AS (
+           SELECT id, cell,
+             row_number() OVER (PARTITION BY id ORDER BY dot DESC, cell) AS rn
+           FROM scored),
+         a AS (SELECT id, CAST(cell AS INTEGER) AS cell FROM best WHERE rn = 1),
+         f AS (
+           SELECT id, cell,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split(CAST(id AS VARCHAR), ''), ch -> ch <> ''),
+                   ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fp
+           FROM a),
+         r AS (
+           SELECT id, cell, row_number() OVER (
+             PARTITION BY cell
+             ORDER BY (fp * 2654435761) % 1000000, id) AS rk
+           FROM f)
+         SELECT id AS vec_id, cell FROM r WHERE rk <= 20 ORDER BY vec_id""",
     // kmeansSummary gate: exact vector count + literal-TRUE invariants
     // (any violation flips a boolean and breaks the hash)
     "q_cluster_train" ->
