@@ -161,6 +161,40 @@ object Clustering {
             org.apache.spark.sql.types.DoubleType), nullable = false))))
   }
 
+  /** Persist a trained codebook — the quantizer lifecycle's missing hop:
+    * train ONCE (an iterative distributed job), store the k-row
+    * (cell, centroid) frame next to the corpus indices, and have every
+    * later session [[loadCentroidMatrix]] + [[assignments]] without
+    * retraining. A codebook is a one-shot artifact (k rows, written
+    * whole), so this is a plain overwrite-in-one-job write, not the
+    * merge-on-read lifecycle the growing stores need; re-training writes
+    * a new codebook atomically the same way.
+    */
+  def saveCentroids(centroids: DataFrame, path: String): Unit =
+    centroids.select(col("cell").cast("int").as("cell"),
+        col("centroid").cast("array<double>").as("centroid"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+
+  /** Load a persisted codebook back to the matrix form [[assignments]]
+    * takes — row i is cell i+1, exactly as trained. Fails loudly on a
+    * codebook whose cells aren't the contiguous 1..k the trainer wrote
+    * (a partial copy or a concatenation of two codebooks).
+    */
+  def loadCentroidMatrix(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$path/codebook")
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"empty codebook at $path")
+    require(rows.map(_._1).toSeq == (1 to rows.length),
+      s"codebook at $path has non-contiguous cells ${rows.map(_._1).toSeq} " +
+        "— not a trainer-written codebook")
+    rows.map(_._2)
+  }
+
   /** Full spherical-k-means TRAINING (Lloyd), exposed as a one-row
     * gated summary — the public face of the quantizer training every
     * IVF/SemDeDup path runs internally ([[Similarity.trainCentroids]]:

@@ -2196,6 +2196,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(assigned(0L) != assigned(1L))
   }
 
+  test("codebook round-trip: save -> load -> assign == direct assignment") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    val rows = (0 until 40).map { i =>
+      val base = Array.fill(8)(0.001 * (i % 3))
+      base(if (i % 2 == 0) 0 else 4) = 1.0
+      (i.toLong, base.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val work = java.nio.file.Files.createTempDirectory("graft_codebook_").toString
+    try {
+      val trained = Clustering.trainedCentroids(emb, "vec_id", "embedding",
+        k = 2, iters = 3)
+      graft.operators.Staging.releaseAll()
+      Clustering.saveCentroids(trained, work)
+      val loaded = Clustering.loadCentroidMatrix(spark, work)
+      val direct = Clustering.trainCentroidMatrix(emb, "vec_id", "embedding",
+        k = 2, iters = 3)
+      graft.operators.Staging.releaseAll()
+      // bit-exact round-trip (doubles through parquet are lossless)
+      assert(loaded.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+      val a = Clustering.assignments(emb, "vec_id", "embedding", loaded)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val b = Clustering.assignments(emb, "vec_id", "embedding", direct)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(a == b)
+      // a non-contiguous codebook (partial copy) fails loudly
+      spark.read.parquet(s"$work/codebook").filter(col("cell") === 2)
+        .write.mode("overwrite").parquet(s"$work/partial/codebook")
+      val e = intercept[IllegalArgumentException] {
+        Clustering.loadCentroidMatrix(spark, s"$work/partial")
+      }
+      assert(e.getMessage.contains("non-contiguous"))
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
   test("kmeansSummary seeds once: job count stays under the single-seeding budget") {
     import spark.implicits._
     import graft.operators.Clustering
