@@ -2068,11 +2068,58 @@ class OperatorSpec extends AnyFunSuite {
         assert(probe.filter(_._1 == q) == one,
           s"batched probe for $q must equal its single-query route")
       }
+      // a query whose terms are ALL absent from the corpus emits NO rows
+      // under that query_id (the stated matching-docs contract), without
+      // disturbing its suite-mates
+      val withGhost = (perQuery :+ ("qz" -> Seq("zzznope", "qqqnever")))
+        .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
+      val ghosted = rows5(Retrieval.topKFromIndexBatch(spark, work,
+        withGhost, "query_id", "term", k = 5))
+      assert(!ghosted.exists(_._1 == "qz"))
+      assert(ghosted == probe)
+      val ghostedCorpus = rows5(Retrieval.bm25TopKBatch(docs, "doc_id",
+        "text", withGhost, "query_id", "term", k = 5))
+      assert(ghostedCorpus == corpus)
     } finally {
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => java.nio.file.Files.delete(f))
       finally walk.close()
+    }
+  }
+
+  test("bm25TopKBatch == scan loop on seeded random term suites (generative)") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = t("documents")
+    // candidate terms drawn from the corpus itself (deterministic: top-12
+    // by occurrence, ties on token) so every suite spans the df spectrum
+    val vocab = docs
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok"))
+      .limit(12).collect().map(_.getString(0)).toSeq
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 3) {
+      val suite = (0 until 4).map { qi =>
+        s"t${trial}q$qi" -> rnd.shuffle(vocab).take(2 + rnd.nextInt(3))
+      }
+      val qFrame = suite.flatMap { case (q, ts) => ts.map(q -> _) }
+        .toDF("query_id", "term")
+      val batched = Retrieval.bm25TopKBatch(docs, "doc_id", "text",
+        qFrame, "query_id", "term", k = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSeq
+      graft.operators.Staging.releaseAll()
+      for ((q, ts) <- suite) {
+        val loop = Retrieval.bm25TopK(docs, "doc_id", "text", ts, k = 4)
+          .collect().map(r => (q, r.getLong(0), r.getLong(1),
+            r.getDouble(2), r.getLong(3))).toSeq
+        graft.operators.Staging.releaseAll()
+        assert(batched.filter(_._1 == q) == loop, s"trial $trial query $q " +
+          s"terms $ts: batched != loop")
+      }
     }
   }
 
