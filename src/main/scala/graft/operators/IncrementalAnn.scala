@@ -98,6 +98,16 @@ object IncrementalAnn {
     writeBatch(staged(emb, idCol, vecCol), path, p, "append")
   }
 
+  /** RETRACT indexed vectors (takedown) — tombstone the ids; queries drop
+    * them before candidate generation and the next
+    * [[IndexMaintenance.compactAnnIndex]] vacuums both stores. Same
+    * contract as [[IncrementalDedup.retract]].
+    */
+  def retract(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    IndexMaintenance.healAll(spark, path, Seq("sigs", "vecs"))
+    IndexMaintenance.addTombstones(path, ids)
+  }
+
   def readParams(spark: SparkSession, path: String): VecParams = {
     // a crashed compaction swap rolls forward here, so every query/append
     // entry point (all read params first) sees a consistent store
@@ -140,7 +150,10 @@ object IncrementalAnn {
     val deltaBand = sigsOf(d, p)
       .select(col("id"), col("tbl"), col("sig").bitwiseAND(mask).as("bucket"))
       .stagePersist()
-    val indexBand = spark.read.parquet(s"$path/sigs")
+    // retracted vectors drop before candidate generation (broadcast
+    // anti-join, map-side); their raw vectors are then never fetched
+    val indexBand = IndexMaintenance.filterTombstoned(spark, path,
+        spark.read.parquet(s"$path/sigs"), "id")
       .select(col("id"), col("tbl"), col("sig").bitwiseAND(mask).as("bucket"))
 
     val candsCross = indexBand.alias("c")

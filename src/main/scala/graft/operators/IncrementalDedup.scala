@@ -69,6 +69,21 @@ object IncrementalDedup {
     writeBatch(docs, idCol, textCol, path, readParams(docs.sparkSession, path),
       "append")
 
+  /** RETRACT indexed docs (takedown): tombstone their ids — queries stop
+    * seeing them immediately ([[newBatchPairs]] drops tombstoned index
+    * rows before candidate generation), and the next
+    * [[IndexMaintenance.compactDedupIndex]] vacuums the rows physically.
+    * Both stores here are per-doc rows with no cross-doc aggregate, so no
+    * stat correction is needed (contrast
+    * [[Retrieval.retractFromPostingsIndex]]). At-least-once: replaying an
+    * interrupted retraction is safe (duplicate tombstones are ignored);
+    * each id is retracted at most once and never re-appended.
+    */
+  def retract(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    IndexMaintenance.healAll(spark, path, Seq("bands", "shingles"))
+    IndexMaintenance.addTombstones(path, ids)
+  }
+
   def readParams(spark: SparkSession, path: String): Params = {
     // a crashed compaction swap rolls forward here, so every query/append
     // entry point (all read params first) sees a consistent store
@@ -138,7 +153,11 @@ object IncrementalDedup {
     // shuffle-joined the result; at the 500k-doc ladder tier that
     // exchanged the full band + shingle stores per increment and ran
     // SLOWER than the monolithic rebuild it exists to avoid.
-    val indexBanded = spark.read.parquet(s"$path/bands")
+    // Tombstoned (retracted) docs drop HERE, before candidate generation —
+    // a broadcast anti-join on the same map-side pass; their shingle rows
+    // are then never fetched (the verify joins by candidate id).
+    val indexBanded = IndexMaintenance.filterTombstoned(spark, path,
+      spark.read.parquet(s"$path/bands"), "id")
     val candsCross = indexBanded.alias("c")
       .join(broadcast(deltaBanded.alias("d")),
         col("d.band") === col("c.band") && col("d.band_sig") === col("c.band_sig") &&

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Compaction for the persisted incremental indices ([[IncrementalDedup]],
@@ -93,6 +93,76 @@ object IndexMaintenance {
     f.delete(marker, false)
   }
 
+  /** RETRACTION (takedown) support shared by every persisted index — the
+    * production "remove these documents from everything" story (copyright
+    * takedown, PII discovery, opt-out) at 100 TB, where rebuilding an
+    * index to drop 0.01% of its rows is not an option:
+    *
+    *   - [[addTombstones]] appends the retracted ids to a `tombstones/`
+    *     store under the index root — one small parquet append, no touch
+    *     of the data stores;
+    *   - readers drop tombstoned rows with [[filterTombstoned]] — a
+    *     BROADCAST anti-join (a takedown list is orders of magnitude
+    *     smaller than the corpus: millions of ids = tens of MB; a list
+    *     too large to broadcast should be applied as a rebuild instead);
+    *   - the index's `compact*` pass physically drops tombstoned rows
+    *     while rewriting (the vacuum), then deletes the tombstone store —
+    *     retraction cost is thereby amortized into the compaction the
+    *     lifecycle already pays.
+    *
+    * Crash posture: tombstone appends are at-least-once (duplicate id
+    * rows are harmless — the filter is an anti-join); vacuum deletes the
+    * tombstone store only AFTER every data-store swap commits, so a crash
+    * anywhere leaves either extra tombstones whose rows still exist
+    * (still filtered — correct) or extra tombstones whose rows are gone
+    * (filter is a no-op — correct). Contract: an id is retracted at most
+    * once and never re-appended afterwards — the same stated-not-checked
+    * id-space discipline as the append disjointness contract.
+    */
+  val TombstoneStore = "tombstones"
+
+  private def tombstonePath(root: String) = new Path(s"$root/$TombstoneStore")
+
+  /** Append retraction ids (any single-column frame; the column is
+    * renamed `id` in the store). Idempotent under replay: re-running an
+    * interrupted retraction appends duplicate rows, which the anti-join
+    * read ignores and vacuum drops.
+    */
+  def addTombstones(root: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"tombstone frame must have exactly one id column, got " +
+        ids.columns.mkString("(", ", ", ")"))
+    ids.select(col(ids.columns.head).as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(tombstonePath(root).toString)
+  }
+
+  /** The tombstone id set at `root`, if any retraction has happened. */
+  def tombstones(spark: SparkSession, root: String): Option[DataFrame] = {
+    val p = tombstonePath(root)
+    if (fs(spark).exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Drop `df` rows whose `idCol` is tombstoned at `root` — a broadcast
+    * anti-join when a tombstone store exists, the identity otherwise (the
+    * common case: no retraction has ever touched this index).
+    */
+  def filterTombstoned(spark: SparkSession, root: String, df: DataFrame,
+      idCol: String): DataFrame =
+    tombstones(spark, root) match {
+      case Some(t) =>
+        df.join(broadcast(t), df(idCol) === t("id"), "left_anti")
+      case None => df
+    }
+
+  /** Delete the tombstone store — called by vacuum after every data-store
+    * swap has committed (the rows the tombstones pointed at are gone).
+    */
+  def dropTombstones(spark: SparkSession, root: String): Unit = {
+    val p = tombstonePath(root)
+    if (fs(spark).exists(p)) fs(spark).delete(p, true)
+  }
+
   /** Size-derived file count for a store rewrite. */
   def targetFileCount(spark: SparkSession, root: String, store: String,
       targetFileBytes: Long): Int = {
@@ -101,14 +171,16 @@ object IndexMaintenance {
   }
 
   /** Rewrite one store: `ceil(bytes/targetFileBytes)` files, clustered on
-    * `clusterCols`, sorted by `sortCols`, exact-duplicate rows dropped.
+    * `clusterCols`, sorted by `sortCols`, exact-duplicate rows dropped,
+    * tombstoned ids (column `id`) physically vacuumed.
     */
   private def compactStore(spark: SparkSession, root: String, store: String,
       clusterCols: Seq[Column], sortCols: Seq[Column], dedupCols: Seq[String],
       targetFileBytes: Long): Unit = {
     heal(spark, root, store)
     val nFiles = targetFileCount(spark, root, store, targetFileBytes)
-    val df = spark.read.parquet(s"$root/$store")
+    val df = filterTombstoned(spark, root,
+        spark.read.parquet(s"$root/$store"), "id")
       .dropDuplicates(dedupCols.head, dedupCols.tail: _*)
       .repartition(nFiles, clusterCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -133,6 +205,7 @@ object IndexMaintenance {
       sortCols = Seq(col("id")),
       dedupCols = Seq("id"),
       targetFileBytes = targetFileBytes)
+    dropTombstones(spark, path) // vacuum complete: both stores swapped
   }
 
   /** Compact an [[IncrementalAnn]] index: `sigs` clusters on the signature
@@ -151,5 +224,6 @@ object IndexMaintenance {
       sortCols = Seq(col("id")),
       dedupCols = Seq("id"),
       targetFileBytes = targetFileBytes)
+    dropTombstones(spark, path) // vacuum complete: both stores swapped
   }
 }

@@ -222,6 +222,30 @@ object Retrieval {
       .parquet(s"$path/terms")
   }
 
+  /** RETRACT docs (takedown) from the term-stats index: append their
+    * statistics NEGATED — df and tl are additive, so merge-on-read sums
+    * stay exact and [[scoreAgainstTermIndex]] afterwards equals a fresh
+    * index built on the surviving corpus (the integer sums make the
+    * equality exact, not approximate; spec-pinned). `docs` must be
+    * exactly the indexed documents being removed, tokenized here with the
+    * same pipeline that indexed them. Cost: tokenize the retracted docs
+    * only. A token whose df reaches zero keeps a (token, 0, 0) row until
+    * [[compactTermStatsIndex]] folds it away; scoring treats a zero row
+    * and an absent row identically (both coalesce to df = 0).
+    *
+    * Exactly-once per retraction batch — the same posture as this store's
+    * appends (stat rows carry no replay identity, so a replayed write
+    * double-counts); pipelines needing at-least-once retraction should
+    * use the postings index, whose correction row replays safely.
+    */
+  def retractFromTermStatsIndex(docs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    IndexMaintenance.heal(docs.sparkSession, path, "terms")
+    termStats(docs, idCol, textCol)
+      .select(col("token"), (-col("df")).as("df"), (-col("tl")).as("tl"))
+      .write.mode("append").parquet(s"$path/terms")
+  }
+
   private def termStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
@@ -259,6 +283,9 @@ object Retrieval {
     val folded = spark.read.parquet(s"$path/terms")
       .groupBy("token")
       .agg(sum(col("df")).as("df"), sum(col("tl")).as("tl"))
+      // tokens a retraction zeroed out fold away entirely, so the
+      // compacted store is row-identical to a fresh build on survivors
+      .filter(col("df") =!= 0 || col("tl") =!= 0)
     IndexMaintenance.swapCompacted(spark, path, "terms") { staged =>
       folded.write.mode("overwrite").parquet(staged)
     }
@@ -438,6 +465,45 @@ object Retrieval {
     tot.write.mode("append").parquet(s"$path/ptotals")
   }
 
+  /** RETRACT indexed docs (takedown) from the postings index — the exact
+    * mirror of [[appendToPostingsIndex]], because BM25 statistics are
+    * additive: `docs` must be exactly the indexed documents being removed
+    * (id AND text — a takedown has the offending document in hand), and
+    * the store stays score-exact without touching a single postings row:
+    *
+    *   1. a NEGATIVE ptotals row (−batch count, −batch Σdl) appends — N
+    *     and Σdl correct on read because readers sum batch rows;
+    *   2. the ids tombstone ([[IndexMaintenance.addTombstones]]) — query
+    *     candidates drop them before df derivation, so per-term df (a
+    *     posting-group size over SURVIVING rows) is exact too.
+    *
+    * [[topKFromIndex]] after a retraction is therefore row-for-row equal
+    * to a fresh index built on the surviving corpus (spec + the
+    * q_bm25_retract oracle pin it); the postings rows leave physically at
+    * the next [[compactPostingsIndex]] (the vacuum). Cost: tokenize the
+    * RETRACTED docs only — never an index or corpus scan.
+    *
+    * Crash/replay posture: the negative row carries the batch's id-range
+    * replay identity like every ptotals row, so re-running an interrupted
+    * retraction is safe end-to-end (the replayed row collapses under
+    * dropDuplicates; replayed tombstones are ignored). Each doc is
+    * retracted at most once and never re-appended — the same
+    * stated-not-checked contract as append disjointness.
+    */
+  def retractFromPostingsIndex(docs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    IndexMaintenance.heal(spark, path, "postings")
+    IndexMaintenance.heal(spark, path, "ptotals")
+    val (_, tot) = postingsOf(docs, idCol, textCol)
+    // correction row FIRST: if the tombstone append crashes, a re-run's
+    // identical negative row collapses on read — idempotent recovery
+    tot.select((-col("n_docs")).as("n_docs"), (-col("t_len")).as("t_len"),
+        col("min_id"), col("max_id"))
+      .write.mode("append").parquet(s"$path/ptotals")
+    IndexMaintenance.addTombstones(path, docs.select(col(idCol)))
+  }
+
   private def postingsOf(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
     val toks = TextAnalysis.tokens(col(textCol))
@@ -472,7 +538,10 @@ object Retrieval {
     IndexMaintenance.heal(spark, path, "ptotals")
     val nFiles = IndexMaintenance.targetFileCount(spark, path, "postings",
       targetFileBytes)
-    val folded = spark.read.parquet(s"$path/postings")
+    // the vacuum: tombstoned (retracted) docs leave physically here —
+    // their N/Σdl corrections are already folded into the ptotals sum
+    val folded = IndexMaintenance.filterTombstoned(spark, path,
+        spark.read.parquet(s"$path/postings"), "doc_id")
       .dropDuplicates("token", "doc_id")
       .repartition(nFiles, col("token"))
       .sortWithinPartitions("token", "doc_id")
@@ -486,6 +555,9 @@ object Retrieval {
     IndexMaintenance.swapCompacted(spark, path, "ptotals") { staged =>
       tot.write.mode("overwrite").parquet(staged)
     }
+    // only after BOTH swaps commit (a crash before this line just leaves
+    // tombstones whose postings rows are already gone — filter no-ops)
+    IndexMaintenance.dropTombstones(spark, path)
   }
 
   /** Top-k documents IN the indexed corpus for `terms` — [[bm25TopK]]'s
@@ -523,9 +595,12 @@ object Retrieval {
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("t_len")).cast("long").as("t_len"))
     // candidate postings: pushed In(token) filter; (token, doc_id) replay
-    // duplicates collapse here (exact replays are identical rows)
-    val cand = Staging.stage(spark.read.parquet(s"$path/postings")
-      .filter(col("token").isin(terms: _*))
+    // duplicates collapse here (exact replays are identical rows);
+    // retracted docs drop BEFORE the df derivation (broadcast anti-join
+    // against the tombstones, map-side) so df counts survivors only
+    val cand = Staging.stage(IndexMaintenance.filterTombstoned(spark, path,
+        spark.read.parquet(s"$path/postings")
+          .filter(col("token").isin(terms: _*)), "doc_id")
       .groupBy("token", "doc_id")
       .agg(max(col("tf")).as("tf"), max(col("dl")).as("dl")))
     val dfT = cand.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
@@ -584,8 +659,9 @@ object Retrieval {
       .dropDuplicates("n_docs", "t_len", "min_id", "max_id")
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("t_len")).cast("long").as("t_len"))
-    val cand = Staging.stage(spark.read.parquet(s"$path/postings")
-      .filter(col("token").isin(terms.toIndexedSeq: _*))
+    val cand = Staging.stage(IndexMaintenance.filterTombstoned(spark, path,
+        spark.read.parquet(s"$path/postings")
+          .filter(col("token").isin(terms.toIndexedSeq: _*)), "doc_id")
       .groupBy("token", "doc_id")
       .agg(max(col("tf")).as("tf"), max(col("dl")).as("dl")))
     val dfT = cand.groupBy("token").agg(count(lit(1)).cast("long").as("df"))

@@ -463,6 +463,49 @@ object ExtensionQueries extends QueryModule {
         qs, "query_id", "term", k = 5)
     },
 
+    // RETRACTION (takedown) under the full hash: the postings index is
+    // built in two batches, then ~14% of the docs (doc_id % 7 = 3) are
+    // RETRACTED — a negative ptotals correction + tombstones, never an
+    // index rewrite — and the top-k must equal a scan over the surviving
+    // corpus exactly (df from surviving postings, N/Σdl from the summed
+    // correction). The production right-to-be-forgotten story.
+    "q_bm25_retract" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val work = SessionScratch.cached("bm25postr", dir) { p =>
+        graft.operators.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+        graft.operators.Retrieval.appendToPostingsIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+        graft.operators.Retrieval.retractFromPostingsIndex(
+          docs.filter(col("doc_id") % 7 === 3), "doc_id", "text", p)
+      }
+      graft.operators.Retrieval.topKFromIndex(s, work,
+        Seq("dup", "vector", "batch"), k = 12)
+    },
+
+    // Retraction on the TERM-STATS store: the frozen ranker's history
+    // loses a slice by a NEGATIVE stat delta (df/tl are additive), and
+    // new-batch scores must equal a fresh index built on the surviving
+    // history — the same IEEE tree, so the whole algebra is under the
+    // hash.
+    "q_bm25_stats_retract" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val hist = docs.filter(col("doc_id") % 4 =!= 0)
+      val work = SessionScratch.cached("bm25idxr", dir) { p =>
+        graft.operators.Retrieval.buildTermStatsIndex(
+          hist.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+        graft.operators.Retrieval.appendToTermStatsIndex(
+          hist.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+        graft.operators.Retrieval.retractFromTermStatsIndex(
+          hist.filter(col("doc_id") % 5 === 1), "doc_id", "text", p)
+      }
+      graft.operators.Retrieval.scoreAgainstTermIndex(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+        Seq("dup", "vector", "batch"), work, k = 10)
+    },
+
     // SUITE-level ranking evaluation: per-query hits/precision/RR rows
     // for the batched retrieval run against per-query relevance sets —
     // the TREC shape whose mean is the suite MRR. Closes the
@@ -1491,6 +1534,93 @@ object ExtensionQueries extends QueryModule {
     // the postings-probe form answers the SAME two queries from the
     // store — the shared SQL pins route-equality under the hash
     "q_bm25_index_batch" -> bm25BatchSql,
+    // retraction: the index route must equal the scan tree over the
+    // SURVIVING corpus (doc_id % 7 = 3 retracted) — df, N and Σdl all
+    // reflect the takedown exactly
+    "q_bm25_retract" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+             ${bmTfSql("dup", 0)},
+             ${bmTfSql("vector", 1)},
+             ${bmTfSql("batch", 2)},
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS dl
+           FROM documents WHERE doc_id % 7 <> 3),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) AS t_len,
+             CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+             CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+             CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+           FROM base),
+         scored AS (
+           SELECT doc_id, dl,
+             ${bmContribSql(0)}
+             + ${bmContribSql(1)}
+             + ${bmContribSql(2)} AS su
+           FROM base CROSS JOIN stats
+           WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0),
+         top AS (
+           SELECT doc_id, dl, su,
+             row_number() OVER (ORDER BY su DESC, doc_id) AS "rank"
+           FROM scored)
+         SELECT doc_id, dl, CAST(su AS DOUBLE) / 1e9 AS score,
+           CAST("rank" AS BIGINT) AS "rank"
+         FROM top WHERE "rank" <= 12 ORDER BY "rank"""",
+    // term-stats retraction: the frozen ranker's history is the surviving
+    // slice only (doc_id % 5 = 1 retracted by negative delta)
+    "q_bm25_stats_retract" ->
+      """WITH hist AS (
+           SELECT
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS dl,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'dup')) AS h0,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'vector')) AS h1,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'batch')) AS h2
+           FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 5 <> 1),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) AS t_len,
+             CAST(sum(CASE WHEN h0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+             CAST(sum(CASE WHEN h1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+             CAST(sum(CASE WHEN h2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+           FROM hist),
+         base AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'dup')) AS BIGINT) AS tf_0,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'vector')) AS BIGINT) AS tf_1,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x = 'batch')) AS BIGINT) AS tf_2,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS BIGINT) AS dl
+           FROM documents WHERE doc_id % 4 = 0),
+         scored AS (
+           SELECT doc_id, dl,
+             CAST(floor((n_docs - df_0 + 0.5) / (df_0 + 0.5)
+               * (CAST(tf_0 AS DOUBLE) * 2.2 / (CAST(tf_0 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT)
+             + CAST(floor((n_docs - df_1 + 0.5) / (df_1 + 0.5)
+               * (CAST(tf_1 AS DOUBLE) * 2.2 / (CAST(tf_1 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT)
+             + CAST(floor((n_docs - df_2 + 0.5) / (df_2 + 0.5)
+               * (CAST(tf_2 AS DOUBLE) * 2.2 / (CAST(tf_2 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / t_len))))
+               * 1e9) AS BIGINT) AS su
+           FROM base CROSS JOIN stats),
+         top AS (
+           SELECT doc_id, dl, su,
+             row_number() OVER (ORDER BY su DESC, doc_id) AS "rank"
+           FROM scored)
+         SELECT doc_id, dl, CAST(su AS DOUBLE) / 1e9 AS score,
+           CAST("rank" AS BIGINT) AS "rank"
+         FROM top WHERE "rank" <= 10 ORDER BY "rank"""",
     // suite-level per-query metrics: both ranked lists (k=20) joined to
     // their own relevance sets; hits@10, quantized precision and RR
     "q_retrieval_eval_batch" ->

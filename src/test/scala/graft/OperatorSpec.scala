@@ -2002,6 +2002,199 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("retraction: postings index == fresh survivor build; vacuum is physical") {
+    import graft.operators.{IndexMaintenance, Retrieval}
+    import spark.implicits._
+    val docs = t("documents")
+    val terms = Seq("dup", "vector", "batch")
+    val work = java.nio.file.Files.createTempDirectory("graft_retract_").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSeq
+      graft.operators.Staging.releaseAll()
+      r
+    }
+    try {
+      val removed = docs.filter(col("doc_id") % 7 === 3)
+      val survivors = docs.filter(col("doc_id") % 7 =!= 3)
+      Retrieval.buildPostingsIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", s"$work/a")
+      Retrieval.appendToPostingsIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", s"$work/a")
+      val before = rows(Retrieval.topKFromIndex(spark, s"$work/a", terms, k = 12))
+      val scanSurv = rows(Retrieval.bm25TopK(survivors, "doc_id", "text",
+        terms, k = 12))
+      assert(scanSurv != before,
+        "fixture self-check: the retracted slice must change the top-12")
+      Retrieval.retractFromPostingsIndex(removed, "doc_id", "text", s"$work/a")
+      assert(rows(Retrieval.topKFromIndex(spark, s"$work/a", terms, k = 12))
+        == scanSurv,
+        "after retraction the index must equal the scan over survivors")
+      // the batch probe form sees the retraction through the same filter
+      val qs = terms.map(("qa", _)).toDF("query_id", "term")
+      val viaBatch = Retrieval.topKFromIndexBatch(spark, s"$work/a", qs,
+          "query_id", "term", k = 12)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4))).toSeq
+      graft.operators.Staging.releaseAll()
+      assert(viaBatch == scanSurv)
+      // replaying an interrupted retraction is safe end to end: the
+      // negative ptotals row collapses on its replay identity, duplicate
+      // tombstones are ignored
+      Retrieval.retractFromPostingsIndex(removed, "doc_id", "text", s"$work/a")
+      assert(rows(Retrieval.topKFromIndex(spark, s"$work/a", terms, k = 12))
+        == scanSurv, "a replayed retraction must not change query results")
+      // vacuum: compaction drops the rows physically, retires tombstones,
+      // and leaves exactly a fresh survivor build's postings rows
+      Retrieval.compactPostingsIndex(spark, s"$work/a")
+      assert(rows(Retrieval.topKFromIndex(spark, s"$work/a", terms, k = 12))
+        == scanSurv)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$work/a/tombstones")),
+        "vacuum must retire the tombstone store")
+      assert(spark.read.parquet(s"$work/a/postings")
+        .filter(col("doc_id") % 7 === 3).count() == 0L,
+        "vacuum must drop retracted postings physically")
+      Retrieval.buildPostingsIndex(survivors, "doc_id", "text", s"$work/b")
+      def postRows(p: String) = spark.read.parquet(s"$p/postings")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(postRows(s"$work/a") == postRows(s"$work/b"),
+        "vacuumed postings rows must equal a fresh survivor build's")
+      def totSums(p: String) = spark.read.parquet(s"$p/ptotals")
+        .agg(sum(col("n_docs")), sum(col("t_len"))).collect()(0)
+      assert(totSums(s"$work/a") == totSums(s"$work/b"),
+        "folded corpus totals must equal a fresh survivor build's")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  test("retraction: term-stats negative delta == fresh index on survivors") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val work = java.nio.file.Files.createTempDirectory("graft_tsretract_").toString
+    try {
+      val hist = Seq((1L, "x y x z"), (2L, "y z"), (3L, "x q q"))
+        .toDF("doc_id", "text")
+      val fresh = Seq((10L, "x w"), (11L, "q w")).toDF("doc_id", "text")
+      Retrieval.buildTermStatsIndex(hist, "doc_id", "text", s"$work/a")
+      Retrieval.retractFromTermStatsIndex(hist.filter($"doc_id" === 3L),
+        "doc_id", "text", s"$work/a")
+      Retrieval.buildTermStatsIndex(hist.filter($"doc_id" =!= 3L),
+        "doc_id", "text", s"$work/b")
+      def scores(p: String) = Retrieval.scoreAgainstTermIndex(fresh,
+          "doc_id", "text", Seq("x", "q"), p, k = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      // bit-identical doubles: integer df/N/Σdl feed the same IEEE tree;
+      // 'q' survives only in retracted doc 3, so its df is 0 both ways
+      // (a zero-stat row and an absent row score identically)
+      assert(scores(s"$work/a") == scores(s"$work/b"),
+        "retracted index must score exactly like a fresh survivor build")
+      // compaction folds the zeroed token away: store rows match a fresh
+      // survivor build row-for-row
+      Retrieval.compactTermStatsIndex(spark, s"$work/a")
+      def stored(p: String) = spark.read.parquet(s"$p/terms")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stored(s"$work/a") == stored(s"$work/b"),
+        "folded store must hold exactly the survivor statistics")
+      assert(!stored(s"$work/a").exists(_._1 == "q"),
+        "a token whose df reached zero must fold away")
+      assert(scores(s"$work/a") == scores(s"$work/b"))
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  test("retraction: incremental dedup + ANN indices == rebuilt on survivors") {
+    import spark.implicits._
+    import graft.operators.{IncrementalAnn, IncrementalDedup, IndexMaintenance}
+    val docs = t("documents")
+    val emb = t("embeddings")
+    val work = java.nio.file.Files.createTempDirectory("graft_incretract_").toString
+    try {
+      // --- text index: retract exactly the indexed ids the delta pairs
+      // with, so the assertion bites by construction
+      val corpus0 = docs.filter(col("doc_id") % 4 =!= 2)
+      val delta = docs.filter(col("doc_id") % 4 === 2)
+      IncrementalDedup.buildIndex(corpus0, "doc_id", "text", s"$work/d")
+      // releaseAll after every collect — the harness contract; holding the
+      // staged frames would let a post-vacuum query (whose plan is again
+      // tombstone-free, like the pre-retraction one) hit the stale cache
+      def pairs(p: String) = {
+        val r = IncrementalDedup
+          .newBatchPairs(delta, "doc_id", "text", p, jaccardThreshold = 0.2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      val inc1 = pairs(s"$work/d")
+      val hitIds = inc1.flatMap(p => Seq(p._1, p._2)).filter(_ % 4 != 2)
+      assert(hitIds.nonEmpty, "fixture self-check: delta pairs with the index")
+      IncrementalDedup.retract(spark, s"$work/d",
+        hitIds.toSeq.toDF("doc_id"))
+      val inc2 = pairs(s"$work/d")
+      assert(inc2.forall(p => !hitIds.contains(p._1) && !hitIds.contains(p._2)),
+        "no pair may touch a retracted doc")
+      IncrementalDedup.buildIndex(
+        corpus0.filter(!col("doc_id").isin(hitIds.toSeq: _*)),
+        "doc_id", "text", s"$work/d2")
+      assert(inc2 == pairs(s"$work/d2"),
+        "retracted index must pair exactly like a rebuild on survivors")
+      // vacuum both stores physically, retire the tombstones
+      IndexMaintenance.compactDedupIndex(spark, s"$work/d")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$work/d/tombstones")))
+      assert(spark.read.parquet(s"$work/d/bands")
+        .filter(col("id").isin(hitIds.toSeq: _*)).count() == 0L)
+      assert(spark.read.parquet(s"$work/d/shingles")
+        .filter(col("id").isin(hitIds.toSeq: _*)).count() == 0L)
+      assert(pairs(s"$work/d") == inc2)
+
+      // --- vector index: same story at a pinned banding width
+      val vcorpus0 = emb.filter(col("vec_id") % 4 =!= 2)
+      val vdelta = emb.filter(col("vec_id") % 4 === 2)
+      IncrementalAnn.buildIndex(vcorpus0, "vec_id", "embedding", dim = 64,
+        path = s"$work/v", numPlanes = 8)
+      def vpairs(p: String) = {
+        val r = IncrementalAnn
+          .newBatchPairs(vdelta, "vec_id", "embedding", p, threshold = 0.2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      val vinc1 = vpairs(s"$work/v")
+      val vhit = vinc1.flatMap(p => Seq(p._1, p._2)).filter(_ % 4 != 2)
+      assert(vhit.nonEmpty, "fixture self-check: vector delta pairs with the index")
+      IncrementalAnn.retract(spark, s"$work/v", vhit.toSeq.toDF("vec_id"))
+      val vinc2 = vpairs(s"$work/v")
+      assert(vinc2.forall(p => !vhit.contains(p._1) && !vhit.contains(p._2)))
+      IncrementalAnn.buildIndex(
+        vcorpus0.filter(!col("vec_id").isin(vhit.toSeq: _*)),
+        "vec_id", "embedding", dim = 64, path = s"$work/v2", numPlanes = 8)
+      assert(vinc2 == vpairs(s"$work/v2"),
+        "retracted ANN index must pair exactly like a rebuild on survivors")
+      IndexMaintenance.compactAnnIndex(spark, s"$work/v")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$work/v/tombstones")))
+      assert(spark.read.parquet(s"$work/v/vecs")
+        .filter(col("id").isin(vhit.toSeq: _*)).count() == 0L)
+      assert(vpairs(s"$work/v") == vinc2)
+    } finally {
+      graft.operators.Staging.releaseAll()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
   test("bm25TopKBatch equals the per-query scan loop (overlapping + disjoint)") {
     import spark.implicits._
     import graft.operators.Retrieval
