@@ -691,6 +691,167 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** POSITIONAL index — the exact-PHRASE complement of the postings
+    * store: where postings answer ranked bag-of-words queries,
+    * `positions/` answers "which indexed documents contain this exact
+    * consecutive token sequence" — the decontamination question a
+    * benchmark audit asks verbatim (a leaked test item is a phrase, not
+    * a term bag), today answerable only by a corpus scan per phrase.
+    *
+    * One store, the established lifecycle: (token, doc_id, pos) — one row
+    * per token OCCURRENCE (pos = 0-based offset in the tokenized doc),
+    * token-clustered + (token, doc_id, pos)-sorted so a phrase's `In`
+    * filter prunes to its tokens' row groups and parquet's delta/dict
+    * encodings compress the sorted columns (the columnar analogue of a
+    * classical delta-encoded positional postings list). ~1 row per corpus
+    * token makes this the family's largest store (the KDoc trade: exact
+    * phrase position queries cost position-resolution storage); build it
+    * only when phrase queries are part of the workload.
+    *
+    * Replay posture: rows are unique per (doc_id, pos) by construction,
+    * so a crash-replayed append duplicates rows exactly — queries
+    * collapse them (dropDuplicates on the probed slice) and compaction
+    * drops them physically. Retraction: tombstones only (per-occurrence
+    * rows, no cross-doc aggregate) — `retractFromPositionalIndex`; one
+    * index family per root, so vacuum lifecycles never race.
+    */
+  def buildPositionalIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    IndexMaintenance.heal(docs.sparkSession, path, "positions")
+    positionsOf(docs, idCol, textCol).write.mode("overwrite")
+      .parquet(s"$path/positions")
+  }
+
+  /** Append one batch (disjoint doc_ids — the standard contract). */
+  def appendToPositionalIndex(delta: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    IndexMaintenance.heal(delta.sparkSession, path, "positions")
+    positionsOf(delta, idCol, textCol).write.mode("append")
+      .parquet(s"$path/positions")
+  }
+
+  /** RETRACT indexed docs (takedown): tombstones only — phrase queries
+    * drop the ids before start-candidate generation; the next
+    * [[compactPositionalIndex]] vacuums the rows. Same at-least-once
+    * replay contract as [[IncrementalDedup.retract]].
+    */
+  def retractFromPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit = {
+    IndexMaintenance.heal(spark, path, "positions")
+    IndexMaintenance.addTombstones(path, ids)
+  }
+
+  private def positionsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(filter(toks, x => x =!= lit("")))
+          .as(Seq("pos", "token")))
+      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .repartition(col("token"))
+      .sortWithinPartitions("token", "doc_id", "pos")
+  }
+
+  /** Fold the store: drop replayed duplicates and tombstoned (retracted)
+    * docs, rewrite token-clustered at size-derived file counts, retire
+    * the tombstones after the swap commits. Query results bit-identical
+    * before and after (spec-pinned).
+    */
+  def compactPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long = 128L << 20): Unit = {
+    IndexMaintenance.heal(spark, path, "positions")
+    val nFiles = IndexMaintenance.targetFileCount(spark, path, "positions",
+      targetFileBytes)
+    val folded = IndexMaintenance.filterTombstoned(spark, path,
+        spark.read.parquet(s"$path/positions"), "doc_id")
+      .dropDuplicates("token", "doc_id", "pos")
+      .repartition(nFiles, col("token"))
+      .sortWithinPartitions("token", "doc_id", "pos")
+    IndexMaintenance.swapCompacted(spark, path, "positions") { staged =>
+      folded.write.mode("overwrite").parquet(staged)
+    }
+    IndexMaintenance.dropTombstones(spark, path)
+  }
+
+  /** Exact-phrase matches from the positional index: (doc_id, n_matches)
+    * for every indexed doc containing `phrase` as a CONSECUTIVE token
+    * sequence, n_matches counting ALL start offsets (overlapping
+    * occurrences included — "a a a" contains "a a" twice). The classical
+    * positional-intersection algorithm as one selectivity-bound plan:
+    *
+    *   1. positions scan filtered to the phrase's distinct tokens
+    *      (pushed `In` — the phrase's row groups only), replayed
+    *      duplicates collapsed on (doc_id, pos);
+    *   2. each occurrence emits one candidate START per phrase slot its
+    *      token could fill (pos − i for every i with phrase(i) == token
+    *      — a literal token→offsets map, map-side);
+    *   3. a (doc_id, start) group containing ALL |phrase| slots is a
+    *      match (each slot's witness row is distinct, so count == k ⟺
+    *      every slot matched);
+    *   4. matches roll up per doc.
+    *
+    * Cost: Σ df(phrase tokens) rows probed + one (doc_id, start) shuffle
+    * of the same volume — never a corpus scan or tokenize. Equality with
+    * the scan twin [[phraseCountScan]] is oracle- and spec-pinned
+    * (including periodic phrases, where overlap semantics bite).
+    */
+  def phraseMatches(spark: org.apache.spark.sql.SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatches needs a non-empty phrase")
+    require(phrase.forall(_.nonEmpty), "phrase tokens must be non-empty")
+    require(phrase.length <= 32,
+      s"phrase length ${phrase.length} > 32 — split the needle (an exact " +
+        "match of any 32-token window implies containment for longer ones)")
+    IndexMaintenance.heal(spark, path, "positions")
+    val distinctToks = phrase.distinct
+    val rows = IndexMaintenance.filterTombstoned(spark, path,
+        spark.read.parquet(s"$path/positions")
+          .filter(col("token").isin(distinctToks: _*)), "doc_id")
+      .dropDuplicates("doc_id", "pos") // crash-replayed append rows
+    // token → the phrase slots it fills, as a literal map (driver-side
+    // constant; the explode is map-side over the probed slice only)
+    val slotOf = phrase.zipWithIndex.groupBy(_._1).toSeq
+      .flatMap { case (t, is) => Seq(lit(t), lit(is.map(_._2).toArray)) }
+    val starts = rows
+      .select(col("doc_id"), col("pos"),
+        explode(element_at(map(slotOf: _*), col("token"))).as("i"))
+      .select(col("doc_id"), (col("pos") - col("i")).as("start"))
+    starts.groupBy("doc_id", "start")
+      .agg(count(lit(1)).as("slots"))
+      .filter(col("slots") === phrase.length)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+      .orderBy("doc_id")
+  }
+
+  /** The scan twin of [[phraseMatches]] — one map-side pass over the raw
+    * corpus checking every start offset (the overlap-correct slice
+    * compare), no index required. Serves as the phrase oracle and the
+    * one-shot path when no positional index exists.
+    */
+  def phraseCountScan(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseCountScan needs a non-empty phrase")
+    require(phrase.forall(_.nonEmpty), "phrase tokens must be non-empty")
+    val k = phrase.length
+    val toksC = TextAnalysis.tokens(col(textCol))
+    // staged projection: the HOF lambda below must see `toks` as an
+    // attribute, not re-tokenize per start offset (the Staging rule)
+    val base = Staging.stage(docs.select(col(idCol).as("doc_id"),
+      filter(toksC, x => x =!= lit("")).as("toks")))
+    val hit = (s: Column) => phrase.zipWithIndex.map { case (t, i) =>
+      element_at(col("toks"), (s + lit(i + 1)).cast("int")) === lit(t)
+    }.reduce(_ && _)
+    base
+      .withColumn("n_matches",
+        when(size(col("toks")) >= k,
+          size(filter(sequence(lit(0), size(col("toks")) - lit(k)), hit)))
+          .otherwise(lit(0)).cast("long"))
+      .filter(col("n_matches") > 0)
+      .select(col("doc_id"), col("n_matches"))
+      .orderBy("doc_id")
+  }
+
   /** MULTI-QUERY batched BM25 — a whole benchmark suite's queries scored
     * in ONE corpus pass instead of one pass per query (the shape
     * [[graft.operators.Decontaminate]] proves for shingles, applied to

@@ -506,6 +506,25 @@ object ExtensionQueries extends QueryModule {
         Seq("dup", "vector", "batch"), work, k = 10)
     },
 
+    // EXACT-PHRASE matches from the POSITIONAL index — the verbatim
+    // decontamination question ("which indexed docs contain this exact
+    // token sequence") answered from the phrase tokens' position rows
+    // alone, never a corpus scan. Built in two batches (merge-on-read
+    // under the hash); the phrase is PERIODIC ('a a') so the overlap
+    // semantics — every start offset counts — are themselves under the
+    // oracle hash.
+    "q_phrase_index" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val work = SessionScratch.cached("phraseidx", dir) { p =>
+        graft.operators.Retrieval.buildPositionalIndex(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+        graft.operators.Retrieval.appendToPositionalIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+      }
+      graft.operators.Retrieval.phraseMatches(s, work, Seq("a", "a"))
+    },
+
     // SUITE-level ranking evaluation: per-query hits/precision/RR rows
     // for the batched retrieval run against per-query relevance sets —
     // the TREC shape whose mean is the suite MRR. Closes the
@@ -1567,6 +1586,23 @@ object ExtensionQueries extends QueryModule {
          SELECT doc_id, dl, CAST(su AS DOUBLE) / 1e9 AS score,
            CAST("rank" AS BIGINT) AS "rank"
          FROM top WHERE "rank" <= 12 ORDER BY "rank"""",
+    // exact-phrase containment: every start offset where toks[s..s+1]
+    // equals the phrase (overlapping starts count — the periodic 'a a'
+    // needle makes that semantic load-bearing)
+    "q_phrase_index" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(list_filter(range(1, len(toks) + 1 - 1),
+               s -> toks[s] = 'a' AND toks[s+1] = 'a')) AS BIGINT)
+               AS n_matches
+           FROM base)
+         SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+         ORDER BY doc_id""",
     // term-stats retraction: the frozen ranker's history is the surviving
     // slice only (doc_id % 5 = 1 retracted by negative delta)
     "q_bm25_stats_retract" ->

@@ -465,6 +465,60 @@ object ScaleBench {
       graft.operators.Retrieval.topKFromIndex(s, idx,
         Seq("shuffle", "plan", "batch"), k = 10)
     },
+    // RETRACTION, query side: the same postings probe with a standing
+    // 500-doc takedown in place (tombstones present, pre-vacuum) — the
+    // delta vs x_bm25_index_topk is the broadcast anti-join's cost at
+    // query time
+    "x_bm25_retract_query" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val idx = standingIndex("xpostr", dir) { p =>
+        val t = new graft.model.Tables(s, dir)
+        graft.operators.Retrieval.buildPostingsIndex(
+          t.documents, "doc_id", "text", p)
+        graft.operators.Retrieval.retractFromPostingsIndex(
+          t.documents.filter(col("doc_id") < 500), "doc_id", "text", p)
+      }
+      graft.operators.Retrieval.topKFromIndex(s, idx,
+        Seq("shuffle", "plan", "batch"), k = 10)
+    },
+    // RETRACTION, op side: re-run the SAME 500-doc takedown against the
+    // standing index (replay-idempotent by contract — the negative
+    // ptotals row collapses, duplicate tombstones are ignored), so the
+    // timed work is the retraction itself: tokenize the retracted docs +
+    // two small appends. The claim across tiers: flat — independent of
+    // how large the indexed corpus is.
+    "x_bm25_retract_op" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val idx = standingIndex("xpostr", dir) { p =>
+        val t = new graft.model.Tables(s, dir)
+        graft.operators.Retrieval.buildPostingsIndex(
+          t.documents, "doc_id", "text", p)
+        graft.operators.Retrieval.retractFromPostingsIndex(
+          t.documents.filter(col("doc_id") < 500), "doc_id", "text", p)
+      }
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Retrieval.retractFromPostingsIndex(
+        t.documents.filter(col("doc_id") < 500), "doc_id", "text", idx)
+      s.read.parquet(s"$idx/tombstones").agg(count(lit(1)).as("n_tombstones"))
+    },
+    // EXACT-PHRASE from the positional index vs the scan twin: the index
+    // route probes the phrase tokens' position rows (df-bound), the scan
+    // re-tokenizes the corpus per phrase — the claim is the same
+    // flat-vs-linear split as the postings probe
+    "x_phrase_index" -> { (s, dir) =>
+      val idx = standingIndex("xpos", dir) { p =>
+        val t = new graft.model.Tables(s, dir)
+        graft.operators.Retrieval.buildPositionalIndex(
+          t.documents, "doc_id", "text", p)
+      }
+      graft.operators.Retrieval.phraseMatches(s, idx,
+        Seq("shuffle", "plan"))
+    },
+    "x_phrase_scan" -> { (s, dir) =>
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Retrieval.phraseCountScan(t.documents, "doc_id",
+        "text", Seq("shuffle", "plan"))
+    },
     // MULTI-QUERY batched BM25 at suite scale: 100 queries × 3 terms from
     // the 30-word scale lexicon in ONE corpus pass — against ~100× the
     // x_bm25 single-query wall a per-query loop would pay

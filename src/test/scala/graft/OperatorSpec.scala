@@ -2195,6 +2195,90 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("positional index: phrase matches == scan twin; overlap/replay/vacuum") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val work = java.nio.file.Files.createTempDirectory("graft_phrase_").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      graft.operators.Staging.releaseAll()
+      r
+    }
+    try {
+      // hand fixture: periodic phrase "a a" must count OVERLAPPING starts
+      val hand = Seq((1L, "a a a b"), (2L, "b a a"), (3L, "x y"),
+        (4L, "a b a a b")).toDF("doc_id", "text")
+      Retrieval.buildPositionalIndex(hand, "doc_id", "text", s"$work/h")
+      assert(rows(Retrieval.phraseMatches(spark, s"$work/h", Seq("a", "a")))
+        == Seq((1L, 2L), (2L, 1L), (4L, 1L)),
+        "overlapping occurrences must all count (doc 1: starts 0 and 1)")
+      assert(rows(Retrieval.phraseMatches(spark, s"$work/h", Seq("a", "a", "b")))
+        == Seq((1L, 1L), (4L, 1L)))
+      assert(rows(Retrieval.phraseCountScan(hand, "doc_id", "text",
+        Seq("a", "a"))) == Seq((1L, 2L), (2L, 1L), (4L, 1L)),
+        "the scan twin must share overlap semantics")
+      // phrase longer than any doc matches nothing (no negative-start leak)
+      assert(rows(Retrieval.phraseMatches(spark, s"$work/h",
+        Seq("a", "a", "b", "a", "a", "b"))).isEmpty)
+
+      // fixture corpus: index route == scan twin, two-batch build, for a
+      // periodic and a 3-token phrase
+      val docs = t("documents")
+      Retrieval.buildPositionalIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", s"$work/p")
+      Retrieval.appendToPositionalIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", s"$work/p")
+      for (ph <- Seq(Seq("a", "a"), Seq("fast", "table", "value"))) {
+        val scan = rows(Retrieval.phraseCountScan(docs, "doc_id", "text", ph))
+        assert(scan.nonEmpty, s"fixture self-check: $ph occurs")
+        assert(rows(Retrieval.phraseMatches(spark, s"$work/p", ph)) == scan,
+          s"index route must equal the scan twin for $ph")
+      }
+      // replayed append collapses on (doc_id, pos)
+      Retrieval.appendToPositionalIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", s"$work/p")
+      val expect = rows(Retrieval.phraseCountScan(docs, "doc_id", "text",
+        Seq("a", "a")))
+      assert(rows(Retrieval.phraseMatches(spark, s"$work/p", Seq("a", "a")))
+        == expect, "a replayed append must not change matches")
+      // retraction drops a matching doc immediately; vacuum is physical
+      val victim = expect.head._1
+      Retrieval.retractFromPositionalIndex(spark, s"$work/p",
+        Seq(victim).toDF("doc_id"))
+      val afterRetract = rows(Retrieval.phraseMatches(spark, s"$work/p",
+        Seq("a", "a")))
+      assert(afterRetract == expect.filterNot(_._1 == victim))
+      Retrieval.compactPositionalIndex(spark, s"$work/p")
+      assert(rows(Retrieval.phraseMatches(spark, s"$work/p", Seq("a", "a")))
+        == afterRetract, "compaction must be bit-identical")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$work/p/tombstones")))
+      assert(spark.read.parquet(s"$work/p/positions")
+        .filter(col("doc_id") === victim).count() == 0L,
+        "vacuum must drop the retracted doc's occurrence rows")
+      // worst crash state: published marker + staged store — reads heal
+      val staged = java.nio.file.Paths.get(s"$work/p/positions.compact")
+      val marker = java.nio.file.Paths.get(s"$work/p/_compact_positions")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$work/p/positions"), staged)
+      java.nio.file.Files.createFile(marker)
+      assert(rows(Retrieval.phraseMatches(spark, s"$work/p", Seq("a", "a")))
+        == afterRetract)
+      // guards
+      intercept[IllegalArgumentException] {
+        Retrieval.phraseMatches(spark, s"$work/p", Seq.empty)
+      }
+      intercept[IllegalArgumentException] {
+        Retrieval.phraseMatches(spark, s"$work/p", Seq.fill(33)("a"))
+      }
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
   test("bm25TopKBatch equals the per-query scan loop (overlapping + disjoint)") {
     import spark.implicits._
     import graft.operators.Retrieval

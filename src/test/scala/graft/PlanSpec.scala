@@ -397,6 +397,19 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Staging.releaseAll()
   }
 
+  test("phrase matches push the In(token) filter; no corpus in the plan") {
+    val df = SparkEntry.queries("q_phrase_index")(spark, dir)
+    df.collect() // AQE: finalize (and SessionScratch builds the store)
+    val p = df.queryExecution.executedPlan.toString
+    // the probe reads the phrase tokens' position rows only
+    assert(p.contains("PushedFilters") &&
+      (p.contains("In(token") || p.contains("EqualTo(token")),
+      s"token filter not pushed to the positions scan:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"phrase route still scans the corpus:\n$p")
+    graft.operators.Staging.releaseAll()
+  }
+
   test("batched BM25 shares one corpus pass across all queries") {
     val df = SparkEntry.queries("q_bm25_batch")(spark, dir)
     df.collect()
