@@ -824,6 +824,68 @@ object Retrieval {
       .orderBy("doc_id")
   }
 
+  /** MULTI-PHRASE batched matching — a whole benchmark suite's needles
+    * against the positional index in ONE probe (the
+    * [[topKFromIndexBatch]] regime applied to phrases): `phrases` is a
+    * (phrase_id, slot, token) frame — slot is the token's 0-based offset
+    * within its phrase; a phrase suite is driver-scale by definition, so
+    * the union token list and the slot map broadcast.
+    *
+    * Plan: one positions probe of the UNION of all phrases' tokens
+    * (pushed `In`), replay collapse, then each occurrence fans out to
+    * every (phrase_id, slot) wanting its token (broadcast join), emits
+    * (phrase_id, doc_id, start = pos − slot), and a group holding all of
+    * its phrase's slots is a match (count == that phrase's length, via a
+    * broadcast per-phrase length frame). Output: (phrase_id, doc_id,
+    * n_matches) ordered — per-phrase rows equal [[phraseMatches]] run in
+    * a loop (spec-pinned); phrases whose tokens are absent emit nothing.
+    *
+    * Duplicate (phrase_id, slot) rows collapse (the same distinctness
+    * posture as the query-frame forms); slots must be exactly
+    * 0..len−1 per phrase — enforced, since a gap would make count == len
+    * unreachable and silently drop the phrase.
+    */
+  def phraseMatchesBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, phrases: DataFrame, phraseIdCol: String,
+      slotCol: String, tokenCol: String): DataFrame = {
+    IndexMaintenance.heal(spark, path, "positions")
+    val q = Staging.stage(phrases
+      .select(col(phraseIdCol).as("phrase_id"),
+        col(slotCol).cast("long").as("slot"), col(tokenCol).as("token"))
+      .filter(col("token") =!= "").distinct())
+    // bounded driver fetch: validate the slot layout + get the In list
+    val lens = q.groupBy("phrase_id")
+      .agg(count(lit(1)).as("len"), max(col("slot")).as("mx"),
+        min(col("slot")).as("mn"))
+      .collect()
+    require(lens.nonEmpty, "phraseMatchesBatch needs at least one phrase")
+    lens.foreach { r =>
+      val (len, mx, mn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      require(mn == 0L && mx == len - 1L,
+        s"phrase ${r.get(0)} must cover slots 0..len-1 exactly (a gap " +
+          s"or repeat would silently drop it); got min=$mn max=$mx count=$len")
+      require(len <= 32L,
+        s"phrase ${r.get(0)} longer than 32 tokens — split the needle")
+    }
+    val terms = q.select("token").distinct().collect().map(_.getString(0))
+    val lenF = q.groupBy("phrase_id").agg(count(lit(1)).as("len"))
+    val rows = IndexMaintenance.filterTombstoned(spark, path,
+        spark.read.parquet(s"$path/positions")
+          .filter(col("token").isin(terms.toIndexedSeq: _*)), "doc_id")
+      .dropDuplicates("doc_id", "pos")
+    rows
+      .join(broadcast(q), "token") // fan out to the slots wanting the token
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("slot")).as("start"))
+      .groupBy("phrase_id", "doc_id", "start")
+      .agg(count(lit(1)).as("slots"))
+      .join(broadcast(lenF), "phrase_id")
+      .filter(col("slots") === col("len"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+      .orderBy("phrase_id", "doc_id")
+  }
+
   /** The scan twin of [[phraseMatches]] — one map-side pass over the raw
     * corpus checking every start offset (the overlap-correct slice
     * compare), no index required. Serves as the phrase oracle and the

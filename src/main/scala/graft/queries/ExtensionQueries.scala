@@ -525,6 +525,27 @@ object ExtensionQueries extends QueryModule {
       graft.operators.Retrieval.phraseMatches(s, work, Seq("a", "a"))
     },
 
+    // The BATCHED phrase form: a 2-needle decontamination suite answered
+    // from the positional store in ONE probe of the union token set —
+    // per-phrase rows must equal the single-phrase loop, which the
+    // composed oracle pins under the hash (one leg per needle).
+    "q_phrase_batch" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val work = SessionScratch.cached("phraseidx", dir) { p =>
+        graft.operators.Retrieval.buildPositionalIndex(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+        graft.operators.Retrieval.appendToPositionalIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+      }
+      import s.implicits._
+      val q = Seq(("pa", 0, "a"), ("pa", 1, "a"),
+        ("pb", 0, "vector"), ("pb", 1, "batch"))
+        .toDF("phrase_id", "slot", "token")
+      graft.operators.Retrieval.phraseMatchesBatch(s, work, q,
+        "phrase_id", "slot", "token")
+    },
+
     // SUITE-level ranking evaluation: per-query hits/precision/RR rows
     // for the batched retrieval run against per-query relevance sets —
     // the TREC shape whose mean is the suite MRR. Closes the
@@ -1603,6 +1624,29 @@ object ExtensionQueries extends QueryModule {
            FROM base)
          SELECT doc_id, n_matches FROM m WHERE n_matches > 0
          ORDER BY doc_id""",
+    // batched phrase suite: one range-lambda leg per needle, UNION ALL
+    "q_phrase_batch" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         pa AS (
+           SELECT 'pa' AS phrase_id, doc_id,
+             CAST(len(list_filter(range(1, len(toks) + 1 - 1),
+               s -> toks[s] = 'a' AND toks[s+1] = 'a')) AS BIGINT)
+               AS n_matches
+           FROM base),
+         pb AS (
+           SELECT 'pb' AS phrase_id, doc_id,
+             CAST(len(list_filter(range(1, len(toks) + 1 - 1),
+               s -> toks[s] = 'vector' AND toks[s+1] = 'batch')) AS BIGINT)
+               AS n_matches
+           FROM base)
+         SELECT phrase_id, doc_id, n_matches FROM (
+           SELECT * FROM pa UNION ALL SELECT * FROM pb)
+         WHERE n_matches > 0
+         ORDER BY phrase_id, doc_id""",
     // term-stats retraction: the frozen ranker's history is the surviving
     // slice only (doc_id % 5 = 1 retracted by negative delta)
     "q_bm25_stats_retract" ->

@@ -519,6 +519,25 @@ object ScaleBench {
       graft.operators.Retrieval.phraseCountScan(t.documents, "doc_id",
         "text", Seq("shuffle", "plan"))
     },
+    // 100-needle decontamination suite in ONE positions probe — against
+    // 100× the single-phrase probe a per-needle loop would pay
+    "x_phrase_batch100" -> { (s, dir) =>
+      val idx = standingIndex("xpos", dir) { p =>
+        val t = new graft.model.Tables(s, dir)
+        graft.operators.Retrieval.buildPositionalIndex(
+          t.documents, "doc_id", "text", p)
+      }
+      val lex = ("batch part spark line column order small sort fast value " +
+        "scan hash slow group agg filter query big key window row table " +
+        "stream merge data join shuffle plan stage task").split(' ')
+      import s.implicits._
+      val q = (0 until 100).flatMap { i =>
+        Seq(lex(i % 30), lex((i * 7 + 1) % 30), lex((i * 13 + 2) % 30))
+          .zipWithIndex.map { case (t, slot) => (s"p$i", slot, t) }
+      }.toDF("phrase_id", "slot", "token")
+      graft.operators.Retrieval.phraseMatchesBatch(s, idx, q,
+        "phrase_id", "slot", "token")
+    },
     // MULTI-QUERY batched BM25 at suite scale: 100 queries × 3 terms from
     // the 30-word scale lexicon in ONE corpus pass — against ~100× the
     // x_bm25 single-query wall a per-query loop would pay

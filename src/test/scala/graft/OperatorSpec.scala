@@ -2279,6 +2279,50 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseMatchesBatch == per-phrase loop; ghosts empty; slot gaps loud") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = t("documents")
+    val work = java.nio.file.Files.createTempDirectory("graft_phb_").toString
+    try {
+      Retrieval.buildPositionalIndex(docs, "doc_id", "text", work)
+      val suite = Seq(
+        "pa" -> Seq("a", "a"),                  // periodic
+        "pb" -> Seq("vector", "batch"),         // plain bigram
+        "pc" -> Seq("fast", "table", "value"),  // 3-gram
+        "pg" -> Seq("zzz", "qqq"))              // ghost: tokens absent
+      val q = suite.flatMap { case (id, ph) =>
+        ph.zipWithIndex.map { case (t, i) => (id, i, t) }
+      }.toDF("phrase_id", "slot", "token")
+      val batch = Retrieval.phraseMatchesBatch(spark, work, q,
+          "phrase_id", "slot", "token")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.operators.Staging.releaseAll()
+      val loop = suite.flatMap { case (id, ph) =>
+        val r = Retrieval.phraseMatches(spark, work, ph)
+          .collect().map(r => (id, r.getLong(0), r.getLong(1))).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      assert(batch == loop,
+        s"batch=${batch.size} rows, loop=${loop.size} rows")
+      assert(!batch.exists(_._1 == "pg"), "ghost phrase must emit nothing")
+      assert(batch.exists(_._1 == "pa") && batch.exists(_._1 == "pc"),
+        "fixture self-check: the real phrases match")
+      // a slot gap (0,2) would make the phrase silently unmatchable
+      intercept[IllegalArgumentException] {
+        Retrieval.phraseMatchesBatch(spark, work,
+          Seq(("bad", 0, "a"), ("bad", 2, "a")).toDF("phrase_id", "slot", "token"),
+          "phrase_id", "slot", "token")
+      }
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
   test("bm25TopKBatch equals the per-query scan loop (overlapping + disjoint)") {
     import spark.implicits._
     import graft.operators.Retrieval
