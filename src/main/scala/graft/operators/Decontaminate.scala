@@ -258,4 +258,48 @@ object Decontaminate {
         coalesce(col("best_jaccard"), lit(0.0d)).as("best_jaccard"),
         col("best_bench"))
   }
+
+  /** [[flagContaminated]] answered from a POSITIONAL index
+    * ([[Retrieval.buildPositionalIndex]]) instead of a corpus scan — the
+    * repeated-audit regime: the corpus is indexed once, and each new
+    * benchmark suite costs only its own n-grams' position rows. The
+    * benchmark's distinct n-grams become phrase needles (same tokenizer,
+    * so a needle match IS a shared shingle), and a doc's matched-needle
+    * count equals [[flagContaminated]]'s distinct-overlap count exactly —
+    * oracle-pinned route equality on the flagged rows. Output:
+    * (doc_id, overlap, contaminated) for docs with overlap ≥ 1 only (the
+    * index route never touches non-matching docs — enumerating zeros is
+    * what the scan form is for).
+    *
+    * Scale shape: needles and their slot map are benchmark-scale
+    * (broadcast); the probe reads the benchmark VOCABULARY's position
+    * rows. Boundary stated honestly: a wide-vocab benchmark pushes the
+    * token `In` past parquet's pushdown threshold, degrading the probe
+    * to a positions-store scan — still no corpus read, tokenize, or
+    * shingle, which is where the scan form's cost lives.
+    */
+  def flagContaminatedFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, benchmark: DataFrame, benchTextCol: String,
+      n: Int = 3, minOverlap: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 32, s"n must be in [1, 32], got $n")
+    val toks = benchmark.select(Dedup.tokens(col(benchTextCol)).as("toks"))
+      .stagePersist()
+    val grams = toks.filter(size(col("toks")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - lit(n - 1)),
+        s => slice(col("toks"), s, lit(n)))).as("gram"))
+      .distinct()
+    // tokens can't contain whitespace (the tokenizer splits on it), so
+    // the space-joined needle id is collision-free
+    val needles = grams.select(
+      concat_ws(" ", col("gram")).as("phrase_id"),
+      posexplode(col("gram")).as(Seq("slot", "token")))
+    Retrieval.phraseMatchesBatch(spark, path, needles,
+        "phrase_id", "slot", "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("overlap"))
+      .select(col("doc_id"), col("overlap"),
+        (col("overlap") >= minOverlap).as("contaminated"))
+      .orderBy("doc_id")
+  }
 }

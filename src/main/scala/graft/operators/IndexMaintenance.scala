@@ -132,9 +132,15 @@ object IndexMaintenance {
     require(ids.columns.length == 1,
       s"tombstone frame must have exactly one id column, got " +
         ids.columns.mkString("(", ", ", ")"))
-    ids.select(col(ids.columns.head).as("id")).distinct()
-      .coalesce(1)
-      .write.mode("append").parquet(tombstonePath(root).toString)
+    val t = ids.select(col(ids.columns.head).as("id")).distinct()
+      .coalesce(1).persist()
+    try {
+      // an empty retraction is a no-op — writing it would leave a
+      // zero-file parquet dir that breaks every later tombstone read
+      // ("unable to infer schema"), poisoning the whole index
+      if (!t.isEmpty)
+        t.write.mode("append").parquet(tombstonePath(root).toString)
+    } finally t.unpersist(false)
   }
 
   /** The tombstone id set at `root`, if any retraction has happened. */

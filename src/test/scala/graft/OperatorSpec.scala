@@ -2271,6 +2271,12 @@ class OperatorSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         Retrieval.phraseMatches(spark, s"$work/p", Seq.fill(33)("a"))
       }
+      // an EMPTY retraction must be a no-op, not a poisoned tombstone
+      // store (a zero-file parquet dir fails schema inference on read)
+      Retrieval.retractFromPositionalIndex(spark, s"$work/p",
+        Seq.empty[Long].toDF("doc_id"))
+      assert(rows(Retrieval.phraseMatches(spark, s"$work/p", Seq("a", "a")))
+        == afterRetract, "empty retraction must change nothing")
     } finally {
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -2315,6 +2321,34 @@ class OperatorSpec extends AnyFunSuite {
           Seq(("bad", 0, "a"), ("bad", 2, "a")).toDF("phrase_id", "slot", "token"),
           "phrase_id", "slot", "token")
       }
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  test("index-side decontamination == the scan form's flagged rows") {
+    import graft.operators.{Decontaminate, Retrieval}
+    val docs = t("documents")
+    val work = java.nio.file.Files.createTempDirectory("graft_decidx_").toString
+    try {
+      Retrieval.buildPositionalIndex(docs, "doc_id", "text", work)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val viaIndex = Decontaminate.flagContaminatedFromIndex(spark, work,
+          bench, "text", n = 3, minOverlap = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      graft.operators.Staging.releaseAll()
+      val viaScan = Decontaminate.flagContaminated(docs, "doc_id", "text",
+          bench, "text", n = 3, minOverlap = 2)
+        .filter(col("overlap") > 0).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      graft.operators.Staging.releaseAll()
+      assert(viaIndex == viaScan,
+        s"index route ${viaIndex.size} rows vs scan ${viaScan.size}")
+      assert(viaIndex.exists(_._3) && viaIndex.exists(!_._3),
+        "fixture self-check: both flagged and sub-threshold rows exist")
     } finally {
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
