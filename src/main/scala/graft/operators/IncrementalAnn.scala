@@ -133,6 +133,73 @@ object IncrementalAnn {
     c.write.mode(mode).parquet(s"$path/vecs")
   }
 
+  /** Top-k nearest neighbors IN THE INDEXED CORPUS for a batch of query
+    * vectors — the vector twin of [[Retrieval.topKFromIndex]]: where
+    * [[Similarity.lshTopK]] re-projects the corpus frame's signatures on
+    * every call (the dominant cost at corpus scale — measured as ~all of
+    * the 500k-tier wall before its banding persist), this form reuses the
+    * PERSISTED signatures: query cost is the query batch's own
+    * projections + one column-pruned scan of the signature store + the
+    * candidate-bound vector fetch and exact-cosine verify.
+    *
+    * Same construction as lshTopK at the index's banding width (shared
+    * `bucketTables` kernel, same single-bit multi-probe, same tie rule),
+    * so with `numPlanes` pinned at build time the output is ROW-FOR-ROW
+    * equal to lshTopK over the indexed corpus (spec-pinned). Tombstoned
+    * (retracted) vectors never appear. Output: (q_id, n_id, rank, cos);
+    * a query id that collides with an indexed id skips itself, like the
+    * in-memory form.
+    */
+  def topK(queries: DataFrame, idCol: String, vecCol: String, path: String,
+      k: Int, probeBits: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(probeBits >= 0 && probeBits <= 1, s"probeBits ∈ {0, 1}, got $probeBits")
+    val spark = queries.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    val p = readParams(spark, path)
+    val q = staged(queries, idCol, vecCol)
+    val mask = lit((1L << p.planes) - 1)
+    val qBand0 = sigsOf(q, p)
+      .select(col("id").as("q_id"), col("tbl"),
+        col("sig").bitwiseAND(mask).as("bucket"))
+    val qBand =
+      if (probeBits == 0) qBand0
+      else {
+        // probe set = exact bucket + every single-bit flip (lshTopK's)
+        val flips = lit(0L) +: (0 until p.planes).map(b => lit(1L << b))
+        qBand0.select(col("q_id"), col("tbl"),
+          explode(array(flips.map(m => col("bucket").bitwiseXOR(m)): _*))
+            .as("bucket"))
+      }
+    val indexBand = IndexMaintenance.filterTombstoned(spark, path,
+        spark.read.parquet(s"$path/sigs"), "id")
+      .select(col("id").as("n_id"), col("tbl"),
+        col("sig").bitwiseAND(mask).as("bucket"))
+    val cand = indexBand.join(broadcast(qBand), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+      .dropDuplicates("q_id", "n_id")
+      .stagePersist()
+    val candIds = cand.select(col("n_id").as("id")).distinct()
+    // candidate vectors only; dropDuplicates(id) absorbs replayed appends
+    val nVecs = spark.read.parquet(s"$path/vecs")
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .dropDuplicates("id")
+    val scored = cand
+      .join(nVecs.select(col("id").as("n_id"), col("vec").as("n_vec"),
+        Similarity.norm(col("vec")).as("n_norm")), "n_id")
+      .join(broadcast(q.select(col("id").as("q_id"), col("vec").as("q_vec"),
+        Similarity.norm(col("vec")).as("q_norm"))), "q_id")
+      .withColumn("cos",
+        VectorFunctions.vector_dot(col("q_vec"), col("n_vec"))
+          / (col("q_norm") * col("n_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cos")
+  }
+
   /** Near-duplicate pairs of a NEW embedding batch against the indexed
     * corpus and within the batch: (id_a, id_b, cos) with id_a < id_b,
     * exact-cosine-verified at `threshold` — the pairs the monolithic

@@ -687,6 +687,24 @@ object ExtensionQueries extends QueryModule {
         (emb, q) => Similarity.lshTopK(emb, q, "vec_id", "embedding", dim = 64, k = 3))
     },
 
+    // Top-k similarity search against the PERSISTED ANN index — the
+    // vector twin of q_bm25_index_topk: the standing signature store
+    // answers neighbor queries without re-projecting the corpus (the
+    // measured dominant cost of the in-memory form at scale). Same
+    // recall gate as q_sim_lsh; row-for-row equality with lshTopK at the
+    // pinned width is spec-pinned.
+    "q_ann_index_topk" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val emb = t.embeddings
+      val work = SessionScratch.cached("annidx", dir) { p =>
+        graft.operators.IncrementalAnn.buildIndex(
+          emb, "vec_id", "embedding", dim = 64, path = p)
+      }
+      annRecallGate(emb, (_, q) =>
+        graft.operators.IncrementalAnn.topK(q, "vec_id", "embedding",
+          work, k = 3))
+    },
+
     // The capstone corpus-build pipeline, composed from the operators
     // above: language/quality filter → near-dup cluster keep-list →
     // deterministic content-hash sample. One declarative plan — Catalyst
@@ -2130,6 +2148,9 @@ object ExtensionQueries extends QueryModule {
                list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2])),
              (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.3""",
     "q_sim_lsh" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 8 ORDER BY q_id""",
+    "q_ann_index_topk" ->
       """SELECT vec_id AS q_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 8 ORDER BY q_id""",
     "q_sim_ivf" ->

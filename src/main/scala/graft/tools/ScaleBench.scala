@@ -519,6 +519,29 @@ object ScaleBench {
       graft.operators.Retrieval.phraseCountScan(t.documents, "doc_id",
         "text", Seq("shuffle", "plan"))
     },
+    // TOP-K from the persisted ANN index vs q_sim_lsh (which re-projects
+    // the corpus banding per call): the standing-signature claim
+    "x_ann_index_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val idx = standingIndex("xannq", dir) { p =>
+        val t = new graft.model.Tables(s, dir)
+        graft.operators.IncrementalAnn.buildIndex(
+          t.embeddings, "vec_id", "embedding", dim = 64, path = p)
+      }
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.IncrementalAnn.topK(
+        t.embeddings.filter(col("vec_id") < 8), "vec_id", "embedding",
+        idx, k = 3)
+    },
+    // the in-memory twin alone (q_sim_lsh bundles its exact-recall gate):
+    // re-projects + re-bands the corpus every call
+    "x_lsh_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Similarity.lshTopK(t.embeddings,
+        t.embeddings.filter(col("vec_id") < 8), "vec_id", "embedding",
+        dim = 64, k = 3)
+    },
     // 100-needle decontamination suite in ONE positions probe — against
     // 100× the single-phrase probe a per-needle loop would pay
     "x_phrase_batch100" -> { (s, dir) =>

@@ -2357,6 +2357,48 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN index topK == lshTopK at the pinned width; respects retraction") {
+    import spark.implicits._
+    import graft.operators.{IncrementalAnn, Similarity}
+    val emb = t("embeddings")
+    val work = java.nio.file.Files.createTempDirectory("graft_annq_").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSeq.sorted
+      graft.operators.Staging.releaseAll()
+      r
+    }
+    try {
+      IncrementalAnn.buildIndex(emb, "vec_id", "embedding", dim = 64,
+        path = work, numPlanes = 8)
+      val q = emb.filter(col("vec_id") < 8)
+      val viaIdx = rows(IncrementalAnn.topK(q, "vec_id", "embedding",
+        work, k = 3))
+      val viaLsh = rows(Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        dim = 64, k = 3, numPlanes = 8))
+      assert(viaIdx == viaLsh,
+        s"index route ${viaIdx.size} rows vs in-memory ${viaLsh.size}")
+      assert(viaIdx.nonEmpty, "fixture self-check: neighbors exist")
+      // retract the first result's neighbor: it must vanish, and the
+      // route must equal lshTopK over the surviving corpus
+      val victim = viaIdx.head._2
+      IncrementalAnn.retract(spark, work, Seq(victim).toDF("vec_id"))
+      val after = rows(IncrementalAnn.topK(q, "vec_id", "embedding",
+        work, k = 3))
+      assert(after.forall(_._2 != victim), "retracted vector still ranked")
+      val lshSurv = rows(Similarity.lshTopK(
+        emb.filter(col("vec_id") =!= victim), q, "vec_id", "embedding",
+        dim = 64, k = 3, numPlanes = 8))
+      assert(after == lshSurv,
+        "retracted index must rank exactly like the surviving corpus")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
   test("bm25TopKBatch equals the per-query scan loop (overlapping + disjoint)") {
     import spark.implicits._
     import graft.operators.Retrieval
