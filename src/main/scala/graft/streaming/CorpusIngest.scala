@@ -93,6 +93,18 @@ object CorpusIngest {
     * dedup against its earlier arrival rather than count as new content.
     * The sink then holds the canonical text. Defaults to false so callers
     * that ingest already-canonical corpora skip the per-row pass.
+    *
+    * `bannedNeedles` blocks known-bad content AT THE DOOR: any arriving
+    * doc containing one of the exact token phrases (the
+    * [[graft.operators.Retrieval.phraseCountScan]] semantics — same
+    * tokenizer as the dedup, applied AFTER canonicalization) drops before
+    * dedup, so it neither reaches the sink nor pollutes the index with
+    * its signatures. The streaming face of verbatim decontamination: the
+    * needle check is one staged tokenize + slice-compare pass over the
+    * ARRIVAL only. Dropped docs are gone for good (greedy online
+    * semantics, like the dedup itself); a needle discovered later is a
+    * retraction ([[IncrementalDedup.retract]] + sink rewrite), not a
+    * re-ingest.
     */
   def runIngestAvailableNow(spark0: SparkSession, srcDir: String,
       indexPath: String, sinkPath: String, checkpointPath: String,
@@ -100,7 +112,12 @@ object CorpusIngest {
       jaccardThreshold: Double = 0.5,
       params: IncrementalDedup.Params = IncrementalDedup.Params(3, 16, 4),
       shufflePartitions: Option[Int] = None,
-      canonicalize: Boolean = false): DataFrame = {
+      canonicalize: Boolean = false,
+      bannedNeedles: Seq[Seq[String]] = Nil): DataFrame = {
+    bannedNeedles.foreach { ph =>
+      require(ph.nonEmpty && ph.forall(_.nonEmpty),
+        "banned needles must be non-empty token sequences")
+    }
     // like EventStreams.drainSession: a bounded drain's exchanges should
     // be sized to ITS data, not the cluster default — a gate-scale batch
     // pays ~10 shuffles whose per-task overhead dwarfs the rows. A
@@ -126,7 +143,7 @@ object CorpusIngest {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, indexPath, sinkPath, idCol, textCol,
-          jaccardThreshold, params)
+          jaccardThreshold, params, bannedNeedles)
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
@@ -139,11 +156,32 @@ object CorpusIngest {
     * idempotently, append them to the index. Package-visible so the spec
     * can replay a committed batch and pin the at-least-once story.
     */
-  private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
+  private[graft] def ingestBatch(batch0: DataFrame, batchId: Long,
       indexPath: String, sinkPath: String, idCol: String, textCol: String,
-      jaccardThreshold: Double, params: IncrementalDedup.Params): Unit = {
+      jaccardThreshold: Double, params: IncrementalDedup.Params,
+      bannedNeedles: Seq[Seq[String]] = Nil): Unit = {
     val t00 = System.nanoTime()
-    if (batch.isEmpty) return
+    val batch =
+      if (bannedNeedles.isEmpty) batch0
+      else {
+        // one staged tokenize pass over the ARRIVAL; every needle checks
+        // against the same attribute (the Staging HOF rule — an inline
+        // expression would re-tokenize per start offset)
+        val toksF = Staging.stage(batch0.select(col(idCol).as("id"),
+          filter(graft.operators.TextAnalysis.tokens(col(textCol)),
+            x => x =!= lit("")).as("toks")))
+        val hitAny = bannedNeedles.map { ph =>
+          val hit = (s: org.apache.spark.sql.Column) =>
+            ph.zipWithIndex.map { case (t, i) =>
+              element_at(col("toks"), (s + lit(i + 1)).cast("int")) === lit(t)
+            }.reduce(_ && _)
+          size(col("toks")) >= ph.length &&
+            exists(sequence(lit(0), size(col("toks")) - lit(ph.length)), hit)
+        }.reduce(_ || _)
+        val bad = toksF.filter(hitAny).select("id")
+        batch0.join(broadcast(bad), col(idCol) === col("id"), "left_anti")
+      }
+    if (batch.isEmpty) { Staging.releaseAll(); return }
     if (sys.env.contains("GRAFT_INGEST_PROFILE"))
       System.err.println(
         f"[ingest] batch=$batchId isEmpty      ${(System.nanoTime() - t00) / 1e9}%6.2f s")

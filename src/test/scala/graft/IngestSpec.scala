@@ -97,6 +97,41 @@ class IngestSpec extends AnyFunSuite {
     } finally rmTree(root)
   }
 
+  test("banned needles drop at the door: not in the sink, not in the index") {
+    import spark.implicits._
+    val root = scratch("needle")
+    try {
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val now = System.currentTimeMillis()
+      // doc 2 carries the banned phrase mid-text; doc 31 carries the
+      // other needle; doc 1 contains 'w3 w4' (a SUBSET overlap with
+      // neither needle) and must survive
+      val g1 = Seq(1L -> textA, 2L -> (fresh(2) + " leaked item alpha tail"),
+        3L -> textA)
+      val g2 = Seq(31L -> "beta leak marker", 32L -> fresh(32))
+      writeDocFile(src, g1, "g1.parquet", now - 60000)
+      writeDocFile(src, g2, "g2.parquet", now)
+      val needles = Seq(Seq("leaked", "item", "alpha"),
+        Seq("beta", "leak", "marker"))
+      val streamed = CorpusIngest.runIngestAvailableNow(spark, src,
+        s"$root/idx", s"$root/sink", s"$root/ckpt",
+        jaccardThreshold = tau, params = params,
+        bannedNeedles = needles)
+      // 2 and 31 blocked at the door; 3 still dedups against kept 1
+      assert(keptIds(streamed) == Set(1L, 32L),
+        s"got ${keptIds(streamed).toSeq.sorted}")
+      // the blocked docs left NO trace in the index either: a later
+      // batch identical to doc 2's text is judged fresh (no near-dup)
+      val probe = Seq(100L -> (fresh(2) + " leaked item alpha tail"))
+        .toDF("doc_id", "text")
+      val pairs = IncrementalDedup.newBatchPairs(probe, "doc_id", "text",
+        s"$root/idx", tau)
+      assert(pairs.isEmpty,
+        "a blocked doc's signatures must never reach the index")
+      graft.operators.Staging.releaseAll()
+    } finally rmTree(root)
+  }
+
   test("checkpoint resume drains only new files and keeps published batches intact") {
     val root = scratch("resume")
     try {
