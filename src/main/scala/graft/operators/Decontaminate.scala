@@ -259,43 +259,114 @@ object Decontaminate {
         col("best_bench"))
   }
 
-  /** [[flagContaminated]] answered from a POSITIONAL index
-    * ([[Retrieval.buildPositionalIndex]]) instead of a corpus scan — the
-    * repeated-audit regime: the corpus is indexed once, and each new
-    * benchmark suite costs only its own n-grams' position rows. The
-    * benchmark's distinct n-grams become phrase needles (same tokenizer,
-    * so a needle match IS a shared shingle), and a doc's matched-needle
-    * count equals [[flagContaminated]]'s distinct-overlap count exactly —
-    * oracle-pinned route equality on the flagged rows. Output:
-    * (doc_id, overlap, contaminated) for docs with overlap ≥ 1 only (the
-    * index route never touches non-matching docs — enumerating zeros is
-    * what the scan form is for).
+  /** Per-document GRAM-POSTINGS index — the store that answers
+    * SET-overlap decontamination (and any other "which docs contain
+    * these grams" audit) without a corpus scan: one `grams/` store of
+    * (gram, doc_id) rows, gram = xxhash64 of the n-gram string (8-byte
+    * keys — the same injective-hash budget as the dedup family's hashed
+    * shingles), gram-clustered + sorted; `gparams/` pins n at build time
+    * so appends and queries can never sign with a different width.
     *
-    * Scale shape: needles and their slot map are benchmark-scale
-    * (broadcast); the probe reads the benchmark VOCABULARY's position
-    * rows. Boundary stated honestly: a wide-vocab benchmark pushes the
-    * token `In` past parquet's pushdown threshold, degrading the probe
-    * to a positions-store scan — still no corpus read, tokenize, or
-    * shingle, which is where the scan form's cost lives.
+    * Why not the positional index: a benchmark's grams over ANY shared
+    * vocabulary make the phrase route's slot fan-out combinatorial
+    * (every occurrence of a hot token joins every needle slot wanting it
+    * — measured 79.7 s at sf0.1 where this store reads ~1 s). Positional
+    * intersection is for ARBITRARY phrase queries; bulk gram-set overlap
+    * is a semi-join, and this store makes it one. Cost per audit: one
+    * column-pruned 16 B/row store scan against the broadcast benchmark
+    * hashes — no corpus read, tokenize, or shingle (where the scan
+    * form's cost lives). Lifecycle: append/compact/heal/tombstone
+    * retract/vacuum, like every store.
+    */
+  def buildGramPostingsIndex(docs: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int = 3): Unit = {
+    require(n >= 1 && n <= 32, s"n must be in [1, 32], got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    IndexMaintenance.heal(spark, path, "grams")
+    Seq(n).toDF("n").write.mode("overwrite").parquet(s"$path/gparams")
+    gramPostingsOf(docs, idCol, textCol, n)
+      .write.mode("overwrite").parquet(s"$path/grams")
+  }
+
+  /** Append one batch (disjoint doc_ids); n comes from the index. */
+  def appendToGramPostingsIndex(delta: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val spark = delta.sparkSession
+    gramPostingsOf(delta, idCol, textCol, readGramN(spark, path))
+      .write.mode("append").parquet(s"$path/grams")
+  }
+
+  /** RETRACT indexed docs (takedown): tombstones only — per-doc rows, no
+    * cross-doc aggregate. Same contract as [[IncrementalDedup.retract]].
+    */
+  def retractFromGramPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit = {
+    IndexMaintenance.heal(spark, path, "grams")
+    IndexMaintenance.addTombstones(path, ids)
+  }
+
+  /** Fold the store: replayed duplicates and tombstoned docs leave
+    * physically; tombstones retire after the swap commits.
+    */
+  def compactGramPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long = 128L << 20): Unit = {
+    IndexMaintenance.heal(spark, path, "grams")
+    val nFiles = IndexMaintenance.targetFileCount(spark, path, "grams",
+      targetFileBytes)
+    val folded = IndexMaintenance.filterTombstoned(spark, path,
+        spark.read.parquet(s"$path/grams"), "doc_id")
+      .dropDuplicates("gram", "doc_id")
+      .repartition(nFiles, col("gram"))
+      .sortWithinPartitions("gram", "doc_id")
+    IndexMaintenance.swapCompacted(spark, path, "grams") { staged =>
+      folded.write.mode("overwrite").parquet(staged)
+    }
+    IndexMaintenance.dropTombstones(spark, path)
+  }
+
+  private def readGramN(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    IndexMaintenance.heal(spark, path, "grams")
+    spark.read.parquet(s"$path/gparams").head().getInt(0)
+  }
+
+  private def gramPostingsOf(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    // shingleFrame's sh is DISTINCT per doc, so rows are unique per
+    // (doc, gram) by construction — a replayed append duplicates them
+    // exactly, and readers collapse before counting
+    Dedup.shingleFrame(docs, idCol, textCol, n)
+      .select(col("id").as("doc_id"), explode(col("sh")).as("g"))
+      .select(xxhash64(col("g")).as("gram"), col("doc_id"))
+      .repartition(col("gram"))
+      .sortWithinPartitions("gram", "doc_id")
+
+  /** [[flagContaminated]] answered from the gram-postings index instead
+    * of a corpus scan — the repeated-audit regime: index the corpus
+    * once, then each new benchmark suite costs its own distinct-gram
+    * hashes (broadcast) semi-joined against the store. A doc's matched
+    * count equals the scan form's distinct-overlap count exactly
+    * (injective 64-bit gram hashes, the dedup family's standing budget)
+    * — oracle-pinned route equality on the flagged rows. Output:
+    * (doc_id, overlap, contaminated) for docs with overlap ≥ 1 only
+    * (enumerating zero-overlap docs is what the scan form is for). n is
+    * the index's, pinned at build time.
     */
   def flagContaminatedFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, benchmark: DataFrame, benchTextCol: String,
-      n: Int = 3, minOverlap: Int = 2): DataFrame = {
-    require(n >= 1 && n <= 32, s"n must be in [1, 32], got $n")
-    val toks = benchmark.select(Dedup.tokens(col(benchTextCol)).as("toks"))
+      minOverlap: Int = 2): DataFrame = {
+    val n = readGramN(spark, path)
+    val benchSh = benchmark
+      .select(Dedup.tokens(col(benchTextCol)).as("toks"))
       .stagePersist()
-    val grams = toks.filter(size(col("toks")) >= n)
-      .select(explode(transform(
-        sequence(lit(1), size(col("toks")) - lit(n - 1)),
-        s => slice(col("toks"), s, lit(n)))).as("gram"))
+      .select(explode(Dedup.shinglesFromTokens(col("toks"), n)).as("g"))
+      .select(xxhash64(col("g")).as("gram"))
       .distinct()
-    // tokens can't contain whitespace (the tokenizer splits on it), so
-    // the space-joined needle id is collision-free
-    val needles = grams.select(
-      concat_ws(" ", col("gram")).as("phrase_id"),
-      posexplode(col("gram")).as(Seq("slot", "token")))
-    Retrieval.phraseMatchesBatch(spark, path, needles,
-        "phrase_id", "slot", "token")
+    IndexMaintenance.filterTombstoned(spark, path,
+        spark.read.parquet(s"$path/grams"), "doc_id")
+      .join(broadcast(benchSh), Seq("gram"), "left_semi")
+      .dropDuplicates("gram", "doc_id") // crash-replayed append rows
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("overlap"))
       .select(col("doc_id"), col("overlap"),

@@ -548,22 +548,23 @@ object ExtensionQueries extends QueryModule {
 
     // INDEX-side decontamination: q_decontaminate's exact semantics
     // (distinct shared 3-grams vs the doc_id % 97 benchmark) answered
-    // from the positional store — the repeated-audit regime where each
-    // new benchmark suite costs its own grams' position rows, never a
-    // corpus scan. The oracle is the q_decontaminate tree restricted to
-    // flagged docs, so route equality sits under the hash.
+    // from the per-doc GRAM-POSTINGS store — the repeated-audit regime
+    // where each new benchmark suite is one broadcast semi-join against
+    // the standing store, never a corpus scan/tokenize/shingle. The
+    // oracle is the q_decontaminate tree restricted to flagged docs, so
+    // route equality sits under the hash. Built in two batches.
     "q_decontaminate_index" -> { (s, dir) =>
       val t = new Tables(s, dir)
       val docs = t.documents
-      val work = SessionScratch.cached("phraseidx", dir) { p =>
-        graft.operators.Retrieval.buildPositionalIndex(
-          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
-        graft.operators.Retrieval.appendToPositionalIndex(
+      val work = SessionScratch.cached("gramidx", dir) { p =>
+        Decontaminate.buildGramPostingsIndex(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p, n = 3)
+        Decontaminate.appendToGramPostingsIndex(
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
       }
       val bench = docs.filter(col("doc_id") % 97 === 0)
       Decontaminate.flagContaminatedFromIndex(s, work, bench, "text",
-        n = 3, minOverlap = 2)
+        minOverlap = 2)
     },
 
     // SUITE-level ranking evaluation: per-query hits/precision/RR rows

@@ -179,7 +179,7 @@ object CorpusIngest {
             exists(sequence(lit(0), size(col("toks")) - lit(ph.length)), hit)
         }.reduce(_ || _)
         val bad = toksF.filter(hitAny).select("id")
-        batch0.join(broadcast(bad), col(idCol) === col("id"), "left_anti")
+        batch0.join(broadcast(bad), batch0(idCol) === bad("id"), "left_anti")
       }
     if (batch.isEmpty) { Staging.releaseAll(); return }
     if (sys.env.contains("GRAFT_INGEST_PROFILE"))

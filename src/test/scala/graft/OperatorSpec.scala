@@ -2330,16 +2330,25 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("index-side decontamination == the scan form's flagged rows") {
-    import graft.operators.{Decontaminate, Retrieval}
+    import spark.implicits._
+    import graft.operators.Decontaminate
     val docs = t("documents")
     val work = java.nio.file.Files.createTempDirectory("graft_decidx_").toString
-    try {
-      Retrieval.buildPositionalIndex(docs, "doc_id", "text", work)
-      val bench = docs.filter(col("doc_id") % 97 === 0)
-      val viaIndex = Decontaminate.flagContaminatedFromIndex(spark, work,
-          bench, "text", n = 3, minOverlap = 2)
+    def flagged(p: String, bench: org.apache.spark.sql.DataFrame) = {
+      val r = Decontaminate.flagContaminatedFromIndex(spark, p,
+          bench, "text", minOverlap = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
       graft.operators.Staging.releaseAll()
+      r
+    }
+    try {
+      // two-batch build: merge-on-read additivity under the differential
+      Decontaminate.buildGramPostingsIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", work, n = 3)
+      Decontaminate.appendToGramPostingsIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", work)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val viaIndex = flagged(work, bench)
       val viaScan = Decontaminate.flagContaminated(docs, "doc_id", "text",
           bench, "text", n = 3, minOverlap = 2)
         .filter(col("overlap") > 0).orderBy("doc_id")
@@ -2349,6 +2358,24 @@ class OperatorSpec extends AnyFunSuite {
         s"index route ${viaIndex.size} rows vs scan ${viaScan.size}")
       assert(viaIndex.exists(_._3) && viaIndex.exists(!_._3),
         "fixture self-check: both flagged and sub-threshold rows exist")
+      // replayed append tolerated; retraction + vacuum physical
+      Decontaminate.appendToGramPostingsIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", work)
+      assert(flagged(work, bench) == viaScan,
+        "a replayed append must not change overlap counts")
+      val victim = viaIndex.head._1
+      Decontaminate.retractFromGramPostingsIndex(spark, work,
+        Seq(victim).toDF("doc_id"))
+      val afterRetract = flagged(work, bench)
+      assert(afterRetract == viaScan.filterNot(_._1 == victim))
+      Decontaminate.compactGramPostingsIndex(spark, work)
+      assert(flagged(work, bench) == afterRetract,
+        "compaction must be bit-identical")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$work/tombstones")))
+      assert(spark.read.parquet(s"$work/grams")
+        .filter(col("doc_id") === victim).count() == 0L,
+        "vacuum must drop the retracted doc's gram rows")
     } finally {
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
