@@ -556,7 +556,13 @@ object ExtensionQueries extends QueryModule {
     "q_decontaminate_index" -> { (s, dir) =>
       val t = new Tables(s, dir)
       val docs = t.documents
-      val work = SessionScratch.cached("gramidx", dir) { p =>
+      // tag must be unique ACROSS query modules: CompareQueries' Scratch
+      // owns "gramidx" (the CorpusCompare gram-COUNT index, a different
+      // layout) and both registries share the tmpdir naming scheme — a
+      // shared tag means first-builder-wins and the second key reads the
+      // wrong store (caught by the r11 full-suite bench: PATH_NOT_FOUND
+      // on gparams)
+      val work = SessionScratch.cached("gpostidx", dir) { p =>
         Decontaminate.buildGramPostingsIndex(
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p, n = 3)
         Decontaminate.appendToGramPostingsIndex(
