@@ -519,6 +519,21 @@ object ScaleBench {
       graft.operators.Retrieval.phraseCountScan(t.documents, "doc_id",
         "text", Seq("shuffle", "plan"))
     },
+    // gram-set decontamination AUDIT from the standing gram-postings
+    // store (one broadcast semi-join + per-doc count) vs the scan form
+    // (q_decontaminate: re-tokenize + re-shingle the corpus per audit)
+    "x_decon_index" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val idx = standingIndex("xgpost", dir) { p =>
+        val t = new graft.model.Tables(s, dir)
+        graft.operators.Decontaminate.buildGramPostingsIndex(
+          t.documents, "doc_id", "text", p, n = 3)
+      }
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Decontaminate.flagContaminatedFromIndex(s, idx,
+        t.documents.filter(col("doc_id") % 97 === 0), "text",
+        minOverlap = 2)
+    },
     // TOP-K from the persisted ANN index vs q_sim_lsh (which re-projects
     // the corpus banding per call): the standing-signature claim
     "x_ann_index_topk" -> { (s, dir) =>

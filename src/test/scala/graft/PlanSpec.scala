@@ -410,6 +410,25 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Staging.releaseAll()
   }
 
+  test("gram-postings decontamination never touches the corpus") {
+    val df = SparkEntry.queries("q_decontaminate_index")(spark, dir)
+    df.collect() // AQE: finalize (and SessionScratch builds the store)
+    val p = df.queryExecution.executedPlan.toString
+    // the audit reads the 16 B/row gram store against the broadcast
+    // benchmark hashes — the corpus text is nowhere in this plan (the
+    // benchmark side reads documents.parquet, but only the % 97 slice:
+    // the pushed filter proves the corpus-wide scan is gone)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"benchmark gram set did not broadcast:\n$p")
+    val corpusScans = p.linesIterator.filter(l =>
+      l.contains("documents.parquet") && !l.contains("doc_id")).toSeq
+    assert(p.contains("(doc_id"),
+      s"the benchmark slice filter is not pushed:\n$p")
+    assert(corpusScans.isEmpty,
+      s"unfiltered corpus scan in the audit plan:\n${corpusScans.mkString("\n")}")
+    graft.operators.Staging.releaseAll()
+  }
+
   test("batched BM25 shares one corpus pass across all queries") {
     val df = SparkEntry.queries("q_bm25_batch")(spark, dir)
     df.collect()
