@@ -49,6 +49,32 @@ import graft.operators.Staging.Stageable
   */
 object CorpusIngest {
 
+  /** The OTHER standing indices an ingest can keep current alongside the
+    * dedup index — each micro-batch's SURVIVORS append to every
+    * configured store, so the retrieval/audit layer answers from data
+    * that is never more than one batch stale:
+    *
+    *   - `postingsPath`: the BM25 postings index
+    *     ([[graft.operators.Retrieval.appendToPostingsIndex]]);
+    *   - `gramPostingsPath`: the decontamination gram store
+    *     ([[graft.operators.Decontaminate.appendToGramPostingsIndex]];
+    *     bootstrapped at `gramN` on the first surviving batch);
+    *   - `positionsPath`: the exact-phrase positional index
+    *     ([[graft.operators.Retrieval.appendToPositionalIndex]]).
+    *
+    * Replay posture: all three stores are replay-TOLERANT by design (a
+    * re-run batch appends identical rows, which their queries collapse
+    * and their compactions drop), so the ingest's at-least-once
+    * foreachBatch window is safe here exactly as it is for the dedup
+    * index. Survivor batches append with their SINK text (i.e. canonical
+    * when `canonicalize` is on), so index content always matches the
+    * published corpus.
+    */
+  final case class IndexSuite(postingsPath: Option[String] = None,
+      gramPostingsPath: Option[String] = None,
+      positionsPath: Option[String] = None,
+      gramN: Int = 3)
+
   // Keyed by (indexPath, params-file mtime): rebuilding an index at the
   // same path with different params within one JVM invalidates the entry
   // naturally (the params write bumps the mtime), so batches can never
@@ -113,7 +139,8 @@ object CorpusIngest {
       params: IncrementalDedup.Params = IncrementalDedup.Params(3, 16, 4),
       shufflePartitions: Option[Int] = None,
       canonicalize: Boolean = false,
-      bannedNeedles: Seq[Seq[String]] = Nil): DataFrame = {
+      bannedNeedles: Seq[Seq[String]] = Nil,
+      maintain: IndexSuite = IndexSuite()): DataFrame = {
     bannedNeedles.foreach { ph =>
       require(ph.nonEmpty && ph.forall(_.nonEmpty),
         "banned needles must be non-empty token sequences")
@@ -143,7 +170,7 @@ object CorpusIngest {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, indexPath, sinkPath, idCol, textCol,
-          jaccardThreshold, params, bannedNeedles)
+          jaccardThreshold, params, bannedNeedles, maintain)
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
@@ -159,7 +186,8 @@ object CorpusIngest {
   private[graft] def ingestBatch(batch0: DataFrame, batchId: Long,
       indexPath: String, sinkPath: String, idCol: String, textCol: String,
       jaccardThreshold: Double, params: IncrementalDedup.Params,
-      bannedNeedles: Seq[Seq[String]] = Nil): Unit = {
+      bannedNeedles: Seq[Seq[String]] = Nil,
+      maintain: IndexSuite = IndexSuite()): Unit = {
     val t00 = System.nanoTime()
     val batch =
       if (bannedNeedles.isEmpty) batch0
@@ -222,12 +250,37 @@ object CorpusIngest {
       // sink read-back (the write above is the materialization point —
       // measured: broadcasting a CACHED keep list instead re-derives the
       // keep plan inside the broadcast build and costs 5× the tiny read)
-      val keptIds = spark.read.parquet(s"$sinkPath/batch=$batchId")
-        .select(col(idCol).as("id"))
+      val kept = spark.read.parquet(s"$sinkPath/batch=$batchId")
+      val keptIds = kept.select(col(idCol).as("id"))
       timed("append") {
         IncrementalDedup.writeSigned(
           base.join(broadcast(keptIds), Seq("id"), "left_semi"),
           indexPath, p, "append")
+      }
+      // keep the configured standing indices current with the same
+      // survivors (sink text, so canonical when the ingest is). Skipped
+      // for a batch with no survivors — an append that CREATES a store
+      // from an empty frame could leave an unreadable zero-file dir.
+      if ((maintain.postingsPath.isDefined || maintain.gramPostingsPath.isDefined
+          || maintain.positionsPath.isDefined) && !kept.isEmpty) {
+        maintain.postingsPath.foreach { mp =>
+          timed("postings")(graft.operators.Retrieval
+            .appendToPostingsIndex(kept, idCol, textCol, mp))
+        }
+        maintain.gramPostingsPath.foreach { mp =>
+          timed("grams") {
+            if (!fs.exists(new Path(mp, "gparams")))
+              graft.operators.Decontaminate.buildGramPostingsIndex(
+                kept, idCol, textCol, mp, maintain.gramN)
+            else
+              graft.operators.Decontaminate.appendToGramPostingsIndex(
+                kept, idCol, textCol, mp)
+          }
+        }
+        maintain.positionsPath.foreach { mp =>
+          timed("positions")(graft.operators.Retrieval
+            .appendToPositionalIndex(kept, idCol, textCol, mp))
+        }
       }
     } finally
       // staging frames (shingles, signatures, candidates) die with the

@@ -132,6 +132,65 @@ class IngestSpec extends AnyFunSuite {
     } finally rmTree(root)
   }
 
+  test("ingest maintains the standing index suite: every store == survivors") {
+    import graft.operators.{Decontaminate, Retrieval}
+    val root = scratch("suite")
+    try {
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val now = System.currentTimeMillis()
+      writeDocFile(src, f1, "f1.parquet", now - 120000)
+      writeDocFile(src, f2, "f2.parquet", now - 60000)
+      writeDocFile(src, f3, "f3.parquet", now)
+      val streamed = CorpusIngest.runIngestAvailableNow(spark, src,
+        s"$root/idx", s"$root/sink", s"$root/ckpt",
+        jaccardThreshold = tau, params = params,
+        maintain = CorpusIngest.IndexSuite(
+          postingsPath = Some(s"$root/post"),
+          gramPostingsPath = Some(s"$root/gram"),
+          positionsPath = Some(s"$root/pos")))
+      val survivors = streamed.select("doc_id", "text")
+      assert(keptIds(streamed) == expectedKept)
+      // postings: index-route BM25 == scan over the published survivors
+      def bmRows(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      assert(bmRows(Retrieval.topKFromIndex(spark, s"$root/post",
+          Seq("w3"), k = 1))
+        == bmRows(Retrieval.bm25TopK(survivors, "doc_id", "text",
+          Seq("w3"), k = 1)),
+        "postings store must equal a scan over the survivors")
+      // gram postings: audit == the scan form over the survivors
+      val bench = survivors.filter(col("doc_id") === 1L)
+      val viaIdx = Decontaminate.flagContaminatedFromIndex(spark,
+          s"$root/gram", bench, "text", minOverlap = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      graft.operators.Staging.releaseAll()
+      val viaScan = Decontaminate.flagContaminated(survivors, "doc_id",
+          "text", bench, "text", n = 3, minOverlap = 2)
+        .filter(col("overlap") > 0).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      graft.operators.Staging.releaseAll()
+      assert(viaIdx == viaScan, "gram store must equal the survivor scan")
+      // positions: phrase route == the scan twin over the survivors
+      def phRows(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      val needle = Seq("w3", "w4", "w5")
+      assert(phRows(Retrieval.phraseMatches(spark, s"$root/pos", needle))
+        == phRows(Retrieval.phraseCountScan(survivors, "doc_id", "text",
+          needle)),
+        "positional store must equal the survivor scan twin")
+      assert(phRows(Retrieval.phraseMatches(spark, s"$root/pos",
+        needle)).nonEmpty, "fixture self-check: the needle occurs")
+    } finally rmTree(root)
+  }
+
   test("checkpoint resume drains only new files and keeps published batches intact") {
     val root = scratch("resume")
     try {
