@@ -254,21 +254,39 @@ object CorpusCompare {
     * folds accumulated deltas through the `IndexMaintenance` write-ahead-
     * marker swap; every reader heals first.
     */
-  def buildGramIndex(docs: DataFrame, text: Column, path: String): Unit = {
-    // Heal first: a compaction that crashed after publishing its marker
-    // would otherwise roll its STALE staged store forward over the fresh
-    // build on the next read, silently reverting it.
-    IndexMaintenance.heal(docs.sparkSession, path, "grams")
-    gramCounts(docs, text).write.mode("overwrite").parquet(s"$path/grams")
-  }
+  def buildGramIndex(docs: DataFrame, text: Column, path: String): Unit =
+    IndexMaintenance.withWriterLease(docs.sparkSession, path) {
+      // Heal first: a compaction that crashed after publishing its marker
+      // would otherwise roll its STALE staged store forward over the fresh
+      // build on the next read, silently reverting it.
+      IndexMaintenance.heal(docs.sparkSession, path, "grams")
+      gramCounts(docs, text).write.mode("overwrite").parquet(s"$path/grams")
+    }
 
   /** Append a delta batch's gram counts to an existing index (one
     * vocabulary-sized file per append; reads merge by summing).
     */
-  def appendToGramIndex(delta: DataFrame, text: Column, path: String): Unit = {
-    IndexMaintenance.heal(delta.sparkSession, path, "grams")
-    gramCounts(delta, text).write.mode("append").parquet(s"$path/grams")
-  }
+  def appendToGramIndex(delta: DataFrame, text: Column, path: String): Unit =
+    IndexMaintenance.withWriterLease(delta.sparkSession, path) {
+      IndexMaintenance.heal(delta.sparkSession, path, "grams")
+      gramCounts(delta, text).write.mode("append").parquet(s"$path/grams")
+    }
+
+  /** BATCH-ID-KEYED append — the REPLAY-IDEMPOTENT form a streaming
+    * ingest needs: a plain [[appendToGramIndex]] re-run double-counts
+    * (count rows carry no replay identity — this store's documented
+    * exactly-once contract), so the keyed form writes the delta into its
+    * own `grams/b<batchKey>` subdirectory with OVERWRITE semantics — an
+    * at-least-once foreachBatch replay overwrites its own delta instead
+    * of duplicating it. Readers list recursively and sum as before.
+    */
+  def appendToGramIndexKeyed(delta: DataFrame, text: Column, path: String,
+      batchKey: Long): Unit =
+    IndexMaintenance.withWriterLease(delta.sparkSession, path) {
+      IndexMaintenance.heal(delta.sparkSession, path, "grams")
+      gramCounts(delta, text).write.mode("overwrite")
+        .parquet(s"$path/grams/b$batchKey")
+    }
 
   /** The index's merged distribution: SUM per gram across the build file
     * and every appended delta — exactly the counts a monolithic
@@ -276,7 +294,9 @@ object CorpusCompare {
     */
   private def indexCounts(spark: SparkSession, path: String): DataFrame = {
     IndexMaintenance.heal(spark, path, "grams")
-    spark.read.parquet(s"$path/grams")
+    // recursive: root build/append files + keyed b<id>/ replay-idempotent
+    // subdirectories merge as one frame (no partition inference)
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/grams")
       .groupBy("gram").agg(sum("n").as("n"))
   }
 
@@ -311,17 +331,19 @@ object CorpusCompare {
     * marker present rolls the swap forward, marker absent discards the
     * stage). Counts are bit-identical pre/post (sum of sums).
     */
-  def compactGramIndex(spark: SparkSession, path: String): Unit = {
-    // Heal BEFORE the read: spark.read.parquet snapshots the file index at
-    // plan time, so it must see the healed store. swapCompacted heals
-    // again (idempotent) and owns the staged-write → marker → swap.
-    IndexMaintenance.heal(spark, path, "grams")
-    val folded = spark.read.parquet(s"$path/grams")
-      .groupBy("gram").agg(sum("n").as("n"))
-    IndexMaintenance.swapCompacted(spark, path, "grams") { staged =>
-      folded.write.mode("overwrite").parquet(staged)
+  def compactGramIndex(spark: SparkSession, path: String): Unit =
+    IndexMaintenance.withWriterLease(spark, path) {
+      // Heal BEFORE the read: spark.read.parquet snapshots the file index
+      // at plan time, so it must see the healed store. swapCompacted heals
+      // again (idempotent) and owns the staged-write → marker → swap.
+      IndexMaintenance.heal(spark, path, "grams")
+      val folded = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$path/grams")
+        .groupBy("gram").agg(sum("n").as("n"))
+      IndexMaintenance.swapCompacted(spark, path, "grams") { staged =>
+        folded.write.mode("overwrite").parquet(staged)
+      }
     }
-  }
 
   /** Content overlap between two corpora, exact + gated sample estimate.
     *

@@ -283,34 +283,48 @@ object Decontaminate {
     require(n >= 1 && n <= 32, s"n must be in [1, 32], got $n")
     val spark = docs.sparkSession
     import spark.implicits._
-    IndexMaintenance.heal(spark, path, "grams")
-    Seq(n).toDF("n").write.mode("overwrite").parquet(s"$path/gparams")
-    gramPostingsOf(docs, idCol, textCol, n)
-      .write.mode("overwrite").parquet(s"$path/grams")
+    IndexMaintenance.withWriterLease(spark, path) {
+      IndexMaintenance.heal(spark, path, "grams")
+      // rebuild = new generation; stale tombstones must not filter it
+      IndexMaintenance.dropTombstones(spark, path)
+      // grams FIRST, gparams LAST: gparams doubles as the
+      // store-is-complete discriminator (CorpusIngest's bootstrap probes
+      // it), so a crash between the two writes during a rebuild at a new
+      // n must leave the OLD gparams over old grams (re-run the build)
+      // rather than new-n gparams over old-n gram rows, which every
+      // reader would then silently mix at the wrong shingle width
+      gramPostingsOf(docs, idCol, textCol, n)
+        .write.mode("overwrite").parquet(s"$path/grams")
+      Seq(n).toDF("n").write.mode("overwrite").parquet(s"$path/gparams")
+    }
   }
 
   /** Append one batch (disjoint doc_ids); n comes from the index. */
   def appendToGramPostingsIndex(delta: DataFrame, idCol: String,
       textCol: String, path: String): Unit = {
     val spark = delta.sparkSession
-    gramPostingsOf(delta, idCol, textCol, readGramN(spark, path))
-      .write.mode("append").parquet(s"$path/grams")
+    IndexMaintenance.withWriterLease(spark, path) {
+      gramPostingsOf(delta, idCol, textCol, readGramN(spark, path))
+        .write.mode("append").parquet(s"$path/grams")
+    }
   }
 
   /** RETRACT indexed docs (takedown): tombstones only — per-doc rows, no
     * cross-doc aggregate. Same contract as [[IncrementalDedup.retract]].
     */
   def retractFromGramPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, ids: DataFrame): Unit = {
-    IndexMaintenance.heal(spark, path, "grams")
-    IndexMaintenance.addTombstones(path, ids)
-  }
+      path: String, ids: DataFrame): Unit =
+    IndexMaintenance.withWriterLease(spark, path) {
+      IndexMaintenance.heal(spark, path, "grams")
+      IndexMaintenance.addTombstones(path, ids)
+    }
 
   /** Fold the store: replayed duplicates and tombstoned docs leave
     * physically; tombstones retire after the swap commits.
     */
   def compactGramPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, targetFileBytes: Long = 128L << 20): Unit = {
+      path: String, targetFileBytes: Long = 128L << 20): Unit =
+      IndexMaintenance.withWriterLease(spark, path) {
     IndexMaintenance.heal(spark, path, "grams")
     val nFiles = IndexMaintenance.targetFileCount(spark, path, "grams",
       targetFileBytes)
@@ -346,9 +360,14 @@ object Decontaminate {
     * of a corpus scan — the repeated-audit regime: index the corpus
     * once, then each new benchmark suite costs its own distinct-gram
     * hashes (broadcast) semi-joined against the store. A doc's matched
-    * count equals the scan form's distinct-overlap count exactly
-    * (injective 64-bit gram hashes, the dedup family's standing budget)
-    * — oracle-pinned route equality on the flagged rows. Output:
+    * count equals the scan form's distinct-overlap count MODULO 64-bit
+    * collisions (the dedup family's standing injective-hash budget —
+    * ~10⁹ distinct grams per doc/bench pair before collisions matter; a
+    * collision between a corpus gram and a benchmark gram inflates
+    * overlap by one and could flip `contaminated` at the threshold, so
+    * the route equality is probabilistic where the postings/phrase
+    * routes are structural) — oracle-pinned route equality on the
+    * flagged rows. Output:
     * (doc_id, overlap, contaminated) for docs with overlap ≥ 1 only
     * (enumerating zero-overlap docs is what the scan form is for). n is
     * the index's, pinned at build time.

@@ -43,10 +43,13 @@ object IncrementalAnn {
   def buildIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       path: String, numPlanes: Int = 0, numTables: Int = 16,
       seed: Long = 42L, targetBucket: Int = 128,
-      maxEscalations: Int = 6): Unit = {
+      maxEscalations: Int = 6): Unit =
+      IndexMaintenance.withWriterLease(emb.sparkSession, path) {
     val spark = emb.sparkSession
     import spark.implicits._
     VectorFunctions.ensureRegistered(spark)
+    // rebuild = new generation; stale tombstones must not filter it
+    IndexMaintenance.dropTombstones(spark, path)
     val c = staged(emb, idCol, vecCol)
     val n = c.count()
     var planes =
@@ -93,20 +96,22 @@ object IncrementalAnn {
     * it (duplicates are deduped on read).
     */
   def appendBatch(emb: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
-    val p = readParams(emb.sparkSession, path)
-    writeBatch(staged(emb, idCol, vecCol), path, p, "append")
-  }
+      path: String): Unit =
+    IndexMaintenance.withWriterLease(emb.sparkSession, path) {
+      val p = readParams(emb.sparkSession, path)
+      writeBatch(staged(emb, idCol, vecCol), path, p, "append")
+    }
 
   /** RETRACT indexed vectors (takedown) — tombstone the ids; queries drop
     * them before candidate generation and the next
     * [[IndexMaintenance.compactAnnIndex]] vacuums both stores. Same
     * contract as [[IncrementalDedup.retract]].
     */
-  def retract(spark: SparkSession, path: String, ids: DataFrame): Unit = {
-    IndexMaintenance.healAll(spark, path, Seq("sigs", "vecs"))
-    IndexMaintenance.addTombstones(path, ids)
-  }
+  def retract(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    IndexMaintenance.withWriterLease(spark, path) {
+      IndexMaintenance.healAll(spark, path, Seq("sigs", "vecs"))
+      IndexMaintenance.addTombstones(path, ids)
+    }
 
   def readParams(spark: SparkSession, path: String): VecParams = {
     // a crashed compaction swap rolls forward here, so every query/append

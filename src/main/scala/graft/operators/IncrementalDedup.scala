@@ -42,15 +42,21 @@ object IncrementalDedup {
 
   final case class Params(shingleSize: Int, numHashes: Int, bands: Int)
 
-  /** Build the index at `path` from scratch (overwrites). */
+  /** Build the index at `path` from scratch (overwrites; starts a new
+    * index generation, so stale tombstones from the previous one drop —
+    * they would silently filter fresh rows out of the new index).
+    */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, params: Params = Params(3, 16, 4)): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((params.shingleSize, params.numHashes, params.bands))
-      .toDF("shingle_size", "num_hashes", "bands")
-      .write.mode("overwrite").parquet(s"$path/params")
-    writeBatch(docs, idCol, textCol, path, params, "overwrite")
+    IndexMaintenance.withWriterLease(spark, path) {
+      IndexMaintenance.dropTombstones(spark, path)
+      Seq((params.shingleSize, params.numHashes, params.bands))
+        .toDF("shingle_size", "num_hashes", "bands")
+        .write.mode("overwrite").parquet(s"$path/params")
+      writeBatch(docs, idCol, textCol, path, params, "overwrite")
+    }
   }
 
   /** Append a new batch (typically the survivors of [[newBatchPairs]]) to
@@ -66,8 +72,20 @@ object IncrementalDedup {
     */
   def appendBatch(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit =
-    writeBatch(docs, idCol, textCol, path, readParams(docs.sparkSession, path),
-      "append")
+    IndexMaintenance.withWriterLease(docs.sparkSession, path) {
+      writeBatch(docs, idCol, textCol, path,
+        readParams(docs.sparkSession, path), "append")
+    }
+
+  /** Append an already-[[signed]] frame under the writer lease — the
+    * streaming ingest's append entry point (it signs a batch once and
+    * reuses the staged frame for both the pair search and this append).
+    */
+  private[graft] def appendSigned(base: DataFrame, path: String,
+      p: Params): Unit =
+    IndexMaintenance.withWriterLease(base.sparkSession, path) {
+      writeSigned(base, path, p, "append")
+    }
 
   /** RETRACT indexed docs (takedown): tombstone their ids — queries stop
     * seeing them immediately ([[newBatchPairs]] drops tombstoned index
@@ -79,10 +97,11 @@ object IncrementalDedup {
     * interrupted retraction is safe (duplicate tombstones are ignored);
     * each id is retracted at most once and never re-appended.
     */
-  def retract(spark: SparkSession, path: String, ids: DataFrame): Unit = {
-    IndexMaintenance.healAll(spark, path, Seq("bands", "shingles"))
-    IndexMaintenance.addTombstones(path, ids)
-  }
+  def retract(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    IndexMaintenance.withWriterLease(spark, path) {
+      IndexMaintenance.healAll(spark, path, Seq("bands", "shingles"))
+      IndexMaintenance.addTombstones(path, ids)
+    }
 
   def readParams(spark: SparkSession, path: String): Params = {
     // a crashed compaction swap rolls forward here, so every query/append

@@ -38,6 +38,115 @@ object IndexMaintenance {
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  // ---- concurrent-writer lease -----------------------------------------
+  //
+  // The ETL `_txn_lock` + generation protocol (graft.sources.Etl) applied
+  // to the persisted-index family: every STORE MUTATION — append, build,
+  // compact-swap, retract — runs under a fail-loud lease at the index
+  // root, so a continuous ingest racing a maintenance compaction ABORTS
+  // LOUDLY instead of losing an append between `swapCompacted`'s two
+  // renames (the compactor's read snapshot predates the append; the swap
+  // would erase it). Isolation, not interleaving: the whole
+  // read-fold-swap of a compaction sits inside one lease, so there is no
+  // window for a lost update and no generation-check-at-commit is needed
+  // — the generation here is bumped per completed mutation purely as an
+  // attributable audit trail (who mutated last, how many times), the
+  // same stamp the ETL marker header carries.
+  //
+  // A lease older than `leaseMs` belongs to a crashed writer and is
+  // reclaimed (delete + one retry of the atomic create); no heal is
+  // needed at reclaim time because every store write is independently
+  // crash-safe (the write-ahead-marker protocol above — readers and the
+  // next mutation heal per-store). Like the ETL lease, a mutation that
+  // legitimately outlives `leaseMs` is exposed to a takeover; size
+  // `leaseMs` to the slowest expected compaction.
+
+  val LockFile = "_index_lock"
+  val GenFile = "_index_gen"
+
+  private def lockPath(root: String) = new Path(s"$root/$LockFile")
+  private def genPath(root: String) = new Path(s"$root/$GenFile")
+
+  /** Take the index root's writer lease or throw. Public so specs (and
+    * external maintenance tooling) can construct interleavings by hand;
+    * operator entry points go through [[withWriterLease]].
+    */
+  def acquireLease(spark: SparkSession, root: String, writerId: String,
+      leaseMs: Long): Unit = {
+    val f = fs(spark)
+    def tryCreate(): Boolean =
+      try {
+        val out = f.create(lockPath(root), false)
+        try out.write(writerId.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age =
+        try System.currentTimeMillis() -
+          f.getFileStatus(lockPath(root)).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age < leaseMs)
+        throw new IllegalStateException(
+          s"concurrent index writer holds the lease on $root " +
+            s"(lock age ${age}ms < lease ${leaseMs}ms) — refusing to " +
+            "interleave store mutations")
+      // stale lease: the holder crashed. Store writes are individually
+      // crash-safe (marker protocol), so reclaim is just delete + retry.
+      f.delete(lockPath(root), false)
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"concurrent index writer raced the stale-lease takeover on $root")
+    }
+  }
+
+  /** Release the lease (delete the lock file). */
+  def releaseLease(spark: SparkSession, root: String): Unit =
+    fs(spark).delete(lockPath(root), false)
+
+  /** The root's mutation generation — 0 before any leased mutation
+    * completes, then +1 per completed mutation (audit surface).
+    */
+  def generation(spark: SparkSession, root: String): Long = {
+    val f = fs(spark)
+    if (!f.exists(genPath(root))) 0L
+    else {
+      val in = f.open(genPath(root))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.trim.split("\\s+").head.toLong
+    }
+  }
+
+  private def bumpGeneration(spark: SparkSession, root: String,
+      writerId: String): Unit = {
+    val f = fs(spark)
+    val next = generation(spark, root) + 1
+    val tmp = new Path(genPath(root).toString + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$next $writerId".getBytes("UTF-8")) finally out.close()
+    f.delete(genPath(root), false)
+    if (!f.rename(tmp, genPath(root)))
+      throw new IllegalStateException(s"generation publish failed at $root")
+  }
+
+  /** Run one store mutation under the root's writer lease; bump the
+    * generation iff the mutation completes. Every mutating entry point of
+    * the index family (build/append/retract/compact in [[Retrieval]],
+    * [[Decontaminate]], [[CorpusCompare]], [[IncrementalDedup]],
+    * [[IncrementalAnn]], [[IvfIndex]], and the compactions below) wraps
+    * its body in this.
+    */
+  def withWriterLease[A](spark: SparkSession, root: String,
+      leaseMs: Long = 10 * 60 * 1000L)(body: => A): A = {
+    val writerId = java.util.UUID.randomUUID().toString.take(8)
+    acquireLease(spark, root, writerId, leaseMs)
+    try {
+      val r = body
+      bumpGeneration(spark, root, writerId)
+      r
+    } finally releaseLease(spark, root)
+  }
+
   private def stagedPath(root: String, store: String) = new Path(s"$root/$store.compact")
   private def markerPath(root: String, store: String) = new Path(s"$root/_compact_$store")
 
@@ -117,7 +226,13 @@ object IndexMaintenance {
     * (still filtered — correct) or extra tombstones whose rows are gone
     * (filter is a no-op — correct). Contract: an id is retracted at most
     * once and never re-appended afterwards — the same stated-not-checked
-    * id-space discipline as the append disjointness contract.
+    * id-space discipline as the append disjointness contract. A REBUILD
+    * (any overwrite-mode build entry point) starts a new index
+    * generation: it drops the tombstone store first (a stale tombstone
+    * would silently filter fresh rows the new build's stats count — the
+    * postings ptotals would then disagree with df/candidates on every
+    * query), and thereby RESETS the retract-at-most-once contract for
+    * the new generation's id space.
     */
   val TombstoneStore = "tombstones"
 
@@ -200,7 +315,7 @@ object IndexMaintenance {
     * here).
     */
   def compactDedupIndex(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20): Unit = {
+      targetFileBytes: Long = 128L << 20): Unit = withWriterLease(spark, path) {
     compactStore(spark, path, "bands",
       clusterCols = Seq(col("band")),
       sortCols = Seq(col("band"), col("band_sig"), col("id")),
@@ -219,7 +334,7 @@ object IndexMaintenance {
     * `vecs` on id.
     */
   def compactAnnIndex(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20): Unit = {
+      targetFileBytes: Long = 128L << 20): Unit = withWriterLease(spark, path) {
     compactStore(spark, path, "sigs",
       clusterCols = Seq(col("sig")),
       sortCols = Seq(col("tbl"), col("sig"), col("id")),

@@ -206,21 +206,42 @@ object Retrieval {
     * reads heal any pending compaction first (the r9 ADVICE lesson).
     */
   def buildTermStatsIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
-    IndexMaintenance.heal(docs.sparkSession, path, "terms")
-    termStats(docs, idCol, textCol).write.mode("overwrite")
-      .parquet(s"$path/terms")
-  }
+      path: String): Unit =
+    IndexMaintenance.withWriterLease(docs.sparkSession, path) {
+      IndexMaintenance.heal(docs.sparkSession, path, "terms")
+      termStats(docs, idCol, textCol).write.mode("overwrite")
+        .parquet(s"$path/terms")
+    }
 
   /** Append one batch's term statistics (must be DISJOINT from the docs
     * already indexed — df additivity is the merge-on-read contract).
     */
   def appendToTermStatsIndex(delta: DataFrame, idCol: String,
-      textCol: String, path: String): Unit = {
-    IndexMaintenance.heal(delta.sparkSession, path, "terms")
-    termStats(delta, idCol, textCol).write.mode("append")
-      .parquet(s"$path/terms")
-  }
+      textCol: String, path: String): Unit =
+    IndexMaintenance.withWriterLease(delta.sparkSession, path) {
+      IndexMaintenance.heal(delta.sparkSession, path, "terms")
+      termStats(delta, idCol, textCol).write.mode("append")
+        .parquet(s"$path/terms")
+    }
+
+  /** BATCH-ID-KEYED append — the REPLAY-IDEMPOTENT form a streaming
+    * ingest needs: where [[appendToTermStatsIndex]]'s plain append
+    * double-counts if re-run (stat rows carry no replay identity — the
+    * documented exactly-once contract), this writes the batch's delta
+    * into its own `terms/b<batchKey>` subdirectory with OVERWRITE
+    * semantics, so an at-least-once foreachBatch replay overwrites its
+    * own output instead of duplicating it (the sink's `batch=<id>`
+    * idempotence pattern applied to a counted store). Readers list the
+    * store recursively and sum as before — keyed subdirectories and
+    * root-level build/append files merge identically.
+    */
+  def appendToTermStatsIndexKeyed(delta: DataFrame, idCol: String,
+      textCol: String, path: String, batchKey: Long): Unit =
+    IndexMaintenance.withWriterLease(delta.sparkSession, path) {
+      IndexMaintenance.heal(delta.sparkSession, path, "terms")
+      termStats(delta, idCol, textCol).write.mode("overwrite")
+        .parquet(s"$path/terms/b$batchKey")
+    }
 
   /** RETRACT docs (takedown) from the term-stats index: append their
     * statistics NEGATED — df and tl are additive, so merge-on-read sums
@@ -239,12 +260,13 @@ object Retrieval {
     * use the postings index, whose correction row replays safely.
     */
   def retractFromTermStatsIndex(docs: DataFrame, idCol: String,
-      textCol: String, path: String): Unit = {
-    IndexMaintenance.heal(docs.sparkSession, path, "terms")
-    termStats(docs, idCol, textCol)
-      .select(col("token"), (-col("df")).as("df"), (-col("tl")).as("tl"))
-      .write.mode("append").parquet(s"$path/terms")
-  }
+      textCol: String, path: String): Unit =
+    IndexMaintenance.withWriterLease(docs.sparkSession, path) {
+      IndexMaintenance.heal(docs.sparkSession, path, "terms")
+      termStats(docs, idCol, textCol)
+        .select(col("token"), (-col("df")).as("df"), (-col("tl")).as("tl"))
+        .write.mode("append").parquet(s"$path/terms")
+    }
 
   private def termStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -277,10 +299,10 @@ object Retrieval {
     * bit-identical to merge-on-read by construction.
     */
   def compactTermStatsIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String): Unit = IndexMaintenance.withWriterLease(spark, path) {
     // heal BEFORE the read: the parquet file index snapshots at plan time
     IndexMaintenance.heal(spark, path, "terms")
-    val folded = spark.read.parquet(s"$path/terms")
+    val folded = readTermStore(spark, path)
       .groupBy("token")
       .agg(sum(col("df")).as("df"), sum(col("tl")).as("tl"))
       // tokens a retraction zeroed out fold away entirely, so the
@@ -290,6 +312,15 @@ object Retrieval {
       folded.write.mode("overwrite").parquet(staged)
     }
   }
+
+  /** The terms store, listed RECURSIVELY: root-level build/append files
+    * and keyed `b<id>/` replay-idempotent subdirectories read as one
+    * merge-on-read frame (recursive lookup skips partition inference, so
+    * the subdirectory names never become columns).
+    */
+  private def readTermStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/terms")
 
   /** BM25-score a NEW batch against the index — the scan form's exact
     * arithmetic ([[bm25TopK]]'s IEEE tree, quantized-long sums, same tie
@@ -313,13 +344,13 @@ object Retrieval {
     // fail fast on a pathological store: a missing or zero sentinel would
     // otherwise flow null/NaN corpus stats into every score row. The probe
     // is a pushed token='' filter — one row group, one tiny job.
-    val sent = spark.read.parquet(s"$path/terms")
+    val sent = readTermStore(spark, path)
       .filter(col("token") === "")
       .agg(sum(col("df")).as("n"), sum(col("tl")).as("tl")).collect()(0)
     require(!sent.isNullAt(0) && sent.getLong(0) > 0L && sent.getLong(1) > 0L,
       s"term-stats index at $path has no usable corpus sentinel " +
         "(empty index, or an all-empty-text corpus was indexed)")
-    val idx = spark.read.parquet(s"$path/terms")
+    val idx = readTermStore(spark, path)
       .filter(col("token").isin(terms :+ "": _*))
       .groupBy("token")
       .agg(sum(col("df")).as("df"), sum(col("tl")).as("tl"))
@@ -445,25 +476,31 @@ object Retrieval {
     * physically. Single writer at a time, like every store.
     */
   def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
-    IndexMaintenance.heal(docs.sparkSession, path, "postings")
-    IndexMaintenance.heal(docs.sparkSession, path, "ptotals")
-    val (post, tot) = postingsOf(docs, idCol, textCol)
-    post.write.mode("overwrite").parquet(s"$path/postings")
-    tot.write.mode("overwrite").parquet(s"$path/ptotals")
-  }
+      path: String): Unit =
+    IndexMaintenance.withWriterLease(docs.sparkSession, path) {
+      IndexMaintenance.heal(docs.sparkSession, path, "postings")
+      IndexMaintenance.heal(docs.sparkSession, path, "ptotals")
+      // a rebuild starts a new index generation — stale tombstones would
+      // silently filter fresh rows the fresh ptotals counts, skewing every
+      // query's N vs df (see the IndexMaintenance tombstone contract)
+      IndexMaintenance.dropTombstones(docs.sparkSession, path)
+      val (post, tot) = postingsOf(docs, idCol, textCol)
+      post.write.mode("overwrite").parquet(s"$path/postings")
+      tot.write.mode("overwrite").parquet(s"$path/ptotals")
+    }
 
   /** Append one batch (disjoint doc_ids from what's indexed — the same
     * additivity contract as every merge-on-read store).
     */
   def appendToPostingsIndex(delta: DataFrame, idCol: String,
-      textCol: String, path: String): Unit = {
-    IndexMaintenance.heal(delta.sparkSession, path, "postings")
-    IndexMaintenance.heal(delta.sparkSession, path, "ptotals")
-    val (post, tot) = postingsOf(delta, idCol, textCol)
-    post.write.mode("append").parquet(s"$path/postings")
-    tot.write.mode("append").parquet(s"$path/ptotals")
-  }
+      textCol: String, path: String): Unit =
+    IndexMaintenance.withWriterLease(delta.sparkSession, path) {
+      IndexMaintenance.heal(delta.sparkSession, path, "postings")
+      IndexMaintenance.heal(delta.sparkSession, path, "ptotals")
+      val (post, tot) = postingsOf(delta, idCol, textCol)
+      post.write.mode("append").parquet(s"$path/postings")
+      tot.write.mode("append").parquet(s"$path/ptotals")
+    }
 
   /** RETRACT indexed docs (takedown) from the postings index — the exact
     * mirror of [[appendToPostingsIndex]], because BM25 statistics are
@@ -493,15 +530,17 @@ object Retrieval {
   def retractFromPostingsIndex(docs: DataFrame, idCol: String,
       textCol: String, path: String): Unit = {
     val spark = docs.sparkSession
-    IndexMaintenance.heal(spark, path, "postings")
-    IndexMaintenance.heal(spark, path, "ptotals")
-    val (_, tot) = postingsOf(docs, idCol, textCol)
-    // correction row FIRST: if the tombstone append crashes, a re-run's
-    // identical negative row collapses on read — idempotent recovery
-    tot.select((-col("n_docs")).as("n_docs"), (-col("t_len")).as("t_len"),
-        col("min_id"), col("max_id"))
-      .write.mode("append").parquet(s"$path/ptotals")
-    IndexMaintenance.addTombstones(path, docs.select(col(idCol)))
+    IndexMaintenance.withWriterLease(spark, path) {
+      IndexMaintenance.heal(spark, path, "postings")
+      IndexMaintenance.heal(spark, path, "ptotals")
+      val (_, tot) = postingsOf(docs, idCol, textCol)
+      // correction row FIRST: if the tombstone append crashes, a re-run's
+      // identical negative row collapses on read — idempotent recovery
+      tot.select((-col("n_docs")).as("n_docs"), (-col("t_len")).as("t_len"),
+          col("min_id"), col("max_id"))
+        .write.mode("append").parquet(s"$path/ptotals")
+      IndexMaintenance.addTombstones(path, docs.select(col(idCol)))
+    }
   }
 
   private def postingsOf(docs: DataFrame, idCol: String,
@@ -533,7 +572,8 @@ object Retrieval {
     * bit-identical before and after (spec-pinned).
     */
   def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, targetFileBytes: Long = 128L << 20): Unit = {
+      path: String, targetFileBytes: Long = 128L << 20): Unit =
+      IndexMaintenance.withWriterLease(spark, path) {
     IndexMaintenance.heal(spark, path, "postings")
     IndexMaintenance.heal(spark, path, "ptotals")
     val nFiles = IndexMaintenance.targetFileCount(spark, path, "postings",
@@ -716,19 +756,23 @@ object Retrieval {
     * index family per root, so vacuum lifecycles never race.
     */
   def buildPositionalIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
-    IndexMaintenance.heal(docs.sparkSession, path, "positions")
-    positionsOf(docs, idCol, textCol).write.mode("overwrite")
-      .parquet(s"$path/positions")
-  }
+      path: String): Unit =
+    IndexMaintenance.withWriterLease(docs.sparkSession, path) {
+      IndexMaintenance.heal(docs.sparkSession, path, "positions")
+      // rebuild = new generation; stale tombstones must not filter it
+      IndexMaintenance.dropTombstones(docs.sparkSession, path)
+      positionsOf(docs, idCol, textCol).write.mode("overwrite")
+        .parquet(s"$path/positions")
+    }
 
   /** Append one batch (disjoint doc_ids — the standard contract). */
   def appendToPositionalIndex(delta: DataFrame, idCol: String,
-      textCol: String, path: String): Unit = {
-    IndexMaintenance.heal(delta.sparkSession, path, "positions")
-    positionsOf(delta, idCol, textCol).write.mode("append")
-      .parquet(s"$path/positions")
-  }
+      textCol: String, path: String): Unit =
+    IndexMaintenance.withWriterLease(delta.sparkSession, path) {
+      IndexMaintenance.heal(delta.sparkSession, path, "positions")
+      positionsOf(delta, idCol, textCol).write.mode("append")
+        .parquet(s"$path/positions")
+    }
 
   /** RETRACT indexed docs (takedown): tombstones only — phrase queries
     * drop the ids before start-candidate generation; the next
@@ -736,10 +780,11 @@ object Retrieval {
     * replay contract as [[IncrementalDedup.retract]].
     */
   def retractFromPositionalIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, ids: DataFrame): Unit = {
-    IndexMaintenance.heal(spark, path, "positions")
-    IndexMaintenance.addTombstones(path, ids)
-  }
+      path: String, ids: DataFrame): Unit =
+    IndexMaintenance.withWriterLease(spark, path) {
+      IndexMaintenance.heal(spark, path, "positions")
+      IndexMaintenance.addTombstones(path, ids)
+    }
 
   private def positionsOf(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -758,7 +803,8 @@ object Retrieval {
     * before and after (spec-pinned).
     */
   def compactPositionalIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, targetFileBytes: Long = 128L << 20): Unit = {
+      path: String, targetFileBytes: Long = 128L << 20): Unit =
+      IndexMaintenance.withWriterLease(spark, path) {
     IndexMaintenance.heal(spark, path, "positions")
     val nFiles = IndexMaintenance.targetFileCount(spark, path, "positions",
       targetFileBytes)

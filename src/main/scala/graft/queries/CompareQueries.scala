@@ -162,8 +162,10 @@ object CompareQueries extends QueryModule {
     private val built = scala.collection.mutable.Set.empty[String]
     def cached(tag: String, dir: String)(build: String => Unit): String =
       synchronized {
+        // sanitized full path, not hashCode — a 32-bit collision between
+        // two data dirs would silently share one scratch store
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-          Integer.toHexString(dir.hashCode)
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")
         if (!built(path)) {
           rmTree(path)
           new java.io.File(path).mkdirs()

@@ -253,9 +253,9 @@ object CorpusIngest {
       val kept = spark.read.parquet(s"$sinkPath/batch=$batchId")
       val keptIds = kept.select(col(idCol).as("id"))
       timed("append") {
-        IncrementalDedup.writeSigned(
+        IncrementalDedup.appendSigned(
           base.join(broadcast(keptIds), Seq("id"), "left_semi"),
-          indexPath, p, "append")
+          indexPath, p)
       }
       // keep the configured standing indices current with the same
       // survivors (sink text, so canonical when the ingest is). Skipped

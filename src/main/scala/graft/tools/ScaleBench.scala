@@ -57,8 +57,10 @@ object ScaleBench {
 
   private def standingIndex(tag: String, dir: String)(
       build: String => Unit): String = {
+    // keyed on the SANITIZED FULL PATH, not hashCode: two fixture dirs
+    // colliding on a 32-bit hash would silently share a standing index
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      Integer.toHexString(dir.hashCode)
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
     if (standingBuilt.add(idx)) {
       rmTree(idx)
       scratchDirs.add(idx)
