@@ -932,6 +932,159 @@ object Retrieval {
       .orderBy("phrase_id", "doc_id")
   }
 
+  /** Route report of [[phraseMatchesBatchAutoChosen]]: the matches frame
+    * plus which phrases the governor sent to the corpus-scan twin
+    * (`scanned`) vs the positional-index probe (`indexed`), and the
+    * probe stats the decision used — the loud audit trail the ngram
+    * governor ([[Dedup.ngramJaccardPairsAutoChosen]]) set the precedent
+    * for. Routing changes COST, never output (both routes are equal on
+    * the same corpus; spec-pinned).
+    */
+  final case class PhraseBatchPath(matches: DataFrame, scanned: Seq[String],
+      indexed: Seq[String], totalPositions: Long, costByPhrase: Map[String, Long])
+
+  /** [[phraseMatchesBatch]] with an AUTOMATIC route governor — the fix
+    * for the batched form's one scale hazard: its slot fan-out joins
+    * every occurrence of a token to every (phrase, slot) wanting it, so
+    * a suite of SHARED-VOCABULARY needles over a saturated corpus builds
+    * a combinatorial plan (measured 61.8 s / skew 384 at the saturated
+    * defC tier, where rare-needle suites read under a second). "Benchmark
+    * needles are rare by construction" is an assumption about the caller;
+    * this probes it instead:
+    *
+    *   1. one tiny aggregate over the phrases' own pushed-`In` position
+    *      rows gives occ(token) per needle token, and a footer-only
+    *      count gives the store's total occurrence volume;
+    *   2. a phrase's index-route cost is Σ_slots occ(token) — the exact
+    *      row volume its slots would fan out to; phrases whose cost
+    *      exceeds `hotFraction` of the total route to the SCAN twin
+    *      ([[phraseCountScanBatch]] — ONE corpus pass shared by every
+    *      hot phrase), the rest probe the index as before;
+    *   3. outputs union; per-phrase rows are identical whichever route
+    *      ran (OperatorSpec pins both extremes against
+    *      [[phraseMatchesBatch]]).
+    *
+    * `docs` must be the corpus the index holds (its surviving rows, if
+    * retractions happened) — the scan twin counts over what it is given.
+    * Phrase ids must be strings (the two routes' outputs union by name).
+    * Default `hotFraction` 0.05: a needle whose postings exceed ~5% of
+    * the corpus token stream pays more in slot fan-out + the
+    * (doc, start) exchange than its share of one linear corpus pass.
+    */
+  def phraseMatchesBatchAutoChosen(spark: org.apache.spark.sql.SparkSession,
+      path: String, phrases: DataFrame, phraseIdCol: String, slotCol: String,
+      tokenCol: String, docs: DataFrame, idCol: String, textCol: String,
+      hotFraction: Double = 0.05): PhraseBatchPath = {
+    require(hotFraction > 0.0 && hotFraction <= 1.0,
+      s"hotFraction must be in (0, 1], got $hotFraction")
+    require(phrases.schema(phraseIdCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      "phraseMatchesBatchAuto needs string phrase ids (the two routes' " +
+        "outputs union by name)")
+    IndexMaintenance.heal(spark, path, "positions")
+    // the suite is driver-scale by definition — collect and validate once
+    val rows = phrases
+      .select(col(phraseIdCol).cast("string").as("phrase_id"),
+        col(slotCol).cast("long").as("slot"), col(tokenCol).as("token"))
+      .filter(col("token") =!= "").distinct()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    require(rows.nonEmpty, "phraseMatchesBatchAuto needs at least one phrase")
+    val byPhrase: Seq[(String, Seq[String])] = rows.groupBy(_._1).toSeq
+      .map { case (pid, rs) =>
+        val slots = rs.sortBy(_._2)
+        require(slots.head._2 == 0L && slots.last._2 == slots.length - 1L &&
+            slots.map(_._2).distinct.length == slots.length,
+          s"phrase $pid must cover slots 0..len-1 exactly; got " +
+            slots.map(_._2).mkString(","))
+        require(slots.length <= 32,
+          s"phrase $pid longer than 32 tokens — split the needle")
+        pid -> slots.map(_._3).toSeq
+      }.sortBy(_._1)
+    val terms = rows.map(_._3).distinct.toIndexedSeq
+    // the probe: occ per needle token (pushed In — the same row groups
+    // the index route would read) + the store's total occurrence volume
+    // (a footer-only count). Occ counts tombstoned/replayed rows too —
+    // an upper bound is exactly what a cost probe wants.
+    val occ = spark.read.parquet(s"$path/positions")
+      .filter(col("token").isin(terms: _*))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = spark.read.parquet(s"$path/positions").count()
+    val budget = math.max(1L, (hotFraction * total).toLong)
+    val cost = byPhrase.map { case (pid, toks) =>
+      pid -> toks.map(t => occ.getOrElse(t, 0L)).sum
+    }.toMap
+    val (hot, cheap) = byPhrase.partition { case (pid, _) => cost(pid) > budget }
+    import spark.implicits._
+    val cheapDf =
+      if (cheap.isEmpty) None
+      else Some(phraseMatchesBatch(spark, path,
+        cheap.flatMap { case (pid, toks) =>
+          toks.zipWithIndex.map { case (t, i) => (pid, i, t) }
+        }.toDF("phrase_id", "slot", "token"),
+        "phrase_id", "slot", "token"))
+    val hotDf =
+      if (hot.isEmpty) None
+      else Some(phraseCountScanBatch(docs, idCol, textCol, hot))
+    val matches = (cheapDf, hotDf) match {
+      case (Some(a), Some(b)) =>
+        a.unionByName(b).orderBy("phrase_id", "doc_id")
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
+    PhraseBatchPath(matches, hot.map(_._1), cheap.map(_._1), total, cost)
+  }
+
+  /** [[phraseMatchesBatchAutoChosen]] for callers that only want rows. */
+  def phraseMatchesBatchAuto(spark: org.apache.spark.sql.SparkSession,
+      path: String, phrases: DataFrame, phraseIdCol: String, slotCol: String,
+      tokenCol: String, docs: DataFrame, idCol: String, textCol: String,
+      hotFraction: Double = 0.05): DataFrame =
+    phraseMatchesBatchAutoChosen(spark, path, phrases, phraseIdCol, slotCol,
+      tokenCol, docs, idCol, textCol, hotFraction).matches
+
+  /** The BATCHED scan twin — every phrase of a suite checked in ONE
+    * corpus tokenize pass (the [[phraseCountScan]] overlap-correct slice
+    * compare per phrase, stacked through a per-row struct array), no
+    * index required. This is where the governor sends hot-token needles:
+    * cost is one linear pass regardless of how saturated the needles'
+    * tokens are, where the index route's fan-out grows with Σ occ(token).
+    * Output: (phrase_id, doc_id, n_matches), matching docs only — equal
+    * to a [[phraseCountScan]] loop and to [[phraseMatchesBatch]] on an
+    * index of the same corpus.
+    */
+  def phraseCountScanBatch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(String, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty, "phraseCountScanBatch needs at least one phrase")
+    phrases.foreach { case (pid, ph) =>
+      require(ph.nonEmpty && ph.forall(_.nonEmpty),
+        s"phrase $pid tokens must be non-empty")
+    }
+    val toksC = TextAnalysis.tokens(col(textCol))
+    // staged projection (the Staging rule): every phrase's start-offset
+    // lambda sees `toks` as an attribute, so the corpus tokenizes once
+    // for the whole suite
+    val base = Staging.stage(docs.select(col(idCol).as("doc_id"),
+      filter(toksC, x => x =!= lit("")).as("toks")))
+    val legs = phrases.map { case (pid, ph) =>
+      val k = ph.length
+      val hit = (s: Column) => ph.zipWithIndex.map { case (t, i) =>
+        element_at(col("toks"), (s + lit(i + 1)).cast("int")) === lit(t)
+      }.reduce(_ && _)
+      struct(lit(pid).as("phrase_id"),
+        when(size(col("toks")) >= k,
+          size(filter(sequence(lit(0), size(col("toks")) - lit(k)), hit)))
+          .otherwise(lit(0)).cast("long").as("n_matches"))
+    }
+    base.select(col("doc_id"), explode(array(legs: _*)).as("m"))
+      .select(col("m.phrase_id").as("phrase_id"), col("doc_id"),
+        col("m.n_matches").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy("phrase_id", "doc_id")
+  }
+
   /** The scan twin of [[phraseMatches]] — one map-side pass over the raw
     * corpus checking every start offset (the overlap-correct slice
     * compare), no index required. Serves as the phrase oracle and the

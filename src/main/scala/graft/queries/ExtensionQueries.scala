@@ -546,6 +546,31 @@ object ExtensionQueries extends QueryModule {
         "phrase_id", "slot", "token")
     },
 
+    // The GOVERNED batched phrase form: the df probe routes the heavy
+    // needle (3 periodic tokens ≈ 10% of the corpus token stream — the
+    // near-uniform synthetic vocabulary makes LENGTH the cost axis) to
+    // the one-pass scan twin and keeps the light bigram (≈ 6.6%) on the
+    // index probe, at hotFraction 0.085 between the two bands (the
+    // distribution is scale-free, so the split holds at every sf). The
+    // oracle is route-blind scan SQL, so BOTH routes sit under the hash.
+    "q_phrase_batch_auto" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val work = SessionScratch.cached("phraseidx", dir) { p =>
+        graft.operators.Retrieval.buildPositionalIndex(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+        graft.operators.Retrieval.appendToPositionalIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+      }
+      import s.implicits._
+      val q = Seq(("pa", 0, "a"), ("pa", 1, "a"), ("pa", 2, "a"),
+        ("pb", 0, "vector"), ("pb", 1, "batch"))
+        .toDF("phrase_id", "slot", "token")
+      graft.operators.Retrieval.phraseMatchesBatchAuto(s, work, q,
+        "phrase_id", "slot", "token", docs, "doc_id", "text",
+        hotFraction = 0.085)
+    },
+
     // INDEX-side decontamination: q_decontaminate's exact semantics
     // (distinct shared 3-grams vs the doc_id % 97 benchmark) answered
     // from the per-doc GRAM-POSTINGS store — the repeated-audit regime
@@ -869,6 +894,36 @@ object ExtensionQueries extends QueryModule {
       annRecallGate(t.embeddings,
         (emb, q) => Similarity.ivfTopK(emb, q, "vec_id", "embedding",
           k = 3, nlist = 16, nprobe = 4))
+    },
+
+    // PERSISTED IVF-cell ANN over the full lifecycle — build on half the
+    // vectors (the codebook freezes there), append the rest under the
+    // frozen quantizer, RETRACT a slice (vec_id % 9 == 8 — keeps the
+    // gate's query ids 0..7 indexed), then probe: the standard
+    // high-recall ANN route (trained cells adapt where hyperplane
+    // buckets skew), gated per query at ≥2-of-3 recall vs the exact
+    // brute-force ranking over the SURVIVING corpus. Route equality with
+    // ivfTopK at the same codebook is spec-pinned bitwise.
+    "q_ann_ivf_index" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val emb = t.embeddings
+      val work = SessionScratch.cached("ivfidx", dir) { p =>
+        graft.operators.IvfIndex.buildIndex(
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          dim = 64, path = p, nlist = 16, iters = 2, assignReplicas = 3)
+        graft.operators.IvfIndex.appendBatch(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p)
+        graft.operators.IvfIndex.retract(s, p,
+          emb.filter(col("vec_id") % 9 === 8).select("vec_id"))
+      }
+      // nprobe 6 (not the in-memory key's 4): the codebook here froze on
+      // HALF the corpus, so cell boundaries sit slightly off the full
+      // distribution — one sf0.1 query probes past 4 cells (measured);
+      // widening the probe is exactly the recall knob IVF reserves for a
+      // frozen quantizer
+      annRecallGate(emb.filter(col("vec_id") % 9 =!= 8), (_, q) =>
+        graft.operators.IvfIndex.topK(q, "vec_id", "embedding", work,
+          k = 3, nprobe = 6))
     },
 
     // Trainable quality classifier GATE: plant a degradation (a 30×
@@ -1715,6 +1770,30 @@ object ExtensionQueries extends QueryModule {
            SELECT * FROM pa UNION ALL SELECT * FROM pb)
          WHERE n_matches > 0
          ORDER BY phrase_id, doc_id""",
+    // governed phrase suite: route-blind scan SQL — one leg per needle,
+    // the 'a a a' leg counting OVERLAPPING starts like the operator
+    "q_phrase_batch_auto" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         pa AS (
+           SELECT 'pa' AS phrase_id, doc_id,
+             CAST(len(list_filter(range(1, len(toks) + 1 - 2),
+               s -> toks[s] = 'a' AND toks[s+1] = 'a' AND toks[s+2] = 'a'))
+               AS BIGINT) AS n_matches
+           FROM base),
+         pb AS (
+           SELECT 'pb' AS phrase_id, doc_id,
+             CAST(len(list_filter(range(1, len(toks) + 1 - 1),
+               s -> toks[s] = 'vector' AND toks[s+1] = 'batch')) AS BIGINT)
+               AS n_matches
+           FROM base)
+         SELECT phrase_id, doc_id, n_matches FROM (
+           SELECT * FROM pa UNION ALL SELECT * FROM pb)
+         WHERE n_matches > 0
+         ORDER BY phrase_id, doc_id""",
     // term-stats retraction: the frozen ranker's history is the surviving
     // slice only (doc_id % 5 = 1 retracted by negative delta)
     "q_bm25_stats_retract" ->
@@ -2163,6 +2242,9 @@ object ExtensionQueries extends QueryModule {
       """SELECT vec_id AS q_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 8 ORDER BY q_id""",
     "q_sim_ivf" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 8 ORDER BY q_id""",
+    "q_ann_ivf_index" ->
       """SELECT vec_id AS q_id, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 8 ORDER BY q_id""",
     "q_dedup_ngram" ->

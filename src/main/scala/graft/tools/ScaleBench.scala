@@ -550,6 +550,31 @@ object ScaleBench {
         t.embeddings.filter(col("vec_id") < 8), "vec_id", "embedding",
         idx, k = 3)
     },
+    // TOP-K from the persisted IVF-CELL index — the trained-quantizer
+    // complement of x_ann_index_topk: the probe reads nprobe of nlist
+    // cells (pushed In over the cell-clustered store) + an exact re-rank,
+    // never re-training or re-assigning the corpus
+    "x_ann_ivf_index" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val idx = standingIndex("xivf", dir) { p =>
+        val t = new graft.model.Tables(s, dir)
+        graft.operators.IvfIndex.buildIndex(
+          t.embeddings, "vec_id", "embedding", dim = 64, path = p,
+          nlist = 64, iters = 2, assignReplicas = 3)
+      }
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.IvfIndex.topK(
+        t.embeddings.filter(col("vec_id") < 8), "vec_id", "embedding",
+        idx, k = 3, nprobe = 8)
+    },
+    // the in-memory IVF twin alone: trains + assigns the corpus per call
+    "x_ivf_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val t = new graft.model.Tables(s, dir)
+      graft.operators.Similarity.ivfTopK(t.embeddings,
+        t.embeddings.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 3, nlist = 64, nprobe = 8)
+    },
     // the in-memory twin alone (q_sim_lsh bundles its exact-recall gate):
     // re-projects + re-bands the corpus every call
     "x_lsh_topk" -> { (s, dir) =>
@@ -577,6 +602,33 @@ object ScaleBench {
       }.toDF("phrase_id", "slot", "token")
       graft.operators.Retrieval.phraseMatchesBatch(s, idx, q,
         "phrase_id", "slot", "token")
+    },
+    // the GOVERNED form of the same 100-needle suite: on a saturated-
+    // vocabulary fixture every needle's Σ occ blows the budget, so the
+    // governor routes the whole suite to ONE corpus-scan pass — the
+    // measured fix for the 61.8 s / skew-384 slot fan-out the ungoverned
+    // key above pays at defC (rare-needle fixtures stay on the index)
+    "x_phrase_batch100_auto" -> { (s, dir) =>
+      val idx = standingIndex("xpos", dir) { p =>
+        val t = new graft.model.Tables(s, dir)
+        graft.operators.Retrieval.buildPositionalIndex(
+          t.documents, "doc_id", "text", p)
+      }
+      val lex = ("batch part spark line column order small sort fast value " +
+        "scan hash slow group agg filter query big key window row table " +
+        "stream merge data join shuffle plan stage task").split(' ')
+      import s.implicits._
+      val q = (0 until 100).flatMap { i =>
+        Seq(lex(i % 30), lex((i * 7 + 1) % 30), lex((i * 13 + 2) % 30))
+          .zipWithIndex.map { case (t, slot) => (s"p$i", slot, t) }
+      }.toDF("phrase_id", "slot", "token")
+      val t = new graft.model.Tables(s, dir)
+      val chosen = graft.operators.Retrieval.phraseMatchesBatchAutoChosen(
+        s, idx, q, "phrase_id", "slot", "token",
+        t.documents, "doc_id", "text")
+      System.err.println(s"[scale] phrase governor: " +
+        s"${chosen.scanned.size} scan-routed, ${chosen.indexed.size} indexed")
+      chosen.matches
     },
     // MULTI-QUERY batched BM25 at suite scale: 100 queries × 3 terms from
     // the 30-word scale lexicon in ONE corpus pass — against ~100× the

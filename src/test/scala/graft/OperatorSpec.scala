@@ -258,6 +258,76 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == ivf()) // centroid build + probe is run-to-run stable
   }
 
+  test("IVF-cell index: route == ivfTopK; lifecycle append/retract/compact") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val work = java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      graft.operators.Staging.releaseAll()
+      r
+    }
+    try {
+      // ROUTE EQUALITY: same corpus, same nlist/iters/replicas →
+      // deterministic training gives the same codebook, so the store
+      // probe equals the in-memory operator row-for-row (incl. cosines)
+      IvfIndex.buildIndex(emb, "vec_id", "embedding", dim = 64,
+        path = s"$work/a", nlist = 16, iters = 2, assignReplicas = 3)
+      val viaIndex = rows(IvfIndex.topK(q, "vec_id", "embedding",
+        s"$work/a", k = 3, nprobe = 4))
+      val viaOp = rows(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 4))
+      assert(viaIndex == viaOp, "store route must equal ivfTopK bitwise")
+
+      // LIFECYCLE: build half, append half under the frozen codebook,
+      // replay the append (must change nothing), retract the second
+      // half (must restore the pre-append answer), compact (bit-identical
+      // + physical vacuum)
+      val h1 = emb.filter(col("vec_id") % 2 === 1)
+      val h2 = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") >= 8)
+      IvfIndex.buildIndex(h1, "vec_id", "embedding", 64, s"$work/b",
+        nlist = 16, iters = 2, assignReplicas = 3)
+      val only1 = rows(IvfIndex.topK(q, "vec_id", "embedding", s"$work/b", k = 3))
+      IvfIndex.appendBatch(h2, "vec_id", "embedding", s"$work/b")
+      val both = rows(IvfIndex.topK(q, "vec_id", "embedding", s"$work/b", k = 3))
+      assert(both != only1, "fixture self-check: the append changes neighbors")
+      IvfIndex.appendBatch(h2, "vec_id", "embedding", s"$work/b") // replay
+      assert(rows(IvfIndex.topK(q, "vec_id", "embedding", s"$work/b", k = 3))
+        == both, "a replayed append must not change probes")
+      IvfIndex.retract(spark, s"$work/b", h2.select("vec_id"))
+      assert(rows(IvfIndex.topK(q, "vec_id", "embedding", s"$work/b", k = 3))
+        == only1, "retracting the appended batch must restore the old answer")
+      IvfIndex.compact(spark, s"$work/b")
+      assert(rows(IvfIndex.topK(q, "vec_id", "embedding", s"$work/b", k = 3))
+        == only1, "compaction must be bit-identical")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$work/b/tombstones")))
+      val h2ids = h2.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(spark.read.parquet(s"$work/b/cells")
+        .filter(col("id").isin(h2ids.toSeq: _*)).count() == 0L,
+        "vacuum must drop retracted assignment rows physically")
+
+      // torn build (no iparams) fails loudly
+      val torn = s"$work/torn"
+      new java.io.File(torn).mkdirs()
+      spark.read.parquet(s"$work/a/cells").limit(1)
+        .write.parquet(s"$torn/cells")
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.topK(q, "vec_id", "embedding", torn, k = 3)
+      }
+      assert(e.getMessage.contains("iparams missing"))
+    } finally {
+      graft.operators.Staging.releaseAll()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
   test("IVF Lloyd update collects ≤ nlist rows; seeding is bounded and stable") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val c = emb.select(col("vec_id").as("n_id"),
@@ -2322,6 +2392,73 @@ class OperatorSpec extends AnyFunSuite {
           "phrase_id", "slot", "token")
       }
     } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  test("phrase-batch governor: routes by probed df, output identical either way") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = t("documents")
+    val work = java.nio.file.Files.createTempDirectory("graft_phg_").toString
+    try {
+      Retrieval.buildPositionalIndex(docs, "doc_id", "text", work)
+      val suite = Seq(
+        "pa" -> Seq("a", "a"),                  // hot: 'a' saturates the corpus
+        "pb" -> Seq("vector", "batch"),         // rare-ish bigram
+        "pg" -> Seq("zzz", "qqq"))              // ghost
+      val q = suite.flatMap { case (id, ph) =>
+        ph.zipWithIndex.map { case (t, i) => (id, i, t) }
+      }.toDF("phrase_id", "slot", "token")
+      def rows(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      val reference = rows(Retrieval.phraseMatchesBatch(spark, work, q,
+        "phrase_id", "slot", "token"))
+      // extreme 1: every MATCHING needle scan-routed (budget = 1 position
+      // row); the ghost's probed cost is 0, so it can never exceed a
+      // budget — it stays on the (empty) index probe by design
+      val allScan = Retrieval.phraseMatchesBatchAutoChosen(spark, work, q,
+        "phrase_id", "slot", "token", docs, "doc_id", "text",
+        hotFraction = 1e-12)
+      assert(allScan.scanned.sorted == Seq("pa", "pb") &&
+        allScan.indexed == Seq("pg"))
+      assert(rows(allScan.matches) == reference,
+        "scan route must equal the index route row-for-row")
+      // extreme 2: everything index-routed (budget = the whole store)
+      val allIdx = Retrieval.phraseMatchesBatchAutoChosen(spark, work, q,
+        "phrase_id", "slot", "token", docs, "doc_id", "text",
+        hotFraction = 1.0)
+      assert(allIdx.scanned.isEmpty)
+      assert(rows(allIdx.matches) == reference)
+      // mid threshold: the saturated needle flips to the scan twin, the
+      // rare needle and the ghost (cost 0) stay on the index probe —
+      // picked between the measured costs so the split is deterministic
+      val costA = allIdx.costByPhrase("pa").toDouble
+      val costB = allIdx.costByPhrase("pb").toDouble
+      assert(costA > costB, "fixture self-check: 'a a' is the hot needle")
+      val midFrac = ((costA + costB) / 2.0) / allIdx.totalPositions
+      val mid = Retrieval.phraseMatchesBatchAutoChosen(spark, work, q,
+        "phrase_id", "slot", "token", docs, "doc_id", "text",
+        hotFraction = midFrac)
+      assert(mid.scanned == Seq("pa") && mid.indexed.sorted == Seq("pb", "pg"),
+        s"expected pa scan-routed; got scanned=${mid.scanned}")
+      assert(rows(mid.matches) == reference,
+        "the mixed-route union must equal the single-route outputs")
+      // non-string phrase ids are rejected loudly (the union contract)
+      intercept[IllegalArgumentException] {
+        Retrieval.phraseMatchesBatchAutoChosen(spark, work,
+          Seq((1, 0, "a"), (1, 1, "a")).toDF("phrase_id", "slot", "token"),
+          "phrase_id", "slot", "token", docs, "doc_id", "text")
+      }
+    } finally {
+      graft.operators.Staging.releaseAll()
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => java.nio.file.Files.delete(f))
