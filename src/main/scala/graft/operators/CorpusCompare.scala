@@ -288,9 +288,26 @@ object CorpusCompare {
         .parquet(s"$path/grams/b$batchKey")
     }
 
+  /** RETRACT docs (takedown) from the gram-count index: append their
+    * gram counts NEGATED — counts are additive, so merge-on-read sums
+    * stay exact and drift checks afterwards equal a fresh index built on
+    * the surviving corpus (grams a retraction zeroes out are filtered at
+    * read and folded away by compaction). `docs` must be exactly the
+    * indexed documents being removed. Exactly-once per retraction batch,
+    * like this store's plain appends.
+    */
+  def retractFromGramIndex(docs: DataFrame, text: Column, path: String): Unit =
+    IndexMaintenance.withWriterLease(docs.sparkSession, path) {
+      IndexMaintenance.heal(docs.sparkSession, path, "grams")
+      gramCounts(docs, text).select(col("gram"), (-col("n")).as("n"))
+        .write.mode("append").parquet(s"$path/grams")
+    }
+
   /** The index's merged distribution: SUM per gram across the build file
     * and every appended delta — exactly the counts a monolithic
-    * [[driftSummary]] over the unioned corpus would compute.
+    * [[driftSummary]] over the unioned corpus would compute. Grams a
+    * retraction zeroed out drop here, so the merged view is row-identical
+    * to a fresh build on the survivors.
     */
   private def indexCounts(spark: SparkSession, path: String): DataFrame = {
     IndexMaintenance.heal(spark, path, "grams")
@@ -298,6 +315,7 @@ object CorpusCompare {
     // subdirectories merge as one frame (no partition inference)
     spark.read.option("recursiveFileLookup", "true").parquet(s"$path/grams")
       .groupBy("gram").agg(sum("n").as("n"))
+      .filter(col("n") =!= 0)
   }
 
   /** [[driftSummary]] of the INDEXED corpus vs a live corpus `b`: the
@@ -340,6 +358,10 @@ object CorpusCompare {
       val folded = spark.read.option("recursiveFileLookup", "true")
         .parquet(s"$path/grams")
         .groupBy("gram").agg(sum("n").as("n"))
+        // grams a retraction zeroed out fold away entirely (the
+        // term-stats rule): the compacted store is row-identical to a
+        // fresh build on the surviving corpus
+        .filter(col("n") =!= 0)
       IndexMaintenance.swapCompacted(spark, path, "grams") { staged =>
         folded.write.mode("overwrite").parquet(staged)
       }

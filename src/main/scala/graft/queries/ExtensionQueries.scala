@@ -120,6 +120,27 @@ object ExtensionQueries extends QueryModule {
       }
     },
 
+    // BANNED-CONTENT door (the right-to-be-forgotten closure): ban the
+    // doc_id % 31 == 5 docs' canonical fingerprints into a standing ban
+    // store, then filter the corpus through the ingest's door check —
+    // one broadcast anti-join on the canonical content identity, so a
+    // re-upload of banned bytes (same content under ANY doc_id, including
+    // exact-duplicate texts of other ids) drops before dedup or any
+    // index. Full-hash oracle: the anti-join replays as a NOT IN over
+    // the normalized text (fingerprint injectivity is the dedup family's
+    // standing budget).
+    "q_ingest_banned" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val work = SessionScratch.cached("banstore", dir) { p =>
+        graft.streaming.CorpusIngest.banContent(s, p,
+          docs.filter(col("doc_id") % 31 === 5), "text")
+      }
+      graft.streaming.CorpusIngest.filterBannedContent(
+          docs.select("doc_id", "text"), "text", work)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // CONTINUOUS-ingest hygiene, hash-verified END-TO-END: the corpus
     // arrives as two id-ordered files; CorpusIngest drains them through
     // the incremental engine (foreachBatch dedup against the persisted
@@ -2151,6 +2172,15 @@ object ExtensionQueries extends QueryModule {
     // nfc_normalize + whitespace-class fold replays the in-stream
     // canonicalize pass, so each (source, clone) pair shares one shingle
     // set and the min-id rule keeps the source
+    "q_ingest_banned" ->
+      """WITH norm AS (
+           SELECT doc_id,
+             trim(regexp_replace(nfc_normalize(text),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS n
+           FROM documents)
+         SELECT doc_id FROM norm
+         WHERE n NOT IN (SELECT n FROM norm WHERE doc_id % 31 = 5)
+         ORDER BY doc_id""",
     "q_dedup_stream_ingest" ->
       """WITH d0 AS (
            SELECT doc_id,

@@ -60,20 +60,37 @@ object CorpusIngest {
     *     ([[graft.operators.Decontaminate.appendToGramPostingsIndex]];
     *     bootstrapped at `gramN` on the first surviving batch);
     *   - `positionsPath`: the exact-phrase positional index
-    *     ([[graft.operators.Retrieval.appendToPositionalIndex]]).
+    *     ([[graft.operators.Retrieval.appendToPositionalIndex]]);
+    *   - `termStatsPath`: the frozen-ranker BM25 statistics store
+    *     ([[graft.operators.Retrieval.appendToTermStatsIndexKeyed]]);
+    *   - `driftGramsPath`: the monitoring gram-count index
+    *     ([[graft.operators.CorpusCompare.appendToGramIndexKeyed]]).
     *
-    * Replay posture: all three stores are replay-TOLERANT by design (a
-    * re-run batch appends identical rows, which their queries collapse
-    * and their compactions drop), so the ingest's at-least-once
-    * foreachBatch window is safe here exactly as it is for the dedup
-    * index. Survivor batches append with their SINK text (i.e. canonical
-    * when `canonicalize` is on), so index content always matches the
+    * Replay posture: the postings/gram-postings/positions stores are
+    * replay-TOLERANT by design (a re-run batch appends identical rows,
+    * which their queries collapse and their compactions drop), so the
+    * ingest's at-least-once foreachBatch window is safe there exactly as
+    * it is for the dedup index. The two COUNTED stores (term stats,
+    * drift grams) are different: their rows carry no replay identity, so
+    * a plain re-appended batch would double-count — the ingest therefore
+    * appends them BATCH-ID-KEYED (each batch's delta overwrites its own
+    * `b<id>` subdirectory, the sink's `batch=<id>` idempotence pattern),
+    * which makes the at-least-once window safe for counts too. Survivor
+    * batches append with their SINK text (i.e. canonical when
+    * `canonicalize` is on), so index content always matches the
     * published corpus.
     */
   final case class IndexSuite(postingsPath: Option[String] = None,
       gramPostingsPath: Option[String] = None,
       positionsPath: Option[String] = None,
-      gramN: Int = 3)
+      gramN: Int = 3,
+      termStatsPath: Option[String] = None,
+      driftGramsPath: Option[String] = None) {
+    private[graft] def any: Boolean =
+      postingsPath.isDefined || gramPostingsPath.isDefined ||
+        positionsPath.isDefined || termStatsPath.isDefined ||
+        driftGramsPath.isDefined
+  }
 
   // Keyed by (indexPath, params-file mtime): rebuilding an index at the
   // same path with different params within one JVM invalidates the entry
@@ -98,6 +115,76 @@ object CorpusIngest {
       else statuses.map(_.getModificationTime).max
     paramsCache.getOrElseUpdate((indexPath, mtime),
       IncrementalDedup.readParams(spark, indexPath))
+  }
+
+  /** The BANNED-CONTENT store name, living under the dedup index root:
+    * one column (`fp`) of canonical content fingerprints
+    * ([[graft.operators.TextAnalysis.canonicalFingerprint]] — NFC +
+    * whitespace collapse, then the rolling hash), the identity the whole
+    * content-defined family shares. This closes the right-to-be-forgotten
+    * loop the retraction lifecycle starts: tombstones remove taken-down
+    * docs from every index, but they also remove the dedup SIGNATURES —
+    * so a re-upload of the same bytes no longer collides with its own
+    * history and would re-enter the corpus as a fresh document.
+    * [[filterBannedContent]] is the door check that stops it: one
+    * broadcast anti-join on the canonical fingerprint (a ban list is
+    * orders of magnitude smaller than the corpus), identity when no ban
+    * has ever been issued.
+    */
+  val BannedStore = "banned"
+
+  /** BAN content: append the docs' canonical fingerprints to the banned
+    * store at `indexPath`. Idempotent under replay (duplicate fp rows are
+    * harmless — the door check is an anti-join); empty ban sets are
+    * no-ops (a zero-file parquet dir would poison later reads).
+    */
+  def banContent(spark: SparkSession, indexPath: String, docs: DataFrame,
+      textCol: String): Unit = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    graft.operators.IndexMaintenance.withWriterLease(spark, indexPath) {
+      val fp = docs.select(graft.operators.TextAnalysis
+          .canonicalFingerprint(col(textCol)).as("fp"))
+        .distinct().coalesce(1).persist()
+      try {
+        if (!fp.isEmpty)
+          fp.write.mode("append").parquet(s"$indexPath/$BannedStore")
+      } finally fp.unpersist(false)
+    }
+  }
+
+  /** The full TAKEDOWN: retract the docs from the dedup index (tombstones
+    * — [[IncrementalDedup.retract]]) AND ban their content at the door,
+    * so the same bytes re-arriving later are dropped before any index or
+    * sink sees them. `docs` is the taken-down documents (id and text in
+    * hand, the takedown premise). The caller rewrites the sink partition
+    * separately if published survivors must also be purged.
+    */
+  def retractContent(spark: SparkSession, indexPath: String,
+      docs: DataFrame, idCol: String, textCol: String): Unit = {
+    IncrementalDedup.retract(spark, indexPath, docs.select(col(idCol)))
+    banContent(spark, indexPath, docs, textCol)
+  }
+
+  /** Drop rows whose canonical content fingerprint is banned at
+    * `indexPath` — one broadcast anti-join when a ban store exists, the
+    * identity otherwise. Applied by [[ingestBatch]] at the door (before
+    * dedup, so banned content never pollutes the index with signatures);
+    * public so batch pipelines can run the same check.
+    */
+  def filterBannedContent(docs: DataFrame, textCol: String,
+      indexPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val p = new Path(indexPath, BannedStore)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) docs
+    else {
+      graft.functions.VectorFunctions.ensureRegistered(spark)
+      val banned = spark.read.parquet(p.toString)
+      docs.join(broadcast(banned),
+        graft.operators.TextAnalysis.canonicalFingerprint(docs(textCol))
+          === banned("fp"),
+        "left_anti")
+    }
   }
 
   /** Drain every available document file under `srcDir` (one file per
@@ -189,13 +276,17 @@ object CorpusIngest {
       bannedNeedles: Seq[Seq[String]] = Nil,
       maintain: IndexSuite = IndexSuite()): Unit = {
     val t00 = System.nanoTime()
+    // the BANNED-CONTENT door first: retracted-and-banned bytes drop
+    // before the needle check, the dedup, the sink, and every index —
+    // identity when no ban was ever issued
+    val batchB = filterBannedContent(batch0, textCol, indexPath)
     val batch =
-      if (bannedNeedles.isEmpty) batch0
+      if (bannedNeedles.isEmpty) batchB
       else {
         // one staged tokenize pass over the ARRIVAL; every needle checks
         // against the same attribute (the Staging HOF rule — an inline
         // expression would re-tokenize per start offset)
-        val toksF = Staging.stage(batch0.select(col(idCol).as("id"),
+        val toksF = Staging.stage(batchB.select(col(idCol).as("id"),
           filter(graft.operators.TextAnalysis.tokens(col(textCol)),
             x => x =!= lit("")).as("toks")))
         val hitAny = bannedNeedles.map { ph =>
@@ -207,7 +298,7 @@ object CorpusIngest {
             exists(sequence(lit(0), size(col("toks")) - lit(ph.length)), hit)
         }.reduce(_ || _)
         val bad = toksF.filter(hitAny).select("id")
-        batch0.join(broadcast(bad), batch0(idCol) === bad("id"), "left_anti")
+        batchB.join(broadcast(bad), batchB(idCol) === bad("id"), "left_anti")
       }
     if (batch.isEmpty) { Staging.releaseAll(); return }
     if (sys.env.contains("GRAFT_INGEST_PROFILE"))
@@ -261,8 +352,7 @@ object CorpusIngest {
       // survivors (sink text, so canonical when the ingest is). Skipped
       // for a batch with no survivors — an append that CREATES a store
       // from an empty frame could leave an unreadable zero-file dir.
-      if ((maintain.postingsPath.isDefined || maintain.gramPostingsPath.isDefined
-          || maintain.positionsPath.isDefined) && !kept.isEmpty) {
+      if (maintain.any && !kept.isEmpty) {
         maintain.postingsPath.foreach { mp =>
           timed("postings")(graft.operators.Retrieval
             .appendToPostingsIndex(kept, idCol, textCol, mp))
@@ -280,6 +370,27 @@ object CorpusIngest {
         maintain.positionsPath.foreach { mp =>
           timed("positions")(graft.operators.Retrieval
             .appendToPositionalIndex(kept, idCol, textCol, mp))
+        }
+        // the COUNTED stores append batch-id-KEYED (overwrite-own-delta),
+        // so an at-least-once replay cannot double-count; bootstrap is an
+        // empty build (schema + store dirs), idempotent under replay too
+        maintain.termStatsPath.foreach { mp =>
+          timed("termstats") {
+            if (!fs.exists(new Path(mp, "terms")))
+              graft.operators.Retrieval.buildTermStatsIndex(
+                kept.limit(0), idCol, textCol, mp)
+            graft.operators.Retrieval.appendToTermStatsIndexKeyed(
+              kept, idCol, textCol, mp, batchId)
+          }
+        }
+        maintain.driftGramsPath.foreach { mp =>
+          timed("driftgrams") {
+            if (!fs.exists(new Path(mp, "grams")))
+              graft.operators.CorpusCompare.buildGramIndex(
+                kept.limit(0), col(textCol), mp)
+            graft.operators.CorpusCompare.appendToGramIndexKeyed(
+              kept, col(textCol), mp, batchId)
+          }
         }
       }
     } finally

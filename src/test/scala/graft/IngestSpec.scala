@@ -147,7 +147,9 @@ class IngestSpec extends AnyFunSuite {
         maintain = CorpusIngest.IndexSuite(
           postingsPath = Some(s"$root/post"),
           gramPostingsPath = Some(s"$root/gram"),
-          positionsPath = Some(s"$root/pos")))
+          positionsPath = Some(s"$root/pos"),
+          termStatsPath = Some(s"$root/terms"),
+          driftGramsPath = Some(s"$root/drift")))
       val survivors = streamed.select("doc_id", "text")
       assert(keptIds(streamed) == expectedKept)
       // postings: index-route BM25 == scan over the published survivors
@@ -188,6 +190,96 @@ class IngestSpec extends AnyFunSuite {
         "positional store must equal the survivor scan twin")
       assert(phRows(Retrieval.phraseMatches(spark, s"$root/pos",
         needle)).nonEmpty, "fixture self-check: the needle occurs")
+      // COUNTED stores (batch-id-keyed appends): term stats == a fresh
+      // batch-built index over the same survivors, drift summary ditto
+      import spark.implicits._
+      val probeDocs = Seq(51L -> fresh(51), 52L -> textA).toDF("doc_id", "text")
+      def scoreRows(path: String) = {
+        val r = Retrieval.scoreAgainstTermIndex(probeDocs, "doc_id", "text",
+            Seq("w3", "t12_0"), path, k = 2)
+          .collect().map(_.toSeq).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      Retrieval.buildTermStatsIndex(survivors, "doc_id", "text", s"$root/terms2")
+      assert(scoreRows(s"$root/terms") == scoreRows(s"$root/terms2"),
+        "ingest-maintained term stats must equal a batch build on survivors")
+      import graft.operators.CorpusCompare
+      def driftRow(path: String) = {
+        val r = CorpusCompare.driftSummaryAgainstIndex(spark, path,
+          probeDocs, col("text")).collect().map(_.toSeq).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      CorpusCompare.buildGramIndex(survivors, col("text"), s"$root/drift2")
+      assert(driftRow(s"$root/drift") == driftRow(s"$root/drift2"),
+        "ingest-maintained drift grams must equal a batch build on survivors")
+      // FORCED REPLAY of the last committed batch: at-least-once
+      // foreachBatch must leave the counted stores' answers unchanged
+      // (keyed overwrite) and the row stores' queries unchanged (collapse)
+      CorpusIngest.ingestBatch(f3.toDF("doc_id", "text"), 2L,
+        s"$root/idx", s"$root/sink", "doc_id", "text", tau, params,
+        maintain = CorpusIngest.IndexSuite(
+          postingsPath = Some(s"$root/post"),
+          gramPostingsPath = Some(s"$root/gram"),
+          positionsPath = Some(s"$root/pos"),
+          termStatsPath = Some(s"$root/terms"),
+          driftGramsPath = Some(s"$root/drift")))
+      assert(scoreRows(s"$root/terms") == scoreRows(s"$root/terms2"),
+        "a replayed batch must not double-count term stats")
+      assert(driftRow(s"$root/drift") == driftRow(s"$root/drift2"),
+        "a replayed batch must not double-count drift grams")
+      // re-read the sink: the replay overwrote batch=2's part files, so
+      // the pre-replay frame's snapshotted file index is stale
+      val survivors2 = spark.read.parquet(s"$root/sink")
+        .select("doc_id", "text")
+      assert(bmRows(Retrieval.topKFromIndex(spark, s"$root/post",
+          Seq("w3"), k = 1))
+        == bmRows(Retrieval.bm25TopK(survivors2, "doc_id", "text",
+          Seq("w3"), k = 1)),
+        "replayed postings rows must collapse on read")
+    } finally rmTree(root)
+  }
+
+  test("retracted-and-banned content cannot re-enter through the ingest") {
+    import spark.implicits._
+    val root = scratch("ban")
+    try {
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val now = System.currentTimeMillis()
+      writeDocFile(src, f1, "f1.parquet", now - 120000)
+      val first = CorpusIngest.runIngestAvailableNow(spark, src,
+        s"$root/idx", s"$root/sink", s"$root/ckpt",
+        jaccardThreshold = tau, params = params)
+      assert(keptIds(first) == Set(1L, 2L, 4L))
+
+      // TAKEDOWN of doc 1: tombstone its index rows AND ban its content.
+      // Without the ban, a re-upload of the same bytes would no longer
+      // collide with its own (tombstoned) history and would re-enter.
+      CorpusIngest.retractContent(spark, s"$root/idx",
+        Seq(1L -> textA).toDF("doc_id", "text"), "doc_id", "text")
+
+      // the same bytes re-arrive (new id), plus a whitespace-mangled
+      // variant (canonical identity is NFC + whitespace collapse) and a
+      // genuinely fresh doc
+      writeDocFile(src, Seq(41L -> textA, 42L -> ("  " + textA + "\t "),
+        43L -> fresh(43)), "f2.parquet", now)
+      val after = CorpusIngest.runIngestAvailableNow(spark, src,
+        s"$root/idx", s"$root/sink", s"$root/ckpt",
+        jaccardThreshold = tau, params = params)
+      assert(keptIds(after) == Set(1L, 2L, 4L, 43L),
+        s"banned re-uploads must drop at the door; got ${keptIds(after)}")
+      // ...and the banned docs never polluted the index with signatures
+      assert(spark.read.parquet(s"$root/idx/bands")
+        .filter(col("id").isin(41L, 42L)).count() == 0L,
+        "banned content must not reach the index")
+      // the ban survives a replay of the arrival batch
+      CorpusIngest.ingestBatch(
+        Seq(41L -> textA, 43L -> fresh(43)).toDF("doc_id", "text"), 1L,
+        s"$root/idx", s"$root/sink", "doc_id", "text", tau, params)
+      assert(keptIds(CorpusIngest.survivors(spark, s"$root/sink",
+        Seq.empty[(Long, String)].toDF("doc_id", "text").schema))
+        == Set(1L, 2L, 4L, 43L))
     } finally rmTree(root)
   }
 

@@ -285,4 +285,131 @@ class SoakSpec extends AnyFunSuite {
       assert(batchDirs >= 199, s"expected ~200 batch dirs, saw $batchDirs")
     } finally rmTree(root)
   }
+
+  test("index-suite soak: 60 batches maintaining 5 stores, mid-soak compaction + takedown, flat wall, route equality") {
+    import graft.operators.{CorpusCompare, Decontaminate, Retrieval}
+    val root = java.nio.file.Files.createTempDirectory("graft_soak_suite_").toString
+    try {
+      import spark.implicits._
+      val src = s"$root/src"
+      val perChunk = 20
+      def freshText(i: Int): String = (0 until 20).map(j => s"s${i}_$j").mkString(" ")
+      val suite = CorpusIngest.IndexSuite(
+        postingsPath = Some(s"$root/post"),
+        gramPostingsPath = Some(s"$root/gram"),
+        positionsPath = Some(s"$root/pos"),
+        termStatsPath = Some(s"$root/terms"),
+        driftGramsPath = Some(s"$root/drift"))
+      def drain(): Unit =
+        CorpusIngest.runIngestAvailableNow(spark, src,
+          s"$root/idx", s"$root/sink", s"$root/ckpt",
+          jaccardThreshold = 0.6, shufflePartitions = Some(2),
+          maintain = suite)
+      def addChunk(chunk: Int, extra: Seq[(Long, String)] = Nil): Unit = {
+        val base = chunk * perChunk * 2
+        val rows = (0 until perChunk * 2).map { j =>
+          ((base + j).toLong, freshText(base + j))
+        } ++ extra
+        rows.toDF("doc_id", "text")
+          .repartitionByRange(perChunk, col("doc_id"))
+          .write.mode("append").parquet(src)
+      }
+      // the survivors minus any takedown — the scan side of every
+      // route-equality check below
+      def corpus() = {
+        val s0 = CorpusIngest.survivors(spark, s"$root/sink",
+          Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+        s0.filter(col("doc_id") =!= 0L).select("doc_id", "text")
+      }
+      def routesEqual(label: String): Unit = {
+        val c = corpus()
+        // k = 1: exactly one doc contains the probe term, and the
+        // equality contract holds only while the scan form's k-th score
+        // is positive (the index never pads with zero-score docs)
+        val viaPost = Retrieval.topKFromIndex(spark, s"$root/post",
+          Seq("s1_3"), k = 1).collect().map(_.toSeq).toSeq
+        val viaScan = Retrieval.bm25TopK(c, "doc_id", "text",
+          Seq("s1_3"), k = 1).collect().map(_.toSeq).toSeq
+        graft.operators.Staging.releaseAll()
+        assert(viaPost == viaScan, s"$label: postings route diverged")
+        val needle = Seq("s2_4", "s2_5")
+        val viaPos = Retrieval.phraseMatches(spark, s"$root/pos", needle)
+          .collect().map(_.toSeq).toSeq
+        val viaPosScan = Retrieval.phraseCountScan(c, "doc_id", "text",
+          needle).collect().map(_.toSeq).toSeq
+        graft.operators.Staging.releaseAll()
+        assert(viaPos == viaPosScan, s"$label: positional route diverged")
+        val bench = c.filter(col("doc_id") === 3L)
+        val viaGram = Decontaminate.flagContaminatedFromIndex(spark,
+            s"$root/gram", bench, "text", minOverlap = 2)
+          .collect().map(_.toSeq).toSeq
+        val viaGramScan = Decontaminate.flagContaminated(c, "doc_id",
+            "text", bench, "text", n = 3, minOverlap = 2)
+          .filter(col("overlap") > 0).orderBy("doc_id")
+          .collect().map(_.toSeq).toSeq
+        graft.operators.Staging.releaseAll()
+        assert(viaGram == viaGramScan, s"$label: gram route diverged")
+        Retrieval.buildTermStatsIndex(c, "doc_id", "text", s"$root/terms_fresh")
+        val probe = Seq(901L -> freshText(1)).toDF("doc_id", "text")
+        def sc(p: String) = {
+          val r = Retrieval.scoreAgainstTermIndex(probe, "doc_id", "text",
+            Seq("s1_3", "s2_4"), p, k = 1).collect().map(_.toSeq).toSeq
+          graft.operators.Staging.releaseAll()
+          r
+        }
+        assert(sc(s"$root/terms") == sc(s"$root/terms_fresh"),
+          s"$label: term-stats route diverged")
+        CorpusCompare.buildGramIndex(c, col("text"), s"$root/drift_fresh")
+        def dr(p: String) = {
+          val r = CorpusCompare.driftSummaryAgainstIndex(spark, p, probe,
+            col("text")).collect().map(_.toSeq).toSeq
+          graft.operators.Staging.releaseAll()
+          r
+        }
+        assert(dr(s"$root/drift") == dr(s"$root/drift_fresh"),
+          s"$label: drift-gram route diverged")
+      }
+      def compactAll(): Unit = {
+        Retrieval.compactPostingsIndex(spark, s"$root/post")
+        Retrieval.compactPositionalIndex(spark, s"$root/pos")
+        Decontaminate.compactGramPostingsIndex(spark, s"$root/gram")
+        Retrieval.compactTermStatsIndex(spark, s"$root/terms")
+        CorpusCompare.compactGramIndex(spark, s"$root/drift")
+        graft.operators.IndexMaintenance.compactDedupIndex(spark, s"$root/idx")
+      }
+
+      addChunk(0)
+      val w0 = { val t0 = System.nanoTime(); drain(); (System.nanoTime() - t0) / 1e9 }
+      // TAKEDOWN of doc 0 across the whole suite: dedup tombstone + ban
+      // at the door, postings stat correction, per-row tombstones on the
+      // positional/gram stores, negative term-stats delta
+      val victim = Seq(0L -> freshText(0)).toDF("doc_id", "text")
+      CorpusIngest.retractContent(spark, s"$root/idx", victim, "doc_id", "text")
+      Retrieval.retractFromPostingsIndex(victim, "doc_id", "text", s"$root/post")
+      Retrieval.retractFromPositionalIndex(spark, s"$root/pos", victim.select("doc_id"))
+      Decontaminate.retractFromGramPostingsIndex(spark, s"$root/gram",
+        victim.select("doc_id"))
+      Retrieval.retractFromTermStatsIndex(victim, "doc_id", "text", s"$root/terms")
+      CorpusCompare.retractFromGramIndex(victim, col("text"), s"$root/drift")
+      routesEqual("post-takedown")
+
+      // chunk 1 includes a RE-UPLOAD of the taken-down bytes (id 990) —
+      // the banned door must drop it before any store sees it
+      addChunk(1, Seq(990L -> freshText(0)))
+      val w1 = { val t0 = System.nanoTime(); drain(); (System.nanoTime() - t0) / 1e9 }
+      assert(corpus().filter(col("doc_id") === 990L).count() == 0L,
+        "banned re-upload re-entered mid-soak")
+      // MID-SOAK compaction of every store: queries bit-identical after
+      routesEqual("pre-compaction")
+      compactAll()
+      routesEqual("post-compaction")
+
+      addChunk(2)
+      val w2 = { val t0 = System.nanoTime(); drain(); (System.nanoTime() - t0) / 1e9 }
+      routesEqual("end-of-soak")
+      assert(w2 <= w0 * 3,
+        f"suite-maintaining chunk walls grew: $w0%.1f, $w1%.1f, $w2%.1f s")
+      info(f"suite soak chunk walls (20 batches each): $w0%.1f, $w1%.1f, $w2%.1f s")
+    } finally rmTree(root)
+  }
 }
