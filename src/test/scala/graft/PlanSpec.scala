@@ -429,6 +429,21 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Staging.releaseAll()
   }
 
+  test("IVF-cell probe pushes the In(cell) filter; corpus vectors stay out of the plan") {
+    val df = SparkEntry.queries("q_ann_ivf_index")(spark, dir)
+    df.collect() // AQE: finalize (and SessionScratch builds the store)
+    val p = df.queryExecution.executedPlan.toString
+    // the probe reads the nprobe cells' rows only: the cell In-filter
+    // reaches the cell-clustered parquet scan (row-group pruning)
+    assert(p.contains("PushedFilters") && p.contains("In(cell"),
+      s"cell In-filter not pushed to the cells scan:\n$p")
+    // the query side broadcasts (bounded by construction); the store
+    // side never shuffles on a join key
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"query probes did not broadcast:\n$p")
+    graft.operators.Staging.releaseAll()
+  }
+
   test("batched BM25 shares one corpus pass across all queries") {
     val df = SparkEntry.queries("q_bm25_batch")(spark, dir)
     df.collect()
