@@ -205,6 +205,43 @@ object ExtensionQueries extends QueryModule {
         }
     },
 
+    // CONTINUOUS EMBEDDING-side ingest, hash-verified end-to-end — the
+    // vector twin of q_dedup_stream_ingest: the embedding corpus plus
+    // planted EXACT clones (vec_id % 25 == 0 re-arrives as id + 10⁶)
+    // drains in two id-ordered arrival files through EmbeddingIngest;
+    // identical vectors share every hyperplane signature (collision
+    // guaranteed at any banding) and verify at cosine ≈ 1 ≥ τ = 0.99,
+    // while the fixture's max NATURAL pairwise cosine is 0.51 (measured)
+    // — so the surviving set is exactly the original corpus, which the
+    // oracle states relationally. A missed clone (LSH/verify false
+    // negative) or a dropped original (false positive) breaks the hash.
+    "q_embed_ingest" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+      val stream = emb.unionByName(emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val src = embedIngestFixture(stream, dir)
+      val work = java.nio.file.Files.createTempDirectory("graft_eingest_").toString
+      try {
+        val kept = graft.streaming.EmbeddingIngest.runIngestAvailableNow(
+          s, src, s"$work/idx", s"$work/sink", s"$work/ckpt", dim = 64,
+          threshold = 0.99, numPlanes = 18, numTables = 8,
+          shufflePartitions = Some(8))
+        val rows = kept.select("vec_id").orderBy("vec_id").collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          kept.select("vec_id").schema)
+      } finally
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+          finally walk.close()
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[eingest] temp cleanup failed for $work: ${e.getMessage}")
+        }
+    },
+
     // Near-dup pairs → connected components → per-doc cluster + keep-list
     // (the step that actually dedups a corpus; min-id representative).
     "q_dedup_clusters" -> { (s, dir) =>
@@ -1397,6 +1434,32 @@ object ExtensionQueries extends QueryModule {
       arrive(docs.filter(col("doc_id") > cut), "b1.parquet", now)
     }
 
+  /** The embedding twin of [[ingestFixture]]: the vector corpus split
+    * into two id-ordered arrival files (a standing input, built once per
+    * data dir per session).
+    */
+  private def embedIngestFixture(vecs: DataFrame, dir: String): String =
+    SessionScratch.cached("eingest_src", dir) { path =>
+      val b = vecs.agg(min("vec_id"), max("vec_id")).head()
+      val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      def arrive(part: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$path/tmp_$name"
+        part.coalesce(1).write.parquet(tmp)
+        val pf = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(path, name)
+        java.nio.file.Files.move(pf.toPath, dest.toPath)
+        dest.setLastModified(mtime)
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally walk.close()
+      }
+      val now = System.currentTimeMillis()
+      arrive(vecs.filter(col("vec_id") <= cut), "b0.parquet", now - 60000)
+      arrive(vecs.filter(col("vec_id") > cut), "b1.parquet", now)
+    }
+
   /** One tf column of the BM25 oracle trees (the q_bm25 tokenizer:
     * trim+lower, whitespace split, empties dropped by the non-empty
     * filter where it matters).
@@ -2172,6 +2235,11 @@ object ExtensionQueries extends QueryModule {
     // nfc_normalize + whitespace-class fold replays the in-stream
     // canonicalize pass, so each (source, clone) pair shares one shingle
     // set and the min-id rule keeps the source
+    // the planted clones (ids ≥ 10⁶) all drop against the indexed
+    // originals; the fixture has no natural pair past τ (max 0.51), so
+    // survivors == the original corpus, stated relationally
+    "q_embed_ingest" ->
+      """SELECT vec_id FROM embeddings ORDER BY vec_id""",
     "q_ingest_banned" ->
       """WITH norm AS (
            SELECT doc_id,
