@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.operators.{IncrementalAnn, IncrementalDedup, IvfIndex, Staging}
+import graft.operators.{IncrementalAnn, IncrementalDedup, IndexMaintenance, IvfIndex, Staging}
 import graft.operators.Staging.Stageable
 
 /** CONTINUOUS embedding-side hygiene — the VECTOR twin of
@@ -43,6 +44,65 @@ import graft.operators.Staging.Stageable
   * frozen-quantizer production posture.
   */
 object EmbeddingIngest {
+
+  /** The BANNED-VECTOR store name under the signature-index root — the
+    * vector face of the right-to-be-forgotten door ([[CorpusIngest]]'s
+    * banned-content reasoning applies verbatim: tombstones remove a
+    * taken-down vector's SIGNATURES, so a re-upload of the same vector
+    * no longer collides with its own history and would re-enter).
+    * Identity is the xxhash64 of the double-cast embedding — BYTE
+    * identity of the numeric content (a re-encoded float32 upload of the
+    * same values maps to the same doubles; a re-EMBEDDED near-duplicate
+    * is the dedup threshold's job, not the ban list's).
+    */
+  val BannedStore = "banned_vecs"
+
+  /** BAN vectors: append their content hashes to the banned store.
+    * Idempotent under replay (the door is an anti-join); empty sets are
+    * no-ops.
+    */
+  def banVectors(spark: SparkSession, indexPath: String, vecs: DataFrame,
+      vecCol: String): Unit =
+    IndexMaintenance.withWriterLease(spark, indexPath) {
+      val fp = vecs
+        .select(xxhash64(col(vecCol).cast("array<double>")).as("fp"))
+        .distinct().coalesce(1).persist()
+      try {
+        if (!fp.isEmpty)
+          fp.write.mode("append").parquet(s"$indexPath/$BannedStore")
+      } finally fp.unpersist(false)
+    }
+
+  /** The full vector TAKEDOWN: tombstone the ids out of the signature
+    * index (and the IVF-cell store, when maintained) AND ban the vector
+    * content at the door — so the same vector re-arriving later drops
+    * before any index or sink sees it.
+    */
+  def retractVectors(spark: SparkSession, indexPath: String,
+      vecs: DataFrame, idCol: String, vecCol: String,
+      ivfPath: Option[String] = None): Unit = {
+    IncrementalAnn.retract(spark, indexPath, vecs.select(col(idCol)))
+    ivfPath.foreach(p => IvfIndex.retract(spark, p, vecs.select(col(idCol))))
+    banVectors(spark, indexPath, vecs, vecCol)
+  }
+
+  /** Drop rows whose vector content hash is banned at `indexPath` — one
+    * broadcast anti-join when a ban store exists, the identity otherwise.
+    * Applied by [[ingestBatch]] at the door; public for batch pipelines.
+    */
+  def filterBannedVectors(vecs: DataFrame, vecCol: String,
+      indexPath: String): DataFrame = {
+    val spark = vecs.sparkSession
+    val p = new Path(indexPath, BannedStore)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) vecs
+    else {
+      val banned = spark.read.parquet(p.toString)
+      vecs.join(broadcast(banned),
+        xxhash64(vecs(vecCol).cast("array<double>")) === banned("fp"),
+        "left_anti")
+    }
+  }
 
   /** Drain every available embedding file under `srcDir` (one file per
     * micro-batch, arrival order) through the incremental ANN dedup, then
@@ -89,20 +149,24 @@ object EmbeddingIngest {
       indexPath: String, sinkPath: String, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int, numTables: Int,
       ivfPath: Option[String]): Unit = {
-    if (batch.isEmpty) return
-    val spark = batch.sparkSession
+    // the banned-vector door first: retracted-and-banned content drops
+    // before dedup, the sink, and every index — identity when no ban
+    val batchF = filterBannedVectors(batch, vecCol, indexPath)
+    if (batchF.isEmpty) return
+    val batch0 = batchF
+    val spark = batch0.sparkSession
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(indexPath, "params")))
-      IncrementalAnn.buildIndex(batch.limit(0), idCol, vecCol, dim,
+      IncrementalAnn.buildIndex(batch0.limit(0), idCol, vecCol, dim,
         indexPath, numPlanes = numPlanes, numTables = numTables)
     try {
       // exact-cosine-verified pairs of the batch vs the index and within
       // the batch; the greedy keep-list derivation is SHARED with the
       // document ingest (it only consumes (id_a, id_b) pairs)
-      val pairs = IncrementalAnn.newBatchPairs(batch, idCol, vecCol,
+      val pairs = IncrementalAnn.newBatchPairs(batch0, idCol, vecCol,
         indexPath, threshold).stagePersist()
-      IncrementalDedup.keepListFromPairs(batch, idCol, pairs)
+      IncrementalDedup.keepListFromPairs(batch0, idCol, pairs)
         .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
       // survivors re-read from the sink (the materialization point —
       // the document ingest's measured rule)

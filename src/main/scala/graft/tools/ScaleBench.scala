@@ -228,6 +228,16 @@ object ScaleBench {
         s, s"$dir/documents.parquet", s"$work/idx", s"$work/sink", s"$work/ckpt",
         jaccardThreshold = 0.5)
     },
+    // the vector-side streaming ingest: drain the tier's embeddings
+    // through the incremental ANN dedup (fresh work dir per invocation,
+    // so the timing IS build+drain at the tier's volume)
+    "x_embed_ingest" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_scale_eingest_").toString
+      scratchDirs.add(work)
+      graft.streaming.EmbeddingIngest.runIngestAvailableNow(
+        s, s"$dir/embeddings.parquet", s"$work/idx", s"$work/sink",
+        s"$work/ckpt", dim = 64, threshold = 0.9, numPlanes = 18)
+    },
     // incremental-dedup index build over the 90% historical slice: two
     // distributed writes (band keys + hashed shingles) — the one-time
     // cost an increment pipeline amortizes across every later batch

@@ -147,6 +147,48 @@ class EmbeddingIngestSpec extends AnyFunSuite {
     } finally rmTree(root)
   }
 
+  test("retracted-and-banned vectors cannot re-enter through the ingest") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_eing_ban_").toString
+    try {
+      val src = s"$root/src"; new java.io.File(src).mkdirs()
+      val now = System.currentTimeMillis()
+      writeVecFile(src, f1, "f1.parquet", now - 120000)
+      val first = EmbeddingIngest.runIngestAvailableNow(spark, src,
+        s"$root/idx", s"$root/sink", s"$root/ckpt", dim = dim,
+        threshold = 0.9, numPlanes = 8, numTables = 8,
+        shufflePartitions = Some(2))
+      assert(keptIds(first) == Set(1L, 2L))
+
+      // TAKEDOWN of vector 1: tombstone + ban. Without the ban, the same
+      // vector re-arriving would no longer collide with its (tombstoned)
+      // history and would re-enter.
+      EmbeddingIngest.retractVectors(spark, s"$root/idx",
+        Seq(1L -> basis(0)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+      // the same vector re-arrives under a new id, plus a fresh one
+      writeVecFile(src, Seq(41L -> basis(0), 42L -> basis(6)),
+        "f2.parquet", now)
+      val after = EmbeddingIngest.runIngestAvailableNow(spark, src,
+        s"$root/idx", s"$root/sink", s"$root/ckpt", dim = dim,
+        threshold = 0.9, numPlanes = 8, numTables = 8,
+        shufflePartitions = Some(2))
+      assert(keptIds(after) == Set(1L, 2L, 42L),
+        s"banned re-upload must drop at the door; got ${keptIds(after)}")
+      assert(spark.read.parquet(s"$root/idx/sigs")
+        .filter(col("id") === 41L).count() == 0L,
+        "banned vector must not reach the signature index")
+      // and the retracted id never ranks: a probe for basis(0) sees only
+      // surviving content
+      val probe = IncrementalAnn.topK(
+        Seq(999L -> basis(0)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$root/idx", k = 3)
+        .select("n_id").collect().map(_.getLong(0)).toSet
+      graft.operators.Staging.releaseAll()
+      assert(!probe.contains(1L) && !probe.contains(41L),
+        s"retracted/banned content ranked: $probe")
+    } finally rmTree(root)
+  }
+
   test("ingest maintains the IVF-cell store: probes see exactly the survivors") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_eing_ivf_").toString
