@@ -281,11 +281,17 @@ object CorpusCompare {
     * of duplicating it. Readers list recursively and sum as before.
     */
   def appendToGramIndexKeyed(delta: DataFrame, text: Column, path: String,
-      batchKey: Long): Unit =
+      batchKey: Long, lineage: String = ""): Unit =
     IndexMaintenance.withWriterLease(delta.sparkSession, path) {
       IndexMaintenance.heal(delta.sparkSession, path, "grams")
-      gramCounts(delta, text).write.mode("overwrite")
-        .parquet(s"$path/grams/b$batchKey")
+      // folded-ledger skip + lineage namespacing: see
+      // Retrieval.appendToTermStatsIndexKeyed (the same two lifecycle
+      // hardenings — replay-after-compaction and fresh-lineage reuse)
+      val name = if (lineage.isEmpty) s"b$batchKey" else s"b${lineage}_$batchKey"
+      if (!IndexMaintenance.foldedBatches(delta.sparkSession, path, "grams")
+          .contains(name))
+        gramCounts(delta, text).write.mode("overwrite")
+          .parquet(s"$path/grams/$name")
     }
 
   /** RETRACT docs (takedown) from the gram-count index: append their
@@ -362,6 +368,10 @@ object CorpusCompare {
         // term-stats rule): the compacted store is row-identical to a
         // fresh build on the surviving corpus
         .filter(col("n") =!= 0)
+      // ledger BEFORE the swap (the term-stats rule): folded keyed
+      // subdirectories must not double-count if a replay re-creates them
+      IndexMaintenance.recordFolded(spark, path, "grams",
+        IndexMaintenance.keyedSubdirs(spark, path, "grams"))
       IndexMaintenance.swapCompacted(spark, path, "grams") { staged =>
         folded.write.mode("overwrite").parquet(staged)
       }

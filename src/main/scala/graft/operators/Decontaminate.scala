@@ -289,10 +289,14 @@ object Decontaminate {
       IndexMaintenance.dropTombstones(spark, path)
       // grams FIRST, gparams LAST: gparams doubles as the
       // store-is-complete discriminator (CorpusIngest's bootstrap probes
-      // it), so a crash between the two writes during a rebuild at a new
-      // n must leave the OLD gparams over old grams (re-run the build)
-      // rather than new-n gparams over old-n gram rows, which every
-      // reader would then silently mix at the wrong shingle width
+      // it), so a torn FIRST build fails loudly. An in-place rebuild at
+      // ANY n additionally retires the old gparams before touching grams
+      // — otherwise a crash between the two writes leaves the OLD-n
+      // gparams validating over NEW-n gram rows, and every reader would
+      // silently hash benchmarks at the wrong shingle width.
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$path/gparams"), true)
       gramPostingsOf(docs, idCol, textCol, n)
         .write.mode("overwrite").parquet(s"$path/grams")
       Seq(n).toDF("n").write.mode("overwrite").parquet(s"$path/gparams")

@@ -83,11 +83,18 @@ object IncrementalAnn {
         tries += 1
       }
     }
+    // params LAST (the discriminator-last rule): an in-place rebuild
+    // retires the old params first, so a torn rebuild fails loudly at
+    // readParams instead of banding new batches against old-width
+    // signatures (or old params against new-width ones)
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$path/params"), true)
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    c.write.mode("overwrite").parquet(s"$path/vecs")
     Seq((dim, numTables, seed, fullPlanes, planes))
       .toDF("dim", "num_tables", "seed", "full_planes", "planes")
       .write.mode("overwrite").parquet(s"$path/params")
-    sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    c.write.mode("overwrite").parquet(s"$path/vecs")
   }
 
   /** Append a new batch (typically the survivors of [[newBatchPairs]]).

@@ -52,10 +52,19 @@ object IncrementalDedup {
     import spark.implicits._
     IndexMaintenance.withWriterLease(spark, path) {
       IndexMaintenance.dropTombstones(spark, path)
+      // params LAST (the discriminator-last rule): a rebuild that crashes
+      // mid-way must leave either the OLD params over old stores (re-run)
+      // or no params (loud) — never new params over old-width signatures,
+      // which every later batch would silently band against. An in-place
+      // rebuild first RETIRES the old params, so readers racing the
+      // rebuild fail loudly instead of mixing widths.
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$path/params"), true)
+      writeBatch(docs, idCol, textCol, path, params, "overwrite")
       Seq((params.shingleSize, params.numHashes, params.bands))
         .toDF("shingle_size", "num_hashes", "bands")
         .write.mode("overwrite").parquet(s"$path/params")
-      writeBatch(docs, idCol, textCol, path, params, "overwrite")
     }
   }
 

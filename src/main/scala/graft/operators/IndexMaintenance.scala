@@ -74,12 +74,32 @@ object IndexMaintenance {
   def acquireLease(spark: SparkSession, root: String, writerId: String,
       leaseMs: Long): Unit = {
     val f = fs(spark)
-    def tryCreate(): Boolean =
+    def tryCreate(): Boolean = {
+      val created =
+        try Some(f.create(lockPath(root), false))
+        catch { case _: java.io.IOException => None }
+      created match {
+        case None => false
+        case Some(out) =>
+          // the create succeeded — a write/close failure must not leave
+          // an ownerless fresh lock blocking every writer for leaseMs
+          try { out.write(writerId.getBytes("UTF-8")); out.close(); true }
+          catch {
+            case e: java.io.IOException =>
+              try out.close() catch { case _: java.io.IOException => }
+              f.delete(lockPath(root), false)
+              throw new IllegalStateException(
+                s"lease stamp failed at $root after create — released", e)
+          }
+      }
+    }
+    def holder(): Option[String] =
       try {
-        val out = f.create(lockPath(root), false)
-        try out.write(writerId.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+        val in = f.open(lockPath(root))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(text.trim)
+      } catch { case _: java.io.IOException => None }
     if (!tryCreate()) {
       val age =
         try System.currentTimeMillis() -
@@ -91,9 +111,19 @@ object IndexMaintenance {
             s"(lock age ${age}ms < lease ${leaseMs}ms) — refusing to " +
             "interleave store mutations")
       // stale lease: the holder crashed. Store writes are individually
-      // crash-safe (marker protocol), so reclaim is just delete + retry.
-      f.delete(lockPath(root), false)
-      if (!tryCreate())
+      // crash-safe (marker protocol), so reclaim RENAMES the stale lock
+      // aside (atomic — exactly one reclaimer wins a given lock-file
+      // instance; a plain delete would let a second reclaimer delete the
+      // first one's FRESH lock) and re-creates; the read-back verify
+      // then catches the narrow remaining interleaving (a reclaimer that
+      // measured staleness before our takeover renaming OUR fresh lock),
+      // where losing writers abort loudly rather than proceed unlocked.
+      val aside = new Path(lockPath(root).toString + s".reclaim_$writerId")
+      if (!f.rename(lockPath(root), aside))
+        throw new IllegalStateException(
+          s"concurrent index writer raced the stale-lease takeover on $root")
+      f.delete(aside, false)
+      if (!tryCreate() || !holder().contains(writerId))
         throw new IllegalStateException(
           s"concurrent index writer raced the stale-lease takeover on $root")
     }
@@ -282,6 +312,69 @@ object IndexMaintenance {
   def dropTombstones(spark: SparkSession, root: String): Unit = {
     val p = tombstonePath(root)
     if (fs(spark).exists(p)) fs(spark).delete(p, true)
+  }
+
+  // ---- folded-batch ledger (keyed counted stores) ------------------------
+  //
+  // The batch-id-keyed counted stores (term stats, drift grams) get their
+  // replay idempotence from "a replayed batch OVERWRITES its own b<key>
+  // subdirectory". Compaction breaks that on its own: it folds the keyed
+  // subdirectories into root files and deletes them, so a post-compaction
+  // replay of a batch whose delta was already folded would re-CREATE its
+  // subdirectory and double-count. The ledger closes the window: before
+  // the compaction swap commits, the names of the subdirectories being
+  // folded are recorded in a `_folded_<store>` file at the index root
+  // (atomic tmp+rename, merged with prior entries), and keyed appends
+  // SKIP a batch whose subdirectory name is in the ledger — its counts
+  // are already in the folded store. Crash anywhere stays consistent:
+  // ledger written but swap not committed → the subdirectory still
+  // exists and the replay skip is still correct (the delta is present
+  // once, via the subdirectory, and a later compaction folds it).
+
+  private def foldedPath(root: String, store: String) =
+    new Path(s"$root/_folded_$store")
+
+  /** The set of keyed-subdirectory names already folded into `store`. */
+  def foldedBatches(spark: SparkSession, root: String,
+      store: String): Set[String] = {
+    val f = fs(spark)
+    val p = foldedPath(root, store)
+    if (!f.exists(p)) Set.empty
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+    }
+  }
+
+  /** Record keyed subdirectories as folded (union with prior entries;
+    * atomic publish). Call BEFORE the compaction swap commits.
+    */
+  def recordFolded(spark: SparkSession, root: String, store: String,
+      names: Iterable[String]): Unit = {
+    val all = foldedBatches(spark, root, store) ++ names
+    if (all.nonEmpty) {
+      val f = fs(spark)
+      val tmp = new Path(foldedPath(root, store).toString + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      f.delete(foldedPath(root, store), false)
+      if (!f.rename(tmp, foldedPath(root, store)))
+        throw new IllegalStateException(s"folded-ledger publish failed at $root")
+    }
+  }
+
+  /** The keyed subdirectory names currently present under a store. */
+  def keyedSubdirs(spark: SparkSession, root: String,
+      store: String): Seq[String] = {
+    val f = fs(spark)
+    val p = new Path(s"$root/$store")
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b"))
+      .map(_.getPath.getName)
   }
 
   /** Size-derived file count for a store rewrite. */

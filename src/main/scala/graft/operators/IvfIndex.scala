@@ -90,6 +90,15 @@ object IvfIndex {
     IndexMaintenance.withWriterLease(spark, path) {
       IndexMaintenance.heal(spark, path, "cells")
       IndexMaintenance.dropTombstones(spark, path)
+      // an in-place REBUILD retires the old discriminator first: a crash
+      // after the cells overwrite but before the new codebook/iparams
+      // land must leave the index LOUDLY torn (iparams missing), never
+      // the old codebook + iparams validating over assignments made
+      // under a different codebook (probes would silently read the
+      // wrong cells)
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$path/iparams"), true)
       val c = staged(emb, idCol, vecCol)
       val centroids = Similarity.trainCentroids(
         c.select(col("id").as("n_id"), col("vec").as("n_vec")), nlist, iters)

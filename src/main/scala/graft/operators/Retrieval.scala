@@ -228,20 +228,37 @@ object Retrieval {
     * ingest needs: where [[appendToTermStatsIndex]]'s plain append
     * double-counts if re-run (stat rows carry no replay identity — the
     * documented exactly-once contract), this writes the batch's delta
-    * into its own `terms/b<batchKey>` subdirectory with OVERWRITE
-    * semantics, so an at-least-once foreachBatch replay overwrites its
-    * own output instead of duplicating it (the sink's `batch=<id>`
-    * idempotence pattern applied to a counted store). Readers list the
-    * store recursively and sum as before — keyed subdirectories and
-    * root-level build/append files merge identically.
+    * into its own keyed subdirectory with OVERWRITE semantics, so an
+    * at-least-once foreachBatch replay overwrites its own output instead
+    * of duplicating it (the sink's `batch=<id>` idempotence pattern
+    * applied to a counted store). Readers list the store recursively and
+    * sum as before — keyed subdirectories and root-level build/append
+    * files merge identically.
+    *
+    * Two hardenings make the idempotence hold across the whole
+    * lifecycle: (1) a batch whose subdirectory was already FOLDED by
+    * [[compactTermStatsIndex]] is SKIPPED (the `_folded_terms` ledger —
+    * a compaction landing inside the at-least-once replay window would
+    * otherwise let the replay re-create a subdirectory whose counts are
+    * already in the folded store); (2) `lineage` namespaces the keys
+    * per ingest LINEAGE (checkpoint identity), so a fresh ingest pointed
+    * at an existing store cannot overwrite a previous lineage's deltas
+    * by reusing batch ids 0, 1, ….
     */
   def appendToTermStatsIndexKeyed(delta: DataFrame, idCol: String,
-      textCol: String, path: String, batchKey: Long): Unit =
+      textCol: String, path: String, batchKey: Long,
+      lineage: String = ""): Unit =
     IndexMaintenance.withWriterLease(delta.sparkSession, path) {
       IndexMaintenance.heal(delta.sparkSession, path, "terms")
-      termStats(delta, idCol, textCol).write.mode("overwrite")
-        .parquet(s"$path/terms/b$batchKey")
+      val name = keyedName(batchKey, lineage)
+      if (!IndexMaintenance.foldedBatches(delta.sparkSession, path, "terms")
+          .contains(name))
+        termStats(delta, idCol, textCol).write.mode("overwrite")
+          .parquet(s"$path/terms/$name")
     }
+
+  private def keyedName(batchKey: Long, lineage: String): String =
+    if (lineage.isEmpty) s"b$batchKey" else s"b${lineage}_$batchKey"
 
   /** RETRACT docs (takedown) from the term-stats index: append their
     * statistics NEGATED — df and tl are additive, so merge-on-read sums
@@ -308,6 +325,12 @@ object Retrieval {
       // tokens a retraction zeroed out fold away entirely, so the
       // compacted store is row-identical to a fresh build on survivors
       .filter(col("df") =!= 0 || col("tl") =!= 0)
+    // ledger BEFORE the swap: the keyed subdirectories being folded are
+    // recorded so a post-compaction replay of one of them SKIPS instead
+    // of double-counting (a crash between ledger and swap stays correct
+    // — the subdirectory still exists, exactly once)
+    IndexMaintenance.recordFolded(spark, path, "terms",
+      IndexMaintenance.keyedSubdirs(spark, path, "terms"))
     IndexMaintenance.swapCompacted(spark, path, "terms") { staged =>
       folded.write.mode("overwrite").parquet(staged)
     }

@@ -133,6 +133,21 @@ object CorpusIngest {
     */
   val BannedStore = "banned"
 
+  /** The ingest LINEAGE id — a stable fingerprint of the checkpoint
+    * location, namespacing the counted stores' batch-id-keyed
+    * subdirectories: streaming batch ids restart at 0 for every fresh
+    * checkpoint, so without the namespace a decommission-and-replace
+    * ingest pointed at the SAME term-stats/drift stores would overwrite
+    * the previous lineage's b0, b1, … deltas. Same checkpoint (and so
+    * same replay window) ⇒ same lineage ⇒ the keyed-overwrite
+    * idempotence is untouched.
+    */
+  def lineageOf(checkpointPath: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointPath.getBytes("UTF-8"))
+    d.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** BAN content: append the docs' canonical fingerprints to the banned
     * store at `indexPath`. Idempotent under replay (duplicate fp rows are
     * harmless — the door check is an anti-join); empty ban sets are
@@ -257,7 +272,8 @@ object CorpusIngest {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, indexPath, sinkPath, idCol, textCol,
-          jaccardThreshold, params, bannedNeedles, maintain)
+          jaccardThreshold, params, bannedNeedles, maintain,
+          lineage = lineageOf(checkpointPath))
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
@@ -274,7 +290,8 @@ object CorpusIngest {
       indexPath: String, sinkPath: String, idCol: String, textCol: String,
       jaccardThreshold: Double, params: IncrementalDedup.Params,
       bannedNeedles: Seq[Seq[String]] = Nil,
-      maintain: IndexSuite = IndexSuite()): Unit = {
+      maintain: IndexSuite = IndexSuite(),
+      lineage: String = ""): Unit = {
     val t00 = System.nanoTime()
     // the BANNED-CONTENT door first: retracted-and-banned bytes drop
     // before the needle check, the dedup, the sink, and every index —
@@ -300,7 +317,19 @@ object CorpusIngest {
         val bad = toksF.filter(hitAny).select("id")
         batchB.join(broadcast(bad), batchB(idCol) === bad("id"), "left_anti")
       }
-    if (batch.isEmpty) { Staging.releaseAll(); return }
+    if (batch.isEmpty) {
+      // A batch the DOORS emptied (banned content / needles) must still
+      // overwrite its own sink partition: a replay whose content was
+      // banned between the original sink write and the checkpoint commit
+      // would otherwise leave the STALE partition — now-banned content —
+      // published forever. A genuinely empty source batch can have no
+      // stale partition (batch content is deterministic from the
+      // checkpoint), and the empty overwrite is harmless there too.
+      if (!batch0.isEmpty)
+        batch0.limit(0).write.mode("overwrite")
+          .parquet(s"$sinkPath/batch=$batchId")
+      Staging.releaseAll(); return
+    }
     if (sys.env.contains("GRAFT_INGEST_PROFILE"))
       System.err.println(
         f"[ingest] batch=$batchId isEmpty      ${(System.nanoTime() - t00) / 1e9}%6.2f s")
@@ -371,25 +400,32 @@ object CorpusIngest {
           timed("positions")(graft.operators.Retrieval
             .appendToPositionalIndex(kept, idCol, textCol, mp))
         }
-        // the COUNTED stores append batch-id-KEYED (overwrite-own-delta),
-        // so an at-least-once replay cannot double-count; bootstrap is an
-        // empty build (schema + store dirs), idempotent under replay too
+        // the COUNTED stores append batch-id-KEYED (overwrite-own-delta,
+        // lineage-namespaced), so an at-least-once replay cannot
+        // double-count; bootstrap is an empty build (schema + store
+        // dirs), idempotent under replay too. The bootstrap probe HEALS
+        // first: a compaction crashed mid-swap leaves the live store dir
+        // absent (marker + staged present), and an unhealed exists()
+        // would misread a full store as unbuilt — the empty build's
+        // overwrite would then WIPE the history heal just restored.
         maintain.termStatsPath.foreach { mp =>
           timed("termstats") {
+            graft.operators.IndexMaintenance.heal(spark, mp, "terms")
             if (!fs.exists(new Path(mp, "terms")))
               graft.operators.Retrieval.buildTermStatsIndex(
                 kept.limit(0), idCol, textCol, mp)
             graft.operators.Retrieval.appendToTermStatsIndexKeyed(
-              kept, idCol, textCol, mp, batchId)
+              kept, idCol, textCol, mp, batchId, lineage)
           }
         }
         maintain.driftGramsPath.foreach { mp =>
           timed("driftgrams") {
+            graft.operators.IndexMaintenance.heal(spark, mp, "grams")
             if (!fs.exists(new Path(mp, "grams")))
               graft.operators.CorpusCompare.buildGramIndex(
                 kept.limit(0), col(textCol), mp)
             graft.operators.CorpusCompare.appendToGramIndexKeyed(
-              kept, col(textCol), mp, batchId)
+              kept, col(textCol), mp, batchId, lineage)
           }
         }
       }

@@ -152,7 +152,16 @@ object EmbeddingIngest {
     // the banned-vector door first: retracted-and-banned content drops
     // before dedup, the sink, and every index — identity when no ban
     val batchF = filterBannedVectors(batch, vecCol, indexPath)
-    if (batchF.isEmpty) return
+    if (batchF.isEmpty) {
+      // a door-emptied batch still overwrites its own sink partition (a
+      // replay whose content was banned after the original sink write
+      // must not leave the stale — now banned — partition published);
+      // see CorpusIngest.ingestBatch for the full argument
+      if (!batch.isEmpty)
+        batch.limit(0).write.mode("overwrite")
+          .parquet(s"$sinkPath/batch=$batchId")
+      return
+    }
     val batch0 = batchF
     val spark = batch0.sparkSession
     val fs = new Path(indexPath)

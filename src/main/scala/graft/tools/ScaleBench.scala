@@ -60,7 +60,7 @@ object ScaleBench {
     // keyed on the SANITIZED FULL PATH, not hashCode: two fixture dirs
     // colliding on a 32-bit hash would silently share a standing index
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + scratchDigest(dir)
     if (standingBuilt.add(idx)) {
       rmTree(idx)
       scratchDirs.add(idx)
@@ -68,6 +68,16 @@ object ScaleBench {
     }
     idx
   }
+
+
+  /** First 8 hex chars of SHA-256 over the dir path — appended to the
+    * sanitized name so the scratch key stays INJECTIVE (sanitizing '/'
+    * and '_' to the same character would otherwise collide paths like
+    * /data/x and /data_x).
+    */
+  private def scratchDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
 
   private def rmTree(d: String): Unit =
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(d))) {

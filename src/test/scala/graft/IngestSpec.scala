@@ -217,6 +217,8 @@ class IngestSpec extends AnyFunSuite {
       // FORCED REPLAY of the last committed batch: at-least-once
       // foreachBatch must leave the counted stores' answers unchanged
       // (keyed overwrite) and the row stores' queries unchanged (collapse)
+      // the replay carries the STREAM's lineage (counted-store keys are
+      // lineage-namespaced; a replay is by definition same-checkpoint)
       CorpusIngest.ingestBatch(f3.toDF("doc_id", "text"), 2L,
         s"$root/idx", s"$root/sink", "doc_id", "text", tau, params,
         maintain = CorpusIngest.IndexSuite(
@@ -224,7 +226,8 @@ class IngestSpec extends AnyFunSuite {
           gramPostingsPath = Some(s"$root/gram"),
           positionsPath = Some(s"$root/pos"),
           termStatsPath = Some(s"$root/terms"),
-          driftGramsPath = Some(s"$root/drift")))
+          driftGramsPath = Some(s"$root/drift")),
+        lineage = CorpusIngest.lineageOf(s"$root/ckpt"))
       assert(scoreRows(s"$root/terms") == scoreRows(s"$root/terms2"),
         "a replayed batch must not double-count term stats")
       assert(driftRow(s"$root/drift") == driftRow(s"$root/drift2"),
@@ -280,6 +283,106 @@ class IngestSpec extends AnyFunSuite {
       assert(keptIds(CorpusIngest.survivors(spark, s"$root/sink",
         Seq.empty[(Long, String)].toDF("doc_id", "text").schema))
         == Set(1L, 2L, 4L, 43L))
+      // a replay whose ENTIRE content is now banned must still overwrite
+      // its sink partition (emptying it) — otherwise the stale partition
+      // keeps publishing banned bytes forever
+      CorpusIngest.retractContent(spark, s"$root/idx",
+        Seq(43L -> fresh(43)).toDF("doc_id", "text"), "doc_id", "text")
+      CorpusIngest.ingestBatch(
+        Seq(41L -> textA, 43L -> fresh(43)).toDF("doc_id", "text"), 1L,
+        s"$root/idx", s"$root/sink", "doc_id", "text", tau, params)
+      assert(keptIds(CorpusIngest.survivors(spark, s"$root/sink",
+        Seq.empty[(Long, String)].toDF("doc_id", "text").schema))
+        == Set(1L, 2L, 4L),
+        "a fully-banned replay must empty its own sink partition")
+    } finally rmTree(root)
+  }
+
+  test("counted-store lifecycle: compaction+replay can't double-count; lineages don't clobber; mid-swap crash can't wipe") {
+    import spark.implicits._
+    import graft.operators.{IndexMaintenance, Retrieval}
+    val root = scratch("counted")
+    val terms = s"$root/terms"
+    val suite = CorpusIngest.IndexSuite(termStatsPath = Some(terms))
+    val linA = CorpusIngest.lineageOf(s"$root/ckptA")
+    def score() = {
+      val probe = Seq(900L -> textA).toDF("doc_id", "text")
+      val r = Retrieval.scoreAgainstTermIndex(probe, "doc_id", "text",
+        Seq("w3"), terms, k = 1).collect().map(_.toSeq).toSeq
+      graft.operators.Staging.releaseAll()
+      r
+    }
+    try {
+      // lineage A ingests two batches
+      CorpusIngest.ingestBatch(f1.toDF("doc_id", "text"), 0L,
+        s"$root/idxA", s"$root/sinkA", "doc_id", "text", tau, params,
+        maintain = suite, lineage = linA)
+      CorpusIngest.ingestBatch(f2.toDF("doc_id", "text"), 1L,
+        s"$root/idxA", s"$root/sinkA", "doc_id", "text", tau, params,
+        maintain = suite, lineage = linA)
+      val before = score()
+
+      // COMPACTION inside the at-least-once window, then the replay of
+      // batch 1: the folded ledger must make the replayed keyed append a
+      // no-op — without it the replay re-creates its subdirectory and
+      // every count doubles
+      Retrieval.compactTermStatsIndex(spark, terms)
+      assert(score() == before, "compaction must be count-identical")
+      CorpusIngest.ingestBatch(f2.toDF("doc_id", "text"), 1L,
+        s"$root/idxA", s"$root/sinkA", "doc_id", "text", tau, params,
+        maintain = suite, lineage = linA)
+      assert(score() == before,
+        "a replay after compaction must not double-count (folded ledger)")
+
+      // a FRESH ingest lineage (new checkpoint ⇒ batch ids restart at 0)
+      // against the SAME store must add its deltas, not overwrite
+      // lineage A's b0 — the score must equal a fresh batch build over
+      // BOTH lineages' survivors
+      val linB = CorpusIngest.lineageOf(s"$root/ckptB")
+      CorpusIngest.ingestBatch(f3.toDF("doc_id", "text"), 0L,
+        s"$root/idxB", s"$root/sinkB", "doc_id", "text", tau, params,
+        maintain = suite, lineage = linB)
+      val allSurvivors = spark.read.parquet(s"$root/sinkA")
+        .unionByName(spark.read.parquet(s"$root/sinkB"))
+        .select("doc_id", "text")
+      Retrieval.buildTermStatsIndex(allSurvivors, "doc_id", "text",
+        s"$root/terms_ref")
+      val ref = {
+        val probe = Seq(900L -> textA).toDF("doc_id", "text")
+        val r = Retrieval.scoreAgainstTermIndex(probe, "doc_id", "text",
+          Seq("w3"), s"$root/terms_ref", k = 1).collect().map(_.toSeq).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      assert(score() == ref,
+        "a second lineage must accumulate, not clobber, the counted store")
+
+      // CRASH MID-SWAP: a compaction that died between its two renames
+      // leaves marker+staged and NO live store dir — the ingest's
+      // bootstrap probe must heal first, not misread the store as
+      // unbuilt and wipe the restored history with an empty build
+      val live = java.nio.file.Paths.get(s"$terms/terms")
+      val staged = java.nio.file.Paths.get(s"$terms/terms.compact")
+      java.nio.file.Files.move(live, staged)
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$terms/_compact_terms"))
+      CorpusIngest.ingestBatch(
+        Seq(61L -> fresh(61)).toDF("doc_id", "text"), 2L,
+        s"$root/idxA", s"$root/sinkA", "doc_id", "text", tau, params,
+        maintain = suite, lineage = linA)
+      // history survived AND the new batch counted
+      Retrieval.appendToTermStatsIndexKeyed(
+        Seq(61L -> fresh(61)).toDF("doc_id", "text"), "doc_id", "text",
+        s"$root/terms_ref", 2L, linA)
+      val ref2 = {
+        val probe = Seq(900L -> textA).toDF("doc_id", "text")
+        val r = Retrieval.scoreAgainstTermIndex(probe, "doc_id", "text",
+          Seq("w3"), s"$root/terms_ref", k = 1).collect().map(_.toSeq).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      assert(score() == ref2,
+        "a mid-swap crash before the bootstrap probe must heal, not wipe")
     } finally rmTree(root)
   }
 
