@@ -54,12 +54,15 @@ object IndexMaintenance {
   // same stamp the ETL marker header carries.
   //
   // A lease older than `leaseMs` belongs to a crashed writer and is
-  // reclaimed (delete + one retry of the atomic create); no heal is
-  // needed at reclaim time because every store write is independently
-  // crash-safe (the write-ahead-marker protocol above — readers and the
-  // next mutation heal per-store). Like the ETL lease, a mutation that
-  // legitimately outlives `leaseMs` is exposed to a takeover; size
-  // `leaseMs` to the slowest expected compaction.
+  // reclaimed: the stale lock is RENAMED aside (atomic — exactly one
+  // reclaimer wins a given lock-file instance), the reclaimer re-creates
+  // the lock, and a read-back verifies ownership before proceeding —
+  // losers abort loudly. No heal is needed at reclaim time because every
+  // store write is independently crash-safe (the write-ahead-marker
+  // protocol above — readers and the next mutation heal per-store). Like
+  // the ETL lease, a mutation that legitimately outlives `leaseMs` is
+  // exposed to a takeover; size `leaseMs` to the slowest expected
+  // compaction.
 
   val LockFile = "_index_lock"
   val GenFile = "_index_gen"
