@@ -48,6 +48,11 @@ object IncrementalAnn {
     val spark = emb.sparkSession
     import spark.implicits._
     VectorFunctions.ensureRegistered(spark)
+    // heal any committed-but-unswapped compaction FIRST: rebuilding over
+    // a pending marker would let the next reader's healAll roll the STALE
+    // staged store forward over the fresh build (silently reverting it,
+    // with new params validating old-generation rows)
+    IndexMaintenance.healAll(spark, path, Seq("sigs", "vecs"))
     // rebuild = new generation; stale tombstones must not filter it
     IndexMaintenance.dropTombstones(spark, path)
     val c = staged(emb, idCol, vecCol)

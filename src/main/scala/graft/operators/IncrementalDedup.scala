@@ -51,6 +51,11 @@ object IncrementalDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     IndexMaintenance.withWriterLease(spark, path) {
+      // heal any committed-but-unswapped compaction FIRST: rebuilding over
+      // a pending marker would let the next reader's healAll roll the
+      // STALE staged store forward over the fresh build (silently
+      // reverting it, with new params validating old-generation rows)
+      IndexMaintenance.healAll(spark, path, Seq("bands", "shingles"))
       IndexMaintenance.dropTombstones(spark, path)
       // params LAST (the discriminator-last rule): a rebuild that crashes
       // mid-way must leave either the OLD params over old stores (re-run)

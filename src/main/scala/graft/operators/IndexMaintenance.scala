@@ -35,8 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object IndexMaintenance {
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** Filesystem of the index root itself — NOT the default filesystem.
+    * Lease/generation/ledger/heal files must live next to the stores they
+    * protect: resolving `FileSystem.get(conf)` would put the lock on the
+    * default scheme while the stores sit on (say) `s3a://`, and the lease
+    * would silently provide no mutual exclusion there.
+    */
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    fsOf(spark, new Path(root))
 
   // ---- concurrent-writer lease -----------------------------------------
   //
@@ -73,10 +82,15 @@ object IndexMaintenance {
   /** Take the index root's writer lease or throw. Public so specs (and
     * external maintenance tooling) can construct interleavings by hand;
     * operator entry points go through [[withWriterLease]].
+    *
+    * `beforeReclaim` is an interleaving seam for specs ONLY: it fires
+    * after this writer has measured a lock as stale and recorded its
+    * holder, immediately before the rename-aside — the check-to-rename
+    * window in which a competing reclaimer can complete its own takeover.
     */
   def acquireLease(spark: SparkSession, root: String, writerId: String,
-      leaseMs: Long): Unit = {
-    val f = fs(spark)
+      leaseMs: Long, beforeReclaim: () => Unit = () => ()): Unit = {
+    val f = fsOf(spark, root)
     def tryCreate(): Boolean = {
       val created =
         try Some(f.create(lockPath(root), false))
@@ -104,6 +118,11 @@ object IndexMaintenance {
         Some(text.trim)
       } catch { case _: java.io.IOException => None }
     if (!tryCreate()) {
+      // read the holder BEFORE measuring age: if a reclaimer replaces the
+      // lock between the two, the age we measure is the FRESH lock's and
+      // we abort; if it replaces after, the aside verify below catches it.
+      // Either way the instance we reclaim is the instance we measured.
+      val observedHolder = holder()
       val age =
         try System.currentTimeMillis() -
           f.getFileStatus(lockPath(root)).getModificationTime
@@ -117,14 +136,45 @@ object IndexMaintenance {
       // crash-safe (marker protocol), so reclaim RENAMES the stale lock
       // aside (atomic — exactly one reclaimer wins a given lock-file
       // instance; a plain delete would let a second reclaimer delete the
-      // first one's FRESH lock) and re-creates; the read-back verify
-      // then catches the narrow remaining interleaving (a reclaimer that
-      // measured staleness before our takeover renaming OUR fresh lock),
-      // where losing writers abort loudly rather than proceed unlocked.
+      // first one's FRESH lock) and re-creates. The rename alone is NOT
+      // enough: a second reclaimer that measured L0's staleness before
+      // our takeover completes would rename OUR fresh lock aside and its
+      // own read-back would verify its own lock — two writers. So the
+      // reclaim is anchored to the lock-file INSTANCE, not the path: we
+      // record the stale holder's id at measurement time, and after
+      // winning the rename we READ the aside file — if its content is not
+      // the holder we measured as stale, we renamed a FRESH lock by
+      // mistake: restore it and abort loudly. (Holder ids are one-shot
+      // UUIDs, so instance identity == holder identity; a lock whose
+      // holder crashed between create and stamp reads as empty on both
+      // sides and still matches.)
+      val staleHolder = observedHolder.getOrElse(
+        throw new IllegalStateException(
+          s"concurrent index writer raced the stale-lease takeover on $root"))
+      beforeReclaim()
       val aside = new Path(lockPath(root).toString + s".reclaim_$writerId")
       if (!f.rename(lockPath(root), aside))
         throw new IllegalStateException(
           s"concurrent index writer raced the stale-lease takeover on $root")
+      val asideHolder =
+        try {
+          val in = f.open(aside)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      if (asideHolder != staleHolder) {
+        // the lock we renamed is not the stale instance we measured — a
+        // live writer holds it. Put it back and abort; if the restore
+        // itself loses a race, still abort (we never proceed unlocked).
+        if (!f.rename(aside, lockPath(root)))
+          throw new IllegalStateException(
+            s"stale-lease takeover on $root renamed a FRESH lock " +
+              s"(holder $asideHolder) and could not restore it — " +
+              "manual intervention required: restore " + aside)
+        throw new IllegalStateException(
+          s"concurrent index writer raced the stale-lease takeover on " +
+            s"$root — fresh lock (holder $asideHolder) restored")
+      }
       f.delete(aside, false)
       if (!tryCreate() || !holder().contains(writerId))
         throw new IllegalStateException(
@@ -134,25 +184,37 @@ object IndexMaintenance {
 
   /** Release the lease (delete the lock file). */
   def releaseLease(spark: SparkSession, root: String): Unit =
-    fs(spark).delete(lockPath(root), false)
+    fsOf(spark, root).delete(lockPath(root), false)
 
   /** The root's mutation generation — 0 before any leased mutation
     * completes, then +1 per completed mutation (audit surface).
     */
   def generation(spark: SparkSession, root: String): Long = {
-    val f = fs(spark)
-    if (!f.exists(genPath(root))) 0L
-    else {
-      val in = f.open(genPath(root))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      text.trim.split("\\s+").head.toLong
+    val f = fsOf(spark, root)
+    // a crash between `bumpGeneration`'s delete and rename leaves only the
+    // tmp file; it holds the COMPLETED mutation's number (the bump runs
+    // after the body), so reading it — rather than resetting to 0 — keeps
+    // the audit counter truthful across that window. When both exist the
+    // published file wins (the tmp is an uncommitted draft).
+    val p =
+      if (f.exists(genPath(root))) Some(genPath(root))
+      else {
+        val tmp = new Path(genPath(root).toString + ".tmp")
+        if (f.exists(tmp)) Some(tmp) else None
+      }
+    p match {
+      case None => 0L
+      case Some(gp) =>
+        val in = f.open(gp)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.trim.split("\\s+").head.toLong
     }
   }
 
   private def bumpGeneration(spark: SparkSession, root: String,
       writerId: String): Unit = {
-    val f = fs(spark)
+    val f = fsOf(spark, root)
     val next = generation(spark, root) + 1
     val tmp = new Path(genPath(root).toString + ".tmp")
     val out = f.create(tmp, true)
@@ -187,7 +249,7 @@ object IndexMaintenance {
     * store's interrupted compaction. Idempotent; cheap when idle.
     */
   def heal(spark: SparkSession, root: String, store: String): Unit = {
-    val f = fs(spark)
+    val f = fsOf(spark, root)
     val live = new Path(s"$root/$store")
     val staged = stagedPath(root, store)
     val marker = markerPath(root, store)
@@ -217,7 +279,7 @@ object IndexMaintenance {
   def swapCompacted(spark: SparkSession, root: String, store: String)(
       writeStaged: String => Unit): Unit = {
     heal(spark, root, store)
-    val f = fs(spark)
+    val f = fsOf(spark, root)
     val live = new Path(s"$root/$store")
     val staged = stagedPath(root, store)
     writeStaged(staged.toString)
@@ -294,7 +356,7 @@ object IndexMaintenance {
   /** The tombstone id set at `root`, if any retraction has happened. */
   def tombstones(spark: SparkSession, root: String): Option[DataFrame] = {
     val p = tombstonePath(root)
-    if (fs(spark).exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (fsOf(spark, root).exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
   /** Drop `df` rows whose `idCol` is tombstoned at `root` — a broadcast
@@ -314,7 +376,7 @@ object IndexMaintenance {
     */
   def dropTombstones(spark: SparkSession, root: String): Unit = {
     val p = tombstonePath(root)
-    if (fs(spark).exists(p)) fs(spark).delete(p, true)
+    if (fsOf(spark, root).exists(p)) fsOf(spark, root).delete(p, true)
   }
 
   // ---- folded-batch ledger (keyed counted stores) ------------------------
@@ -340,7 +402,7 @@ object IndexMaintenance {
   /** The set of keyed-subdirectory names already folded into `store`. */
   def foldedBatches(spark: SparkSession, root: String,
       store: String): Set[String] = {
-    val f = fs(spark)
+    val f = fsOf(spark, root)
     val p = foldedPath(root, store)
     if (!f.exists(p)) Set.empty
     else {
@@ -358,7 +420,7 @@ object IndexMaintenance {
       names: Iterable[String]): Unit = {
     val all = foldedBatches(spark, root, store) ++ names
     if (all.nonEmpty) {
-      val f = fs(spark)
+      val f = fsOf(spark, root)
       val tmp = new Path(foldedPath(root, store).toString + ".tmp")
       val out = f.create(tmp, true)
       try out.write(all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
@@ -372,7 +434,7 @@ object IndexMaintenance {
   /** The keyed subdirectory names currently present under a store. */
   def keyedSubdirs(spark: SparkSession, root: String,
       store: String): Seq[String] = {
-    val f = fs(spark)
+    val f = fsOf(spark, root)
     val p = new Path(s"$root/$store")
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
@@ -383,7 +445,7 @@ object IndexMaintenance {
   /** Size-derived file count for a store rewrite. */
   def targetFileCount(spark: SparkSession, root: String, store: String,
       targetFileBytes: Long): Int = {
-    val bytes = fs(spark).getContentSummary(new Path(s"$root/$store")).getLength
+    val bytes = fsOf(spark, root).getContentSummary(new Path(s"$root/$store")).getLength
     math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
   }
 

@@ -1381,20 +1381,21 @@ object ExtensionQueries extends QueryModule {
   private object SessionScratch {
     private val built = scala.collection.mutable.Set.empty[String]
 
-    /** First 8 hex chars of SHA-256 over the dir path — appended to the
-      * sanitized name so the scratch key stays INJECTIVE (sanitizing '/'
-      * and '_' to the same character would otherwise collide paths like
-      * /data/x and /data_x).
+    /** First 32 hex chars of SHA-256 over the dir path — appended to the
+      * sanitized name (truncated to its LAST 100 chars so a deep fixture
+      * path cannot push the single filename component past the common
+      * 255-byte limit) so the scratch key stays INJECTIVE: the 128-bit
+      * digest carries the injectivity once the readable prefix is lossy.
       */
     private def scratchDigest(dir: String): String =
       java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+        .digest(dir.getBytes("UTF-8")).take(16).map(b => f"${b & 0xff}%02x").mkString
 
     def cached(tag: String, dir: String)(build: String => Unit): String = synchronized {
       // sanitized full path, not hashCode — a 32-bit collision between
       // two data dirs would silently share one scratch store
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + scratchDigest(dir)
+        dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(100) + "_" + scratchDigest(dir)
       if (!built(path)) {
         rmTree(path)
         new java.io.File(path).mkdirs()

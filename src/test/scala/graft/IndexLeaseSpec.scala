@@ -93,6 +93,77 @@ class IndexLeaseSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(!lock.exists)
   }
 
+  test("racing reclaimers: the loser restores the winner's fresh lock and aborts") {
+    // The TOCTOU the rename-aside alone does not close: L0 is stale; A
+    // completes its full reclaim (rename aside + recreate) INSIDE B's
+    // check-to-rename window. B's rename then moves A's FRESH lock aside;
+    // without the instance verify B would recreate its own lock, read it
+    // back, and proceed — two writers. With the verify, B sees the aside
+    // holder is not the stale holder it measured, restores A's lock, and
+    // aborts loudly.
+    val root = fresh("toctou")
+    new java.io.File(root).mkdirs()
+    // plant the crashed writer's stale lock L0
+    IndexMaintenance.acquireLease(spark, root, "crashed0", 600000L)
+    val lock = new java.io.File(root, IndexMaintenance.LockFile)
+    lock.setLastModified(System.currentTimeMillis() - 3600L * 1000)
+    // B measures L0 stale; in its check-to-rename window A runs its FULL
+    // reclaim (the beforeReclaim seam executes A synchronously there)
+    val e = intercept[IllegalStateException] {
+      IndexMaintenance.acquireLease(spark, root, "writerB", 600000L,
+        beforeReclaim = () =>
+          IndexMaintenance.acquireLease(spark, root, "writerA", 600000L))
+    }
+    assert(e.getMessage.contains("fresh lock"), e.getMessage)
+    // A's lock survived B's abort: present, fresh, and held by A
+    assert(lock.exists)
+    val holder = new String(
+      java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8").trim
+    assert(holder == "writerA")
+    // no reclaim debris left behind
+    assert(!new java.io.File(root).listFiles.exists(
+      _.getName.contains(".reclaim_")))
+    // and a later writer still blocks on A's live lease (lock is fresh)
+    val e2 = intercept[IllegalStateException] {
+      IndexMaintenance.acquireLease(spark, root, "writerC", 600000L)
+    }
+    assert(e2.getMessage.contains("holds the lease"))
+    IndexMaintenance.releaseLease(spark, root)
+  }
+
+  test("single reclaimer still wins an undisturbed stale takeover") {
+    // the instance-verify must not break the plain reclaim path
+    val root = fresh("reclaim1")
+    new java.io.File(root).mkdirs()
+    IndexMaintenance.acquireLease(spark, root, "crashed1", 600000L)
+    val lock = new java.io.File(root, IndexMaintenance.LockFile)
+    lock.setLastModified(System.currentTimeMillis() - 3600L * 1000)
+    IndexMaintenance.acquireLease(spark, root, "writerA", 600000L)
+    val holder = new String(
+      java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8").trim
+    assert(holder == "writerA")
+    IndexMaintenance.releaseLease(spark, root)
+  }
+
+  test("generation survives a crash between the gen file's delete and rename") {
+    val root = fresh("gencrash")
+    new java.io.File(root).mkdirs()
+    IndexMaintenance.withWriterLease(spark, root) { () }
+    IndexMaintenance.withWriterLease(spark, root) { () }
+    assert(IndexMaintenance.generation(spark, root) == 2L)
+    // simulate the crash window: the published file is deleted and only
+    // the tmp (holding the completed mutation's number) remains
+    val gen = new java.io.File(root, IndexMaintenance.GenFile)
+    val tmp = new java.io.File(root, IndexMaintenance.GenFile + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, "3 crashed".getBytes("UTF-8"))
+    gen.delete()
+    assert(IndexMaintenance.generation(spark, root) == 3L) // not reset to 0
+    // the next completed mutation publishes 4 normally
+    IndexMaintenance.withWriterLease(spark, root) { () }
+    assert(IndexMaintenance.generation(spark, root) == 4L)
+    assert(gen.exists && !tmp.exists)
+  }
+
   test("generation bumps once per completed mutation, not on abort") {
     val root = fresh("gen")
     assert(IndexMaintenance.generation(spark, root) == 0L)
