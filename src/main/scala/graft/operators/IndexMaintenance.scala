@@ -242,6 +242,118 @@ object IndexMaintenance {
     } finally releaseLease(spark, root)
   }
 
+  // ---- auto-compaction policy ------------------------------------------
+
+  /** When a continuous ingest should fold its appended deltas — the knob
+    * that stops the small-files growth the compaction protocol exists to
+    * price out (one parquet append set per micro-batch, forever, without
+    * it). Two triggers, either sufficient:
+    *
+    *   - `everyBatches > 0`: compact on every Nth batch id ((id+1) % N
+    *     == 0) — deterministic under replay, so a re-run triggering
+    *     batch just re-compacts (idempotent: same logical rows, the
+    *     folded-batch ledger keeps counted stores exact);
+    *   - `fileThreshold > 0`: compact a store family whose probe store
+    *     has accumulated more than this many data files — the
+    *     [[indexStats]] backlog signal, one directory listing per batch.
+    *
+    * Disabled (the default) preserves the manual-maintenance contract.
+    */
+  final case class AutoCompactPolicy(everyBatches: Int = 0,
+      fileThreshold: Int = 0, targetFileBytes: Long = 128L << 20) {
+    private[graft] def enabled: Boolean = everyBatches > 0 || fileThreshold > 0
+    private[graft] def batchDue(batchId: Long): Boolean =
+      everyBatches > 0 && (batchId + 1) % everyBatches == 0
+  }
+
+  /** Data-file count of one store (recursive; `_`/`.` metadata excluded);
+    * 0 when the store does not exist. The backlog probe for
+    * [[AutoCompactPolicy.fileThreshold]] and the `files` column of
+    * [[indexStats]].
+    */
+  def storeDataFiles(spark: SparkSession, root: String,
+      store: String): Long = {
+    val f = fsOf(spark, root)
+    val p = new Path(s"$root/$store")
+    if (!f.exists(p)) 0L
+    else {
+      var files = 0L
+      val it = f.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next(); val nm = s.getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".")) files += 1L
+      }
+      files
+    }
+  }
+
+  // ---- observability ---------------------------------------------------
+
+  /** One frame describing every store under an index root — the health
+    * surface a maintenance scheduler, pager, or auto-compaction policy
+    * thresholds on. One row per store subdirectory (including
+    * `tombstones` when present), with the root-level generation repeated
+    * on every row:
+    *
+    *   - `files` / `bytes`: data files (recursive, `_`/`.` metadata
+    *     excluded) and their total size — the small-files backlog signal
+    *     for append stores;
+    *   - `target_files`: what a compaction at `targetFileBytes` would
+    *     rewrite the store to; `files` far above it = compact now;
+    *   - `rows`: parquet row count (footer-derived — no data scan);
+    *   - `keyed_batches` / `folded_batches`: delta subdirectories present
+    *     / already folded, for the batch-keyed counted stores (0/0 for
+    *     plain append stores);
+    *   - `pending_compaction`: a committed-but-unswapped compaction
+    *     marker exists (the next heal rolls it forward);
+    *   - `params`: the single params row rendered as JSON for `*params`
+    *     stores, null elsewhere.
+    *
+    * Driver-side listing + per-store footer counts: cost is O(stores ×
+    * files), the same metadata the next scan planning pays anyway; no
+    * store data is read. Read-only — takes no lease (a concurrent
+    * mutation can skew a row; a scheduler reads again next tick).
+    */
+  def indexStats(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L << 20): DataFrame = {
+    import spark.implicits._
+    val f = fsOf(spark, root)
+    val rootP = new Path(root)
+    val stores =
+      if (!f.exists(rootP)) Seq.empty[String]
+      else f.listStatus(rootP).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(_.endsWith(".compact")).sorted
+    val gen = generation(spark, root)
+    val rows = stores.map { st =>
+      val p = new Path(s"$root/$st")
+      val files = storeDataFiles(spark, root, st)
+      var bytes = 0L
+      val it = f.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next(); val nm = s.getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".")) bytes += s.getLen
+      }
+      val rowCount =
+        try spark.read.option("recursiveFileLookup", "true")
+          .parquet(p.toString).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      val keyed = keyedSubdirs(spark, root, st)
+      val folded = foldedBatches(spark, root, st)
+      val pending = f.exists(markerPath(root, st))
+      val params =
+        if (st.endsWith("params") && rowCount == 1L)
+          spark.read.parquet(p.toString).toJSON.head()
+        else null
+      (st, files, bytes, rowCount,
+        targetFileCount(spark, root, st, targetFileBytes).toLong,
+        keyed.size.toLong, folded.size.toLong, pending, params, gen)
+    }
+    rows.toDF("store", "files", "bytes", "rows", "target_files",
+      "keyed_batches", "folded_batches", "pending_compaction", "params",
+      "generation")
+  }
+
   private def stagedPath(root: String, store: String) = new Path(s"$root/$store.compact")
   private def markerPath(root: String, store: String) = new Path(s"$root/_compact_$store")
 

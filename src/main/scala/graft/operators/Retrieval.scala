@@ -260,6 +260,16 @@ object Retrieval {
   private def keyedName(batchKey: Long, lineage: String): String =
     if (lineage.isEmpty) s"b$batchKey" else s"b${lineage}_$batchKey"
 
+  /** The ptotals store, listed RECURSIVELY: root-level build/append/
+    * retraction rows and the keyed `b<id>/` ingest subdirectories read as
+    * one merge-on-read frame (recursive lookup skips partition inference,
+    * so the subdirectory names never become columns).
+    */
+  private def readPtotals(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/ptotals")
+
   /** RETRACT docs (takedown) from the term-stats index: append their
     * statistics NEGATED — df and tl are additive, so merge-on-read sums
     * stay exact and [[scoreAgainstTermIndex]] afterwards equals a fresh
@@ -525,6 +535,35 @@ object Retrieval {
       tot.write.mode("append").parquet(s"$path/ptotals")
     }
 
+  /** [[appendToPostingsIndex]] for a CONTINUOUS ingest whose replay
+    * window spans compactions: the postings rows append plain (their
+    * (token, doc_id) identity collapses replays at read and at the next
+    * fold), but the ptotals row — a COUNT with no row identity once a
+    * compaction has summed it — writes batch-id-KEYED into its own
+    * `ptotals/b<lineage>_<id>` subdirectory (overwrite) and SKIPS
+    * entirely when the folded-batch ledger says a compaction already
+    * folded this batch. Without this, the at-least-once worst case
+    * (append → auto-compaction folds it → crash before checkpoint commit
+    * → replay) re-appends a total row the sum already contains and every
+    * later idf shifts. Same contract as the keyed term-stats/drift
+    * appends; a given batch must flow through either this or the plain
+    * append, never both.
+    */
+  def appendToPostingsIndexKeyed(delta: DataFrame, idCol: String,
+      textCol: String, path: String, batchKey: Long,
+      lineage: String = ""): Unit =
+    IndexMaintenance.withWriterLease(delta.sparkSession, path) {
+      IndexMaintenance.heal(delta.sparkSession, path, "postings")
+      IndexMaintenance.heal(delta.sparkSession, path, "ptotals")
+      val name = keyedName(batchKey, lineage)
+      if (!IndexMaintenance.foldedBatches(delta.sparkSession, path,
+          "ptotals").contains(name)) {
+        val (post, tot) = postingsOf(delta, idCol, textCol)
+        post.write.mode("append").parquet(s"$path/postings")
+        tot.write.mode("overwrite").parquet(s"$path/ptotals/$name")
+      }
+    }
+
   /** RETRACT indexed docs (takedown) from the postings index — the exact
     * mirror of [[appendToPostingsIndex]], because BM25 statistics are
     * additive: `docs` must be exactly the indexed documents being removed
@@ -611,10 +650,15 @@ object Retrieval {
     IndexMaintenance.swapCompacted(spark, path, "postings") { staged =>
       folded.write.mode("overwrite").parquet(staged)
     }
-    val tot = spark.read.parquet(s"$path/ptotals")
+    val tot = readPtotals(spark, path)
       .dropDuplicates("n_docs", "t_len", "min_id", "max_id")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_len")).as("t_len"),
         min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
+    // ledger BEFORE the swap (the counted-store rule): the keyed
+    // subdirectories being folded are recorded so a post-compaction
+    // replay of one of them SKIPS instead of re-adding its total row
+    IndexMaintenance.recordFolded(spark, path, "ptotals",
+      IndexMaintenance.keyedSubdirs(spark, path, "ptotals"))
     IndexMaintenance.swapCompacted(spark, path, "ptotals") { staged =>
       tot.write.mode("overwrite").parquet(staged)
     }
@@ -653,7 +697,7 @@ object Retrieval {
     require(k >= 1, s"k must be positive, got $k")
     IndexMaintenance.heal(spark, path, "postings")
     IndexMaintenance.heal(spark, path, "ptotals")
-    val tot = spark.read.parquet(s"$path/ptotals")
+    val tot = readPtotals(spark, path)
       .dropDuplicates("n_docs", "t_len", "min_id", "max_id")
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("t_len")).cast("long").as("t_len"))
@@ -718,7 +762,7 @@ object Retrieval {
     // literal list is what pushes the In filter into the parquet scan)
     val terms = q.select("token").distinct().collect().map(_.getString(0))
     require(terms.nonEmpty, "topKFromIndexBatch needs at least one query term")
-    val tot = spark.read.parquet(s"$path/ptotals")
+    val tot = readPtotals(spark, path)
       .dropDuplicates("n_docs", "t_len", "min_id", "max_id")
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("t_len")).cast("long").as("t_len"))

@@ -120,6 +120,25 @@ object ExtensionQueries extends QueryModule {
       }
     },
 
+    // INDEX HEALTH surface over the standing dedup index — the frame a
+    // maintenance scheduler thresholds on (file backlog, delta count,
+    // pending markers). The oracle pins the relationally-derivable
+    // columns: per-store logical row counts (shingles = one row per
+    // indexed doc, bands = `bands` rows per doc) and the generation
+    // (exactly one completed mutation: the build). File/byte columns are
+    // layout-dependent and spec-pinned instead (IndexStatsSpec).
+    "q_index_stats" -> { (s, dir) =>
+      val t = new Tables(s, dir)
+      val docs = t.documents
+      val work = SessionScratch.cached("incidx", dir) { p =>
+        graft.operators.IncrementalDedup.buildIndex(
+          docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", p)
+      }
+      graft.operators.IndexMaintenance.indexStats(s, work)
+        .select(col("store"), col("rows").as("n_rows"), col("generation"))
+        .orderBy("store")
+    },
+
     // BANNED-CONTENT door (the right-to-be-forgotten closure): ban the
     // doc_id % 31 == 5 docs' canonical fingerprints into a standing ban
     // store, then filter the corpus through the ingest's door check —
@@ -2250,6 +2269,18 @@ object ExtensionQueries extends QueryModule {
     // survivors == the original corpus, stated relationally
     "q_embed_ingest" ->
       """SELECT vec_id FROM embeddings ORDER BY vec_id""",
+    // store row counts are relational over the indexed slice; the params
+    // store holds exactly one row and the build is exactly one mutation
+    "q_index_stats" ->
+      """SELECT 'bands' AS store, 4*count(*) AS n_rows,
+           CAST(1 AS BIGINT) AS generation
+         FROM documents WHERE doc_id % 4 <> 0
+         UNION ALL
+         SELECT 'params', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+         UNION ALL
+         SELECT 'shingles', count(*), CAST(1 AS BIGINT)
+         FROM documents WHERE doc_id % 4 <> 0
+         ORDER BY store""",
     "q_ingest_banned" ->
       """WITH norm AS (
            SELECT doc_id,

@@ -242,7 +242,9 @@ object CorpusIngest {
       shufflePartitions: Option[Int] = None,
       canonicalize: Boolean = false,
       bannedNeedles: Seq[Seq[String]] = Nil,
-      maintain: IndexSuite = IndexSuite()): DataFrame = {
+      maintain: IndexSuite = IndexSuite(),
+      autoCompact: graft.operators.IndexMaintenance.AutoCompactPolicy =
+        graft.operators.IndexMaintenance.AutoCompactPolicy()): DataFrame = {
     bannedNeedles.foreach { ph =>
       require(ph.nonEmpty && ph.forall(_.nonEmpty),
         "banned needles must be non-empty token sequences")
@@ -273,7 +275,7 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, indexPath, sinkPath, idCol, textCol,
           jaccardThreshold, params, bannedNeedles, maintain,
-          lineage = lineageOf(checkpointPath))
+          lineage = lineageOf(checkpointPath), autoCompact = autoCompact)
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
@@ -291,7 +293,9 @@ object CorpusIngest {
       jaccardThreshold: Double, params: IncrementalDedup.Params,
       bannedNeedles: Seq[Seq[String]] = Nil,
       maintain: IndexSuite = IndexSuite(),
-      lineage: String = ""): Unit = {
+      lineage: String = "",
+      autoCompact: graft.operators.IndexMaintenance.AutoCompactPolicy =
+        graft.operators.IndexMaintenance.AutoCompactPolicy()): Unit = {
     val t00 = System.nanoTime()
     // the BANNED-CONTENT door first: retracted-and-banned bytes drop
     // before the needle check, the dedup, the sink, and every index —
@@ -382,9 +386,15 @@ object CorpusIngest {
       // for a batch with no survivors — an append that CREATES a store
       // from an empty frame could leave an unreadable zero-file dir.
       if (maintain.any && !kept.isEmpty) {
+        // KEYED append: the postings ptotals row is a count with no
+        // replay identity once a compaction has summed it — the
+        // batch-keyed form keeps the at-least-once window safe even when
+        // the auto-compaction below folds the triggering batch before a
+        // crash-and-replay
         maintain.postingsPath.foreach { mp =>
           timed("postings")(graft.operators.Retrieval
-            .appendToPostingsIndex(kept, idCol, textCol, mp))
+            .appendToPostingsIndexKeyed(kept, idCol, textCol, mp, batchId,
+              lineage))
         }
         maintain.gramPostingsPath.foreach { mp =>
           timed("grams") {
@@ -429,10 +439,63 @@ object CorpusIngest {
           }
         }
       }
+      // AUTOMATIC MAINTENANCE: fold the appended deltas when the policy
+      // says so — per family, under each compactor's own lease, after the
+      // batch's appends (so the triggering batch's rows fold too). Runs
+      // inside the foreachBatch: abort-safe by the lease, crash-safe by
+      // the marker swap, and a replayed triggering batch re-compacts
+      // idempotently (the keyed stores' folded ledger keeps counts exact
+      // across the replay). Each family probes its own representative
+      // store so a threshold policy only pays for the family over it.
+      if (autoCompact.enabled) timed("autocompact") {
+        maybeCompactSuite(spark, batchId, indexPath, maintain, autoCompact)
+      }
     } finally
       // staging frames (shingles, signatures, candidates) die with the
       // batch — a 10k-batch ingest must not accumulate 10k persists
       Staging.releaseAll()
+  }
+
+  /** Run every due compaction for the document ingest's store families —
+    * the dedup index plus whatever the [[IndexSuite]] maintains. A family
+    * is due when the policy's batch cadence fires (all families compact
+    * together) or its probe store's file backlog crosses the threshold
+    * (only that family pays). Missing stores (no survivors yet) skip.
+    */
+  private[graft] def maybeCompactSuite(spark: SparkSession, batchId: Long,
+      indexPath: String, maintain: IndexSuite,
+      policy: graft.operators.IndexMaintenance.AutoCompactPolicy): Unit = {
+    val im = graft.operators.IndexMaintenance
+    def due(root: String, probeStore: String): Boolean = {
+      val files = im.storeDataFiles(spark, root, probeStore)
+      files > 0 && (policy.batchDue(batchId) ||
+        (policy.fileThreshold > 0 && files > policy.fileThreshold))
+    }
+    if (due(indexPath, "bands"))
+      im.compactDedupIndex(spark, indexPath, policy.targetFileBytes)
+    maintain.postingsPath.foreach { mp =>
+      if (due(mp, "postings"))
+        graft.operators.Retrieval.compactPostingsIndex(spark, mp,
+          policy.targetFileBytes)
+    }
+    maintain.gramPostingsPath.foreach { mp =>
+      if (due(mp, "grams"))
+        graft.operators.Decontaminate.compactGramPostingsIndex(spark, mp,
+          policy.targetFileBytes)
+    }
+    maintain.positionsPath.foreach { mp =>
+      if (due(mp, "positions"))
+        graft.operators.Retrieval.compactPositionalIndex(spark, mp,
+          policy.targetFileBytes)
+    }
+    maintain.termStatsPath.foreach { mp =>
+      if (due(mp, "terms"))
+        graft.operators.Retrieval.compactTermStatsIndex(spark, mp)
+    }
+    maintain.driftGramsPath.foreach { mp =>
+      if (due(mp, "grams"))
+        graft.operators.CorpusCompare.compactGramIndex(spark, mp)
+    }
   }
 
   /** The accumulated survivor set at `sinkPath` (empty-sink safe). The

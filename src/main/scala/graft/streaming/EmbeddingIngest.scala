@@ -114,7 +114,9 @@ object EmbeddingIngest {
       dim: Int, idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.9, numPlanes: Int = 18, numTables: Int = 16,
       shufflePartitions: Option[Int] = None,
-      ivfPath: Option[String] = None): DataFrame = {
+      ivfPath: Option[String] = None,
+      autoCompact: IndexMaintenance.AutoCompactPolicy =
+        IndexMaintenance.AutoCompactPolicy()): DataFrame = {
     require(numPlanes >= 1 && numPlanes <= 62,
       s"bootstrap needs an explicit banding width in [1, 62], got $numPlanes")
     val spark = shufflePartitions.fold(spark0) { n =>
@@ -132,7 +134,7 @@ object EmbeddingIngest {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, indexPath, sinkPath, idCol, vecCol,
-          dim, threshold, numPlanes, numTables, ivfPath)
+          dim, threshold, numPlanes, numTables, ivfPath, autoCompact)
       }
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
@@ -148,7 +150,9 @@ object EmbeddingIngest {
   private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
       indexPath: String, sinkPath: String, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numPlanes: Int, numTables: Int,
-      ivfPath: Option[String]): Unit = {
+      ivfPath: Option[String],
+      autoCompact: IndexMaintenance.AutoCompactPolicy =
+        IndexMaintenance.AutoCompactPolicy()): Unit = {
     // the banned-vector door first: retracted-and-banned content drops
     // before dedup, the sink, and every index — identity when no ban
     val batchF = filterBannedVectors(batch, vecCol, indexPath)
@@ -183,6 +187,25 @@ object EmbeddingIngest {
       if (!kept.isEmpty) {
         IncrementalAnn.appendBatch(kept, idCol, vecCol, indexPath)
         ivfPath.foreach(p => IvfIndex.appendBatch(kept, idCol, vecCol, p))
+      }
+      // automatic maintenance, mirroring the document ingest: fold the
+      // appended deltas when the policy fires, after this batch's appends
+      // (lease-isolated, marker-swap crash-safe, replay re-compacts
+      // idempotently)
+      if (autoCompact.enabled) {
+        def due(root: String, probeStore: String): Boolean = {
+          val files = IndexMaintenance.storeDataFiles(spark, root, probeStore)
+          files > 0 && (autoCompact.batchDue(batchId) ||
+            (autoCompact.fileThreshold > 0 &&
+              files > autoCompact.fileThreshold))
+        }
+        if (due(indexPath, "sigs"))
+          IndexMaintenance.compactAnnIndex(spark, indexPath,
+            autoCompact.targetFileBytes)
+        ivfPath.foreach { p =>
+          if (due(p, "cells"))
+            IvfIndex.compact(spark, p, autoCompact.targetFileBytes)
+        }
       }
     } finally Staging.releaseAll()
   }

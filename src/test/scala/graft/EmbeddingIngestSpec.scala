@@ -230,4 +230,62 @@ class EmbeddingIngestSpec extends AnyFunSuite {
       assert(e.getMessage.contains("iparams missing"))
     } finally rmTree(root)
   }
+
+  test("auto-compaction folds the ANN and IVF stores mid-drain, answers unchanged") {
+    import graft.operators.IndexMaintenance
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_eing_ac_").toString
+    try {
+      def drain(tag: String,
+          policy: IndexMaintenance.AutoCompactPolicy): DataFrame = {
+        val src = s"$root/src_$tag"; new java.io.File(src).mkdirs()
+        val now = System.currentTimeMillis()
+        writeVecFile(src, f1, "f1.parquet", now - 120000)
+        writeVecFile(src, f2, "f2.parquet", now - 60000)
+        writeVecFile(src, f3, "f3.parquet", now)
+        val seed = (900L until 908L).map(i => i -> basis((i % 8).toInt))
+        IvfIndex.buildIndex(seed.toDF("vec_id", "embedding"), "vec_id",
+          "embedding", dim, s"$root/ivf_$tag", nlist = 4, iters = 1)
+        EmbeddingIngest.runIngestAvailableNow(spark, src,
+          s"$root/idx_$tag", s"$root/sink_$tag", s"$root/ckpt_$tag",
+          dim = dim, threshold = 0.9, numPlanes = 8, numTables = 8,
+          shufflePartitions = Some(2), ivfPath = Some(s"$root/ivf_$tag"),
+          autoCompact = policy)
+      }
+      val auto = drain("a", IndexMaintenance.AutoCompactPolicy(everyBatches = 2))
+      val ctrl = drain("c", IndexMaintenance.AutoCompactPolicy())
+      assert(keptIds(auto) == expectedKept && keptIds(ctrl) == expectedKept)
+      // both ANN routes answer identically across the compaction
+      def probes(tag: String): Seq[(Long, Long)] = {
+        val q = Seq(999L -> basis(0)).toDF("vec_id", "embedding")
+        val r =
+          IncrementalAnn.topK(q, "vec_id", "embedding",
+            s"$root/idx_$tag", k = 2)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ++
+          IvfIndex.topK(q, "vec_id", "embedding", s"$root/ivf_$tag",
+            k = 2, nprobe = 4)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      assert(probes("a") == probes("c"),
+        "compacted ANN/IVF stores must answer identically to uncompacted")
+      // the compacted run's backlog is strictly smaller
+      for ((r, st) <- Seq(("idx", "sigs"), ("idx", "vecs"), ("ivf", "cells"))) {
+        val fa = IndexMaintenance.storeDataFiles(spark, s"$root/${r}_a", st)
+        val fc = IndexMaintenance.storeDataFiles(spark, s"$root/${r}_c", st)
+        assert(fa < fc, s"$r/$st: auto=$fa vs control=$fc")
+      }
+      // replay of the triggering batch (id 1): appends + compaction
+      // re-run; answers must not move
+      val before = probes("a")
+      EmbeddingIngest.ingestBatch(f2.toDF("vec_id", "embedding"), 1L,
+        s"$root/idx_a", s"$root/sink_a", "vec_id", "embedding",
+        dim, 0.9, 8, 8, Some(s"$root/ivf_a"),
+        IndexMaintenance.AutoCompactPolicy(everyBatches = 2))
+      assert(probes("a") == before,
+        "replaying the compaction-triggering batch must change no answer")
+      assert(keptIds(spark.read.parquet(s"$root/sink_a")) == expectedKept)
+    } finally rmTree(root)
+  }
 }

@@ -244,6 +244,124 @@ class IngestSpec extends AnyFunSuite {
     } finally rmTree(root)
   }
 
+  test("auto-compaction mid-drain: answers bit-identical, files bounded, replay safe") {
+    import graft.operators.{CorpusCompare, Decontaminate, IndexMaintenance, Retrieval}
+    import spark.implicits._
+    val root = scratch("autocompact")
+    try {
+      // two ingests over the same three arrivals: one compacts every 2nd
+      // batch (fires after batch 1, mid-drain), the control never does
+      def drain(tag: String,
+          policy: IndexMaintenance.AutoCompactPolicy): DataFrame = {
+        val src = s"$root/src_$tag"; new java.io.File(src).mkdirs()
+        val now = System.currentTimeMillis()
+        writeDocFile(src, f1, "f1.parquet", now - 120000)
+        writeDocFile(src, f2, "f2.parquet", now - 60000)
+        writeDocFile(src, f3, "f3.parquet", now)
+        CorpusIngest.runIngestAvailableNow(spark, src,
+          s"$root/idx_$tag", s"$root/sink_$tag", s"$root/ckpt_$tag",
+          jaccardThreshold = tau, params = params,
+          maintain = CorpusIngest.IndexSuite(
+            postingsPath = Some(s"$root/post_$tag"),
+            gramPostingsPath = Some(s"$root/gram_$tag"),
+            positionsPath = Some(s"$root/pos_$tag"),
+            termStatsPath = Some(s"$root/terms_$tag"),
+            driftGramsPath = Some(s"$root/drift_$tag")),
+          autoCompact = policy)
+      }
+      val auto = drain("a", IndexMaintenance.AutoCompactPolicy(everyBatches = 2))
+      val ctrl = drain("c", IndexMaintenance.AutoCompactPolicy())
+      assert(keptIds(auto) == expectedKept && keptIds(ctrl) == expectedKept)
+
+      // every query route answers bit-identically across the compaction
+      def answers(tag: String): Seq[Seq[Any]] = {
+        val probeDocs = Seq(51L -> fresh(51), 52L -> textA).toDF("doc_id", "text")
+        val bench = spark.read.parquet(s"$root/sink_$tag")
+          .filter(col("doc_id") === 1L).select("doc_id", "text")
+        val r =
+          Retrieval.topKFromIndex(spark, s"$root/post_$tag", Seq("w3"), k = 1)
+            .collect().map(_.toSeq).toSeq ++
+          Retrieval.phraseMatches(spark, s"$root/pos_$tag", Seq("w3", "w4", "w5"))
+            .collect().map(_.toSeq).toSeq ++
+          Decontaminate.flagContaminatedFromIndex(spark, s"$root/gram_$tag",
+            bench, "text", minOverlap = 2).collect().map(_.toSeq).toSeq ++
+          Retrieval.scoreAgainstTermIndex(probeDocs, "doc_id", "text",
+            Seq("w3", "t12_0"), s"$root/terms_$tag", k = 2)
+            .collect().map(_.toSeq).toSeq ++
+          CorpusCompare.driftSummaryAgainstIndex(spark, s"$root/drift_$tag",
+            probeDocs, col("text")).collect().map(_.toSeq).toSeq
+        graft.operators.Staging.releaseAll()
+        r
+      }
+      assert(answers("a") == answers("c"),
+        "compacted stores must answer bit-identically to uncompacted ones")
+
+      // the backlog is bounded: the compacted run's stores hold strictly
+      // fewer data files than the append-per-batch control
+      for (st <- Seq("idx" -> "bands", "post" -> "postings",
+          "pos" -> "positions", "gram" -> "grams")) {
+        val fa = IndexMaintenance.storeDataFiles(spark, s"$root/${st._1}_a", st._2)
+        val fc = IndexMaintenance.storeDataFiles(spark, s"$root/${st._1}_c", st._2)
+        assert(fa < fc, s"${st._1}/${st._2}: auto=$fa vs control=$fc")
+      }
+      // counted stores: the fired compaction folded batches 0-1 into root
+      // files and recorded them in the ledger; batch 2 is the remaining
+      // keyed delta
+      assert(IndexMaintenance.foldedBatches(spark, s"$root/terms_a", "terms").nonEmpty)
+      assert(IndexMaintenance.keyedSubdirs(spark, s"$root/terms_a", "terms").size
+        < IndexMaintenance.keyedSubdirs(spark, s"$root/terms_c", "terms").size)
+
+      // REPLAY the triggering batch (id 1): the at-least-once window's
+      // worst case re-runs the append AND the compaction — answers and
+      // the sink must not move
+      val before = answers("a")
+      CorpusIngest.ingestBatch(f2.toDF("doc_id", "text"), 1L,
+        s"$root/idx_a", s"$root/sink_a", "doc_id", "text", tau, params,
+        maintain = CorpusIngest.IndexSuite(
+          postingsPath = Some(s"$root/post_a"),
+          gramPostingsPath = Some(s"$root/gram_a"),
+          positionsPath = Some(s"$root/pos_a"),
+          termStatsPath = Some(s"$root/terms_a"),
+          driftGramsPath = Some(s"$root/drift_a")),
+        lineage = CorpusIngest.lineageOf(s"$root/ckpt_a"),
+        autoCompact = IndexMaintenance.AutoCompactPolicy(everyBatches = 2))
+      assert(answers("a") == before,
+        "replaying the compaction-triggering batch must change no answer")
+      assert(keptIds(spark.read.parquet(s"$root/sink_a")) == expectedKept)
+    } finally rmTree(root)
+  }
+
+  test("file-threshold auto-compaction fires only past the backlog and folds it") {
+    import graft.operators.IndexMaintenance
+    import spark.implicits._
+    val root = scratch("threshold")
+    try {
+      val maintain = CorpusIngest.IndexSuite()
+      val policy = IndexMaintenance.AutoCompactPolicy(fileThreshold = 3)
+      // each ingested batch appends one file set per store; the
+      // threshold policy folds the backlog whenever it crosses 3,
+      // keeping the end state bounded where the control grows linearly
+      for (b <- 0 until 6) {
+        val batch = Seq((100L * b + 1) -> fresh(100 * b + 1),
+          (100L * b + 2) -> fresh(100 * b + 2)).map { case (i, t) => (i.toLong, t) }
+        CorpusIngest.ingestBatch(batch.toDF("doc_id", "text"), b.toLong,
+          s"$root/idx", s"$root/sink", "doc_id", "text", tau, params,
+          maintain = maintain, lineage = "t",
+          autoCompact = policy)
+        CorpusIngest.ingestBatch(batch.toDF("doc_id", "text"), b.toLong,
+          s"$root/idx2", s"$root/sink2", "doc_id", "text", tau, params,
+          maintain = maintain, lineage = "t")
+      }
+      val end = IndexMaintenance.storeDataFiles(spark, s"$root/idx", "bands")
+      val ctrl = IndexMaintenance.storeDataFiles(spark, s"$root/idx2", "bands")
+      assert(ctrl > 3, s"control fixture must exceed the threshold, saw $ctrl")
+      assert(end <= 3, s"end backlog $end must be back under the threshold")
+      // and the index still answers: all 12 distinct docs survived
+      assert(keptIds(spark.read.parquet(s"$root/sink")).size == 12)
+      assert(keptIds(spark.read.parquet(s"$root/sink2")).size == 12)
+    } finally rmTree(root)
+  }
+
   test("retracted-and-banned content cannot re-enter through the ingest") {
     import spark.implicits._
     val root = scratch("ban")

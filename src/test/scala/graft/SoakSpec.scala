@@ -300,11 +300,18 @@ class SoakSpec extends AnyFunSuite {
         positionsPath = Some(s"$root/pos"),
         termStatsPath = Some(s"$root/terms"),
         driftGramsPath = Some(s"$root/drift"))
+      // the soak drains under a LIVE auto-compaction policy: whenever a
+      // store family's backlog crosses 15 append sets the ingest folds it
+      // in-stream, so the 60-batch drain exercises compaction at its
+      // natural production cadence (the manual mid-soak compactAll below
+      // additionally pins the maintenance-window form)
       def drain(): Unit =
         CorpusIngest.runIngestAvailableNow(spark, src,
           s"$root/idx", s"$root/sink", s"$root/ckpt",
           jaccardThreshold = 0.6, shufflePartitions = Some(2),
-          maintain = suite)
+          maintain = suite,
+          autoCompact = graft.operators.IndexMaintenance
+            .AutoCompactPolicy(fileThreshold = 15))
       def addChunk(chunk: Int, extra: Seq[(Long, String)] = Nil): Unit = {
         val base = chunk * perChunk * 2
         val rows = (0 until perChunk * 2).map { j =>
@@ -410,6 +417,15 @@ class SoakSpec extends AnyFunSuite {
       assert(w2 <= w0 * 3,
         f"suite-maintaining chunk walls grew: $w0%.1f, $w1%.1f, $w2%.1f s")
       info(f"suite soak chunk walls (20 batches each): $w0%.1f, $w1%.1f, $w2%.1f s")
+      // the live policy kept every family's backlog bounded across the
+      // 60-batch drain — the small-files growth auto-compaction exists
+      // to stop (without it each store would hold ~60 append sets here)
+      for ((r, st) <- Seq(("idx", "bands"), ("post", "postings"),
+          ("pos", "positions"), ("gram", "grams"))) {
+        val files = graft.operators.IndexMaintenance
+          .storeDataFiles(spark, s"$root/$r", st)
+        assert(files <= 16, s"$r/$st backlog unbounded: $files files")
+      }
     } finally rmTree(root)
   }
 }
