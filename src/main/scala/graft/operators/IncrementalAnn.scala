@@ -145,10 +145,40 @@ object IncrementalAnn {
         p.numTables, p.seed)).as(Seq("tbl", "sig")))
 
   private def writeBatch(c: DataFrame, path: String, p: VecParams,
-      mode: String): Unit = {
-    sigsOf(c, p).write.mode(mode).parquet(s"$path/sigs")
-    c.write.mode(mode).parquet(s"$path/vecs")
+      mode: String): Unit =
+    // order-free pair (recovery = re-run; duplicates collapse on read) —
+    // the writes overlap instead of summing job + commit latencies
+    IndexMaintenance.inParallel(
+      sigsOf(c, p).write.mode(mode).parquet(s"$path/sigs"),
+      c.write.mode(mode).parquet(s"$path/vecs"))
+
+  /** The staged (id, vec) frame + its FULL-width signature frame, both
+    * persisted — the streaming ingest computes the batch's projections
+    * ONCE and shares them between the pair search and the survivor
+    * append (the document ingest's signed-frame rule): the old
+    * pairs-then-appendBatch sequence re-read params (a second healAll)
+    * and re-projected the survivors against every hyperplane table.
+    */
+  private[graft] def stagedSigs(emb: DataFrame, idCol: String,
+      vecCol: String, p: VecParams): (DataFrame, DataFrame) = {
+    val d = staged(emb, idCol, vecCol)
+    (d, sigsOf(d, p).stagePersist())
   }
+
+  /** Append the KEPT subset of an already-staged batch from the shared
+    * frames — no re-projection; the store rows are identical to what
+    * [[appendBatch]] over the survivors would write (same deterministic
+    * kernel over the same double-cast vectors).
+    */
+  private[graft] def appendStaged(d: DataFrame, sigsFull: DataFrame,
+      keptIds: DataFrame, path: String): Unit =
+    IndexMaintenance.withWriterLease(d.sparkSession, path) {
+      IndexMaintenance.inParallel(
+        sigsFull.join(broadcast(keptIds), Seq("id"), "left_semi")
+          .write.mode("append").parquet(s"$path/sigs"),
+        d.join(broadcast(keptIds), Seq("id"), "left_semi")
+          .write.mode("append").parquet(s"$path/vecs"))
+    }
 
   /** Top-k nearest neighbors IN THE INDEXED CORPUS for a batch of query
     * vectors — the vector twin of [[Retrieval.topKFromIndex]]: where
@@ -229,11 +259,22 @@ object IncrementalAnn {
     val spark = newEmb.sparkSession
     VectorFunctions.ensureRegistered(spark)
     val p = readParams(spark, path)
-    val d = staged(newEmb, idCol, vecCol)
+    val (d, sigsFull) = stagedSigs(newEmb, idCol, vecCol, p)
+    newBatchPairsFromSigs(d, sigsFull, path, p, threshold)
+  }
+
+  /** [[newBatchPairs]] over the shared staged frames of [[stagedSigs]] —
+    * the streaming ingest's entry point (it reuses both frames for the
+    * survivor append). The banding is a bit-mask over the PERSISTED
+    * full-width signatures, so re-deriving it per consumer is a narrow
+    * cached-scan projection, not a re-projection of the corpus.
+    */
+  private[graft] def newBatchPairsFromSigs(d: DataFrame, sigsFull: DataFrame,
+      path: String, p: VecParams, threshold: Double): DataFrame = {
+    val spark = d.sparkSession
     val mask = lit((1L << p.planes) - 1)
-    val deltaBand = sigsOf(d, p)
+    val deltaBand = sigsFull
       .select(col("id"), col("tbl"), col("sig").bitwiseAND(mask).as("bucket"))
-      .stagePersist()
     // retracted vectors drop before candidate generation (broadcast
     // anti-join, map-side); their raw vectors are then never fetched
     val indexBand = IndexMaintenance.filterTombstoned(spark, path,

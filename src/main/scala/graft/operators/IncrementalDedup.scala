@@ -135,13 +135,16 @@ object IncrementalDedup {
     * frame its dedup already built instead of re-shingling them.
     */
   private[graft] def writeSigned(base: DataFrame, path: String, p: Params,
-      mode: String): Unit = {
-    Dedup.bandedKeys(base, p.numHashes, p.bands)
-      .write.mode(mode).parquet(s"$path/bands")
-    base.select(col("id"),
-        transform(col("sh"), s => xxhash64(s)).as("shash"), col("n_sh"))
-      .write.mode(mode).parquet(s"$path/shingles")
-  }
+      mode: String): Unit =
+    // order-free pair (recovery = re-run; duplicates collapse on read),
+    // so the two writes overlap instead of summing their job + commit
+    // latencies (IndexMaintenance.inParallel — the §2.6 rule)
+    IndexMaintenance.inParallel(
+      Dedup.bandedKeys(base, p.numHashes, p.bands)
+        .write.mode(mode).parquet(s"$path/bands"),
+      base.select(col("id"),
+          transform(col("sh"), s => xxhash64(s)).as("shash"), col("n_sh"))
+        .write.mode(mode).parquet(s"$path/shingles"))
 
   /** The staged (id, sh, n_sh, sig) frame of a batch under the index's
     * parameters — the same construction [[Dedup.minhashPairsFrom]] stages.

@@ -242,6 +242,34 @@ object IndexMaintenance {
     } finally releaseLease(spark, root)
   }
 
+  /** Run two INDEPENDENT store writes concurrently and wait for both —
+    * the guide's overlap-independent-jobs rule (§2.6) applied to the
+    * paired-store appends (bands‖shingles, sigs‖vecs, postings‖ptotals):
+    * their relative order carries no crash-consistency meaning (every
+    * pair's recovery contract is "re-run the append; duplicates collapse
+    * on read"), so serializing them only sums two job-scheduling +
+    * file-commit latencies. Concurrent first-touch of a shared staged
+    * frame is safe: the block manager's per-block write lock makes the
+    * second job's task wait for, then read, the first's cached block.
+    * NOT for order-SENSITIVE sequences (a store before its
+    * params/discriminator, a correction row before its tombstones) —
+    * those encode crash-recovery invariants and stay sequential.
+    * `b` runs on a pool thread; `a` stays on the caller's thread (keeps
+    * its thread-local job group/description). The first failure
+    * propagates after both settle (never abandons an in-flight write).
+    */
+  private[graft] def inParallel(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fb = Future(b)
+    val ea = try { a; None } catch { case e: Throwable => Some(e) }
+    val eb = try { Await.result(fb, Duration.Inf); None } catch {
+      case e: Throwable => Some(e)
+    }
+    ea.orElse(eb).foreach(e => throw e)
+  }
+
   // ---- auto-compaction policy ------------------------------------------
 
   /** When a continuous ingest should fold its appended deltas — the knob

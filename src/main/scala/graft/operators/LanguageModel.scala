@@ -60,12 +60,21 @@ object LanguageModel {
     */
   private def pairCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
+    // prev = toks shifted one slot right (null ahead of the first token),
+    // zipped positionally. zip_with evaluates its ARRAY ARGUMENTS once per
+    // row; the previous indexed-transform form reached back into the
+    // array with element_at(toks, i) INSIDE the lambda, which re-ran the
+    // whole regex tokenizer per ELEMENT (the Staging HOF rule) — O(len²)
+    // work per document on the scoring pipeline's hottest path. The zip
+    // runs one element past the end (prevs is len+1 long; the padded slot
+    // pairs w = null with the last token), and that row drops in the same
+    // `w ≠ ''` filter that already drops null-w rows.
+    val prevs = concat(array(lit(null).cast("string")), toks)
     docs
       .select(col(idCol).as("_id"),
         filter(
-          transform(toks, (t, i) =>
-            struct(t.as("w"),
-              when(i > 0, element_at(toks, i)).as("prev"))),
+          zip_with(toks, prevs, (t, prev) =>
+            struct(t.as("w"), prev.as("prev"))),
           p => p.getField("w") =!= "").as("_pairs"))
       .select(col("_id"), explode(col("_pairs")).as("p"))
       .groupBy(col("_id"), col("p.prev").as("prev"), col("p.w").as("w"))
@@ -149,13 +158,23 @@ object LanguageModel {
   private def tripleCounts(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
+    // same shifted-zip construction as [[pairCounts]] (which see), one
+    // order deeper: prev/prev2 are toks shifted right by one/two slots.
+    // The nested zip runs up to two elements past the end (inner struct
+    // null, w null) — all dropped by the `w ≠ ''` filter exactly as the
+    // indexed form's null-w rows were.
+    val prevs = concat(array(lit(null).cast("string")), toks)
+    val prevs2 = concat(array(lit(null).cast("string"),
+      lit(null).cast("string")), toks)
     docs
       .select(col(idCol).as("_id"),
         filter(
-          transform(toks, (t, i) =>
-            struct(t.as("w"),
-              when(i > 0, element_at(toks, i)).as("prev"),
-              when(i > 1, element_at(toks, i - 1)).as("prev2"))),
+          zip_with(
+            zip_with(toks, prevs, (t, prev) =>
+              struct(t.as("w"), prev.as("prev"))),
+            prevs2, (s, prev2) =>
+              struct(s.getField("w").as("w"), s.getField("prev").as("prev"),
+                prev2.as("prev2"))),
           p => p.getField("w") =!= "").as("_tr"))
       .select(col("_id"), explode(col("_tr")).as("p"))
       .groupBy(col("_id"), col("p.prev2").as("prev2"),

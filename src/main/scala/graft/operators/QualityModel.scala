@@ -45,10 +45,18 @@ object QualityModel {
   def features(text: Column): Column =
     featuresFromTokens(text, TextAnalysis.tokens(text))
 
-  /** dot(w, x) for a literal weight vector — a codegen'd fold, no UDF. */
+  /** dot(w, x) for a literal weight vector. An explicit left-assoc sum of
+    * `x[j] * w[j]` products — bit-identical to the HOF fold it replaces
+    * (same `0.0 + x₀w₀ + x₁w₁ + …` IEEE sequence) but a plain codegen'd
+    * arithmetic tree: the zip_with/aggregate form evaluated INTERPRETED
+    * (higher-order functions have no codegen), and during training it sat
+    * inside every gradient expression of every iteration's fresh plan —
+    * the guide's "eliminate non-codegen expressions in the hot path".
+    */
   def margin(x: Column, w: Array[Double]): Column =
-    aggregate(zip_with(x, array(w.map(lit).toIndexedSeq: _*), (a, b) => a * b),
-      lit(0.0d), (acc, v) => acc + v)
+    w.zipWithIndex.foldLeft(lit(0.0d): Column) { case (acc, (wj, j)) =>
+      acc + element_at(x, j + 1) * lit(wj)
+    }
 
   /** P(quality | x) under trained weights. */
   def score(x: Column, w: Array[Double]): Column =
@@ -81,11 +89,17 @@ object QualityModel {
     for (_ <- 0 until iters) {
       val m = margin(col("x"), w)
       val resid = (lit(1.0d) / (lit(1.0d) + exp(-m))) - col("y")
+      // residual computed ONCE in a projection below the aggregate: the
+      // old form inlined the full margin tree into every one of the dim
+      // gradient sums, so each iteration planned (and evaluated) the
+      // sigmoid dim times per row — same numbers, dim× the expression
+      // tree and the per-row flops (§1.2 per-task work)
+      val proj = staged.select(resid.as("r"), col("x"))
       val gradAggs = (0 until dim).map { j =>
-        sum((resid * element_at(col("x"), j + 1)).cast(DecimalType(30, 18)))
+        sum((col("r") * element_at(col("x"), j + 1)).cast(DecimalType(30, 18)))
           .cast(DoubleType).as(s"g$j")
       }
-      val g = staged.agg(gradAggs.head, gradAggs.tail: _*).head()
+      val g = proj.agg(gradAggs.head, gradAggs.tail: _*).head()
       var j = 0
       while (j < dim) { w(j) -= lr / n * g.getDouble(j); j += 1 }
     }

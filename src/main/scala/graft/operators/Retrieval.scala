@@ -518,8 +518,10 @@ object Retrieval {
       // query's N vs df (see the IndexMaintenance tombstone contract)
       IndexMaintenance.dropTombstones(docs.sparkSession, path)
       val (post, tot) = postingsOf(docs, idCol, textCol)
-      post.write.mode("overwrite").parquet(s"$path/postings")
-      tot.write.mode("overwrite").parquet(s"$path/ptotals")
+      // order-free pair (replay-tolerant stores) — overlap the writes
+      IndexMaintenance.inParallel(
+        post.write.mode("overwrite").parquet(s"$path/postings"),
+        tot.write.mode("overwrite").parquet(s"$path/ptotals"))
     }
 
   /** Append one batch (disjoint doc_ids from what's indexed — the same
@@ -531,8 +533,10 @@ object Retrieval {
       IndexMaintenance.heal(delta.sparkSession, path, "postings")
       IndexMaintenance.heal(delta.sparkSession, path, "ptotals")
       val (post, tot) = postingsOf(delta, idCol, textCol)
-      post.write.mode("append").parquet(s"$path/postings")
-      tot.write.mode("append").parquet(s"$path/ptotals")
+      // order-free pair (replay-tolerant stores) — overlap the writes
+      IndexMaintenance.inParallel(
+        post.write.mode("append").parquet(s"$path/postings"),
+        tot.write.mode("append").parquet(s"$path/ptotals"))
     }
 
   /** [[appendToPostingsIndex]] for a CONTINUOUS ingest whose replay
@@ -559,8 +563,10 @@ object Retrieval {
       if (!IndexMaintenance.foldedBatches(delta.sparkSession, path,
           "ptotals").contains(name)) {
         val (post, tot) = postingsOf(delta, idCol, textCol)
-        post.write.mode("append").parquet(s"$path/postings")
-        tot.write.mode("overwrite").parquet(s"$path/ptotals/$name")
+        // order-free pair (replay-tolerant stores) — overlap the writes
+        IndexMaintenance.inParallel(
+          post.write.mode("append").parquet(s"$path/postings"),
+          tot.write.mode("overwrite").parquet(s"$path/ptotals/$name"))
       }
     }
 

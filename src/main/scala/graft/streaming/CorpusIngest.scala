@@ -373,8 +373,10 @@ object CorpusIngest {
       // append the survivors' already-staged rows, identified from the
       // sink read-back (the write above is the materialization point —
       // measured: broadcasting a CACHED keep list instead re-derives the
-      // keep plan inside the broadcast build and costs 5× the tiny read)
-      val kept = spark.read.parquet(s"$sinkPath/batch=$batchId")
+      // keep plan inside the broadcast build and costs 5× the tiny read);
+      // schema pinned from the batch so the read skips footer inference
+      val kept = spark.read.schema(batch.schema)
+        .parquet(s"$sinkPath/batch=$batchId")
       val keptIds = kept.select(col(idCol).as("id"))
       timed("append") {
         IncrementalDedup.appendSigned(

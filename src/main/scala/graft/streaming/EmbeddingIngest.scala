@@ -173,20 +173,42 @@ object EmbeddingIngest {
     if (!fs.exists(new Path(indexPath, "params")))
       IncrementalAnn.buildIndex(batch0.limit(0), idCol, vecCol, dim,
         indexPath, numPlanes = numPlanes, numTables = numTables)
+    def timed[A](label: String)(f: => A): A =
+      if (!sys.env.contains("GRAFT_INGEST_PROFILE")) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[eingest] batch=$batchId $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
     try {
+      // the batch projects ONCE: the staged (id, vec) + full-width
+      // signature frames feed the pair search AND the survivor append
+      // (the document ingest's signed-frame rule — the old appendBatch
+      // re-read params and re-projected survivors against every table)
+      val p = IncrementalAnn.readParams(spark, indexPath)
+      val (d, sigsFull) = IncrementalAnn.stagedSigs(batch0, idCol, vecCol, p)
       // exact-cosine-verified pairs of the batch vs the index and within
       // the batch; the greedy keep-list derivation is SHARED with the
       // document ingest (it only consumes (id_a, id_b) pairs)
-      val pairs = IncrementalAnn.newBatchPairs(batch0, idCol, vecCol,
-        indexPath, threshold).stagePersist()
-      IncrementalDedup.keepListFromPairs(batch0, idCol, pairs)
-        .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
-      // survivors re-read from the sink (the materialization point —
-      // the document ingest's measured rule)
-      val kept = spark.read.parquet(s"$sinkPath/batch=$batchId")
+      val pairs = IncrementalAnn.newBatchPairsFromSigs(d, sigsFull,
+        indexPath, p, threshold).stagePersist()
+      timed("pairs")(if (sys.env.contains("GRAFT_INGEST_PROFILE")) pairs.count())
+      timed("keep+sink") {
+        IncrementalDedup.keepListFromPairs(batch0, idCol, pairs)
+          .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+      }
+      // survivors re-read from the sink (the materialization point — the
+      // document ingest's measured rule); schema pinned from the batch so
+      // the read skips footer inference
+      val kept = spark.read.schema(batch0.schema)
+        .parquet(s"$sinkPath/batch=$batchId")
       if (!kept.isEmpty) {
-        IncrementalAnn.appendBatch(kept, idCol, vecCol, indexPath)
-        ivfPath.foreach(p => IvfIndex.appendBatch(kept, idCol, vecCol, p))
+        timed("append")(IncrementalAnn.appendStaged(d, sigsFull,
+          kept.select(col(idCol).as("id")), indexPath))
+        ivfPath.foreach(p2 =>
+          timed("ivf")(IvfIndex.appendBatch(kept, idCol, vecCol, p2)))
       }
       // automatic maintenance, mirroring the document ingest: fold the
       // appended deltas when the policy fires, after this batch's appends
