@@ -448,11 +448,26 @@ object Dedup {
   def dedupSegmentsKeepFirst(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10): DataFrame = {
     val base = Staging.widen(docs)
-    val grid = graft.operators.TextAnalysis
-      .chunkByTokens(base, idCol, textCol, window = w, stride = w)
-      .select(col(idCol).as("id"), col("chunk_id"),
-        graft.functions.VectorFunctions.fingerprint64(col("chunk_text")).as("fp"))
-      .stagePersist()
+    dedupSegmentsKeepFirstFromGrid(base, idCol, textCol, w,
+      graft.operators.TextAnalysis
+        .chunkByTokens(base, idCol, textCol, window = w, stride = w)
+        .select(col(idCol).as("id"), col("chunk_id"),
+          graft.functions.VectorFunctions.fingerprint64(col("chunk_text")).as("fp"))
+        .stagePersist())
+  }
+
+  /** [[dedupSegmentsKeepFirst]] over a prebuilt fingerprinted segment
+    * grid — the From-pattern seam that lets a composed pipeline (q_curate)
+    * chunk + fingerprint the corpus ONCE and share the staged grid with
+    * the triage stage. `grid` must carry (id, chunk_id, fp) rows of the
+    * SAME (w, stride = w) grid over exactly `docs` — winners are a
+    * corpus-wide min, so a grid covering MORE documents than `docs` would
+    * let an outside occurrence steal a survivor's win (the caller filters
+    * the shared grid to the surviving ids first).
+    */
+  def dedupSegmentsKeepFirstFromGrid(docs: DataFrame, idCol: String,
+      textCol: String, w: Int, grid: DataFrame): DataFrame = {
+    val base = docs
     val winners = grid.groupBy("fp")
       .agg(min(struct(col("id"), col("chunk_id"))).as("first"))
     // collect_list drops the nulls of the un-kept branch; sorted, the
@@ -535,10 +550,121 @@ object Dedup {
     * staged shingle frame between this exact twin and the sketch under
     * test, and derive both the minCommon≥2 and the ≥1 pair sets from one
     * inverted-index pass.
+    *
+    * EXACT-DUPLICATE COLLAPSE (r13): a dedup operator's input is, by the
+    * operator's own premise, dup-heavy — and every group of documents with
+    * IDENTICAL shingle sets multiplies the inverted index's in-bucket pair
+    * work by m² while contributing pairs whose (common, na, nb) are all
+    * equal to the representative's. When a cheap one-pass probe (HLL over
+    * a per-doc set digest — estimate only, correctness never rides it)
+    * finds ≥ 25 % duplicate-set mass, pair generation runs over ONE
+    * representative per distinct set (grouped by the sorted shingle-digest
+    * ARRAY, so group identity adds no new collision class beyond the
+    * per-shingle hashing the verify already accepts) and the result
+    * expands back: cross-group member pairs inherit the rep pair's exact
+    * (jaccard, common), intra-group pairs are the C(m,2) identical-set
+    * pairs (jaccard ≡ n/n = 1.0, common = n_sh) that the direct join
+    * would have emitted — output-identical by construction (spec-pinned),
+    * pair work collapses from Σ(m·df)² to Σdf² over distinct sets
+    * (measured at the 10×-replicated sf1 fixture: OPTIMIZATION_r13.md).
+    * Benign corpora pay one cached-frame aggregate and keep the direct
+    * path. The lossy `maxDf` tier never
+    * collapses: the cap prices shingles by DOC frequency, which the
+    * collapse would redefine (and so change the capped output).
+    *
+    * `dupCollapse`: None = probe (production default); Some(true/false)
+    * forces the path — the spec's A/B hook, also handy for isolating the
+    * collapse in a bench.
     */
   def ngramJaccardPairsFrom(sh: DataFrame,
       threshold: Double = 0.2, minCommon: Int = 2,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = None,
+      dupCollapse: Option[Boolean] = None): DataFrame = {
+    val collapse = maxDf.isEmpty &&
+      dupCollapse.getOrElse(heavyDupSetMass(sh))
+    if (collapse) dupCollapsedPairs(sh, threshold, minCommon)
+    else invertedIndexPairs(sh, threshold, minCommon, maxDf)
+  }
+
+  /** One-pass probe: does the corpus carry ≥ 25 % duplicate-shingle-set
+    * mass? Partial-aggregated HLL over a 64-bit set digest — the estimate
+    * gates a PLAN choice only (both plans are output-identical), so the
+    * sketch's ±5 % rsd and the digest's collision term are harmless.
+    */
+  private def heavyDupSetMass(sh: DataFrame): Boolean = {
+    val r = sh.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(sortedSetKey)).as("d")).head()
+    val n = r.getLong(0)
+    n > 0L && r.getLong(1).toDouble / n <= 0.75
+  }
+
+  /** The sorted per-document shingle-DIGEST array — identical shingle
+    * sets (in any order; `sh` is first-occurrence-ordered) produce equal
+    * arrays. Used as the exact group key; its xxhash64 is the probe's
+    * estimate key.
+    */
+  private def sortedSetKey: Column =
+    array_sort(transform(col("sh"), s => xxhash64(s)))
+
+  /** Pair generation over distinct-set representatives + exact expansion
+    * (see [[ngramJaccardPairsFrom]]). Every frame here carries ids,
+    * counts, and digest arrays — the same byte classes the verify join
+    * already ships; nothing text-sized shuffles.
+    */
+  private def dupCollapsedPairs(sh: DataFrame, threshold: Double,
+      minCommon: Int): DataFrame = {
+    val keyed = sh
+      .select(col("id"), col("sh"), col("n_sh"), sortedSetKey.as("_set"))
+      .stagePersist()
+    // one row per distinct set: min-id representative, member count, set
+    // size (max = any; members are identical by construction)
+    val groups = keyed.groupBy(col("_set"))
+      .agg(min(col("id")).as("rid"), count(lit(1)).as("m"),
+        max(col("n_sh")).as("g_nsh"))
+    val mem = keyed.select(col("_set"), col("id"))
+      .join(groups, Seq("_set"))
+      .select(col("rid"), col("id"), col("m"), col("g_nsh"))
+      .stagePersist()
+    val reps = keyed
+      .join(mem.filter(col("id") === col("rid")).select(col("id")),
+        Seq("id"), "left_semi")
+      .select(col("id"), col("sh"), col("n_sh"))
+    val repPairs = invertedIndexPairs(reps, threshold, minCommon, None)
+    // cross-group: member pairs inherit the rep pair's exact numbers
+    // (identical sets ⇒ identical common/na/nb ⇒ bit-identical jaccard)
+    val cross = repPairs
+      .join(mem.select(col("rid").as("id_a"), col("id").as("a")), Seq("id_a"))
+      .join(mem.select(col("rid").as("id_b"), col("id").as("b")), Seq("id_b"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"),
+        col("jaccard"), col("common"))
+    // intra-group: identical non-empty sets pair at jaccard n/n (= 1.0,
+    // written as the direct path's division for bit-identity). The ≥1
+    // floor mirrors the direct path, where a shared posting must exist
+    // for a pair to appear at all (empty sets can never pair).
+    val iMin = math.max(minCommon, 1)
+    val ia = mem.filter(col("m") >= 2)
+      .select(col("rid"), col("id").as("id_a"), col("g_nsh"))
+    val ib = mem.filter(col("m") >= 2)
+      .select(col("rid").as("rid_r"), col("id").as("id_b"))
+    val iCommon = col("g_nsh").cast("long")
+    val intra = ia
+      .join(ib, col("rid") === col("rid_r") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (iCommon.cast("double") /
+          (col("g_nsh") + col("g_nsh") - iCommon).cast("double")).as("jaccard"),
+        iCommon.as("common"))
+      .filter(col("common") >= iMin)
+      .filter(col("jaccard") >= threshold)
+    cross.unionByName(intra)
+  }
+
+  /** The direct inverted-index construction (the pre-r13 body of
+    * [[ngramJaccardPairsFrom]] — which see for the scale rationale).
+    */
+  private def invertedIndexPairs(sh: DataFrame,
+      threshold: Double, minCommon: Int,
+      maxDf: Option[Int]): DataFrame = {
     // persisted (inside shingleFrame): the inverted index reads the frame
     // twice (both join sides). The join key is the shingle's 64-bit digest,
     // computed map-side before the exchange — the one corpus-sized shuffle

@@ -270,6 +270,33 @@ object IndexMaintenance {
     ea.orElse(eb).foreach(e => throw e)
   }
 
+  /** [[inParallel]] for N independent store mutations — the ingest's
+    * standing-index suite: each family appends to its OWN root under its
+    * OWN lease, so the mutations are mutually order-free and overlap the
+    * same way the paired writes do (each family's INTERNAL heal/build/
+    * append sequence stays sequential inside its thunk — those orderings
+    * are crash-recovery invariants). The first thunk runs on the caller's
+    * thread; every failure is awaited before the first one propagates
+    * (never abandons an in-flight write).
+    */
+  private[graft] def inParallelAll(thunks: Seq[() => Unit]): Unit =
+    thunks match {
+      case Seq() => ()
+      case Seq(one) => one()
+      case head +: tail =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fs = tail.map(t => Future(t()))
+        val eh = try { head(); None } catch { case e: Throwable => Some(e) }
+        val es = fs.map { f =>
+          try { Await.result(f, Duration.Inf); None } catch {
+            case e: Throwable => Some(e)
+          }
+        }
+        (eh +: es).flatten.headOption.foreach(e => throw e)
+    }
+
   // ---- auto-compaction policy ------------------------------------------
 
   /** When a continuous ingest should fold its appended deltas — the knob

@@ -112,16 +112,33 @@ object TextAnalysis {
       idCol: String, textCol: String, w: Int,
       minMeanQuality: Double, maxRepFraction: Double): org.apache.spark.sql.DataFrame = {
     val base = graft.operators.Staging.widen(docs)
+    import graft.operators.Staging.Stageable
+    sourceTriageFromGrid(base, srcCol, idCol, textCol,
+      chunkByTokens(base, idCol, textCol, window = w, stride = w)
+        .select(col(idCol).as("id"),
+          graft.functions.VectorFunctions.fingerprint64(col("chunk_text")).as("fp"))
+        .stagePersist(),
+      minMeanQuality, maxRepFraction)
+  }
+
+  /** [[sourceTriage]] over a prebuilt fingerprinted segment grid — the
+    * From-pattern seam (ngramJaccardPairsFrom precedent) that lets a
+    * composed pipeline (q_curate: triage → keep-first segment dedup)
+    * compute the disjoint w-token grid ONCE and share the staged frame
+    * between the stages instead of re-chunking the corpus. `grid` must
+    * carry (id, fp) rows of the SAME (w, stride = w) grid over exactly
+    * `docs` — the caller owns that contract (the one-arg form above
+    * builds it itself).
+    */
+  def sourceTriageFromGrid(docs: org.apache.spark.sql.DataFrame, srcCol: String,
+      idCol: String, textCol: String, grid: org.apache.spark.sql.DataFrame,
+      minMeanQuality: Double, maxRepFraction: Double): org.apache.spark.sql.DataFrame = {
+    val base = docs
     val qStats = base
       .select(col(srcCol).as("source"),
         floor(qualityScore(col(textCol)) * lit(1e9d)).cast("long").as("_qu"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("_qu").as("_squ"))
-    import graft.operators.Staging.Stageable
-    val grid = chunkByTokens(base, idCol, textCol, window = w, stride = w)
-      .select(col(idCol).as("id"),
-        graft.functions.VectorFunctions.fingerprint64(col("chunk_text")).as("fp"))
-      .stagePersist()
     val rep = grid.groupBy("fp").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2L)
       .select(col("fp"), lit(1L).as("_rep"))

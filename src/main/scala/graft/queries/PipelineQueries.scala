@@ -306,15 +306,31 @@ object PipelineQueries extends QueryModule {
     "q_curate" -> { (s, dir) =>
       val t = new Tables(s, dir)
       val docs = Staging.widen(t.documents)
-      val triage = TextAnalysis.sourceTriage(docs, "source", "doc_id",
-        "text", w = 8, minMeanQuality = 0.80, maxRepFraction = 0.15)
+      // ONE disjoint w=8 grid serves both stages (the From-pattern seam):
+      // triage reads (id, fp) over all docs, the keep-first segment dedup
+      // reads (id, chunk_id, fp) over the triage survivors — previously
+      // each stage re-chunked and re-fingerprinted the corpus
+      val gridAll = Staging.stage(
+        TextAnalysis.chunkByTokens(docs, "doc_id", "text",
+            window = 8, stride = 8)
+          .select(col("doc_id").as("id"), col("chunk_id"),
+            graft.functions.VectorFunctions.fingerprint64(col("chunk_text"))
+              .as("fp")))
+      val triage = TextAnalysis.sourceTriageFromGrid(docs, "source",
+        "doc_id", "text", gridAll, minMeanQuality = 0.80,
+        maxRepFraction = 0.15)
       val survivors = docs.join(
         triage.filter(!col("flagged")).select("source"),
         Seq("source"), "left_semi")
+      // the shared grid filtered to the survivors — winners must be a
+      // min over exactly the surviving documents
+      val gridSurv = gridAll.join(
+        survivors.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       // the cleaned frame feeds the LM model, the scoring side, and the
       // fingerprint gate — stage it or the triage+dedup prefix re-runs
       val cleaned = Staging.stage(
-        Dedup.dedupSegmentsKeepFirst(survivors, "doc_id", "text", w = 8)
+        Dedup.dedupSegmentsKeepFirstFromGrid(survivors, "doc_id", "text",
+            w = 8, grid = gridSurv)
           .select(col("doc_id"), col("n_kept"), col("clean")))
       val scored = graft.operators.LanguageModel
         .lmScore(cleaned, "doc_id", "clean")

@@ -378,11 +378,19 @@ object CorpusIngest {
       val kept = spark.read.schema(batch.schema)
         .parquet(s"$sinkPath/batch=$batchId")
       val keptIds = kept.select(col(idCol).as("id"))
-      timed("append") {
+      // The core index append and every standing-store FAMILY append
+      // mutate DISJOINT roots under their own leases — mutually
+      // order-free, so they overlap (inParallelAll, the §2.6 rule the
+      // paired writes already use) instead of summing up to six
+      // job-scheduling + commit latencies per micro-batch. Each family's
+      // INTERNAL heal → build-if-missing → append order is preserved
+      // inside its thunk — those orderings are crash-recovery invariants.
+      val appends = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+      appends += (() => timed("append") {
         IncrementalDedup.appendSigned(
           base.join(broadcast(keptIds), Seq("id"), "left_semi"),
           indexPath, p)
-      }
+      })
       // keep the configured standing indices current with the same
       // survivors (sink text, so canonical when the ingest is). Skipped
       // for a batch with no survivors — an append that CREATES a store
@@ -394,23 +402,23 @@ object CorpusIngest {
         // the auto-compaction below folds the triggering batch before a
         // crash-and-replay
         maintain.postingsPath.foreach { mp =>
-          timed("postings")(graft.operators.Retrieval
+          appends += (() => timed("postings")(graft.operators.Retrieval
             .appendToPostingsIndexKeyed(kept, idCol, textCol, mp, batchId,
-              lineage))
+              lineage)))
         }
         maintain.gramPostingsPath.foreach { mp =>
-          timed("grams") {
+          appends += (() => timed("grams") {
             if (!fs.exists(new Path(mp, "gparams")))
               graft.operators.Decontaminate.buildGramPostingsIndex(
                 kept, idCol, textCol, mp, maintain.gramN)
             else
               graft.operators.Decontaminate.appendToGramPostingsIndex(
                 kept, idCol, textCol, mp)
-          }
+          })
         }
         maintain.positionsPath.foreach { mp =>
-          timed("positions")(graft.operators.Retrieval
-            .appendToPositionalIndex(kept, idCol, textCol, mp))
+          appends += (() => timed("positions")(graft.operators.Retrieval
+            .appendToPositionalIndex(kept, idCol, textCol, mp)))
         }
         // the COUNTED stores append batch-id-KEYED (overwrite-own-delta,
         // lineage-namespaced), so an at-least-once replay cannot
@@ -421,26 +429,27 @@ object CorpusIngest {
         // would misread a full store as unbuilt — the empty build's
         // overwrite would then WIPE the history heal just restored.
         maintain.termStatsPath.foreach { mp =>
-          timed("termstats") {
+          appends += (() => timed("termstats") {
             graft.operators.IndexMaintenance.heal(spark, mp, "terms")
             if (!fs.exists(new Path(mp, "terms")))
               graft.operators.Retrieval.buildTermStatsIndex(
                 kept.limit(0), idCol, textCol, mp)
             graft.operators.Retrieval.appendToTermStatsIndexKeyed(
               kept, idCol, textCol, mp, batchId, lineage)
-          }
+          })
         }
         maintain.driftGramsPath.foreach { mp =>
-          timed("driftgrams") {
+          appends += (() => timed("driftgrams") {
             graft.operators.IndexMaintenance.heal(spark, mp, "grams")
             if (!fs.exists(new Path(mp, "grams")))
               graft.operators.CorpusCompare.buildGramIndex(
                 kept.limit(0), col(textCol), mp)
             graft.operators.CorpusCompare.appendToGramIndexKeyed(
               kept, col(textCol), mp, batchId, lineage)
-          }
+          })
         }
       }
+      graft.operators.IndexMaintenance.inParallelAll(appends.toSeq)
       // AUTOMATIC MAINTENANCE: fold the appended deltas when the policy
       // says so — per family, under each compactor's own lease, after the
       // batch's appends (so the triggering batch's rows fold too). Runs

@@ -205,10 +205,14 @@ object EmbeddingIngest {
       val kept = spark.read.schema(batch0.schema)
         .parquet(s"$sinkPath/batch=$batchId")
       if (!kept.isEmpty) {
-        timed("append")(IncrementalAnn.appendStaged(d, sigsFull,
-          kept.select(col(idCol).as("id")), indexPath))
-        ivfPath.foreach(p2 =>
-          timed("ivf")(IvfIndex.appendBatch(kept, idCol, vecCol, p2)))
+        // LSH store and IVF store are disjoint roots under their own
+        // leases — mutually order-free appends overlap (the §2.6 rule the
+        // document ingest's suite appends use)
+        graft.operators.IndexMaintenance.inParallelAll(Seq(
+          () => timed("append")(IncrementalAnn.appendStaged(d, sigsFull,
+            kept.select(col(idCol).as("id")), indexPath))) ++
+          ivfPath.map(p2 => () =>
+            timed("ivf")(IvfIndex.appendBatch(kept, idCol, vecCol, p2))))
       }
       // automatic maintenance, mirroring the document ingest: fold the
       // appended deltas when the policy fires, after this batch's appends

@@ -223,6 +223,80 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("segment dedup over a shared pre-filtered grid equals the direct form") {
+    // the q_curate seam: one grid over ALL docs, filtered to a survivor
+    // subset, must give exactly the direct per-subset computation —
+    // including winners that the excluded docs must NOT steal
+    val docs = t("documents")
+    val survivors = docs.filter(col("doc_id") % 3 =!= 0)
+    val direct = Dedup.dedupSegmentsKeepFirst(survivors, "doc_id", "text", w = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val gridAll = graft.operators.TextAnalysis
+      .chunkByTokens(docs, "doc_id", "text", window = 8, stride = 8)
+      .select(col("doc_id").as("id"), col("chunk_id"),
+        graft.functions.VectorFunctions.fingerprint64(col("chunk_text")).as("fp"))
+    val gridSurv = gridAll.join(
+      survivors.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+    val shared = Dedup.dedupSegmentsKeepFirstFromGrid(survivors, "doc_id",
+        "text", w = 8, grid = gridSurv)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(shared == direct)
+    graft.operators.Staging.releaseAll()
+  }
+
+  test("ngram pairs: exact-dup-set collapse is output-identical (both orders)") {
+    // a dup-heavy corpus: clone groups (identical text, distinct ids, with
+    // the clone's id sometimes LOWER than a cross-group partner's so the
+    // expansion's least/greatest reordering is exercised), genuine
+    // near-dups ACROSS groups, short docs (1 shingle) and empty docs
+    // (0 shingles) — the intra-pair floor cases
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // clone of 1
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"), // clone of 1
+      (3L, "one two three"), // exactly 1 shingle
+      (4L, "one two three"), // its clone (1-shingle group)
+      (5L, "x y"), // 0 shingles (< n tokens)
+      (6L, "x y"), // 0-shingle clone group
+      (7L, "completely different text about other things entirely"))
+    import spark.implicits._
+    val docs = base.toDF("doc_id", "text")
+    for (mc <- Seq(1, 2)) {
+      val sh = Dedup.shingleFrame(docs, "doc_id", "text", 3)
+      def run(collapse: Boolean) =
+        Dedup.ngramJaccardPairsFrom(sh, threshold = 0.2, minCommon = mc,
+            maxDf = None, dupCollapse = Some(collapse))
+          .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      val direct = run(false)
+      val collapsed = run(true)
+      assert(collapsed == direct,
+        s"collapse changed the pair set at minCommon=$mc")
+      // the fixture's clone groups MUST produce intra pairs (1,10),(1,11),
+      // (10,11) at jaccard 1.0 — guard against a vacuous equality
+      val ones = direct.filter(_(2) == 1.0d).map(r => (r(0), r(1))).toSet
+      assert(Set((1L, 10L), (1L, 11L), (10L, 11L)).subsetOf(
+        ones.asInstanceOf[Set[(Long, Long)]]))
+      // 1-shingle clones pair only when minCommon admits them; 0-shingle
+      // clones never pair (no shared posting exists on the direct path)
+      val pairIds = direct.map(r => (r(0), r(1))).toSet
+      assert(pairIds.contains((3L, 4L)) == (mc <= 1))
+      assert(!pairIds.contains((5L, 6L)))
+      graft.operators.Staging.releaseAll()
+    }
+    // the PROBE fires on this dup-heavy corpus and the auto path still
+    // matches the forced-direct path end-to-end
+    val auto = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.2, minCommon = 2)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val sh2 = Dedup.shingleFrame(docs, "doc_id", "text", 3)
+    val direct2 = Dedup.ngramJaccardPairsFrom(sh2, 0.2, 2, None, Some(false))
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(auto == direct2)
+    graft.operators.Staging.releaseAll()
+  }
+
   test("ngram maxDf candidates are a subset of the unfiltered pairs") {
     val docs = t("documents")
     def pairs(cap: Option[Int]) =
