@@ -824,12 +824,24 @@ object ExtensionQueries extends QueryModule {
       val docs = t.documents
       val keep = Dedup.nearDupClusters(docs, "doc_id", "text")
         .filter(col("keep")).select(col("doc_id").as("k_id"))
-      Staging.widen(docs).select(
-          col("doc_id"),
-          TextAnalysis.langId(col("text")).as("lang_pred"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
-          TextAnalysis.fingerprint(col("text")).as("fp"))
+      // the four per-doc signals are STAGED before the filter: Catalyst
+      // pushes the lang/alpha/rate predicate below the projection and
+      // would otherwise duplicate every tokenizer-bearing expression into
+      // BOTH the filter and the output row (the r13 q_pipeline plan read
+      // ~40 split() runs per row — langId's CASE references each marker
+      // count ~5×, each count re-tokenizes, and the filter doubled it
+      // all); the narrow persisted frame computes each signal once per
+      // row. (An expression-level let-binding inside langId was tried
+      // instead and MEASURED SLOWER — nested-HOF interpretation overhead
+      // beats the saved evaluations at fixture document lengths — so the
+      // staging barrier, the house pattern, is the fix.)
+      val sig = Staging.stage(Staging.widen(docs).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+        TextAnalysis.fingerprint(col("text")).as("fp")))
+      sig
         .join(keep, col("doc_id") === col("k_id"), "left_semi")
         .filter(col("lang_pred") === "en" && col("alpha_ratio") > 0.4 &&
           Sampling.keepByRate(col("fp"), 0.5))
