@@ -575,6 +575,13 @@ object Dedup {
     * `dupCollapse`: None = probe (production default); Some(true/false)
     * forces the path — the spec's A/B hook, also handy for isolating the
     * collapse in a bench.
+    *
+    * INPUT CONTRACT: `sh` must carry DISTINCT shingle sets per row
+    * ([[shingleFrame]] / [[shinglesFromTokens]] output — `array_distinct`
+    * applied). A multiset `sh` (raw [[ngramsFromTokens]]) would make the
+    * collapsed intra-pair `common = n_sh` overcount vs the direct join's
+    * distinct-posting count. Every current caller goes through
+    * [[shingleFrame]]; a new caller bypassing it owns this contract.
     */
   def ngramJaccardPairsFrom(sh: DataFrame,
       threshold: Double = 0.2, minCommon: Int = 2,
@@ -590,18 +597,36 @@ object Dedup {
     * mass? Partial-aggregated HLL over a 64-bit set digest — the estimate
     * gates a PLAN choice only (both plans are output-identical), so the
     * sketch's ±5 % rsd and the digest's collision term are harmless.
+    *
+    * Two r14 cost fixes (the r13 probe taxed every caller — both full
+    * suites measured the dedup family 0.61-0.76×):
+    *   - the probe digest is `xxhash64(sh)` over the RAW array — one
+    *     codegen'd hash traversal per row instead of the interpreted
+    *     per-shingle `transform` + `array_sort` the exact group key needs.
+    *     Order-sensitive, so a reordered-but-equal set counts as distinct
+    *     HERE (the estimate errs toward the direct path — harmless; real
+    *     clone groups are byte-identical texts and hash equal), while
+    *     [[dupCollapsedPairs]] keeps the exact sorted key;
+    *   - the decision memoizes on the frame's canonicalized plan, released
+    *     with the staging frames ([[Staging.releaseAll]]): the gate
+    *     queries probe the SAME staged shingle frame several times per
+    *     query (twin pair sets, warm + measured bench runs), and a memo
+    *     hit costs zero jobs. Same-canonical-plan ⇒ same source data
+    *     within a release window, and even a stale hit could only pick
+    *     the other output-identical plan.
     */
-  private def heavyDupSetMass(sh: DataFrame): Boolean = {
-    val r = sh.agg(count(lit(1)).as("n"),
-      approx_count_distinct(xxhash64(sortedSetKey)).as("d")).head()
-    val n = r.getLong(0)
-    n > 0L && r.getLong(1).toDouble / n <= 0.75
-  }
+  private def heavyDupSetMass(sh: DataFrame): Boolean =
+    Staging.probeMemo.getOrElseUpdate(sh.queryExecution.analyzed.canonicalized, {
+      val r = sh.agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64(col("sh"))).as("d")).head()
+      val n = r.getLong(0)
+      n > 0L && r.getLong(1).toDouble / n <= 0.75
+    })
 
   /** The sorted per-document shingle-DIGEST array — identical shingle
     * sets (in any order; `sh` is first-occurrence-ordered) produce equal
-    * arrays. Used as the exact group key; its xxhash64 is the probe's
-    * estimate key.
+    * arrays. The exact group key of [[dupCollapsedPairs]] (the PROBE uses
+    * the cheaper order-sensitive raw-array hash — see above).
     */
   private def sortedSetKey: Column =
     array_sort(transform(col("sh"), s => xxhash64(s)))

@@ -59,27 +59,37 @@ object LanguageModel {
     * of an all-whitespace document) are dropped.
     */
   private def pairCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // prev = toks shifted one slot right (null ahead of the first token),
-    // zipped positionally. zip_with evaluates its ARRAY ARGUMENTS once per
-    // row; the previous indexed-transform form reached back into the
-    // array with element_at(toks, i) INSIDE the lambda, which re-ran the
-    // whole regex tokenizer per ELEMENT (the Staging HOF rule) — O(len²)
-    // work per document on the scoring pipeline's hottest path. The zip
-    // runs one element past the end (prevs is len+1 long; the padded slot
-    // pairs w = null with the last token), and that row drops in the same
-    // `w ≠ ''` filter that already drops null-w rows.
-    val prevs = concat(array(lit(null).cast("string")), toks)
-    docs
-      .select(col(idCol).as("_id"),
-        filter(
-          zip_with(toks, prevs, (t, prev) =>
-            struct(t.as("w"), prev.as("prev"))),
-          p => p.getField("w") =!= "").as("_pairs"))
-      .select(col("_id"), explode(col("_pairs")).as("p"))
-      .groupBy(col("_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+    // Tokens staged as a persisted ATTRIBUTE column (the Dedup.shingleFrame
+    // house rule): the regex tokenizer runs exactly once per row, at
+    // materialization. The r13 zip_with form passed the tokenizer
+    // EXPRESSION into the zip's array arguments (evaluated 2×/row) and
+    // nested interpreted HOFs (filter(zip_with(…)) — CodegenFallback,
+    // allocation-heavy); both full-suite A/Bs measured it 0.55-0.65× vs
+    // r12. This form is HOF-free: posexplode + element_at over the staged
+    // array is whole-stage-codegen end to end, O(1) per token, and emits
+    // the exact same (prev, w) multiset — prev = toks[i-1] (null ahead of
+    // the first token), empty tokens (the `split` artifact of an
+    // all-whitespace document) dropped.
+    val staged = tokenFrame(docs, idCol, textCol)
+    staged
+      .select(col("_id"), col("_toks"), posexplode(col("_toks")))
+      .filter(col("col") =!= "")
+      .select(col("_id"),
+        when(col("pos") > 0, element_at(col("_toks"), col("pos"))).as("prev"),
+        col("col").as("w"))
+      .groupBy(col("_id"), col("prev"), col("w"))
       .agg(count(lit(1)).as("k"))
   }
+
+  /** Staged (_id, _toks) projection — one narrow persisted frame so the
+    * tokenizer is computed once per row and every downstream reference is
+    * a cheap attribute read (Staging's HOF rule).
+    */
+  private def tokenFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("_id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .stagePersist()
 
   /** Score `docs` against a stupid-backoff bigram LM trained on `ref`.
     * Output: one row per input document — (idCol, n_tok, lm_score),
@@ -157,28 +167,19 @@ object LanguageModel {
     */
   private def tripleCounts(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // same shifted-zip construction as [[pairCounts]] (which see), one
-    // order deeper: prev/prev2 are toks shifted right by one/two slots.
-    // The nested zip runs up to two elements past the end (inner struct
-    // null, w null) — all dropped by the `w ≠ ''` filter exactly as the
-    // indexed form's null-w rows were.
-    val prevs = concat(array(lit(null).cast("string")), toks)
-    val prevs2 = concat(array(lit(null).cast("string"),
-      lit(null).cast("string")), toks)
-    docs
-      .select(col(idCol).as("_id"),
-        filter(
-          zip_with(
-            zip_with(toks, prevs, (t, prev) =>
-              struct(t.as("w"), prev.as("prev"))),
-            prevs2, (s, prev2) =>
-              struct(s.getField("w").as("w"), s.getField("prev").as("prev"),
-                prev2.as("prev2"))),
-          p => p.getField("w") =!= "").as("_tr"))
-      .select(col("_id"), explode(col("_tr")).as("p"))
-      .groupBy(col("_id"), col("p.prev2").as("prev2"),
-        col("p.prev").as("prev"), col("p.w").as("w"))
+    // same staged-attribute posexplode construction as [[pairCounts]]
+    // (which see), one order deeper: prev = toks[i-1] (null for a
+    // document's first token), prev2 = toks[i-2] (null for its first
+    // two) — HOF-free, codegen'd, one tokenize per row.
+    val staged = tokenFrame(docs, idCol, textCol)
+    staged
+      .select(col("_id"), col("_toks"), posexplode(col("_toks")))
+      .filter(col("col") =!= "")
+      .select(col("_id"),
+        when(col("pos") > 1, element_at(col("_toks"), col("pos") - 1)).as("prev2"),
+        when(col("pos") > 0, element_at(col("_toks"), col("pos"))).as("prev"),
+        col("col").as("w"))
+      .groupBy(col("_id"), col("prev2"), col("prev"), col("w"))
       .agg(count(lit(1)).as("k"))
   }
 

